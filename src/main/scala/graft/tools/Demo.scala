@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.ingest.LogCatalog
+import graft.query.LogQueries
+import graft.report.Reports
+import org.apache.spark.sql.SparkSession
+
+/** Runnable end-to-end demo of the analytics surface — the engine-side
+  * equivalents of the reference's MCP tools over an inline corpus.
+  * `sbt "runMain graft.tools.Demo [logFile]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val catalog = new LogCatalog(spark)
+    val (lines1, nodes1) = catalog.loadInline("node1_system",
+      Seq(
+        "INFO  [2026-05-14 10:00:00,001] [main] o.a.c.Service:100 - Startup complete",
+        "ERROR [2026-05-14 10:00:01,002] [ReadStage-2] o.a.c.db.ReadCommand:512 - Read timed out after 5000ms",
+        "ERROR [2026-05-14 10:00:02,003] [MutationStage-1] o.a.c.Mutation:9 - java.lang.OutOfMemoryError: Java heap space",
+        "java.lang.RuntimeException: boom",
+        "WARN  [2026-05-14 10:00:03,004] [main] o.a.c.Batch:5 - batch too large: 128 statements"
+      ).mkString("\n") + "\n")
+    println(s"== load_logs: $lines1 lignes, $nodes1 nodes")
+
+    args.headOption.foreach { path =>
+      val (n, total) = catalog.loadFile("node2", "system", path, tailLines = Some(3))
+      println(s"== load from file (tail -n 3): $n lignes, $total node keys")
+    }
+
+    println("\n==== analyze_cluster ====")
+    println(Reports.renderAnalysis(catalog))
+    println("\n==== search_logs 'timed out' ====")
+    println(Reports.renderSearch(catalog, "timed out"))
+    println("\n==== search_logs case-sensitive 'RUNTIME' (expect none) ====")
+    println(Reports.renderSearch(catalog, "RUNTIME", caseSensitive = true))
+    println("\n==== search_logs node_filter=ghost (expect none) ====")
+    println(Reports.renderSearch(catalog, ".", nodeFilter = Some("ghost")))
+    println("\n==== get_errors limit=2 ====")
+    println(Reports.renderErrors(catalog, limit = 2))
+    println("\n==== compare_nodes ====")
+    println(Reports.renderCompare(catalog))
+    println("\n==== detect_issues severity=critical ====")
+    println(Reports.renderIssues(catalog, "critical"))
+    println("\n==== resources ====")
+    println(Reports.nodesJson(catalog))
+    println(Reports.analysisJson(catalog))
+
+    // user-regex error path: invalid pattern surfaces as an exception
+    try {
+      LogQueries.searchLogs(catalog, "(unclosed").count()
+      println("\n[probe] invalid regex: NO error (unexpected)")
+    } catch {
+      case e: Throwable =>
+        println(s"\n[probe] invalid regex -> ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}")
+    }
+    spark.stop()
+  }
+}
