@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.analyze.ClusterAnalyzer
+import graft.classify.IssueClassifier
+import graft.parse.LogLineParser
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's log-analytics surface exercised over the driver's
+  * parquet fixtures (FIXTURES.md §B): `events` rows are deterministically
+  * rendered as Cassandra-style log lines, then the REAL parse/classify/
+  * analyze pipeline runs on them, with DuckDB oracle twins built from the
+  * same constants (no drift possible).
+  *
+  * Mapping: q11=P1 parse, q12=F1+A2 classify histogram, q13=A1 summary
+  * (dual counting), q14=F2+W1 search with line numbers, q15=A7
+  * recommendations, q16=compare_nodes, q17=get_errors (SURVEY.md §2).
+  */
+object LogDomainQueries {
+
+  /** Deterministic event→log-line corpus, shared between the Spark plan
+    * and the DuckDB CTE. Message planted by `event_id % 40` bucket so
+    * every SF trips all five recommendation thresholds.
+    */
+  object Corpus {
+    val bucketMessages: Seq[String] = Seq(
+      "Read timed out after 5000ms", // -> timeout   (>10 rule)
+      "dropped 42 mutation messages in last 5s", // -> dropped (>10)
+      "GC pause of 1200ms exceeded threshold", // -> gc       (>5)
+      "tombstone warning: scanned 10000 tombstones", // -> tombstone (>5)
+      "java.lang.OutOfMemoryError: Java heap space") // -> oom  (>0)
+
+    def levelExpr: Column =
+      when(col("event_type") === "error", "ERROR")
+        .when(col("event_type") === "view", "WARN")
+        .when(col("event_type") === "click", "DEBUG")
+        .otherwise("INFO")
+
+    def messageExpr: Column =
+      bucketMessages.zipWithIndex.foldRight(
+        concat(col("event_type"), lit(" ok")): Column) { case ((m, i), acc) =>
+        when(col("event_id") % 40 === i, m).otherwise(acc)
+      }
+
+    /** events + node/level/ts_str/message/line columns. */
+    def logs(spark: SparkSession, dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .withColumn("node", concat(lit("node"), (col("user_id") % 4).cast("string")))
+        .withColumn("level", levelExpr)
+        .withColumn("ts_str", expr("ts_ns div 1000000").cast("string"))
+        .withColumn("message", messageExpr)
+        .withColumn("line", concat(
+          col("level"), lit(" ["), col("ts_str"), lit("] [thread-"),
+          (col("user_id") % 8).cast("string"), lit("] app.Handler:"),
+          (col("event_id") % 997).cast("string"), lit(" - "), col("message")))
+
+    /** The same corpus as a DuckDB CTE (`ev`). */
+    val sqlCte: String = {
+      val buckets = bucketMessages.zipWithIndex.map { case (m, i) =>
+        s"WHEN event_id % 40 = $i THEN '$m'"
+      }.mkString("\n           ")
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id,
+         |    concat('node', CAST(user_id % 4 AS VARCHAR)) AS node,
+         |    CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'view' THEN 'WARN'
+         |         WHEN 'click' THEN 'DEBUG' ELSE 'INFO' END AS level,
+         |    CAST(epoch_ms(ts) AS VARCHAR) AS ts_str,
+         |    CASE $buckets
+         |         ELSE concat(event_type, ' ok') END AS message
+         |  FROM events),
+         |ev_lines AS (
+         |  SELECT *, concat(level, ' [', ts_str, '] [thread-',
+         |    CAST(user_id % 8 AS VARCHAR), '] app.Handler:',
+         |    CAST(event_id % 997 AS VARCHAR), ' - ', message) AS line
+         |  FROM ev)""".stripMargin
+    }
+
+    /** OR-chain of regexp_matches for a pattern set (DuckDB twin of
+      * IssueClassifier.matchesAny*).
+      */
+    def sqlAnyMatch(patterns: Seq[(String, String)]): String =
+      patterns.map { case (_, p) => s"regexp_matches(message, '$p')" }
+        .mkString("(", " OR ", ")")
+
+    val sqlIsError: String = s"(level = 'ERROR' OR ${sqlAnyMatch(IssueClassifier.errorPatterns)})"
+    val sqlIsWarning: String = s"(level = 'WARN' OR ${sqlAnyMatch(IssueClassifier.warningPatterns)})"
+  }
+
+  import Corpus._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1: regex parse-projection round-trip — the reference's exact parse
+    // regex over synthesized lines (regex evaluates in the scan stage
+    // under whole-stage codegen; no shuffle)
+    "q11_parse_extract" -> ((s, dir) => {
+      val lines = logs(s, dir).select("event_id", "line")
+      lines.where(LogLineParser.matches(col("line")))
+        .select((col("event_id") +: LogLineParser.parsedColumns(col("line"))): _*)
+        .orderBy("event_id")
+    }),
+
+    // F1+A2: 14-pattern classify histogram over documents.text
+    "q12_classify_histogram" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(IssueClassifier.issues(col("text"))).as("issue"))
+        .groupBy(col("issue.severity").as("severity"),
+          col("issue.issueType").as("issue_type"))
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy(desc("occurrences"), asc("issue_type"))
+    }),
+
+    // A1: per-node summary with dual error/warning counting
+    "q13_level_summary" -> ((s, dir) => {
+      logs(s, dir).groupBy("node").agg(
+        count(when(IssueClassifier.isError(col("level"), col("message")), 1)).as("errors"),
+        count(when(IssueClassifier.isWarning(col("level"), col("message")), 1)).as("warnings"),
+        count(lit(1)).as("total_lines"))
+        .orderBy("node")
+    }),
+
+    // F2+W1: regex search with pre-assigned per-source line numbers
+    "q14_search_linenum" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables(s, dir, "documents")
+        .withColumn("line_number", row_number().over(w).cast("long"))
+        .where(col("text").rlike("(?i)(slow.*query)"))
+        .select(col("source"), col("line_number"), col("doc_id"),
+          trim(col("text")).as("content"))
+        .orderBy("source", "line_number")
+        .limit(100)
+    }),
+
+    // A7: threshold rules over the issue histogram (broadcast rules join)
+    "q15_recommendations" -> ((s, dir) => {
+      val hist = logs(s, dir)
+        .select(explode(IssueClassifier.issues(col("message"))).as("issue"))
+        .groupBy(col("issue.issueType").as("issue_type"))
+        .agg(count(lit(1)).as("occurrences"))
+      ClusterAnalyzer.recommendationsPlan(s, hist)
+    }),
+
+    // compare_nodes: request order, unknown nodes skipped
+    "q16_compare_nodes" -> ((s, dir) => {
+      val summary = logs(s, dir).groupBy("node").agg(
+        count(when(IssueClassifier.isError(col("level"), col("message")), 1)).as("errors"),
+        count(when(IssueClassifier.isWarning(col("level"), col("message")), 1)).as("warnings"),
+        count(lit(1)).as("total_lines"))
+      val req = Seq("node3", "node1", "ghost")
+      val order = map(req.zipWithIndex.flatMap { case (n, i) => Seq(lit(n), lit(i)) }: _*)
+      summary.where(col("node").isin(req: _*))
+        .withColumn("__ord", element_at(order, col("node")))
+        .orderBy("__ord").drop("__ord")
+    }),
+
+    // get_errors: error entries flattened in node order, first 50
+    "q17_get_errors" -> ((s, dir) => {
+      logs(s, dir)
+        .where(IssueClassifier.isError(col("level"), col("message")))
+        .select(col("node"), col("ts_str").as("timestamp"), col("message"),
+          col("event_id"))
+        .orderBy("node", "event_id")
+        .limit(50)
+    }))
+
+  def oracle: Map[String, String] = {
+    val parsedCols = Seq("level" -> 1, "timestamp" -> 2, "thread" -> 3,
+      "clazz" -> 4, "line" -> 5, "message" -> 6)
+      .map { case (n, i) =>
+        s"regexp_extract(line, '${LogLineParser.pattern}', $i) AS $n"
+      }.mkString(",\n  ")
+    val histArms = IssueClassifier.allPatterns.map { case (sev, t, p) =>
+      s"SELECT '$sev' AS severity, '$t' AS issue_type, COUNT(*) AS occurrences FROM documents WHERE regexp_matches(text, '$p')"
+    }.mkString("\nUNION ALL\n")
+    val ruleHistArms = ClusterAnalyzer.rules.map { case (key, _, _) =>
+      val p = IssueClassifier.errorPatterns.toMap.apply(key)
+      s"SELECT '$key' AS issue_type, COUNT(*) AS occurrences FROM ev WHERE regexp_matches(message, '$p')"
+    }.mkString("\nUNION ALL\n")
+    val ruleValues = ClusterAnalyzer.rules.zipWithIndex.map {
+      case ((key, thr, rec), i) =>
+        s"($i, '$key', $thr, '${rec.severity}', '${rec.issue}', '${rec.recommendation}')"
+    }.mkString(",\n  ")
+
+    Map(
+      "q11_parse_extract" ->
+        s"""$sqlCte
+           |SELECT event_id,
+           |  $parsedCols
+           |FROM ev_lines
+           |WHERE regexp_matches(line, '^${LogLineParser.pattern}')
+           |ORDER BY event_id""".stripMargin,
+      "q12_classify_histogram" ->
+        s"""SELECT severity, issue_type, occurrences FROM (
+           |$histArms
+           |) WHERE occurrences > 0
+           |ORDER BY occurrences DESC, issue_type""".stripMargin,
+      "q13_level_summary" ->
+        s"""$sqlCte
+           |SELECT node,
+           |  COUNT(*) FILTER (WHERE $sqlIsError) AS errors,
+           |  COUNT(*) FILTER (WHERE $sqlIsWarning) AS warnings,
+           |  COUNT(*) AS total_lines
+           |FROM ev GROUP BY node ORDER BY node""".stripMargin,
+      "q14_search_linenum" ->
+        """SELECT source, line_number, doc_id, content FROM (
+          |  SELECT source, doc_id,
+          |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS line_number,
+          |         trim(text) AS content,
+          |         text
+          |  FROM documents) t
+          |WHERE regexp_matches(text, '(?i)(slow.*query)')
+          |ORDER BY source, line_number LIMIT 100""".stripMargin,
+      "q15_recommendations" ->
+        s"""$sqlCte,
+           |hist AS (
+           |$ruleHistArms
+           |)
+           |SELECT severity, issue, recommendation
+           |FROM (VALUES
+           |  $ruleValues) AS rules(ord, issue_type, threshold, severity, issue, recommendation)
+           |JOIN hist USING (issue_type)
+           |WHERE occurrences > threshold
+           |ORDER BY ord""".stripMargin,
+      "q16_compare_nodes" ->
+        s"""$sqlCte
+           |SELECT node,
+           |  COUNT(*) FILTER (WHERE $sqlIsError) AS errors,
+           |  COUNT(*) FILTER (WHERE $sqlIsWarning) AS warnings,
+           |  COUNT(*) AS total_lines
+           |FROM ev WHERE node IN ('node3', 'node1', 'ghost')
+           |GROUP BY node
+           |ORDER BY CASE node WHEN 'node3' THEN 0 WHEN 'node1' THEN 1 ELSE 2 END""".stripMargin,
+      "q17_get_errors" ->
+        s"""$sqlCte
+           |SELECT node, ts_str AS timestamp, message, event_id
+           |FROM ev WHERE $sqlIsError
+           |ORDER BY node, event_id LIMIT 50""".stripMargin)
+  }
+}
