@@ -8,9 +8,11 @@ object SparkEntry {
     queries("q01_pushdown_agg")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ LogDomainQueries.queries
+    RelationalQueries.queries ++ LogDomainQueries.queries ++
+      TimeSeriesQueries.queries ++ TextAnalysisQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ LogDomainQueries.oracle
+    RelationalQueries.oracle ++ LogDomainQueries.oracle ++
+      TimeSeriesQueries.oracle ++ TextAnalysisQueries.oracle
 }

@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text primitives for the training-data-pipeline extension
+  * tier (dedup / language-ID / quality / fingerprinting), each with an
+  * exact DuckDB SQL twin generated FROM THE SAME CONSTANTS so the driver's
+  * oracle compare can hash-match bit-for-bit.
+  *
+  * Design rules for cross-engine exactness:
+  *  - all hashes are integer arithmetic mod P = 2^31-1 (no engine-native
+  *    hash functions — Spark murmur3 != DuckDB hash);
+  *  - every fold is an explicit LEFT fold (Spark `aggregate`, DuckDB
+  *    `list_reduce` over a 0-prepended list) so even double-typed folds
+  *    evaluate in the same order;
+  *  - token/shingle definitions are shared strings/regexes.
+  *
+  * All of this stays in Spark built-in expressions (higher-order
+  * functions), so plans keep column pruning + predicate pushdown; nothing
+  * here is a UDF (SURVEY.md §2.9).
+  */
+object TextFunctions {
+
+  /** Modulus for all polynomial hashes: 2^31-1 (Mersenne prime). Keeps
+    * every intermediate product below 2^62 (fits BIGINT in both engines).
+    */
+  val P: Long = 2147483647L
+
+  val tokenSplitRegex = "[^a-z]+"
+
+  // ------------------------------------------------------------------
+  // Tokens & shingles
+  // ------------------------------------------------------------------
+
+  /** Lowercased letter-run tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), tokenSplitRegex), t => t =!= "")
+
+  def sqlTokens(text: String): String =
+    s"list_filter(string_split_regex(lower($text), '$tokenSplitRegex'), t -> t <> '')"
+
+  /** Canonical-form key for exact dedup: md5 of the sorted distinct token
+    * set. Collapses docs that are word-order permutations / repetitions of
+    * the same vocabulary (the only duplicate structure in the corpus).
+    */
+  def canonicalKey(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  def sqlCanonicalKey(text: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(${sqlTokens(text)})), ' '))"
+
+  /** Word n-shingles in sequence order (repeats kept): the near-dup unit.
+    * Docs with < n tokens get an empty shingle set.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def sqlWordShingles(text: String, n: Int = 3): String = {
+    val toks = sqlTokens(text)
+    s"""CASE WHEN len($toks) >= $n
+       | THEN list_transform(range(1, len($toks) - ${n - 2}),
+       |   i -> array_to_string(($toks)[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' '))
+       | ELSE [] END""".stripMargin.replaceAll("\n", "")
+  }
+
+  // ------------------------------------------------------------------
+  // Polynomial hash (the one hash both engines compute identically)
+  // ------------------------------------------------------------------
+
+  /** h = fold(chars) of (h*31 + codepoint) mod P — a classic polynomial
+    * rolling hash, expressed with built-in HOFs only.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L), (h, c) => (h * 31 + c) % P)
+
+  def sqlPolyHash(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(h, c) -> (h * 31 + c) % $P)"
+
+  /** Distinct shingle-hash set per doc — input to MinHash and SimHash. */
+  def shingleHashes(text: Column): Column =
+    array_distinct(transform(wordShingles(text), s => polyHash(s)))
+
+  def sqlShingleHashes(text: String): String =
+    s"list_distinct(list_transform(${sqlWordShingles(text)}, s -> ${sqlPolyHash("s")}))"
+
+  // ------------------------------------------------------------------
+  // MinHash (k independent affine permutations over shingle hashes)
+  // ------------------------------------------------------------------
+
+  /** Deterministic parameter stream: glibc-style LCG, fixed seed. (No
+    * runtime randomness — the DuckDB twin embeds the same literals.)
+    */
+  def lcg(n: Int, seed: Long = 1234567L): Seq[Long] = {
+    var x = seed
+    Seq.fill(n) { x = (1103515245L * x + 12345L) % (1L << 31); x }
+  }
+
+  val minhashK = 16
+  /** Bands of r=2 rows → 8 bands (tuned on the fixture corpus: catches
+    * the ~25 true near-dup pairs at sf0.01 with ~28 candidates).
+    */
+  val minhashBandRows = 2
+  val minhashBands: Int = minhashK / minhashBandRows
+
+  private val lcgRaw = lcg(2 * minhashK)
+  val minhashA: Seq[Long] = lcgRaw.take(minhashK).map(_ % (P - 2) + 1)
+  val minhashB: Seq[Long] = lcgRaw.drop(minhashK).map(_ % P)
+
+  /** k-th minhash of a distinct-hash set: min of (a*x + b) mod P. */
+  def minhash(hashes: Column, k: Int): Column =
+    array_min(transform(hashes, x => (x * minhashA(k) + minhashB(k)) % P))
+
+  def sqlMinhash(hashes: String, k: Int): String =
+    s"list_min(list_transform($hashes, x -> (x * ${minhashA(k)} + ${minhashB(k)}) % $P))"
+
+  // ------------------------------------------------------------------
+  // SimHash (31-bit, over the shingle-hash set)
+  // ------------------------------------------------------------------
+
+  val simhashBits = 31
+  /** 4 chunks (8+8+8+7 bits): by pigeonhole, any pair at Hamming
+    * distance <= 3 shares at least one identical chunk, so an equi-join
+    * on (chunkIdx, chunkValue) is a COMPLETE candidate generator — the
+    * scale path that avoids the all-pairs cross join.
+    */
+  val simhashChunks = 4
+  val simhashMaxHamming = 3
+
+  /** Per-bit majority vote over the hash set, packed to a long. */
+  def simhash(hashes: Column): Column = {
+    val bits = (0 until simhashBits).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (s, h) => s + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def sqlSimhash(hashes: String): String = {
+    val bits = (0 until simhashBits).map { b =>
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($hashes, h -> ((h >> $b) & 1) * 2 - 1)), " +
+        s"(s, v) -> s + v) > 0 THEN ${1L << b} ELSE 0 END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Chunk c of a simhash (8 bits; top chunk 7). */
+  def simhashChunk(sh: Column, c: Int): Column =
+    shiftright(sh, 8 * c).bitwiseAND(255)
+
+  def sqlSimhashChunk(sh: String, c: Int): String =
+    s"(($sh >> ${8 * c}) & 255)"
+
+  // ------------------------------------------------------------------
+  // Language ID (stopword-hit heuristic) + quality + fingerprints
+  // ------------------------------------------------------------------
+
+  /** Tiny per-language stopword profiles; priority order breaks ties. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "dans"))
+
+  /** Predicted language: argmax stopword hits (distinct-token ∩ profile),
+    * ties to profile order, all-zero → 'und'.
+    */
+  def langId(text: Column): Column = {
+    val dtoks = array_distinct(tokens(text))
+    val scores = stopwordProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(dtoks, array(words.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  def sqlLangId(text: String): String = {
+    val dtoks = s"list_distinct(${sqlTokens(text)})"
+    def score(words: Seq[String]) =
+      s"len(list_intersect($dtoks, [${words.map(w => s"'$w'").mkString(",")}]))"
+    val scores = stopwordProfiles.map { case (lang, words) => lang -> score(words) }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    // mirror of the foldRight: first profile hitting the max wins
+    scores.reverse.foldLeft("'und'") { case (acc, (lang, s)) =>
+      s"CASE WHEN $s = $best AND $best > 0 THEN '$lang' ELSE $acc END"
+    }
+  }
+
+  val enStopwords: Seq[String] = stopwordProfiles.head._2
+}

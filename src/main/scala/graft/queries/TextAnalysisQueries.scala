@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents`: language-ID, quality scoring,
+  * token counting, document fingerprinting. Pure built-in expressions
+  * (split / HOF folds / regexes) — everything evaluates in the scan
+  * stage, one narrow pass per doc, the only shuffles are the final small
+  * groupBys. DuckDB twins generated from the same constants in
+  * [[graft.functions.TextFunctions]].
+  */
+object TextAnalysisQueries {
+
+  private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // n-gram/stopword language-ID heuristic vs the labeled lang column
+    "q21_lang_id" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("predicted", langId(col("text")))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // per-doc quality score: token count, vocabulary ratio, punctuation
+    // ratio, stopword ratio — fixed double formula, same tree in DuckDB
+    "q22_quality_score" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val nDistinct = size(array_distinct(toks)).cast("double")
+      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val stopHits = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          punct.cast("long").as("punct_chars"),
+          (least(lit(1.0), nTok / 100.0) * 0.25
+            + (nDistinct / nTok) * 0.25
+            + (lit(1.0) - punct / nChars) * 0.25
+            + least(lit(1.0), (stopHits / nTok) * 4.0) * 0.25).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // whitespace vs BPE-ish regex tokenization, aggregated per source
+    "q23_token_count" -> ((s, dir) => {
+      val ws = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+      val bpe = size(regexp_extract_all(lower(col("text")), lit(bpeRegex), lit(0)))
+      Tables(s, dir, "documents")
+        .select(col("source"), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("sum_ws_tokens"),
+          sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+          (sum(col("bpe_tokens")).cast("double") / count(lit(1))).as("avg_bpe_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // document fingerprints: whole-text polynomial hash + min/max 8-gram
+    // hash (winnowing-style content anchors, shift-robust)
+    "q24_fingerprint" -> ((s, dir) => {
+      val gramHashes = transform(
+        sequence(lit(1), length(col("text")) - 7),
+        i => polyHash(substr(col("text"), i, lit(8))))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          polyHash(col("text")).as("fp"),
+          array_min(gramHashes).as("min_gram8"),
+          array_max(gramHashes).as("max_gram8"))
+        .orderBy("doc_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q21_lang_id" ->
+      s"""SELECT lang, ${sqlLangId("text")} AS predicted,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin,
+    "q22_quality_score" -> {
+      val toks = sqlTokens("text")
+      val stopList = enStopwords.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+         |  len($toks) AS n_tokens,
+         |  len(list_distinct($toks)) AS n_distinct,
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+         |  least(1.0, CAST(len($toks) AS DOUBLE) / 100.0) * 0.25
+         |    + (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 0.25
+         |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |         / CAST(length(text) AS DOUBLE)) * 0.25
+         |    + least(1.0, (CAST(len(list_filter($toks, t -> list_contains([$stopList], t))) AS DOUBLE)
+         |         / CAST(len($toks) AS DOUBLE)) * 4.0) * 0.25 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q23_token_count" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+         |  CAST(SUM(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+         |  CAST(SUM(bpe_tokens) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT source,
+         |    len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS ws_tokens,
+         |    len(regexp_extract_all(lower(text), '$bpeRegex')) AS bpe_tokens,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q24_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${sqlPolyHash("text")} AS fp,
+         |  list_min(gram_hashes) AS min_gram8,
+         |  list_max(gram_hashes) AS max_gram8
+         |FROM (SELECT doc_id, text,
+         |    list_transform(range(1, length(text) - 6),
+         |      i -> ${sqlPolyHash("substring(text, CAST(i AS INT), 8)")}) AS gram_hashes
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin)
+}
