@@ -9,10 +9,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ LogDomainQueries.queries ++
-      TimeSeriesQueries.queries ++ TextAnalysisQueries.queries
+      TimeSeriesQueries.queries ++ TextAnalysisQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ LogDomainQueries.oracle ++
-      TimeSeriesQueries.oracle ++ TextAnalysisQueries.oracle
+      TimeSeriesQueries.oracle ++ TextAnalysisQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++
+      MultimodalQueries.oracle
 }

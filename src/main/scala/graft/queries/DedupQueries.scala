@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over `documents` — the four standard shapes of a
+  * large-scale training-data pipeline:
+  *
+  *  - q25 exact:       hash-groupBy on a canonical form (one shuffle)
+  *  - q26 n-gram:      exact Jaccard via shingle-inverted-index join,
+  *                     bounded to a slice (the exact path is quadratic —
+  *                     at scale you run q27 instead)
+  *  - q27 MinHash+LSH: signature → band → bucket-join candidates →
+  *                     signature-estimate filter; candidates ∝ true
+  *                     near-dups, not ∝ pairs — the 100 TB path
+  *  - q28 SimHash:     bit-signature + pigeonhole chunk join (complete
+  *                     for hamming <= 3), again no all-pairs stage
+  *
+  * All built-in expressions; DuckDB twins generated from the same
+  * constants in [[graft.functions.TextFunctions]].
+  */
+object DedupQueries {
+
+  private val jaccardThreshold = 0.40
+  private val minhashEstThreshold = 0.375 // 6 of 16 signature positions
+
+  /** doc_id → distinct word-3-shingle hash set (shared by q27/q28). */
+  private def docHashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+
+  private def sqlDocHashes: String =
+    s"hashes AS (SELECT doc_id, ${sqlShingleHashes("text")} AS hs FROM documents)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup on the canonical token-set form: single hash shuffle,
+    // map-side partial agg; representative = min doc_id
+    "q25_dedup_exact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(canonicalKey(col("text")).as("canon_key"), col("doc_id"))
+        .groupBy("canon_key")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("rep_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .where(col("n_docs") > 1)
+        .orderBy("canon_key")
+    }),
+
+    // exact character-4-gram Jaccard >= 0.40 via inverted-index join on
+    // the doc_id % 5 slice (the exact-verification tier; LSH is the
+    // candidate generator at scale)
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), length(col("text")) - 3),
+            i => substr(lower(col("text")), i, lit(4))))).as("g"))
+      val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") /
+            (col("ca.n") + col("cb.n") - col("i")).cast("double")).as("jaccard"))
+        .where(col("jaccard") >= jaccardThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash signatures + banded LSH: only docs colliding in a band
+    // ever meet; est_sim from the signatures (no raw-text re-read)
+    "q27_minhash_lsh" -> ((s, dir) => {
+      val sig = docHashes(s, dir).select(col("doc_id"),
+        array((0 until minhashK).map(k => minhash(col("hs"), k)): _*).as("sig"))
+      val bandStructs = (0 until minhashBands).map { b =>
+        struct(lit(b).as("band"),
+          element_at(col("sig"), b * minhashBandRows + 1).as("h1"),
+          element_at(col("sig"), b * minhashBandRows + 2).as("h2"))
+      }
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+            col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .distinct()
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+            b => b)).cast("double") / minhashK).as("est_sim"))
+        .where(col("est_sim") >= minhashEstThreshold)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash + pigeonhole chunk join: hamming <= 3 over 4 chunks
+    // guarantees a shared chunk, so the equi-join is a complete
+    // candidate generator — never an all-pairs comparison
+    "q28_simhash" -> ((s, dir) => {
+      val sh = docHashes(s, dir).where(size(col("hs")) > 0)
+        .select(col("doc_id"), simhash(col("hs")).as("sh"))
+      val chunkStructs = (0 until simhashChunks).map { c =>
+        struct(lit(c).as("ci"), simhashChunk(col("sh"), c).as("cv"))
+      }
+      val chunks = sh.select(col("doc_id"), col("sh"),
+        explode(array(chunkStructs: _*)).as("ck"))
+        .select(col("doc_id"), col("sh"), col("ck.ci"), col("ck.cv"))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+        .where(col("hamming") <= simhashMaxHamming)
+        .orderBy("doc_a", "doc_b")
+    }))
+
+  def oracle: Map[String, String] = {
+    val sigList = (0 until minhashK).map(k => sqlMinhash("hs", k)).mkString("[", ",\n    ", "]")
+    val chunkArms = (0 until simhashChunks)
+      .map(c => s"SELECT doc_id, sh, $c AS ci, ${sqlSimhashChunk("sh", c)} AS cv FROM sh")
+      .mkString("\nUNION ALL\n")
+    Map(
+      "q25_dedup_exact" ->
+        s"""SELECT canon_key, COUNT(*) AS n_docs,
+           |  MIN(doc_id) AS rep_doc, MAX(doc_id) AS last_doc
+           |FROM (SELECT ${sqlCanonicalKey("text")} AS canon_key, doc_id
+           |      FROM documents)
+           |GROUP BY canon_key HAVING COUNT(*) > 1
+           |ORDER BY canon_key""".stripMargin,
+      "q26_ngram_jaccard" ->
+        s"""WITH grams AS (
+           |  SELECT DISTINCT doc_id, g FROM (
+           |    SELECT doc_id, substring(lower(text), CAST(i AS INT), 4) AS g
+           |    FROM documents, range(1, 600) r(i)
+           |    WHERE doc_id % 5 = 0 AND i <= length(text) - 3)),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+           |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT doc_a, doc_b,
+           |    CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+           |  FROM inter
+           |  JOIN cnt ca ON ca.doc_id = doc_a
+           |  JOIN cnt cb ON cb.doc_id = doc_b)
+           |WHERE jaccard >= $jaccardThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q27_minhash_lsh" ->
+        s"""WITH $sqlDocHashes,
+           |sig AS (SELECT doc_id, $sigList AS sig FROM hashes),
+           |bands AS (
+           |  SELECT doc_id, sig, CAST(i AS INT) AS band,
+           |    sig[CAST(${minhashBandRows} * i + 1 AS INT)] AS h1,
+           |    sig[CAST(${minhashBandRows} * i + 2 AS INT)] AS h2
+           |  FROM sig, range(0, $minhashBands) r(i)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.sig AS sa, b.sig AS sb
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+           |      AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, est_sim FROM (
+           |  SELECT doc_a, doc_b,
+           |    CAST(len(list_filter(range(1, ${minhashK + 1}),
+           |      i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) AS DOUBLE)
+           |      / $minhashK AS est_sim
+           |  FROM cand)
+           |WHERE est_sim >= $minhashEstThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q28_simhash" ->
+        s"""WITH $sqlDocHashes,
+           |sh AS (SELECT doc_id, ${sqlSimhash("hs")} AS sh
+           |       FROM hashes WHERE len(hs) > 0),
+           |chunks AS (
+           |$chunkArms),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.sh AS sha, b.sh AS shb
+           |  FROM chunks a JOIN chunks b
+           |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM (
+           |  SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming FROM cand)
+           |WHERE hamming <= $simhashMaxHamming
+           |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing over an opaque binary payload (q32).
+  *
+  * The corpus has no real image/audio bytes, so the payload is the
+  * UTF-8 encoding of `documents.text` — the POINT is the Spark-side
+  * shape: a `binary` column + typed metadata struct flowing through a
+  * columnar plan, with "decode" as cheap deterministic expressions
+  * (byte length, content digest, frame sampling by fixed stride). The
+  * real decoder stub (mapPartitions batch interface where an image
+  * library would sit) lives in [[graft.multimodal.MultimodalPipeline]]
+  * and is exercised by its spec — this query keeps the oracle-checkable
+  * expression surface.
+  */
+object MultimodalQueries {
+
+  private val frameBytes = 256
+  private val frameSigBytes = 128
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_multimodal_features" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct((col("n_chars") % 64 * 10 + 64).as("width"),
+            (col("doc_id") % 48 + 16).as("height"),
+            lit("fake/rgb8").as("format")).as("meta"))
+        .select(col("doc_id"),
+          length(col("payload")).as("byte_len"),
+          md5(col("payload")).as("content_md5"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          (expr(s"length(payload) div $frameBytes") + 1).as("n_frames"),
+          md5(substring(col("payload"), 1, frameSigBytes)).as("frame0_sig"))
+        .orderBy("doc_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q32_multimodal_features" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         |  md5(text) AS content_md5,
+         |  n_chars % 64 * 10 + 64 AS width,
+         |  doc_id % 48 + 16 AS height,
+         |  octet_length(encode(text)) // $frameBytes + 1 AS n_frames,
+         |  md5(substring(text, 1, $frameSigBytes)) AS frame0_sig
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors):
+  *
+  *  - q29 brute-force cosine top-k — the exactness baseline: a probe set
+  *    broadcast against the corpus, ranked per probe. Linear in corpus
+  *    size per probe; at cluster scale the corpus side stays partitioned
+  *    and only the probes move.
+  *  - q30 LSH-bucketed ANN — random-hyperplane signs bucket the corpus;
+  *    probes only scan their own bucket (the scale path: bucket becomes
+  *    the partition key, each probe touches one partition).
+  *  - q31 embedding near-dup — a new-batch probe set joined against the
+  *    corpus with a cosine threshold: the dedup-by-embedding shape.
+  *
+  * Norms are precomputed once per vector; cosine is a left-fold double
+  * dot product (bit-identical in DuckDB — see VectorFunctions).
+  */
+object SimilarityQueries {
+
+  private val topK = 5
+  private val annK = 3
+  private val nearDupThreshold = 0.3
+
+  /** vectors + squared norms; probe sets are deterministic id slices. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+
+  private val sqlEmb =
+    s"e AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact top-k: broadcast the probe set, rank per probe
+    "q29_cosine_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= topK)
+        .orderBy("probe_id", "rn")
+    }),
+
+    // ANN: probes meet only their own hyperplane-sign bucket
+    "q30_ann_lsh" -> ((s, dir) => {
+      val bucketed = emb(s, dir).withColumn("bucket", lshBucket(col("embedding")))
+      val probes = bucketed.where(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"), col("bucket").as("pbucket"))
+      val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      bucketed.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("bucket"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= annK)
+        .orderBy("probe_id", "rn")
+    }),
+
+    // near-dup screen: incoming batch (2% id slice) vs corpus
+    "q31_embedding_neardup" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .where(col("cosine") > nearDupThreshold)
+        .orderBy("probe_id", "vec_id")
+    }))
+
+  def oracle: Map[String, String] = {
+    def cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+    Map(
+      "q29_cosine_topk" ->
+        s"""WITH $sqlEmb,
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE vec_id % 61 = 0)
+           |SELECT probe_id, vec_id, cosine, rn FROM (
+           |  SELECT p.probe_id, e.vec_id, $cos AS cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS INTEGER) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |WHERE rn <= $topK ORDER BY probe_id, rn""".stripMargin,
+      "q30_ann_lsh" ->
+        s"""WITH $sqlEmb,
+           |b AS (SELECT vec_id, embedding, n2,
+           |        ${sqlLshBucket("embedding")} AS bucket FROM e),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2,
+           |        bucket AS pbucket FROM b WHERE vec_id % 61 = 0)
+           |SELECT probe_id, vec_id, bucket, cosine, rn FROM (
+           |  SELECT p.probe_id, b.vec_id, b.bucket,
+           |    ${sqlCosineFrom(sqlDot("p.pe", "b.embedding"), "p.pn2", "b.n2")} AS cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY ${sqlCosineFrom(sqlDot("p.pe", "b.embedding"), "p.pn2", "b.n2")} DESC,
+           |        b.vec_id) AS INTEGER) AS rn
+           |  FROM p JOIN b ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id)
+           |WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin,
+      "q31_embedding_neardup" ->
+        s"""WITH $sqlEmb,
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE vec_id % 50 = 0)
+           |SELECT probe_id, vec_id, cosine FROM (
+           |  SELECT p.probe_id, e.vec_id, $cos AS cosine
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |WHERE cosine > $nearDupThreshold
+           |ORDER BY probe_id, vec_id""".stripMargin)
+  }
+}
