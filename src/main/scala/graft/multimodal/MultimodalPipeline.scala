@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: opaque media bytes + typed metadata. The
+  * payload is a `binary` column end-to-end — Spark never interprets it;
+  * Parquet stores it as BYTE_ARRAY; only the decode stage touches the
+  * bytes.
+  */
+case class MediaRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    format: String)
+
+/** Decoded features for one record. `decoderId` tags which partition-
+  * local decoder instance produced the row (observability for the
+  * once-per-partition init contract).
+  */
+case class MediaFeatures(
+    doc_id: Long,
+    byteLen: Int,
+    checksum: Long,
+    nFrames: Int,
+    meanByte: Double,
+    decoderId: Int)
+
+/** ===== STUB DECODER =====
+  * Stands in for a real image/audio/video library (libjpeg, ffmpeg, …)
+  * that is NOT present in this environment. Deterministic fake: the
+  * "pixels" are the payload bytes themselves. The REAL part is the
+  * contract around it: expensive `open()` once per partition, streaming
+  * record iteration, bounded memory per batch.
+  */
+final class FakeDecoder private (val decoderId: Int) {
+  /** "Decode" = checksum + per-frame stats over fixed-size frames. */
+  def decode(payload: Array[Byte], frameBytes: Int = 256): (Long, Int, Double) = {
+    var checksum = 0L
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      checksum = (checksum * 31 + (payload(i) & 0xff)) % 2147483647L
+      sum += (payload(i) & 0xff)
+      i += 1
+    }
+    val nFrames = payload.length / frameBytes + 1
+    val meanByte = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    (checksum, nFrames, meanByte)
+  }
+}
+
+object FakeDecoder {
+  /** In a real pipeline this is the expensive native-library init; it
+    * must run once per PARTITION, never once per row.
+    */
+  def open(partitionId: Int): FakeDecoder = new FakeDecoder(partitionId)
+}
+
+/** Multimodal plumbing: documents → binary records → partition-batched
+  * feature extraction. Typed `Dataset` boundaries (encoders define the
+  * schema), `mapPartitions` for the decode stage so the per-partition
+  * decoder handle amortizes across rows — the same shape `mapInPandas`
+  * batches give a Python pipeline.
+  *
+  * Scale notes: the payload column never routes through a shuffle here
+  * (features are extracted before any aggregation); at 100 TB the decode
+  * stage is embarrassingly parallel and the small feature rows — not the
+  * media bytes — feed downstream joins/aggregations.
+  */
+object MultimodalPipeline {
+
+  /** documents.parquet → MediaRecord dataset (payload = UTF-8 bytes of
+    * `text`, fake metadata derived deterministically — same formulas as
+    * q32).
+    */
+  def toMediaRecords(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("n_chars") % 64 * 10 + 64).cast("int").as("width"),
+      (col("doc_id") % 48 + 16).cast("int").as("height"),
+      lit("fake/rgb8").as("format"))
+      .as[MediaRecord]
+  }
+
+  /** The decode stage: one decoder per partition, streamed rows. */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      // real-library pattern: init once per partition, reuse across rows
+      val decoder = FakeDecoder.open(org.apache.spark.TaskContext.getPartitionId())
+      it.map { r =>
+        val (checksum, nFrames, meanByte) = decoder.decode(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length, checksum, nFrames,
+          meanByte, decoder.decoderId)
+      }
+    }
+  }
+
+  /** End-to-end: per-format feature aggregate (what a curation pipeline
+    * computes before filtering).
+    */
+  def featureSummary(spark: SparkSession, dir: String): DataFrame = {
+    val feats = extractFeatures(
+      toMediaRecords(spark.read.parquet(s"$dir/documents.parquet")))
+    feats.groupBy()
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byteLen")).as("total_bytes"),
+        sum(col("nFrames")).as("total_frames"),
+        min(col("checksum")).as("min_checksum"),
+        max(col("checksum")).as("max_checksum"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.LogStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface: windowed issue counts, alerting, and
+  * streaming dedup driven through MemoryStream micro-batches; plus the
+  * batch/stream plan-symmetry property (same transform, same results).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def line(node: String, ts: String, msg: String, level: String = "ERROR") =
+    (node, s"$level [$ts] [ReadStage-1] org.apache.cassandra.db.ReadCommand:512 - $msg")
+
+  private val corpus = Seq(
+    line("node1", "2026-05-14 10:01:00,000", "Read timed out after 5000ms"),
+    line("node1", "2026-05-14 10:02:00,000", "Read timed out after 5000ms"),
+    line("node1", "2026-05-14 10:03:30,000", "java.lang.OutOfMemoryError: Java heap space"),
+    line("node2", "2026-05-14 10:06:00,000", "GC pause of 1200ms exceeded threshold"),
+    ("node1", "this is an unparseable stack-trace line"),
+    line("node2", "2026-05-14 10:07:10,000", "slow query detected: SELECT *", "WARN"))
+
+  test("windowedIssueCounts over a MemoryStream (update-by-micro-batch)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = LogStreams.windowedIssueCounts(ms.toDF().toDF("node", "value"))
+    val query = out.writeStream.format("memory")
+      .queryName("issue_counts").outputMode("complete").start()
+    try {
+      ms.addData(corpus: _*)
+      query.processAllAvailable()
+      val rows = spark.table("issue_counts")
+        .orderBy("window_start", "node", "issue_type")
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getString(1), r.getString(2), r.getLong(3)))
+      assert(rows.toSeq === Seq(
+        ("2026-05-14 10:00:00.0", "node1", "timeout", 2L),
+        ("2026-05-14 10:00:00.0", "node1", "oom", 1L),
+        ("2026-05-14 10:05:00.0", "node2", "gc", 1L),
+        ("2026-05-14 10:05:00.0", "node2", "slow_query", 1L))
+        .sortBy(t => (t._1, t._2, t._3)))
+    } finally query.stop()
+  }
+
+  test("batch/stream symmetry: same transform on a batch DF, same rows") {
+    import spark.implicits._
+    val batch = corpus.toDF("node", "value")
+    val rows = LogStreams.windowedIssueCounts(batch)
+      .orderBy("window_start", "node", "issue_type")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("node1", "oom", 1L), ("node1", "timeout", 2L),
+      ("node2", "gc", 1L), ("node2", "slow_query", 1L)))
+  }
+
+  test("errorRateAlerts fires only above threshold, with severity tiers") {
+    import spark.implicits._
+    val burst = (1 to 25).map(i =>
+      line("node1", f"2026-05-14 10:01:${i % 60}%02d,000", "Read timed out")) ++
+      Seq(line("node2", "2026-05-14 10:01:05,000", "Read timed out"))
+    val alerts = LogStreams.errorRateAlerts(burst.toDF("node", "value"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    assert(alerts.toSeq === Seq(("node1", 25L, "CRITICAL")))
+  }
+
+  test("streamingDedup drops same-key duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("canon_key", "event_time", "payload")
+    val out = LogStreams.streamingDedup(df)
+    val query = out.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-05-14 10:00:00")
+      ms.addData(("k1", t0, "a"), ("k1", t0, "b"), ("k2", t0, "c"))
+      query.processAllAvailable()
+      ms.addData(("k1", t0, "d"), ("k3", t0, "e"))
+      query.processAllAvailable()
+      val keys = spark.table("dedup_out").select("canon_key")
+        .collect().map(_.getString(0)).sorted
+      assert(keys.toSeq === Seq("k1", "k2", "k3"))
+    } finally query.stop()
+  }
+}
