@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.classify.IssueClassifier
+import graft.functions.MultiMatch
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Session extension wiring (`spark.sql.extensions=graft.plans.GraftExtensions`
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`):
+  * registers the engine's custom expressions with the SQL function
+  * registry so plain `spark.sql` queries can use them.
+  *
+  *  - `multi_match(str, p1, p2, ...)` → long bitmask of which of the
+  *    literal regex patterns match `str` (bit i = pattern i+1 arg);
+  *  - `issue_mask(str)` → the 14-pattern Cassandra issue bitmask with
+  *    the reference's pattern order baked in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def literalString(e: Expression, fn: String): String = {
+    require(e.foldable, s"$fn pattern arguments must be literals")
+    e.eval() match {
+      case s: UTF8String => s.toString
+      case other => other.toString
+    }
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size >= 2, "multi_match(str, pattern, ...)")
+        MultiMatch(exprs.head,
+          exprs.tail.map(literalString(_, "multi_match")))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("issue_mask"),
+      new ExpressionInfo(classOf[MultiMatch].getName, "issue_mask"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "issue_mask(str)")
+        MultiMatch(exprs.head, IssueClassifier.allPatterns.map(_._3))
+      }))
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression converters
+  * (Spark 4 moved Column onto ColumnNode; `classic.ExpressionUtils` is
+  * the supported internal path). Lives under `org.apache.spark.sql` so
+  * the access qualifier resolves — the one place this library touches a
+  * non-public Spark API, kept to two one-liners.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
