@@ -52,14 +52,20 @@ object TextFunctions {
 
   /** Word n-shingles in sequence order (repeats kept): the near-dup unit.
     * Docs with < n tokens get an empty shingle set.
+    *
+    * NOTE for hot paths: pass a MATERIALIZED token column (e.g. behind a
+    * cache/shuffle boundary) — if `toks` is itself an expression tree,
+    * Catalyst inlines it into the lambda and re-evaluates the tokenizer
+    * once per shingle.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def wordShinglesFromTokens(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  def wordShingles(text: Column, n: Int = 3): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   def sqlWordShingles(text: String, n: Int = 3): String = {
     val toks = sqlTokens(text)
@@ -74,9 +80,16 @@ object TextFunctions {
   // ------------------------------------------------------------------
 
   /** h = fold(chars) of (h*31 + codepoint) mod P — a classic polynomial
-    * rolling hash, expressed with built-in HOFs only.
+    * rolling hash. Implemented by the codegen'd [[PolyHash]] custom
+    * Expression (one Java loop per value); the pure-built-in HOF
+    * formulation it replaced is kept for the equivalence spec.
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = PolyHash(s)
+
+  /** The built-in-only formulation (interpreted lambda fold) — same
+    * values as [[polyHash]]; retained as the spec's reference.
+    */
+  def polyHashBuiltin(s: Column): Column =
     aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L), (h, c) => (h * 31 + c) % P)
 
@@ -88,6 +101,10 @@ object TextFunctions {
   /** Distinct shingle-hash set per doc — input to MinHash and SimHash. */
   def shingleHashes(text: Column): Column =
     array_distinct(transform(wordShingles(text), s => polyHash(s)))
+
+  /** [[shingleHashes]] over a materialized token column (hot path). */
+  def shingleHashesFromTokens(toks: Column): Column =
+    array_distinct(transform(wordShinglesFromTokens(toks), s => polyHash(s)))
 
   def sqlShingleHashes(text: String): String =
     s"list_distinct(list_transform(${sqlWordShingles(text)}, s -> ${sqlPolyHash("s")}))"

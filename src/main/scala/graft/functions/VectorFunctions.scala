@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ a_i * b_i as a left fold of double products. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a_i * b_i as a left fold of double products — implemented by the
+    * codegen'd [[DotProduct]] custom Expression (same summation order,
+    * bit-identical results; the HOF formulation below is the spec's
+    * reference).
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Built-in-only formulation (interpreted) — same values as [[dot]]. */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, v) => s + v)
 
@@ -63,11 +70,8 @@ object VectorFunctions {
   }
 
   /** Signed projection of `a` onto plane j: Σ a_i * c_{j,i}. */
-  def planeProjection(a: Column, j: Int): Column = {
-    val coefs = array(planeCoef(j).map(c => lit(c.toDouble)): _*)
-    aggregate(zip_with(a, coefs, (x, c) => x.cast("double") * c),
-      lit(0.0), (s, v) => s + v)
-  }
+  def planeProjection(a: Column, j: Int): Column =
+    DotProduct(a, array(planeCoef(j).map(c => lit(c.toDouble)): _*))
 
   def sqlPlaneProjection(a: String, j: Int): String = {
     val coefs = planeCoef(j).mkString("[", ",", "]")

