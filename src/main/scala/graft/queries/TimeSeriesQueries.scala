@@ -17,14 +17,21 @@ import org.apache.spark.sql.types.DecimalType
 object TimeSeriesQueries {
 
   private val dec2 = DecimalType(18, 2)
-  private val bucketNs = 300000000000L // 5 minutes
+  private val bucketUs = 300000000L // 5 minutes in µs
+
+  /** Event time in exact MICROSECONDS. The parquet column is
+    * TIMESTAMP(NANOS); DuckDB truncates nanos → µs on read, so µs is
+    * the finest cross-engine-exact granularity (`ts_ns div 1000` ==
+    * DuckDB `epoch_us(ts)` for non-negative epochs).
+    */
+  private val tsUs = "(ts_ns div 1000)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 5-min window per event_type; partial agg map-side, the
     // only shuffle is the (bucket, type) groupBy itself
     "q18_time_bucket" -> ((s, dir) => {
       Tables.events(s, dir)
-        .withColumn("bucket", expr(s"ts_ns div $bucketNs"))
+        .withColumn("bucket", expr(s"$tsUs div $bucketUs"))
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(dec2)).cast("double").as("sum_value"),
@@ -44,35 +51,33 @@ object TimeSeriesQueries {
         .orderBy("k_bucket")
     }),
 
-    // As-of join: for each order, the latest event (ts <= o_orderdate)
-    // of the matching key. Union both sides, one window pass per key:
-    // scales as a single shuffle + sort, never builds candidate pairs.
-    // (At cluster scale the 15-key toy mapping would be range-partition
-    // + salt territory; the plan shape is the point.)
+    // As-of join: for each purchase, the latest error (ts <= purchase
+    // ts) of the same user. Union both sides, one window pass per key:
+    // scales as a single shuffle + sort, never builds candidate pairs —
+    // the standard large-scale as-of formulation.
     "q20_asof_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select((col("user_id") % 15).as("k"), col("ts_ns").as("t"),
-          lit(null).cast("long").as("o_orderkey"),
-          lit(0).as("is_order"), col("event_id").as("tid"))
-      val ord = Tables(s, dir, "orders")
-        .select((col("o_custkey") % 15).as("k"),
-          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("t"),
-          col("o_orderkey"), lit(1).as("is_order"),
-          col("o_orderkey").as("tid"))
-      val w = Window.partitionBy("k")
-        .orderBy(col("t"), col("is_order"), col("tid"))
+      val events = Tables.events(s, dir)
+      val errors = events.where(col("event_type") === "error")
+        .select(col("user_id"), expr(tsUs).as("t"),
+          lit(0).as("is_target"), col("event_id"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), expr(tsUs).as("t"),
+          lit(1).as("is_target"), col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("is_target"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.unionByName(ord)
-        .withColumn("last_event_ns",
-          last(when(col("is_order") === 0, col("t")), ignoreNulls = true).over(w))
-        .where(col("is_order") === 1)
-        .select(col("o_orderkey"), col("k"), col("last_event_ns"))
-        .orderBy("o_orderkey")
+      errors.unionByName(purchases)
+        .withColumn("last_error_us",
+          last(when(col("is_target") === 0, col("t")), ignoreNulls = true).over(w))
+        .where(col("is_target") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("t").as("purchase_us"), col("last_error_us"))
+        .orderBy("event_id")
     }))
 
   def oracle: Map[String, String] = Map(
     "q18_time_bucket" ->
-      s"""SELECT epoch_ns(ts) // $bucketNs AS bucket, event_type,
+      s"""SELECT epoch_us(ts) // $bucketUs AS bucket, event_type,
          |  COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
@@ -86,18 +91,16 @@ object TimeSeriesQueries {
         |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
     "q20_asof_join" ->
       """WITH u AS (
-        |  SELECT user_id % 15 AS k, epoch_ns(ts) AS t,
-        |         CAST(NULL AS BIGINT) AS o_orderkey, 0 AS is_order,
-        |         event_id AS tid
-        |  FROM events
+        |  SELECT user_id, epoch_us(ts) AS t, 0 AS is_target, event_id
+        |  FROM events WHERE event_type = 'error'
         |  UNION ALL
-        |  SELECT o_custkey % 15, epoch_ns(o_orderdate), o_orderkey, 1,
-        |         o_orderkey
-        |  FROM orders)
-        |SELECT o_orderkey, k, last_event_ns FROM (
-        |  SELECT *, last_value(CASE WHEN is_order = 0 THEN t END IGNORE NULLS)
-        |    OVER (PARTITION BY k ORDER BY t, is_order, tid
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_event_ns
-        |  FROM u) WHERE is_order = 1
-        |ORDER BY o_orderkey""".stripMargin)
+        |  SELECT user_id, epoch_us(ts), 1, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, purchase_us, last_error_us FROM (
+        |  SELECT *, t AS purchase_us,
+        |    last_value(CASE WHEN is_target = 0 THEN t END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY t, is_target, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_us
+        |  FROM u) WHERE is_target = 1
+        |ORDER BY event_id""".stripMargin)
 }
