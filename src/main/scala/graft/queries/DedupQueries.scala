@@ -33,17 +33,14 @@ object DedupQueries {
   /** (doc_id, h) exploded form: turns the per-doc signature math into
     * codegen'd hash aggregates instead of interpreted per-row array
     * folds — the shape that actually scales (shuffle key = doc_id,
-    * partial aggregation map-side). The token array is materialized
-    * behind a cache barrier first: otherwise Catalyst inlines the
-    * tokenizer into the shingle lambda and re-runs it per shingle.
+    * partial aggregation map-side). [[graft.functions.ShingleHash]]
+    * hashes shingles straight off the token array (no per-shingle
+    * string allocation, tokenizer runs once per doc).
     */
-  private def explodedHashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .cache()
-    toks.select(col("doc_id"),
-      explode(shingleHashesFromTokens(col("toks"))).as("h"))
-  }
+  private def explodedHashes(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.ShingleHash(tokens(col("text")), 3))).as("h"))
 
   private def sqlDocHashes: String =
     s"hashes AS (SELECT doc_id, ${sqlShingleHashes("text")} AS hs FROM documents)"
