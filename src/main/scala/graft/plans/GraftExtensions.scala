@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `multi_match(str, p1, p2, ...)` → long bitmask of which of the
   *    literal regex patterns match `str` (bit i = pattern i+1 arg);
   *  - `issue_mask(str)` → the 14-pattern Cassandra issue bitmask with
-  *    the reference's pattern order baked in.
+  *    the reference's pattern order baked in;
+  *  - [[CollapseRLikeOrChains]] optimizer rule: >= 4 `rlike` ORs over
+  *    one input collapse into a single `multi_match` pass.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -28,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseRLikeOrChains)
     ext.injectFunction((
       new FunctionIdentifier("multi_match"),
       new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),
