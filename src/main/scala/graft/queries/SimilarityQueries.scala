@@ -26,6 +26,12 @@ object SimilarityQueries {
   private val topK = 5
   private val annK = 3
   private val nearDupThreshold = 0.3
+  /** Deterministic IVF "centroids": a fixed id set drawn from the
+    * corpus itself (all exist at every SF). A real pipeline would
+    * k-means these; the INDEX STRUCTURE — cell assignment by argmax
+    * cosine, probes scanning one cell — is what's being exercised.
+    */
+  private val centroidIds = Seq(1L, 3L, 8L, 21L, 55L, 144L, 233L, 377L)
 
   /** vectors + squared norms; probe sets are deterministic id slices. */
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -62,6 +68,38 @@ object SimilarityQueries {
       bucketed.join(broadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("bucket"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= annK)
+        .orderBy("probe_id", "rn")
+    }),
+
+    // IVF-flat ANN: vectors assigned to the argmax-cosine centroid
+    // cell (one small broadcast cross join); probes scan ONLY their
+    // own cell — at scale the cell id is the partition key and each
+    // probe touches one partition
+    "q37_ann_ivf" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val centroids = corpus.where(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("n2").as("cn2"))
+      val byVec = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
+      val cells = corpus.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"),
+          cosineFrom(dot(col("embedding"), col("ce")), col("n2"), col("cn2"))
+            .as("c_cos"))
+        .withColumn("rn", row_number().over(byVec))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("n2"),
+          col("c_id").as("cell"))
+      val probes = cells.where(col("vec_id") % 61 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"), col("cell").as("pcell"))
+      val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      cells.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("cell"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
             .as("cosine"))
         .withColumn("rn", row_number().over(w))
@@ -110,6 +148,28 @@ object SimilarityQueries {
            |        b.vec_id) AS INTEGER) AS rn
            |  FROM p JOIN b ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id)
            |WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin,
+      "q37_ann_ivf" -> {
+        val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+        val pCos = sqlCosineFrom(sqlDot("p.pe", "cl.embedding"), "p.pn2", "cl.n2")
+        s"""WITH $sqlEmb,
+           |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+           |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+           |cells AS (
+           |  SELECT vec_id, embedding, n2, cell FROM (
+           |    SELECT e.vec_id, e.embedding, e.n2, c.c_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cCos DESC, c.c_id) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, cell
+           |      FROM cells WHERE vec_id % 61 = 0)
+           |SELECT probe_id, vec_id, cell, cosine, rn FROM (
+           |  SELECT p.probe_id, cl.vec_id, cl.cell, $pCos AS cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $pCos DESC, cl.vec_id) AS INTEGER) AS rn
+           |  FROM p JOIN cells cl
+           |    ON cl.cell = p.cell AND cl.vec_id <> p.probe_id)
+           |WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+      },
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2

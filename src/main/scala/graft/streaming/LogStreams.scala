@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.classify.IssueClassifier
 import graft.parse.LogLineParser
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface — the reference's unimplemented roadmap
   * items ("Real-time log streaming", "Automated alerting",
@@ -91,6 +92,74 @@ object LogStreams {
         when(col("errors") >= threshold * 4, "CRITICAL")
           .when(col("errors") >= threshold * 2, "HIGH")
           .otherwise("MEDIUM").as("severity"))
+
+  /** One issue occurrence on one node at one event time. */
+  case class IssueEvent(node: String, issueType: String, eventUs: Long)
+
+  /** Open-incident state carried between micro-batches. */
+  case class IncidentState(startUs: Long, lastUs: Long, count: Long)
+
+  /** A closed incident: a burst of same-(node, issue) occurrences with
+    * no gap larger than the session gap.
+    */
+  case class Incident(node: String, issueType: String, startUs: Long,
+      endUs: Long, nEvents: Long)
+
+  /** Incident sessionization with CUSTOM STATE
+    * (`flatMapGroupsWithState`): consecutive occurrences of the same
+    * (node, issueType) merge into one incident; an event-time timeout
+    * (watermark passing last-seen + gap) closes and emits it. This is
+    * the stateful-streaming shape the built-in windowed aggregates
+    * can't express — variable-length sessions keyed by content.
+    *
+    * State is one small struct per OPEN (node, issue) pair — bounded by
+    * live incident count, not by stream length; eviction rides the
+    * watermark.
+    */
+  def incidentSessions(
+      lines: DataFrame,
+      gapMinutes: Long = 10,
+      watermarkDelay: String = "10 minutes"): Dataset[Incident] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val events = parsed(lines)
+      .withWatermark("event_time", watermarkDelay)
+      .select(col("node"), col("event_time"),
+        explode(IssueClassifier.issues(col("message"))).as("issue"))
+      .select(col("node"), col("issue.issueType").as("issueType"),
+        col("event_time"))
+
+    events
+      .groupByKey(r => (r.getString(0), r.getString(1)))
+      .flatMapGroupsWithState[IncidentState, Incident](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((node, issue), rows, state: GroupState[IncidentState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Incident(node, issue, s.startUs, s.lastUs, s.count))
+          } else {
+            val times = rows.map(_.getTimestamp(2).getTime * 1000L).toSeq
+            val (closed, open) = times.sorted.foldLeft(
+              (List.empty[Incident], state.getOption)) {
+              case ((done, Some(s)), t) if t - s.lastUs > gapUs =>
+                (Incident(node, issue, s.startUs, s.lastUs, s.count) :: done,
+                  Some(IncidentState(t, t, 1)))
+              case ((done, Some(s)), t) =>
+                (done, Some(IncidentState(s.startUs, math.max(s.lastUs, t),
+                  s.count + 1)))
+              case ((done, None), t) =>
+                (done, Some(IncidentState(t, t, 1)))
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Exactly-once-per-key streaming dedup within the watermark horizon —
     * the streaming face of the dedup family (q25): new documents keyed

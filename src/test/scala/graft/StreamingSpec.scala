@@ -66,6 +66,34 @@ class StreamingSpec extends SparkSuite {
     assert(alerts.toSeq === Seq(("node1", 25L, "CRITICAL")))
   }
 
+  test("incidentSessions: stateful sessionization closes incidents on event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val out = LogStreams.incidentSessions(
+      ms.toDF().toDF("node", "value"), gapMinutes = 10)
+    val query = out.writeStream.format("memory")
+      .queryName("incidents").outputMode("append").start()
+    try {
+      // burst of 3 timeouts on node1 within 3 minutes
+      ms.addData(
+        line("node1", "2026-05-14 10:00:00,000", "Read timed out"),
+        line("node1", "2026-05-14 10:01:00,000", "Read timed out"),
+        line("node1", "2026-05-14 10:03:00,000", "Read timed out"))
+      query.processAllAvailable()
+      // nothing closed yet — watermark hasn't passed last + gap
+      assert(spark.table("incidents").count() === 0)
+      // a much later event pushes the watermark past the gap
+      ms.addData(line("node2", "2026-05-14 11:00:00,000", "GC pause exceeded"))
+      query.processAllAvailable()
+      ms.addData(line("node2", "2026-05-14 12:00:00,000", "GC pause exceeded"))
+      query.processAllAvailable()
+      val incidents = spark.table("incidents")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+      assert(incidents.toSeq.contains(("node1", "timeout", 3L)))
+    } finally query.stop()
+  }
+
   test("streamingDedup drops same-key duplicates within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
