@@ -49,6 +49,18 @@ final class LogCatalog(val spark: SparkSession) {
     (lines.size.toLong, storage.size)
   }
 
+  /** Load raw content under an EXPLICIT node key — the landing point
+    * for [[RemoteFetcher]] fetches (SSH-style `{node}_{type}` keys,
+    * `cassandra_log_analyzer.py:661,671`). Same `split('\n', -1)`
+    * parity as [[loadInline]].
+    */
+  def loadContent(nodeKey: String, content: String): (Long, Int) = synchronized {
+    val lines = content.split("\n", -1).toSeq
+    storage(nodeKey) = linesDf(nodeKey, lines)
+    invalidate()
+    (lines.size.toLong, storage.size)
+  }
+
   /** `load_logs_from_ssh`-shaped load from a (local or staged) file path,
     * keyed `{node}_{type}` (`cassandra_log_analyzer.py:661,671`).
     * `tailLines` mirrors the reference's remote `tail -n N` limit

@@ -1,0 +1,154 @@
+package graft.ingest
+
+import java.nio.charset.CodingErrorAction
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+import scala.sys.process.{Process, ProcessLogger}
+
+/** Remote log retrieval — the engine's version of the reference's SSH
+  * layer (`cassandra_log_analyzer.py:75-167`). This is driver-side
+  * INGESTION, not a Spark plan (SURVEY.md §2.1 S1/S5): fetched content
+  * lands in [[LogCatalog.loadInline]]/staging and Spark reads from
+  * there. At the 100 TB tier logs arrive via object storage and this
+  * layer disappears (SURVEY.md §3.3).
+  *
+  * Reference semantics preserved:
+  *  - command shape: `tail -n N {path}` when a tail limit is given,
+  *    else `cat {path}` — the reference's ONE optimization, limit
+  *    pushdown to the source (`cassandra_log_analyzer.py:136-140`);
+  *  - stderr containing "No such file" → file-not-found error
+  *    (`:146-150`);
+  *  - output decoded UTF-8 with replacement, never thrown (`:143`);
+  *  - connections pooled per `user@host:port` and reused
+  *    (`:84-90`);
+  *  - `ls -1` over the `*.log` glob in the log directory; any failure
+  *    → empty list (`:156-167`).
+  */
+object RemoteFetch {
+
+  /** How to execute a command "on the node" — process-backed `ssh` for
+    * real use, a local shell for tests/staging. (The reference's
+    * paramiko channel, abstracted.)
+    */
+  trait CommandRunner {
+    /** @return (stdout bytes, stderr text, exit code) */
+    def run(command: String): (Array[Byte], String, Int)
+  }
+
+  /** Runs the command through a local shell — the test/staging runner,
+    * and the degenerate "node is this machine" case.
+    */
+  final class LocalShellRunner extends CommandRunner {
+    override def run(command: String): (Array[Byte], String, Int) = {
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val errBuf = new StringBuilder
+      val p = Process(Seq("/bin/sh", "-c", command))
+      val code = p.run(new ProcessLogger {
+        override def out(s: => String): Unit = { outBuf.write(s.getBytes(UTF_8)); outBuf.write('\n') }
+        override def err(s: => String): Unit = { errBuf.append(s).append('\n') }
+        override def buffer[T](f: => T): T = f
+      }).exitValue()
+      (outBuf.toByteArray, errBuf.toString, code)
+    }
+  }
+
+  /** `ssh`-subprocess runner (key/agent auth; no password support — a
+    * JVM paramiko equivalent is out of scope and out of deps).
+    */
+  final class SshProcessRunner(host: String, user: String, port: Int = 22)
+      extends CommandRunner {
+    override def run(command: String): (Array[Byte], String, Int) = {
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val errBuf = new StringBuilder
+      val p = Process(Seq("ssh", "-p", port.toString,
+        "-o", "ConnectTimeout=30", // reference default, CLA:59-66
+        s"$user@$host", command))
+      val code = p.run(new ProcessLogger {
+        override def out(s: => String): Unit = { outBuf.write(s.getBytes(UTF_8)); outBuf.write('\n') }
+        override def err(s: => String): Unit = { errBuf.append(s).append('\n') }
+        override def buffer[T](f: => T): T = f
+      }).exitValue()
+      (outBuf.toByteArray, errBuf.toString, code)
+    }
+  }
+
+  final case class NodeConfig(
+      host: String,
+      username: String,
+      port: Int = 22,
+      logDirectory: String = "/var/log/cassandra")
+
+  sealed trait FetchError { def message: String }
+  final case class FileNotFound(path: String) extends FetchError {
+    def message = s"Log file not found: $path"
+  }
+  final case class CommandFailed(detail: String) extends FetchError {
+    def message = s"Command failed: $detail"
+  }
+}
+
+/** Pooled fetcher over a runner factory (injectable for tests). */
+final class RemoteFetcher(
+    runnerFactory: RemoteFetch.NodeConfig => RemoteFetch.CommandRunner) {
+  import RemoteFetch._
+
+  private val pool = mutable.Map.empty[String, CommandRunner]
+
+  /** Connection reuse per `user@host:port` (`cassandra_log_analyzer.py:84-90`). */
+  private def runner(cfg: NodeConfig): CommandRunner = synchronized {
+    pool.getOrElseUpdate(s"${cfg.username}@${cfg.host}:${cfg.port}",
+      runnerFactory(cfg))
+  }
+
+  /** Decode bytes as UTF-8 with replacement — `errors='replace'` parity
+    * (`cassandra_log_analyzer.py:143`).
+    */
+  private def decodeReplace(bytes: Array[Byte]): String = {
+    val dec = UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  /** `read_log_file` (`cassandra_log_analyzer.py:131-154`): whole file
+    * via `cat`, or the LAST N lines via a source-side `tail -n N` — the
+    * limit executes on the node, so only O(N) bytes cross the wire.
+    */
+  def readLogFile(cfg: NodeConfig, path: String,
+      tailLines: Option[Int] = None): Either[FetchError, String] = {
+    val cmd = tailLines match {
+      case Some(n) => s"tail -n $n $path" // CLA:136-137
+      case None => s"cat $path" // CLA:140
+    }
+    val (out, err, code) = runner(cfg).run(cmd)
+    if (err.contains("No such file")) Left(FileNotFound(path)) // CLA:146-150
+    else if (code != 0) Left(CommandFailed(err.trim))
+    else Right(decodeReplace(out))
+  }
+
+  /** `list_log_files` (`cassandra_log_analyzer.py:156-167`): `ls -1`
+    * glob; ANY failure yields an empty list, never an error.
+    */
+  def listLogFiles(cfg: NodeConfig): Seq[String] = {
+    try {
+      val (out, _, code) = runner(cfg)
+        .run(s"ls -1 ${cfg.logDirectory}/*.log")
+      if (code != 0) Seq.empty
+      else decodeReplace(out).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  /** Fetch + load into the catalog under `{node}_{type}` — the
+    * `load_logs_from_ssh` pipeline (`cassandra_log_analyzer.py:632-689`)
+    * minus the transport.
+    */
+  def loadNode(catalog: LogCatalog, cfg: NodeConfig, nodeName: String,
+      logType: String = "system",
+      tailLines: Option[Int] = None): Either[FetchError, (Long, Int)] = {
+    val path = s"${cfg.logDirectory}/$logType.log"
+    readLogFile(cfg, path, tailLines).map { content =>
+      // SSH loads key {node}_{type}; only manual loads key bare (CLA:729)
+      catalog.loadContent(s"${nodeName}_$logType", content)
+    }
+  }
+}

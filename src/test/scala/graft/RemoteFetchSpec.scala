@@ -1,0 +1,66 @@
+package graft
+
+import graft.ingest.{LogCatalog, RemoteFetcher}
+import graft.ingest.RemoteFetch._
+import java.nio.file.Files
+
+/** SSH-layer semantics via the local shell runner: tail limit pushdown,
+  * split('\n') line counting parity, file-not-found detection, empty-on-
+  * error listing, and per-endpoint connection pooling.
+  */
+class RemoteFetchSpec extends SparkSuite {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft-fetch")
+    Files.writeString(d.resolve("system.log"),
+      (1 to 100).map(i => s"line$i").mkString("", "\n", "\n"))
+    Files.writeString(d.resolve("debug.log"), "d1\nd2\n")
+    Files.writeString(d.resolve("notes.txt"), "not a log\n")
+    d.toString
+  }
+
+  private def cfg = NodeConfig("localhost", "tester", logDirectory = dir)
+
+  private def fetcher = new RemoteFetcher(_ => new LocalShellRunner)
+
+  test("cat reads the whole file; tail -n N pushes the limit to the source") {
+    val f = fetcher
+    val full = f.readLogFile(cfg, s"$dir/system.log").toOption.get
+    assert(full.split("\n", -1).length === 101) // 100 lines + trailing empty
+    val tail = f.readLogFile(cfg, s"$dir/system.log", Some(10)).toOption.get
+    // tail output still ends with '\n' => 10 content lines + trailing
+    // empty, exactly the reference's reported count (CLA:136-137,662)
+    assert(tail.split("\n", -1).length === 11)
+    assert(tail.startsWith("line91"))
+  }
+
+  test("missing file yields FileNotFound, not an exception") {
+    assert(fetcher.readLogFile(cfg, s"$dir/ghost.log")
+      === Left(FileNotFound(s"$dir/ghost.log")))
+  }
+
+  test("ls -1 *.log lists logs only; failure yields empty list") {
+    val names = fetcher.listLogFiles(cfg).map(_.split("/").last).sorted
+    assert(names === Seq("debug.log", "system.log"))
+    assert(fetcher.listLogFiles(cfg.copy(logDirectory = "/no/such/dir")) === Seq.empty)
+  }
+
+  test("connections pool per user@host:port (runner built once per endpoint)") {
+    var built = 0
+    val f = new RemoteFetcher(_ => { built += 1; new LocalShellRunner })
+    f.readLogFile(cfg, s"$dir/system.log")
+    f.readLogFile(cfg, s"$dir/debug.log")
+    f.listLogFiles(cfg)
+    assert(built === 1)
+    f.readLogFile(cfg.copy(port = 2222), s"$dir/system.log")
+    assert(built === 2)
+  }
+
+  test("loadNode lands content in the catalog under {node}_{type}") {
+    val catalog = new LogCatalog(spark)
+    val r = fetcher.loadNode(catalog, cfg, "node1", "system", Some(5))
+    assert(r === Right((6L, 1))) // 5 tail lines + trailing empty
+    assert(catalog.nodeKeys === Seq("node1_system"))
+    assert(catalog.rawFor("node1_system").count() === 6)
+  }
+}
