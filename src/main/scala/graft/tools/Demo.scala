@@ -61,6 +61,24 @@ object Demo {
       case e: Throwable =>
         println(s"\n[probe] invalid regex -> ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}")
     }
+
+    // extension-tier showcase over the parquet fixtures (when present)
+    val sfDir = sys.env.getOrElse("GRAFT_DEMO_SF", "/root/testdata/sf0.001")
+    if (new java.io.File(s"$sfDir/documents.parquet").exists()) {
+      println(s"\n==== extension tier over $sfDir ====")
+      def show(name: String, n: Int = 5): Unit = {
+        println(s"\n-- $name --")
+        graft.SparkEntry.queries(name)(spark, sfDir).show(n, truncate = false)
+      }
+      show("q25_dedup_exact")
+      show("q27_minhash_lsh")
+      show("q29_cosine_topk")
+      show("q37_ann_ivf")
+      show("q21_lang_id")
+      println("-- approx tier --")
+      graft.ext.ApproxStats.dedupCardinality(
+        spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
+    }
     spark.stop()
   }
 }
