@@ -176,7 +176,7 @@ object DedupQueries {
         s"""WITH grams AS (
            |  SELECT DISTINCT doc_id, g FROM (
            |    SELECT doc_id, substring(lower(text), CAST(i AS INT), 4) AS g
-           |    FROM documents, range(1, 600) r(i)
+           |    FROM documents, range(1, 2000) r(i)
            |    WHERE doc_id % 5 = 0 AND doc_id < 2500
            |      AND i <= length(text) - 3)),
            |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
