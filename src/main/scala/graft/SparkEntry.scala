@@ -11,12 +11,14 @@ object SparkEntry {
     RelationalQueries.queries ++ LogDomainQueries.queries ++
       TimeSeriesQueries.queries ++ TextAnalysisQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ WindowOpsQueries.queries
+      MultimodalQueries.queries ++ WindowOpsQueries.queries ++
+      TextRankQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ LogDomainQueries.oracle ++
       TimeSeriesQueries.oracle ++ TextAnalysisQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
-      MultimodalQueries.oracle ++ WindowOpsQueries.oracle
+      MultimodalQueries.oracle ++ WindowOpsQueries.oracle ++
+      TextRankQueries.oracle
 }
