@@ -20,21 +20,25 @@ object TextRankQueries {
   private val dec2 = DecimalType(18, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // top-5 characteristic terms per source by tf * (N/df)
+    // top-5 characteristic terms per source by tf * (N/df); N joins in
+    // as a 1-row aggregate (lazy, mirrors the oracle's `n` CTE) and the
+    // tokenized relation is cached — it feeds both tf and df branches
     "q38_tfidf_terms" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val nDocs = docs.count() // tiny action; N is a query parameter
+      val n = docs.agg(count(lit(1)).as("n_docs"))
       val terms = docs.select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("term"))
+        .cache()
       val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
       val df = terms.select(col("doc_id"), col("term")).distinct()
         .groupBy("term").agg(count(lit(1)).as("doc_freq"))
       val w = Window.partitionBy("source")
         .orderBy(desc("weight"), asc("term"))
       tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
         .withColumn("weight",
           col("tf").cast("double") *
-            (lit(nDocs).cast("double") / col("doc_freq").cast("double")))
+            (col("n_docs").cast("double") / col("doc_freq").cast("double")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .select(col("source"), col("term"), col("tf"), col("doc_freq"),
@@ -42,19 +46,20 @@ object TextRankQueries {
         .orderBy("source", "rn")
     }),
 
-    // arbitrary GROUPING SETS through the SQL surface (finer than
-    // rollup/cube): (status, priority), (status), (priority)
+    // arbitrary GROUPING SETS (finer than rollup/cube) through the
+    // typed API — one Expand pass, no shared-session temp-view state
     "q39_grouping_sets" -> ((s, dir) => {
-      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""
-        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(o_orderpriority, 'ALL') AS priority,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        FROM orders_v
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                                (o_orderstatus), (o_orderpriority))
-        ORDER BY status, priority""")
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy("status", "priority")
     }),
 
     // the analytic window family over each customer's order history
@@ -65,14 +70,11 @@ object TextRankQueries {
         .where(col("o_custkey") % 50 === 0)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice").cast(dec2).cast("double").as("price"))
-        .withColumn("prev_price", lag(col("price"), 1).over(
-          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
-        .withColumn("next_price", lead(col("price"), 1).over(
-          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+        .withColumn("prev_price", lag(col("price"), 1).over(w))
+        .withColumn("next_price", lead(col("price"), 1).over(w))
         .withColumn("first_price", first(col("price")).over(wf))
         .withColumn("last_price", last(col("price")).over(wf))
-        .withColumn("quartile", ntile(4).over(
-          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")))
+        .withColumn("quartile", ntile(4).over(w))
         .drop("o_orderdate")
         .orderBy("o_custkey", "o_orderkey")
     }))
