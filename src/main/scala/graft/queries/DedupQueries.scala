@@ -30,17 +30,15 @@ object DedupQueries {
     Tables(s, dir, "documents")
       .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
 
-  /** (doc_id, h) exploded form: turns the per-doc signature math into
-    * codegen'd hash aggregates instead of interpreted per-row array
-    * folds — the shape that actually scales (shuffle key = doc_id,
-    * partial aggregation map-side). [[graft.functions.ShingleHash]]
-    * hashes shingles straight off the token array (no per-shingle
-    * string allocation, tokenizer runs once per doc).
+  /** doc_id → distinct shingle-hash array in ONE narrow projection:
+    * [[graft.functions.ShingleHash]] hashes shingles straight off the
+    * token array (no per-shingle string allocation, tokenizer runs once
+    * per doc). Signature building on top stays a pure map stage.
     */
-  private def explodedHashes(s: SparkSession, dir: String): DataFrame =
+  private def hashArrays(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.ShingleHash(tokens(col("text")), 3))).as("h"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.ShingleHash(tokens(col("text")), 3)).as("hs"))
 
   private def sqlDocHashes: String =
     s"hashes AS (SELECT doc_id, ${sqlShingleHashes("text")} AS hs FROM documents)"
@@ -90,15 +88,13 @@ object DedupQueries {
     // MinHash signatures + banded LSH: only docs colliding in a band
     // ever meet; est_sim from the signatures (no raw-text re-read)
     "q27_minhash_lsh" -> ((s, dir) => {
-      // signatures via codegen'd min-aggregates over the exploded hash
-      // relation; cached (5k rows × 16 longs) so the band self-join
-      // doesn't recompute the tokenize→shingle→hash chain per side
-      val minAggs = (0 until minhashK).map(k =>
-        min((col("h") * minhashA(k) + minhashB(k)) % P).as(s"mh$k"))
-      val sig = explodedHashes(s, dir).groupBy("doc_id")
-        .agg(minAggs.head, minAggs.tail: _*)
+      // the whole signature is ONE codegen'd map pass (MinHashSig) —
+      // no explode, no groupBy shuffle; cached (5k rows × 16 longs) so
+      // the band self-join doesn't recompute the chain per side
+      val sig = hashArrays(s, dir)
         .select(col("doc_id"),
-          array((0 until minhashK).map(k => col(s"mh$k")): _*).as("sig"))
+          graft.functions.MinHashSig(col("hs")).as("sig"))
+        .where(col("sig").isNotNull)
         .cache()
       val bandStructs = (0 until minhashBands).map { b =>
         struct(lit(b).as("band"),
@@ -127,18 +123,13 @@ object DedupQueries {
     // guarantees a shared chunk, so the equi-join is a complete
     // candidate generator — never an all-pairs comparison
     "q28_simhash" -> ((s, dir) => {
-      // per-bit majority via codegen'd sum-aggregates on the exploded
-      // relation: bit b set iff 2*count(bit set) > n — identical to the
-      // ±1 fold. Cached: one long per doc, shared by both join sides.
-      val bitAggs = count(lit(1)).as("n") +:
-        (0 until simhashBits).map(b =>
-          sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"c$b"))
-      val sh = explodedHashes(s, dir).groupBy("doc_id")
-        .agg(bitAggs.head, bitAggs.tail: _*)
+      // per-bit majority packed by ONE codegen'd map pass (SimHashPack)
+      // — no explode, no groupBy shuffle. Cached: one long per doc,
+      // shared by both join sides.
+      val sh = hashArrays(s, dir)
         .select(col("doc_id"),
-          (0 until simhashBits).map(b =>
-            when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sh"))
+          graft.functions.SimHashPack(col("hs")).as("sh"))
+        .where(col("sh").isNotNull)
         .cache()
       val chunkStructs = (0 until simhashChunks).map { c =>
         struct(lit(c).as("ci"), simhashChunk(col("sh"), c).as("cv"))

@@ -45,6 +45,23 @@ class SignatureEquivalenceSpec extends SparkSuite {
     assert(agg.exceptAll(hof).count() === 0)
   }
 
+  test("MinHashSig expression == HOF minhash per position") {
+    import graft.functions.MinHashSig
+    val diff = withHashes.select(
+      MinHashSig(col("hs")).as("a"),
+      array((0 until minhashK).map(k => minhash(col("hs"), k)): _*).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() === 0)
+  }
+
+  test("SimHashPack expression == HOF simhash") {
+    import graft.functions.SimHashPack
+    val diff = withHashes.select(
+      SimHashPack(col("hs")).as("a"), simhash(col("hs")).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() === 0)
+  }
+
   test("shingleHashesFromTokens (HOF) == ShingleHash + distinct") {
     val toks = tokens(col("text"))
     val diff = docs.select(
