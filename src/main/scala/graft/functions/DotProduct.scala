@@ -26,6 +26,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // null on length mismatch even when both inputs are non-nullable
+  override def nullable: Boolean = true
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType match {

@@ -72,6 +72,12 @@ object RemoteFetch {
     }
   }
 
+  /** POSIX single-quote escaping: safe interpolation of a path operand
+    * into an `sh -c` / ssh command line (spaces, globs, `;`, `$`, ...).
+    */
+  def shellQuote(s: String): String =
+    "'" + s.replace("'", "'\\''") + "'"
+
   final case class NodeConfig(
       host: String,
       username: String,
@@ -117,8 +123,8 @@ final class RemoteFetcher(
   def readLogFile(cfg: NodeConfig, path: String,
       tailLines: Option[Int] = None): Either[FetchError, String] = {
     val cmd = tailLines match {
-      case Some(n) => s"tail -n $n $path" // CLA:136-137
-      case None => s"cat $path" // CLA:140
+      case Some(n) => s"tail -n $n ${shellQuote(path)}" // CLA:136-137
+      case None => s"cat ${shellQuote(path)}" // CLA:140
     }
     val (out, err, code) = runner(cfg).run(cmd)
     if (err.contains("No such file")) Left(FileNotFound(path)) // CLA:146-150
@@ -131,8 +137,10 @@ final class RemoteFetcher(
     */
   def listLogFiles(cfg: NodeConfig): Seq[String] = {
     try {
+      // directory quoted; the *.log glob stays OUTSIDE the quotes so
+      // the remote shell still expands it
       val (out, _, code) = runner(cfg)
-        .run(s"ls -1 ${cfg.logDirectory}/*.log")
+        .run(s"ls -1 ${shellQuote(cfg.logDirectory)}/*.log")
       if (code != 0) Seq.empty
       else decodeReplace(out).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     } catch { case _: Exception => Seq.empty }

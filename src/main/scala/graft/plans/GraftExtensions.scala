@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def literalString(e: Expression, fn: String): String = {
     require(e.foldable, s"$fn pattern arguments must be literals")
     e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$fn patterns must be non-null string literals")
       case s: UTF8String => s.toString
       case other => other.toString
     }

@@ -65,8 +65,11 @@ object DedupQueries {
       // joins — without it the shingle expansion recomputes per use
       val grams = Tables(s, dir, "documents")
         .where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
+        // when-guard: sequence(1, n) with n < 1 walks DOWN (step -1);
+        // texts shorter than 4 chars must yield null → explode drops them
         .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), length(col("text")) - 3),
+          transform(when(length(col("text")) >= 4,
+            sequence(lit(1), length(col("text")) - 3)),
             i => substr(lower(col("text")), i, lit(4))))).as("g"))
         .cache()
       val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -166,10 +169,11 @@ object DedupQueries {
       "q26_ngram_jaccard" ->
         s"""WITH grams AS (
            |  SELECT DISTINCT doc_id, g FROM (
-           |    SELECT doc_id, substring(lower(text), CAST(i AS INT), 4) AS g
-           |    FROM documents, range(1, 2000) r(i)
-           |    WHERE doc_id % 5 = 0 AND doc_id < 2500
-           |      AND i <= length(text) - 3)),
+           |    SELECT doc_id,
+           |      substring(lower(text),
+           |        CAST(unnest(range(1, greatest(length(text) - 2, 1))) AS INT), 4) AS g
+           |    FROM documents
+           |    WHERE doc_id % 5 = 0 AND doc_id < 2500)),
            |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

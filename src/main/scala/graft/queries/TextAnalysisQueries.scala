@@ -66,8 +66,12 @@ object TextAnalysisQueries {
     // document fingerprints: whole-text polynomial hash + min/max 8-gram
     // hash (winnowing-style content anchors, shift-robust)
     "q24_fingerprint" -> ((s, dir) => {
+      // when-guard: texts shorter than 8 chars → null (sequence would
+      // otherwise count DOWN); array_min/max(null) = null = DuckDB's
+      // list_min of the empty correlated range
       val gramHashes = transform(
-        sequence(lit(1), length(col("text")) - 7),
+        when(length(col("text")) >= 8,
+          sequence(lit(1), length(col("text")) - 7)),
         i => polyHash(substr(col("text"), i, lit(8))))
       Tables(s, dir, "documents")
         .select(col("doc_id"),
