@@ -69,8 +69,9 @@ object MinHashSig {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes)))
 }
 
-/** 31-bit SimHash: bit b set iff a majority of hashes have bit b set
-  * (2*count > n — identical to the ±1-sum fold); empty input → null.
+/** 62-bit SimHash (two 31-bit feature planes): bit b set iff a majority
+  * of hashes have feature bit b set (2*count > n — identical to the
+  * ±1-sum fold); empty input → null.
   */
 case class SimHashPack(child: Expression) extends UnaryExpression {
 
@@ -99,7 +100,7 @@ case class SimHashPack(child: Expression) extends UnaryExpression {
 }
 
 object SimHashPack {
-  import TextFunctions.simhashBits
+  import TextFunctions.{P, simhashA2, simhashB2, simhashBits}
 
   def pack(hashes: ArrayData): Long = {
     val n = hashes.numElements()
@@ -107,9 +108,14 @@ object SimHashPack {
     var i = 0
     while (i < n) {
       val h = hashes.getLong(i)
+      val h2 = (h * simhashA2 + simhashB2) % P
       var b = 0
-      while (b < simhashBits) {
+      while (b < 31) {
         counts(b) += ((h >> b) & 1L).toInt
+        b += 1
+      }
+      while (b < simhashBits) {
+        counts(b) += ((h2 >> (b - 31)) & 1L).toInt
         b += 1
       }
       i += 1

@@ -140,43 +140,64 @@ object TextFunctions {
     s"list_min(list_transform($hashes, x -> (x * ${minhashA(k)} + ${minhashB(k)}) % $P))"
 
   // ------------------------------------------------------------------
-  // SimHash (31-bit, over the shingle-hash set)
+  // SimHash (62-bit: two 31-bit feature planes over the shingle-hash
+  // set — the published near-dup config is a 64-bit fingerprint with
+  // Hamming <= 3, Manku/Jain/Sarma WWW'07)
   // ------------------------------------------------------------------
 
-  val simhashBits = 31
-  /** 4 chunks (8+8+8+7 bits): by pigeonhole, any pair at Hamming
-    * distance <= 3 shares at least one identical chunk, so an equi-join
-    * on (chunkIdx, chunkValue) is a COMPLETE candidate generator — the
-    * scale path that avoids the all-pairs cross join.
+  val simhashBits = 62
+  /** 4 chunks of 16 bits (top chunk 14): by pigeonhole, any pair at
+    * Hamming distance <= 3 shares at least one identical chunk, so an
+    * equi-join on (chunkIdx, chunkValue) is a COMPLETE candidate
+    * generator. 16-bit chunk keys spread N docs over 65k buckets per
+    * chunk — candidate pairs stay ∝ true near-dups instead of
+    * ∝ N²/2^8 (the failure mode of byte-wide chunks at cluster scale).
     */
+  val simhashChunkBits = 16
   val simhashChunks = 4
   val simhashMaxHamming = 3
+
+  /** Second feature plane: an independent affine remap of each shingle
+    * hash supplies bits 31..61 (one 31-bit polynomial hash can't feed
+    * 62 fingerprint bits on its own).
+    */
+  private val lcgExt = lcg(2 * minhashK + 2)
+  val simhashA2: Long = lcgExt(2 * minhashK) % (P - 2) + 1
+  val simhashB2: Long = lcgExt(2 * minhashK + 1) % P
+
+  /** Feature bit b (0..61) of one shingle hash. */
+  def simhashFeatureBit(h: Column, b: Int): Column =
+    if (b < 31) shiftright(h, b).bitwiseAND(1)
+    else shiftright((h * simhashA2 + simhashB2) % P, b - 31).bitwiseAND(1)
 
   /** Per-bit majority vote over the hash set, packed to a long. */
   def simhash(hashes: Column): Column = {
     val bits = (0 until simhashBits).map { b =>
       val bitSum = aggregate(hashes, lit(0L),
-        (s, h) => s + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
+        (s, h) => s + (simhashFeatureBit(h, b) * 2 - 1))
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
   def sqlSimhash(hashes: String): String = {
+    def featureBit(b: Int): String =
+      if (b < 31) s"((h >> $b) & 1)"
+      else s"((((h * $simhashA2 + $simhashB2) % $P) >> ${b - 31}) & 1)"
     val bits = (0 until simhashBits).map { b =>
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform($hashes, h -> ((h >> $b) & 1) * 2 - 1)), " +
+        s"list_transform($hashes, h -> ${featureBit(b)} * 2 - 1)), " +
         s"(s, v) -> s + v) > 0 THEN ${1L << b} ELSE 0 END"
     }
     bits.mkString("(", " + ", ")")
   }
 
-  /** Chunk c of a simhash (8 bits; top chunk 7). */
+  /** Chunk c of a simhash (16 bits; top chunk 14). */
   def simhashChunk(sh: Column, c: Int): Column =
-    shiftright(sh, 8 * c).bitwiseAND(255)
+    shiftright(sh, simhashChunkBits * c).bitwiseAND((1 << simhashChunkBits) - 1)
 
   def sqlSimhashChunk(sh: String, c: Int): String =
-    s"(($sh >> ${8 * c}) & 255)"
+    s"(($sh >> ${simhashChunkBits * c}) & ${(1 << simhashChunkBits) - 1})"
 
   // ------------------------------------------------------------------
   // Language ID (stopword-hit heuristic) + quality + fingerprints

@@ -62,15 +62,16 @@ object DedupQueries {
     // candidate generator at scale)
     "q26_ngram_jaccard" -> ((s, dir) => {
       // cached: the gram relation feeds the self-join AND both count
-      // joins — without it the shingle expansion recomputes per use
+      // joins — without it the shingle expansion recomputes per use.
+      // Grams join as POLYNOMIAL HASHES (one CharGramHashes pass,
+      // 8-byte keys) rather than substrings — the self-join on common
+      // grams is the dominant cost and long keys shuffle/compare far
+      // cheaper than strings; the oracle hashes its grams with the
+      // same polynomial, so any collision is shared by both engines.
       val grams = Tables(s, dir, "documents")
         .where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
-        // when-guard: sequence(1, n) with n < 1 walks DOWN (step -1);
-        // texts shorter than 4 chars must yield null → explode drops them
         .select(col("doc_id"), explode(array_distinct(
-          transform(when(length(col("text")) >= 4,
-            sequence(lit(1), length(col("text")) - 3)),
-            i => substr(lower(col("text")), i, lit(4))))).as("g"))
+          graft.functions.CharGramHashes(lower(col("text")), 4))).as("g"))
         .cache()
       val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a")
@@ -122,9 +123,11 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash + pigeonhole chunk join: hamming <= 3 over 4 chunks
-    // guarantees a shared chunk, so the equi-join is a complete
-    // candidate generator — never an all-pairs comparison
+    // SimHash + pigeonhole chunk join: hamming <= 3 over 4 chunks of a
+    // 62-bit fingerprint guarantees a shared 16-bit chunk, so the
+    // equi-join is a complete candidate generator — never an all-pairs
+    // comparison, and wide enough chunk keys that bucket sizes (and so
+    // candidate pairs) stay ∝ true near-dups at cluster scale
     "q28_simhash" -> ((s, dir) => {
       // per-bit majority packed by ONE codegen'd map pass (SimHashPack)
       // — no explode, no groupBy shuffle. Cached: one long per doc,
@@ -167,13 +170,15 @@ object DedupQueries {
            |GROUP BY canon_key HAVING COUNT(*) > 1
            |ORDER BY canon_key""".stripMargin,
       "q26_ngram_jaccard" ->
-        s"""WITH grams AS (
-           |  SELECT DISTINCT doc_id, g FROM (
-           |    SELECT doc_id,
-           |      substring(lower(text),
-           |        CAST(unnest(range(1, greatest(length(text) - 2, 1))) AS INT), 4) AS g
-           |    FROM documents
-           |    WHERE doc_id % 5 = 0 AND doc_id < 2500)),
+        s"""WITH pos AS (
+           |  SELECT doc_id, lower(text) AS lt,
+           |    unnest(range(1, greatest(length(text) - 2, 1))) AS i
+           |  FROM documents
+           |  WHERE doc_id % 5 = 0 AND doc_id < 2500),
+           |grams AS (
+           |  SELECT DISTINCT doc_id,
+           |    ${sqlPolyHash("substring(lt, CAST(i AS INT), 4)")} AS g
+           |  FROM pos),
            |cnt AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

@@ -66,13 +66,10 @@ object TextAnalysisQueries {
     // document fingerprints: whole-text polynomial hash + min/max 8-gram
     // hash (winnowing-style content anchors, shift-robust)
     "q24_fingerprint" -> ((s, dir) => {
-      // when-guard: texts shorter than 8 chars → null (sequence would
-      // otherwise count DOWN); array_min/max(null) = null = DuckDB's
-      // list_min of the empty correlated range
-      val gramHashes = transform(
-        when(length(col("text")) >= 8,
-          sequence(lit(1), length(col("text")) - 7)),
-        i => polyHash(substr(col("text"), i, lit(8))))
+      // one CharGramHashes pass (O(len), no per-gram substring); texts
+      // shorter than 8 chars yield an empty array → array_min/max null,
+      // matching DuckDB's list_min over the empty range
+      val gramHashes = graft.functions.CharGramHashes(col("text"), 8)
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           polyHash(col("text")).as("fp"),

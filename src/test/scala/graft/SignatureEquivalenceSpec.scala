@@ -35,7 +35,7 @@ class SignatureEquivalenceSpec extends SparkSuite {
     val exploded = withHashes.select(col("doc_id"), explode(col("hs")).as("h"))
     val bitAggs = count(lit(1)).as("n") +:
       (0 until simhashBits).map(b =>
-        sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"c$b"))
+        sum(simhashFeatureBit(col("h"), b)).as(s"c$b"))
     val agg = exploded.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
         (0 until simhashBits).map(b =>
