@@ -57,34 +57,37 @@ object DedupQueries {
         .orderBy("canon_key")
     }),
 
-    // exact character-4-gram Jaccard >= 0.40 via inverted-index join on
-    // the doc_id % 5 slice (the exact-verification tier; LSH is the
-    // candidate generator at scale)
+    // exact character-4-gram Jaccard >= 0.40 over the doc_id % 5 slice
+    // (the exact-verification tier; LSH is the candidate generator at
+    // scale)
     "q26_ngram_jaccard" -> ((s, dir) => {
-      // cached: the gram relation feeds the self-join AND both count
-      // joins — without it the shingle expansion recomputes per use.
-      // Grams join as POLYNOMIAL HASHES (one CharGramHashes pass,
-      // 8-byte keys) rather than substrings — the self-join on common
-      // grams is the dominant cost and long keys shuffle/compare far
-      // cheaper than strings; the oracle hashes its grams with the
-      // same polynomial, so any collision is shared by both engines.
-      val grams = Tables(s, dir, "documents")
+      // Gram sets as SORTED HASH ARRAYS (one CharGramHashes pass; the
+      // oracle hashes its grams with the same polynomial, so any
+      // collision is shared by both engines), then a broadcast
+      // nested-loop pair scan with a fused two-pointer intersection.
+      // An inverted-index gram join degenerates here: common grams hit
+      // every doc, so its join intermediate is Σ df² ≈ 19M rows for
+      // this 500-doc slice. The pair scan does 125k codegen'd merges
+      // with NO shuffle — and SortedIntersectCount is the same verify
+      // kernel an LSH candidate join (q27) applies at cluster scale.
+      val docs = Tables(s, dir, "documents")
         .where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
-        .select(col("doc_id"), explode(array_distinct(
-          graft.functions.CharGramHashes(lower(col("text")), 4))).as("g"))
-        .cache()
-      val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = grams.as("a")
-        .join(grams.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("i").cast("double") /
-            (col("ca.n") + col("cb.n") - col("i")).cast("double")).as("jaccard"))
+        .select(col("doc_id"), array_sort(array_distinct(
+          graft.functions.CharGramHashes(lower(col("text")), 4))).as("hs"))
+      // spread the probe side over the executors — the tiny slice reads
+      // as one input split, which would serialize the whole pair scan
+      // onto a single task
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = docs.repartition(nPart, col("doc_id")).as("a")
+        .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
+      // docs with no grams (text < 4 chars) produce 0/0 = NaN, which the
+      // threshold filter drops — same as the oracle, where gram-less
+      // docs never enter the grams relation
+      val i = graft.functions.SortedIntersectCount(col("a.hs"), col("b.hs"))
+      pairs
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (i.cast("double") /
+            (size(col("a.hs")) + size(col("b.hs")) - i).cast("double")).as("jaccard"))
         .where(col("jaccard") >= jaccardThreshold)
         .orderBy("doc_a", "doc_b")
     }),

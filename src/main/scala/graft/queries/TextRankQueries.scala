@@ -21,16 +21,19 @@ object TextRankQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // top-5 characteristic terms per source by tf * (N/df); N joins in
-    // as a 1-row aggregate (lazy, mirrors the oracle's `n` CTE) and the
-    // tokenized relation is cached — it feeds both tf and df branches
+    // as a 1-row aggregate (lazy, mirrors the oracle's `n` CTE)
     "q38_tfidf_terms" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val terms = docs.select(col("doc_id"), col("source"),
-        explode(tokens(col("text"))).as("term"))
-        .cache()
-      val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.select(col("doc_id"), col("term")).distinct()
+      // tf and df branches re-tokenize (one cheap scan-stage pass each)
+      // rather than share a cached exploded relation: df de-dups
+      // per-doc terms with array_distinct BEFORE exploding, so the
+      // distinct lives in the map stage and the per-term count is the
+      // branch's only shuffle (vs explode → 250k-row distinct shuffle
+      // → count shuffle over the cached relation)
+      val tf = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df = docs.select(explode(array_distinct(tokens(col("text")))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("doc_freq"))
       val w = Window.partitionBy("source")
         .orderBy(desc("weight"), asc("term"))
