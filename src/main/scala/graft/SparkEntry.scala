@@ -12,7 +12,7 @@ object SparkEntry {
       TimeSeriesQueries.queries ++ TextAnalysisQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ WindowOpsQueries.queries ++
-      TextRankQueries.queries
+      TextRankQueries.queries ++ ExtendedOpsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +20,5 @@ object SparkEntry {
       TimeSeriesQueries.oracle ++ TextAnalysisQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ WindowOpsQueries.oracle ++
-      TextRankQueries.oracle
+      TextRankQueries.oracle ++ ExtendedOpsQueries.oracle
 }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 coverage widening: set operations, deterministic statistical
+  * aggregates, range-frame windows, arg-min/max, exact percentiles,
+  * unpivot, a staged event funnel, and an explicitly salted two-phase
+  * aggregation (the skew-mitigation shape, proven semantics-preserving
+  * through the oracle).
+  *
+  * Cross-engine determinism notes (see also q18/q22 conventions):
+  *  - money/measure sums go through DECIMAL (order-independent), cast
+  *    to DOUBLE only at the end;
+  *  - corr/covar/slope are NOT the engines' streaming `corr()` (whose
+  *    accumulation order is nondeterministic in a parallel engine) but
+  *    closed-form doubles over decimal sums — the same value on any
+  *    cluster size, and bit-identical across engines because every
+  *    IEEE op appears in the same order in both formulations;
+  *  - percentile interpolation lands on exact binary fractions here
+  *    (integer-valued quantities, quartile fractions) so `percentile`
+  *    (Spark) == `quantile_cont` (DuckDB) bit-for-bit.
+  */
+object ExtendedOpsQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val tsUs = "(ts_ns div 1000)"
+  private val rangeUs = 600000000L // 10 minutes in µs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // INTERSECT + EXCEPT (SURVEY §2.7: absent in the reference; exposed
+    // by the engine). Customers ordering in both 1995 and 1996, minus
+    // those with a 1997 'F'-status order. Set ops hash-partition on the
+    // full row — one shuffle each, partial-dedup map-side.
+    "q41_set_ops" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      def custs(cond: org.apache.spark.sql.Column) =
+        orders.where(cond).select(col("o_custkey"))
+      custs(year(col("o_orderdate")) === 1995)
+        .intersect(custs(year(col("o_orderdate")) === 1996))
+        .except(custs(col("o_orderstatus") === "F" &&
+          year(col("o_orderdate")) === 1997))
+        .orderBy("o_custkey")
+    }),
+
+    // Pearson correlation / population covariance / OLS slope of
+    // (quantity, discount) per return flag — closed-form from decimal
+    // sums (see scaladoc); the engines' own corr()/covar_pop() are
+    // order-sensitive doubles and can differ run-to-run at scale.
+    // Measure choice keeps every decimal sum's scaled integer < 2^53,
+    // where BOTH engines' decimal→double cast is exact (price² sums
+    // exceed that and the engines' casts then differ by 1 ulp).
+    "q42_corr_stats" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val x = col("l_quantity").cast(dec2)
+      val y = col("l_discount").cast(dec2)
+      val agg = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        sum(x).as("sx_d"), sum(y).as("sy_d"),
+        sum(x * y).as("sxy_d"), sum(x * x).as("sxx_d"), sum(y * y).as("syy_d"))
+      val nd = col("n_rows").cast("double")
+      val sx = col("sx_d").cast("double")
+      val sy = col("sy_d").cast("double")
+      val sxy = col("sxy_d").cast("double")
+      val sxx = col("sxx_d").cast("double")
+      val syy = col("syy_d").cast("double")
+      agg.select(col("l_returnflag"), col("n_rows"),
+        ((nd * sxy - sx * sy) /
+          sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))).as("corr_qp"),
+        ((nd * sxy - sx * sy) / (nd * nd)).as("covar_pop_qp"),
+        ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).as("slope_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // RANGE-frame window: per-user rolling 10-minute event count and
+    // value sum over exact-µs event time. One shuffle+sort on the user
+    // key; the frame is bounded by TIME, not row count.
+    "q43_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-rangeUs, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr(tsUs).as("t"),
+          col("value").cast(dec2).as("v"))
+        .withColumn("w_events", count(lit(1)).over(w))
+        .withColumn("w_sum", sum(col("v")).over(w).cast("double"))
+        .drop("v")
+        .orderBy("event_id")
+    }),
+
+    // arg-min/arg-max: each user's first and last event type by event
+    // time plus activity span — single hash aggregate, no window sort.
+    "q44_argminmax" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), expr(tsUs).as("t"), col("event_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          min_by(col("event_type"), col("t")).as("first_type"),
+          max_by(col("event_type"), col("t")).as("last_type"),
+          min(col("t")).as("first_us"),
+          max(col("t")).as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    // exact interpolated quartiles of quantity per return flag (sort-
+    // based agg; at scale an approx sketch replaces this — ApproxStats)
+    "q45_percentiles" -> ((s, dir) => {
+      val qs = expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), qs.as("qs"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .select(col("l_returnflag"), col("n_rows"),
+          element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("median"),
+          element_at(col("qs"), 3).as("q75"),
+          col("min_qty"), col("max_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // UNPIVOT: wide per-flag measures → (measure, value) rows — the
+    // inverse of q35's pivot, one Expand-style pass, no shuffle beyond
+    // the feeding aggregate
+    "q46_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast("double").as("sum_price"),
+          sum(col("l_discount").cast(dec2)).cast("double").as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // staged funnel: users who viewed, then clicked AFTER their first
+    // view, then purchased AFTER that first qualifying click. Each
+    // stage is a groupBy + broadcast join on the (tiny) qualified-user
+    // set — event rows stream past once per stage, never pairwise.
+    "q47_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr(tsUs).as("t"), col("event_type"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("vt"))
+      val c = e.where(col("event_type") === "click")
+        .join(broadcast(v), "user_id").where(col("t") > col("vt"))
+        .groupBy("user_id").agg(min(col("t")).as("ct"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id").where(col("t") > col("ct"))
+        .groupBy("user_id").agg(min(col("t")).as("pt"))
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+    }),
+
+    // explicitly salted two-phase aggregation — the hot-key shape: a
+    // deterministic salt splits each group into 16 sub-groups for the
+    // wide partial phase, then a cheap final phase over 16·|groups|
+    // rows. Decimal partials make the re-association exact, which the
+    // plain-GROUP BY oracle proves.
+    "q48_salted_agg" -> ((s, dir) => {
+      val partial = Tables.events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pc"), sum(col("value").cast(dec2)).as("ps"))
+      partial.groupBy("event_type")
+        .agg(sum(col("pc")).as("n_events"),
+          sum(col("ps")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // HLL++ approximate distinct users per event type — mergeable
+    // fixed-memory sketch, the 100 TB replacement for exact distinct.
+    // No DuckDB twin (engine-specific estimator) → rows-only check.
+    "q49_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q41_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1997)
+        |ORDER BY o_custkey""".stripMargin,
+    "q42_corr_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |          CAST(l_discount AS DECIMAL(18,2)) AS y
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  (CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx)
+        |       * (CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS corr_qp,
+        |  (CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS covar_pop_qp,
+        |  (CAST(n_rows AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n_rows AS DOUBLE) * sxx - sx * sx) AS slope_qp
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q43_range_frame" ->
+      s"""SELECT event_id, user_id, t,
+         |  COUNT(*) OVER w AS w_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS w_sum
+         |FROM (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events)
+         |WINDOW w AS (PARTITION BY user_id ORDER BY t
+         |  RANGE BETWEEN $rangeUs PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+    "q44_argminmax" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  arg_min(event_type, t) AS first_type,
+        |  arg_max(event_type, t) AS last_type,
+        |  MIN(t) AS first_us, MAX(t) AS last_us
+        |FROM (SELECT user_id, epoch_us(ts) AS t, event_type FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q45_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS median,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q46_unpivot" ->
+      """SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q47_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |v AS (SELECT user_id, MIN(t) AS vt FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(t) AS ct FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > vt GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(t) AS pt FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > ct GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+        |       (SELECT COUNT(*) FROM c) AS n_click_users,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin,
+    "q48_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
