@@ -38,10 +38,15 @@ object ExtendedOpsQueries {
       val orders = Tables(s, dir, "orders")
       def custs(cond: org.apache.spark.sql.Column) =
         orders.where(cond).select(col("o_custkey"))
-      custs(year(col("o_orderdate")) === 1995)
-        .intersect(custs(year(col("o_orderdate")) === 1996))
-        .except(custs(col("o_orderstatus") === "F" &&
-          year(col("o_orderdate")) === 1997))
+      // year ranges as raw timestamp bounds, not year(ts) = N: the
+      // bare-column comparison pushes to the scan (row-group/partition
+      // pruning); a year() wrapper reaches the scan as IsNotNull only
+      def inYear(y: Int) =
+        col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp")
+      custs(inYear(1995))
+        .intersect(custs(inYear(1996)))
+        .except(custs(col("o_orderstatus") === "F" && inYear(1997)))
         .orderBy("o_custkey")
     }),
 
@@ -180,17 +185,50 @@ object ExtendedOpsQueries {
         .agg(count(lit(1)).as("n_events"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .orderBy("event_type")
+    }),
+
+    // correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    // decorrelates both into semi/anti hash joins on l_orderkey (one
+    // shuffle each side; the subquery never executes per-row)
+    "q50_exists_subquery" -> ((s, dir) => {
+      s.sql(
+        s"""SELECT o.o_orderkey,
+           |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+           |FROM parquet.`$dir/orders.parquet` o
+           |WHERE EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l
+           |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+           |  AND NOT EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l
+           |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+           |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
+    // the registered `issue_mask` SQL function (GraftExtensions): the
+    // 14-pattern classifier as ONE single-pass expression, queried
+    // through plain spark.sql; the oracle recomputes the bitmask as a
+    // sum of per-pattern CASE arms from the same constants
+    "q51_sql_issue_mask" -> ((s, dir) => {
+      LogDomainQueries.Corpus.logs(s, dir)
+        .createOrReplaceTempView("graft_log_lines")
+      s.sql("""SELECT issue_mask(message) AS mask, COUNT(*) AS n_lines,
+              |  MIN(event_id) AS first_event
+              |FROM graft_log_lines GROUP BY mask ORDER BY mask""".stripMargin)
     }))
 
   def oracle: Map[String, String] = Map(
     "q41_set_ops" ->
       """SELECT o_custkey FROM (
-        |  (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  (SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |     AND o_orderdate < TIMESTAMP '1996-01-01'
         |   INTERSECT
-        |   SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |   SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |     AND o_orderdate < TIMESTAMP '1997-01-01')
         |  EXCEPT
         |  SELECT o_custkey FROM orders
-        |  WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1997)
+        |  WHERE o_orderstatus = 'F'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
         |ORDER BY o_custkey""".stripMargin,
     "q42_corr_stats" ->
       """WITH a AS (
@@ -258,5 +296,24 @@ object ExtendedOpsQueries {
     "q48_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q50_exists_subquery" ->
+      """SELECT o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q51_sql_issue_mask" -> {
+      val maskArms = graft.classify.IssueClassifier.allPatterns.zipWithIndex
+        .map { case ((_, _, p), i) =>
+          s"CASE WHEN regexp_matches(message, '$p') THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", "\n     + ", ")")
+      s"""${LogDomainQueries.Corpus.sqlCte}
+         |SELECT mask, COUNT(*) AS n_lines, MIN(event_id) AS first_event
+         |FROM (SELECT $maskArms AS mask, event_id FROM ev_lines)
+         |GROUP BY mask ORDER BY mask""".stripMargin
+    })
 }
