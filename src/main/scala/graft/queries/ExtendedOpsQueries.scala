@@ -212,6 +212,33 @@ object ExtendedOpsQueries {
       s.sql("""SELECT issue_mask(message) AS mask, COUNT(*) AS n_lines,
               |  MIN(event_id) AS first_event
               |FROM graft_log_lines GROUP BY mask ORDER BY mask""".stripMargin)
+    }),
+
+    // CDC-style latest-record-per-key dedup: one row_number window per
+    // (user, type) key, keep rank 1 by (ts desc, id desc) — the
+    // standard "current state from an event stream" shape; ties broken
+    // by the unique event_id so the survivor is deterministic
+    "q52_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(desc("t"), desc("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr(tsUs).as("t"), col("value").cast(dec2).cast("double").as("value"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // deterministic collect: per-user sorted distinct event-type roster
+    // as a joined string (collect_set order is nondeterministic in a
+    // parallel engine — sort_array pins it)
+    "q53_collect_sorted" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(sort_array(collect_set(col("event_type"))), ",")
+            .as("types"))
+        .orderBy("user_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -315,5 +342,17 @@ object ExtendedOpsQueries {
          |SELECT mask, COUNT(*) AS n_lines, MIN(event_id) AS first_event
          |FROM (SELECT $maskArms AS mask, event_id FROM ev_lines)
          |GROUP BY mask ORDER BY mask""".stripMargin
-    })
+    },
+    "q52_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, t, value FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q53_collect_sorted" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -161,6 +161,15 @@ object LogStreams {
       }
   }
 
+  /** Stream-static enrichment: each micro-batch of parsed lines joined
+    * to a static node-metadata dimension (datacenter, rack, ...). The
+    * dimension is broadcast per batch — no shuffle of the stream, no
+    * state; the standard production shape for attaching slowly-changing
+    * reference data to a hot stream.
+    */
+  def enriched(lines: DataFrame, nodeDim: DataFrame): DataFrame =
+    parsed(lines).join(broadcast(nodeDim), Seq("node"), "left")
+
   /** Exactly-once-per-key streaming dedup within the watermark horizon —
     * the streaming face of the dedup family (q25): new documents keyed
     * by content hash, duplicates inside the lateness window dropped by

@@ -94,6 +94,28 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins the node dimension per micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("node1", "dc1", 3), ("node2", "dc2", 7))
+      .toDF("node", "datacenter", "rack")
+    val ms = MemoryStream[(String, String)]
+    val out = LogStreams.enriched(ms.toDF().toDF("node", "value"), dim)
+      .select("node", "datacenter", "rack", "message")
+    val query = out.writeStream.format("memory")
+      .queryName("enriched_out").outputMode("append").start()
+    try {
+      ms.addData(
+        line("node1", "2026-05-14 10:00:00,000", "Read timed out"),
+        line("node3", "2026-05-14 10:00:30,000", "Read timed out"))
+      query.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).sorted
+      // known node enriched; unknown node kept with null dims (left join)
+      assert(rows.toSeq === Seq(("node1", Some("dc1")), ("node3", None)))
+    } finally query.stop()
+  }
+
   test("streamingDedup drops same-key duplicates within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
