@@ -17,7 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `issue_mask(str)` → the 14-pattern Cassandra issue bitmask with
   *    the reference's pattern order baked in;
   *  - [[CollapseRLikeOrChains]] optimizer rule: >= 4 `rlike` ORs over
-  *    one input collapse into a single `multi_match` pass.
+  *    one input collapse into a single `multi_match` pass;
+  *  - [[TopKStrategy]] planner strategy: plans the [[TopKPerGroup]]
+  *    logical operator as a two-phase bounded-heap physical exec.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -33,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseRLikeOrChains)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("multi_match"),
       new ExpressionInfo(classOf[MultiMatch].getName, "multi_match"),

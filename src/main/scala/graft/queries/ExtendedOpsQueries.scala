@@ -229,6 +229,20 @@ object ExtendedOpsQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // the custom TopKPerGroup operator (logical plan + strategy +
+    // two-phase bounded-heap exec, graft.plans): top-2 orders per
+    // customer WITHOUT sorting each group — at most k rows per group
+    // per partition cross the shuffle; oracle is the row_number window
+    // formulation
+    "q54_topk_custom" -> ((s, dir) => {
+      graft.plans.TopK.perGroup(
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), k = 2)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // deterministic collect: per-user sorted distinct event-type roster
     // as a joined string (collect_set order is nondeterministic in a
     // parallel engine — sort_array pins it)
@@ -354,5 +368,12 @@ object ExtendedOpsQueries {
     "q53_collect_sorted" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q54_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.{TopK, TopKPerGroupExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom TopKPerGroup operator: result parity with the window
+  * row_number formulation, the two-phase partial/final physical shape,
+  * and shuffle-volume behavior (only k rows per group per partition
+  * reach the exchange).
+  */
+class TopKPerGroupSpec extends SparkSuite {
+
+  private lazy val orders = spark.read
+    .parquet("/root/testdata/sf0.001/orders.parquet")
+    .select("o_custkey", "o_orderkey", "o_totalprice")
+
+  /** Final physical plan with the AQE wrapper peeled off. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("matches the window row_number formulation on the corpus") {
+    for (k <- Seq(1, 3)) {
+      val custom = TopK.perGroup(orders, Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), k)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val reference = orders.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).drop("rn")
+      assert(custom.exceptAll(reference).count() === 0, s"k=$k extra rows")
+      assert(reference.exceptAll(custom).count() === 0, s"k=$k missing rows")
+    }
+  }
+
+  test("plans as partial + final exec with one exchange between them") {
+    val df = TopK.perGroup(orders, Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
+    df.collect() // force AQE final plan
+    // AQE nests the stages, so assert on the rendered plan: partial
+    // below the hash exchange on the group key, final above it
+    val ps = finalPlan(df).toString
+    assert(ps.contains("TopKPerGroup (partial)"), ps)
+    assert(ps.contains("TopKPerGroup (final)"), ps)
+    assert(ps.contains("Exchange hashpartitioning(o_custkey"), ps)
+    assert(ps.indexOf("TopKPerGroup (final)") <
+      ps.indexOf("Exchange hashpartitioning"), ps)
+    assert(ps.indexOf("Exchange hashpartitioning") <
+      ps.indexOf("TopKPerGroup (partial)"), ps)
+  }
+
+  test("result is bounded by k rows per group on a multi-partition input") {
+    val over = TopK.perGroup(orders.repartition(4), Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
+      .groupBy("o_custkey").count().where(col("count") > 2)
+    assert(over.count() === 0)
+  }
+
+  test("k larger than any group returns everything") {
+    val df = TopK.perGroup(orders, Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 1000000)
+    assert(df.count() === orders.count())
+  }
+}
