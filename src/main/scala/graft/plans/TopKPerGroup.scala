@@ -124,15 +124,28 @@ object TopK {
 
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "TopK.perGroup needs at least one group column; for global top-k " +
+        "use df.orderBy(...).limit(k) (TakeOrderedAndProject)")
     val plan = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"unknown column $name in ${plan.output.map(_.name)}"))
+    val groupAttrs = groupCols.map(attr)
+    // the exec groups by raw UnsafeRow bytes; float/double keys would
+    // need -0.0/NaN normalization (Catalyst's NormalizeFloatingNumbers
+    // rule covers only the built-in operators) — reject them
+    groupAttrs.foreach { a =>
+      require(!a.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType]
+          && !a.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType],
+        s"TopK.perGroup cannot group by floating-point column ${a.name} " +
+          "(-0.0 vs 0.0 and NaN payloads would split groups)")
+    }
     val order = orderCols.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
     ColumnBridge.ofRows(df.sparkSession,
-      TopKPerGroup(groupCols.map(attr), order, k, plan))
+      TopKPerGroup(groupAttrs, order, k, plan))
   }
 }

@@ -74,15 +74,18 @@ object DedupQueries {
         .where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
         .select(col("doc_id"), array_sort(array_distinct(
           graft.functions.CharGramHashes(lower(col("text")), 4))).as("hs"))
+        // gram-less docs (text < 4 chars) can't pair: dropping them up
+        // front matches the oracle (they never enter its grams
+        // relation) and keeps the Jaccard denominator non-zero — an
+        // (empty, empty) pair would DIVIDE_BY_ZERO under Spark's
+        // default ANSI mode
+        .where(size(col("hs")) > 0)
       // spread the probe side over the executors — the tiny slice reads
       // as one input split, which would serialize the whole pair scan
       // onto a single task
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val pairs = docs.repartition(nPart, col("doc_id")).as("a")
         .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
-      // docs with no grams (text < 4 chars) produce 0/0 = NaN, which the
-      // threshold filter drops — same as the oracle, where gram-less
-      // docs never enter the grams relation
       val i = graft.functions.SortedIntersectCount(col("a.hs"), col("b.hs"))
       pairs
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

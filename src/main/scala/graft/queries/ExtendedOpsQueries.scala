@@ -96,13 +96,19 @@ object ExtendedOpsQueries {
 
     // arg-min/arg-max: each user's first and last event type by event
     // time plus activity span — single hash aggregate, no window sort.
+    // The arg key is a zero-padded (t, event_id) composite string:
+    // a bare-µs key would be nondeterministic across engines on a
+    // timestamp tie (DuckDB's arg_min rejects struct keys, so the
+    // fixed-width string is the shared total order).
     "q44_argminmax" -> ((s, dir) => {
+      val tb = format_string("%020d-%010d", col("t"), col("event_id"))
       Tables.events(s, dir)
-        .select(col("user_id"), expr(tsUs).as("t"), col("event_type"))
+        .select(col("user_id"), expr(tsUs).as("t"),
+          col("event_id"), col("event_type"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          min_by(col("event_type"), col("t")).as("first_type"),
-          max_by(col("event_type"), col("t")).as("last_type"),
+          min_by(col("event_type"), tb).as("first_type"),
+          max_by(col("event_type"), tb).as("last_type"),
           min(col("t")).as("first_us"),
           max(col("t")).as("last_us"))
         .orderBy("user_id")
@@ -147,11 +153,14 @@ object ExtendedOpsQueries {
     "q47_funnel" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), expr(tsUs).as("t"), col("event_type"))
+      // v and c are cached: each feeds BOTH the next stage's join and
+      // its own count — uncached, the three count branches would
+      // re-derive the chain and rescan events 6 times
       val v = e.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("t")).as("vt"))
+        .groupBy("user_id").agg(min(col("t")).as("vt")).cache()
       val c = e.where(col("event_type") === "click")
         .join(broadcast(v), "user_id").where(col("t") > col("vt"))
-        .groupBy("user_id").agg(min(col("t")).as("ct"))
+        .groupBy("user_id").agg(min(col("t")).as("ct")).cache()
       val p = e.where(col("event_type") === "purchase")
         .join(broadcast(c), "user_id").where(col("t") > col("ct"))
         .groupBy("user_id").agg(min(col("t")).as("pt"))
@@ -302,10 +311,10 @@ object ExtendedOpsQueries {
          |ORDER BY event_id""".stripMargin,
     "q44_argminmax" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        |  arg_min(event_type, t) AS first_type,
-        |  arg_max(event_type, t) AS last_type,
+        |  arg_min(event_type, printf('%020d-%010d', t, event_id)) AS first_type,
+        |  arg_max(event_type, printf('%020d-%010d', t, event_id)) AS last_type,
         |  MIN(t) AS first_us, MAX(t) AS last_us
-        |FROM (SELECT user_id, epoch_us(ts) AS t, event_type FROM events)
+        |FROM (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q45_percentiles" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,

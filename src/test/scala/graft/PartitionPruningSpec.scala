@@ -24,7 +24,7 @@ class PartitionPruningSpec extends SparkSuite {
     try {
       queries.Tables.events(spark, "/root/testdata/sf0.001")
         .withColumn("day", to_date(col("ts")))
-        .write.partitionBy("event_type").mode("overwrite").parquet(out)
+        .write.partitionBy("event_type", "day").mode("overwrite").parquet(out)
 
       val pruned = spark.read.parquet(out)
         .where(col("event_type") === "error")

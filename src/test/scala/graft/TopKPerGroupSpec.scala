@@ -59,6 +59,17 @@ class TopKPerGroupSpec extends SparkSuite {
     assert(over.count() === 0)
   }
 
+  test("floating-point group keys and empty group lists are rejected") {
+    val e1 = intercept[IllegalArgumentException] {
+      TopK.perGroup(orders, Seq("o_totalprice"), Seq("o_orderkey" -> false), 1)
+    }
+    assert(e1.getMessage.contains("floating-point"))
+    val e2 = intercept[IllegalArgumentException] {
+      TopK.perGroup(orders, Seq.empty, Seq("o_orderkey" -> false), 1)
+    }
+    assert(e2.getMessage.contains("at least one group column"))
+  }
+
   test("k larger than any group returns everything") {
     val df = TopK.perGroup(orders, Seq("o_custkey"),
       Seq("o_totalprice" -> true, "o_orderkey" -> false), 1000000)
