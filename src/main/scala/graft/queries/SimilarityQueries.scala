@@ -42,19 +42,26 @@ object SimilarityQueries {
     s"e AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact top-k: broadcast the probe set, rank per probe
+    // exact top-k: broadcast the probe set, then the custom
+    // TopKPerGroup operator (bounded heap, map-side k-row combine)
+    // cuts candidates to k per probe BEFORE any sort — only k rows
+    // per probe per partition cross the shuffle, vs the window
+    // formulation sorting every scored candidate. The row_number
+    // window that derives `rn` then runs over <= k rows per probe.
     "q29_cosine_topk" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val probes = corpus.where(col("vec_id") % 61 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
-      val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
-      corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      val scored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
             .as("cosine"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= topK)
+      val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), topK)
+      val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      top.withColumn("rn", row_number().over(w))
         .orderBy("probe_id", "rn")
     }),
 
