@@ -159,4 +159,31 @@ final class RemoteFetcher(
       catalog.loadContent(s"${nodeName}_$logType", content)
     }
   }
+
+  /** `load_logs_from_all_nodes` — but PARALLEL. The reference awaits
+    * nodes one at a time (`cassandra_log_analyzer.py:704-714`, SURVEY
+    * §2.10), so a 100-node fetch pays 100 sequential round-trips; here
+    * every node fetches concurrently (fetch is I/O-bound driver-side
+    * work) and results keep the caller's node order.
+    */
+  def loadAll(catalog: LogCatalog,
+      nodes: Seq[(String, NodeConfig)],
+      logType: String = "system",
+      tailLines: Option[Int] = None)
+      : Seq[(String, Either[FetchError, (Long, Int)])] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // fetch concurrently; INSERT sequentially in caller order — node-key
+    // insertion order is a load-bearing output semantic (the reference's
+    // dict order drives report ordering, SURVEY §7.4.3)
+    val fetched = Await.result(Future.sequence(nodes.map { case (name, cfg) =>
+      Future((name,
+        readLogFile(cfg, s"${cfg.logDirectory}/$logType.log", tailLines)))
+    }), Duration.Inf)
+    fetched.map { case (name, res) =>
+      name -> res.map(content =>
+        catalog.loadContent(s"${name}_$logType", content))
+    }
+  }
 }

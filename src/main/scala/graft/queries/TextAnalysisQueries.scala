@@ -76,6 +76,21 @@ object TextAnalysisQueries {
           array_min(gramHashes).as("min_gram8"),
           array_max(gramHashes).as("max_gram8"))
         .orderBy("doc_id")
+    }),
+
+    // full winnowing fingerprints (Schleimer et al., MOSS): distinct
+    // sliding-window-minima of the positional 8-gram hashes, window 4.
+    // CharGramHashes + WinnowedMins are two codegen'd map passes —
+    // O(len) per doc, no shuffle before the final tiny projection.
+    "q55_winnowing" -> ((s, dir) => {
+      val hs = graft.functions.CharGramHashes(col("text"), 8)
+      val fps = array_distinct(graft.functions.WinnowedMins(hs, 4))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(fps).as("n_fingerprints"),
+          array_min(fps).as("min_fp"),
+          array_max(fps).as("max_fp"))
+        .orderBy("doc_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -120,5 +135,17 @@ object TextAnalysisQueries {
          |    list_transform(range(1, length(text) - 6),
          |      i -> ${sqlPolyHash("substring(text, CAST(i AS INT), 8)")}) AS gram_hashes
          |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "q55_winnowing" ->
+      s"""SELECT doc_id, len(fps) AS n_fingerprints,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 2, 1)),
+         |    i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
+         |  FROM (SELECT doc_id,
+         |      list_transform(range(1, length(text) - 6),
+         |        i -> ${sqlPolyHash("substring(text, CAST(i AS INT), 8)")}) AS hs
+         |    FROM documents))
          |ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{CharGramHashes, SortedIntersectCount, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the round-2 expressions: generated inputs, model
+  * implementations in plain Scala as the oracle.
+  */
+class ExpressionPropertySpec extends SparkSuite {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("CharGramHashes == per-position polynomial model on random strings") {
+    import spark.implicits._
+    val strGen = for {
+      len <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(len, Gen.frequency(
+        8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', ',', 'é', 'ß')))
+    } yield cs.mkString
+    val inputs = sample(strGen, 300)
+    def model(s: String, n: Int): Seq[Long] =
+      if (s.length < n) Seq.empty
+      else (0 to s.length - n).map { i =>
+        s.substring(i, i + n).foldLeft(0L)((h, c) => (h * 31 + c) % TextFunctions.P)
+      }
+    for (n <- Seq(2, 4, 8)) {
+      val got = inputs.toDF("s")
+        .select(CharGramHashes(col("s"), n))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      assert(got.toSeq === inputs.map(model(_, n)), s"n=$n")
+    }
+  }
+
+  test("SortedIntersectCount == set-intersection model on random arrays") {
+    import spark.implicits._
+    val arrGen = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    val pairs = sample(Gen.zip(arrGen, arrGen), 300)
+    val got = pairs.toDF("a", "b")
+      .select(SortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+    assert(got.toSeq === want)
+  }
+
+  test("simhash pigeonhole: pairs at hamming <= 3 always share a chunk") {
+    // structural property of the 62-bit/4-chunk split, checked over
+    // random fingerprints perturbed by <= 3 bit flips
+    val fpGen = for {
+      base <- Gen.choose(Long.MinValue, Long.MaxValue).map(_ & ((1L << 62) - 1))
+      nFlips <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(nFlips, Gen.choose(0, 61))
+    } yield (base, bits.foldLeft(base)((v, b) => v ^ (1L << b)))
+    sample(fpGen, 500).foreach { case (a, b) =>
+      val shares = (0 until TextFunctions.simhashChunks).exists { c =>
+        ((a >> (16 * c)) & 0xffffL) == ((b >> (16 * c)) & 0xffffL)
+      }
+      assert(shares, s"no shared chunk for $a / $b")
+    }
+  }
+}

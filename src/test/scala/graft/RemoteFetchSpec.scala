@@ -63,4 +63,21 @@ class RemoteFetchSpec extends SparkSuite {
     assert(catalog.nodeKeys === Seq("node1_system"))
     assert(catalog.rawFor("node1_system").count() === 6)
   }
+
+  test("loadAll fetches concurrently but keeps caller node order; bad nodes error per-node") {
+    val catalog = new LogCatalog(spark)
+    val nodes = Seq(
+      "nodeB" -> cfg,
+      "nodeA" -> cfg,
+      "ghost" -> cfg.copy(logDirectory = "/no/such/dir"),
+      "nodeC" -> cfg)
+    val results = fetcher.loadAll(catalog, nodes, "system", Some(3))
+    assert(results.map(_._1) === Seq("nodeB", "nodeA", "ghost", "nodeC"))
+    // catalog insertion order == caller order (reference dict-order
+    // semantics), with the failed node absent
+    assert(catalog.nodeKeys === Seq("nodeB_system", "nodeA_system", "nodeC_system"))
+    assert(results.collect { case (n, Left(_)) => n } === Seq("ghost"))
+    assert(results.collect { case (_, Right((lines, _))) => lines }
+      === Seq(4L, 4L, 4L)) // 3 tail lines + trailing empty each
+  }
 }
