@@ -102,6 +102,48 @@ object MultimodalPipeline {
     }
   }
 
+  /** One sampled frame: fixed-size byte slice of the payload. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: every `stride`-th fixed-size frame as its own row
+    * — the fan-out stage a video pipeline runs before per-frame
+    * feature extraction. flatMap keeps it streaming (no per-record
+    * materialization of all frames); downstream operators see small
+    * frame rows, never the whole payload.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameBytes: Int = 256,
+      stride: Int = 4): Dataset[MediaFrame] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.flatMap { r =>
+      val n = r.payload.length / frameBytes + 1
+      (0 until n by stride).iterator.map { f =>
+        val from = f * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        MediaFrame(r.doc_id, f, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
+
+  /** Resize STUB: nearest-neighbor downsample of the fake "pixels" to a
+    * fixed byte budget (a real pipeline calls the codec's scaler here —
+    * not present in this environment). Pure per-row map; the plumbing
+    * being exercised is binary-in/binary-out with changed metadata.
+    */
+  def resizeTo(records: Dataset[MediaRecord], targetBytes: Int = 64): Dataset[MediaRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.map { r =>
+      val n = r.payload.length
+      val out =
+        if (n <= targetBytes) r.payload
+        else Array.tabulate(targetBytes)(i => r.payload((i.toLong * n / targetBytes).toInt))
+      r.copy(payload = out,
+        width = math.max(1, r.width * out.length / math.max(1, n)),
+        height = r.height)
+    }
+  }
+
   /** End-to-end: per-format feature aggregate (what a curation pipeline
     * computes before filtering).
     */

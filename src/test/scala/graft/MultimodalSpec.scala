@@ -56,6 +56,33 @@ class MultimodalSpec extends SparkSuite {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("frame sampling: every stride-th fixed-size slice, bytes intact") {
+    val frames = MultimodalPipeline.sampleFrames(records, frameBytes = 100, stride = 2)
+    val rec = records.where(col("doc_id") === 0).head()
+    val got = frames.where(col("doc_id") === 0).orderBy("frame_idx").collect()
+    val expectedIdx = (0 until (rec.payload.length / 100 + 1) by 2).toSeq
+    assert(got.map(_.frame_idx).toSeq === expectedIdx)
+    // frame 0 is exactly the first 100 payload bytes
+    assert(got.head.frame.toSeq === rec.payload.take(100).toSeq)
+    // every frame is at most frameBytes long
+    assert(got.forall(_.frame.length <= 100))
+  }
+
+  test("resize stub: payload shrunk to the byte budget, schema unchanged") {
+    val resized = MultimodalPipeline.resizeTo(records, targetBytes = 64)
+    // nullability flags differ between a projection-derived and an
+    // encoder-derived schema; names and types are the contract
+    assert(resized.schema.map(f => (f.name, f.dataType)) ===
+      records.schema.map(f => (f.name, f.dataType)))
+    val lens = resized.collect().map(_.payload.length)
+    assert(lens.forall(_ <= 64))
+    // deterministic: same input -> same bytes
+    val a = resized.where(col("doc_id") === 7).head().payload.toSeq
+    val b = MultimodalPipeline.resizeTo(records, 64)
+      .where(col("doc_id") === 7).head().payload.toSeq
+    assert(a === b)
+  }
+
   test("featureSummary aggregates the decoded features") {
     val row = MultimodalPipeline.featureSummary(spark, sfDir).head()
     assert(row.getAs[Long]("n_media") === docs.count())
