@@ -145,6 +145,14 @@ object TopK {
     val order = orderCols.map { case (name, desc) =>
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
+    // self-register the strategy: the operator must plan in ANY
+    // session, not only those built withExtensions(GraftExtensions)
+    val session = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!session.experimental.extraStrategies.contains(TopKStrategy)) {
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ TopKStrategy
+    }
     ColumnBridge.ofRows(df.sparkSession,
       TopKPerGroup(groupAttrs, order, k, plan))
   }

@@ -14,8 +14,11 @@ object Demo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-demo")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -75,6 +78,10 @@ object Demo {
       show("q29_cosine_topk")
       show("q37_ann_ivf")
       show("q21_lang_id")
+      show("q42_corr_stats")
+      show("q47_funnel")
+      show("q54_topk_custom")
+      show("q55_winnowing")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
