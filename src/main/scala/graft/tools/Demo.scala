@@ -34,8 +34,10 @@ object Demo {
     println(s"== load_logs: $lines1 lignes, $nodes1 nodes")
 
     args.headOption.foreach { path =>
-      val (n, total) = catalog.loadFile("node2", "system", path, tailLines = Some(3))
-      println(s"== load from file (tail -n 3): $n lignes, $total node keys")
+      if (new java.io.File(path).exists()) {
+        val (n, total) = catalog.loadFile("node2", "system", path, tailLines = Some(3))
+        println(s"== load from file (tail -n 3): $n lignes, $total node keys")
+      } else println(s"== [skip] log file not found: $path")
     }
 
     println("\n==== analyze_cluster ====")
