@@ -150,40 +150,54 @@ final class RemoteFetcher(
     * `load_logs_from_ssh` pipeline (`cassandra_log_analyzer.py:632-689`)
     * minus the transport.
     */
+  /** `{logDirectory}/{type}.log` — the one place the remote path is
+    * built (`cassandra_log_analyzer.py:658`).
+    */
+  private def logPath(cfg: NodeConfig, logType: String): String =
+    s"${cfg.logDirectory}/$logType.log"
+
+  /** SSH loads key `{node}_{type}`; only manual loads key bare (CLA:729). */
+  private def nodeKey(nodeName: String, logType: String): String =
+    s"${nodeName}_$logType"
+
   def loadNode(catalog: LogCatalog, cfg: NodeConfig, nodeName: String,
       logType: String = "system",
-      tailLines: Option[Int] = None): Either[FetchError, (Long, Int)] = {
-    val path = s"${cfg.logDirectory}/$logType.log"
-    readLogFile(cfg, path, tailLines).map { content =>
-      // SSH loads key {node}_{type}; only manual loads key bare (CLA:729)
-      catalog.loadContent(s"${nodeName}_$logType", content)
+      tailLines: Option[Int] = None): Either[FetchError, (Long, Int)] =
+    readLogFile(cfg, logPath(cfg, logType), tailLines).map { content =>
+      catalog.loadContent(nodeKey(nodeName, logType), content)
     }
-  }
 
   /** `load_logs_from_all_nodes` — but PARALLEL. The reference awaits
     * nodes one at a time (`cassandra_log_analyzer.py:704-714`, SURVEY
     * §2.10), so a 100-node fetch pays 100 sequential round-trips; here
-    * every node fetches concurrently (fetch is I/O-bound driver-side
-    * work) and results keep the caller's node order.
+    * every node fetches concurrently and results keep the caller's
+    * node order. One node's failure (expected Left OR a thrown
+    * transport exception) never loses the others' results.
     */
   def loadAll(catalog: LogCatalog,
       nodes: Seq[(String, NodeConfig)],
       logType: String = "system",
-      tailLines: Option[Int] = None)
+      tailLines: Option[Int] = None,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(10, "min"))
       : Seq[(String, Either[FetchError, (Long, Int)])] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.{blocking, Await, ExecutionContext, Future}
+    import scala.util.Try
     implicit val ec: ExecutionContext = ExecutionContext.global
     // fetch concurrently; INSERT sequentially in caller order — node-key
     // insertion order is a load-bearing output semantic (the reference's
-    // dict order drives report ordering, SURVEY §7.4.3)
+    // dict order drives report ordering, SURVEY §7.4.3). `blocking`
+    // tells the global pool these threads sit in subprocess I/O, so
+    // concurrency isn't capped at CPU count; Try keeps a thrown
+    // transport error per-node instead of failing the whole batch.
     val fetched = Await.result(Future.sequence(nodes.map { case (name, cfg) =>
-      Future((name,
-        readLogFile(cfg, s"${cfg.logDirectory}/$logType.log", tailLines)))
-    }), Duration.Inf)
+      Future((name, Try(blocking {
+        readLogFile(cfg, logPath(cfg, logType), tailLines)
+      }).fold(e => Left(CommandFailed(e.toString)), identity)))
+    }), timeout)
     fetched.map { case (name, res) =>
       name -> res.map(content =>
-        catalog.loadContent(s"${name}_$logType", content))
+        catalog.loadContent(nodeKey(name, logType), content))
     }
   }
 }

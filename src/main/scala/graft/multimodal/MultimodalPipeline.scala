@@ -116,7 +116,9 @@ object MultimodalPipeline {
     val spark = records.sparkSession
     import spark.implicits._
     records.flatMap { r =>
-      val n = r.payload.length / frameBytes + 1
+      // ceil division: an exact-multiple payload has len/frameBytes
+      // frames, not one more; an empty payload has none
+      val n = (r.payload.length + frameBytes - 1) / frameBytes
       (0 until n by stride).iterator.map { f =>
         val from = f * frameBytes
         val until = math.min(from + frameBytes, r.payload.length)

@@ -146,12 +146,17 @@ object TopK {
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
     // self-register the strategy: the operator must plan in ANY
-    // session, not only those built withExtensions(GraftExtensions)
+    // session, not only those built withExtensions(GraftExtensions).
+    // Synchronized on the experimental methods holder: the naive
+    // check-then-append is a read-modify-write that could drop a
+    // strategy appended concurrently by another thread.
     val session = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!session.experimental.extraStrategies.contains(TopKStrategy)) {
-      session.experimental.extraStrategies =
-        session.experimental.extraStrategies :+ TopKStrategy
+    session.experimental.synchronized {
+      if (!session.experimental.extraStrategies.contains(TopKStrategy)) {
+        session.experimental.extraStrategies =
+          session.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     ColumnBridge.ofRows(df.sparkSession,
       TopKPerGroup(groupAttrs, order, k, plan))

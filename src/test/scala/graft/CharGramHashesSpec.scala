@@ -48,12 +48,14 @@ class CharGramHashesSpec extends SparkSuite {
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "ab").toDF("text")
+    // factoryMode NO_CODEGEN forces the interpreted nullSafeEval
+    // path (wholeStage=false alone still runs generated projections)
     def vals(codegen: String): Seq[Seq[Long]] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try df.select(CharGramHashes(col("text"), 4))
         .collect().map(_.getSeq[Long](0).toSeq).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(vals("true") === vals("false"))
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
   }
 }

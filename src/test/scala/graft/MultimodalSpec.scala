@@ -60,12 +60,23 @@ class MultimodalSpec extends SparkSuite {
     val frames = MultimodalPipeline.sampleFrames(records, frameBytes = 100, stride = 2)
     val rec = records.where(col("doc_id") === 0).head()
     val got = frames.where(col("doc_id") === 0).orderBy("frame_idx").collect()
-    val expectedIdx = (0 until (rec.payload.length / 100 + 1) by 2).toSeq
+    val expectedIdx = (0 until (rec.payload.length + 99) / 100 by 2).toSeq
     assert(got.map(_.frame_idx).toSeq === expectedIdx)
     // frame 0 is exactly the first 100 payload bytes
     assert(got.head.frame.toSeq === rec.payload.take(100).toSeq)
-    // every frame is at most frameBytes long
-    assert(got.forall(_.frame.length <= 100))
+    // every frame is non-empty and at most frameBytes long
+    assert(got.forall(f => f.frame.nonEmpty && f.frame.length <= 100))
+  }
+
+  test("frame sampling: exact-multiple and empty payloads have no phantom frame") {
+    import spark.implicits._
+    val rs = Seq(
+      MediaRecord(1L, Array.fill[Byte](512)(7), 1, 1, "fake"),
+      MediaRecord(2L, Array.empty[Byte], 1, 1, "fake")).toDS()
+    val frames = MultimodalPipeline.sampleFrames(rs, frameBytes = 256, stride = 1)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq === Seq(0, 1))
+    assert(!frames.contains(2L))
   }
 
   test("resize stub: payload shrunk to the byte budget, schema unchanged") {

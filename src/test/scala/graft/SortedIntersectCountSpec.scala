@@ -38,12 +38,14 @@ class SortedIntersectCountSpec extends SparkSuite {
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = Seq((Seq(1L, 2L, 7L), Seq(2L, 7L, 8L))).toDF("a", "b")
+    // factoryMode NO_CODEGEN forces the interpreted nullSafeEval
+    // path (wholeStage=false alone still runs generated projections)
     def vals(codegen: String): Seq[Long] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try df.select(SortedIntersectCount(col("a"), col("b")))
         .collect().map(_.getLong(0)).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(vals("true") === vals("false"))
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
   }
 }

@@ -44,13 +44,15 @@ class WinnowedMinsSpec extends SparkSuite {
   test("short input yields empty; codegen and interpreted agree") {
     import spark.implicits._
     val df = Seq(Seq(5L, 1L, 4L), Seq.empty[Long]).toDF("a")
+    // factoryMode NO_CODEGEN forces the interpreted nullSafeEval
+    // path (wholeStage=false alone still runs generated projections)
     def vals(codegen: String): Seq[Seq[Long]] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try df.select(WinnowedMins(col("a"), 4))
         .collect().map(_.getSeq[Long](0).toSeq).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(vals("true") === Seq(Seq.empty, Seq.empty))
-    assert(vals("true") === vals("false"))
+    assert(vals("CODEGEN_ONLY") === Seq(Seq.empty, Seq.empty))
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
   }
 }
