@@ -23,14 +23,14 @@ class DotProductSpec extends SparkSuite {
 
   test("codegen and interpreted paths agree") {
     def vals(codegen: String): Seq[Double] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try emb.where(col("vec_id") < 10)
         .select(DotProduct(col("embedding"), col("embedding")))
         .orderBy(col("vec_id"))
         .collect().map(_.getDouble(0)).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(vals("true") === vals("false"))
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
   }
 
   test("null on length mismatch (zip_with padding parity)") {

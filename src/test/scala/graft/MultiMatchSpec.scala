@@ -61,11 +61,11 @@ class MultiMatchSpec extends SparkSuite {
     import spark.implicits._
     val df = fixtures.toDF("msg")
     def masks(codegen: String): Seq[Long] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try df.select(MultiMatch.issueMask(col("msg"))).collect().map(_.getLong(0)).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(masks("true") === masks("false"))
+    assert(masks("CODEGEN_ONLY") === masks("NO_CODEGEN"))
   }
 
   test("SQL registration through SparkSessionExtensions") {

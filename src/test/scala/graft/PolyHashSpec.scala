@@ -28,11 +28,11 @@ class PolyHashSpec extends SparkSuite {
     import spark.implicits._
     val df = Seq("hello world", "abc").toDF("s")
     def vals(codegen: String): Seq[Long] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try df.select(PolyHash(col("s"))).collect().map(_.getLong(0)).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(vals("true") === vals("false"))
-    assert(vals("true").head === 1835087470L) // pinned cross-engine value
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
+    assert(vals("CODEGEN_ONLY").head === 1835087470L) // pinned cross-engine value
   }
 }

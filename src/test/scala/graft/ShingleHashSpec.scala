@@ -32,11 +32,11 @@ class ShingleHashSpec extends SparkSuite {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps").toDF("text")
     def vals(codegen: String): Seq[Seq[Long]] = {
-      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
       try df.select(ShingleHash(TextFunctions.tokens(col("text")), 3))
         .collect().map(_.getSeq[Long](0).toSeq).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
-    assert(vals("true") === vals("false"))
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
   }
 }
