@@ -111,16 +111,22 @@ object DedupQueries {
           element_at(col("sig"), b * minhashBandRows + 1).as("h1"),
           element_at(col("sig"), b * minhashBandRows + 2).as("h2"))
       }
-      val bands = sig.select(col("doc_id"), col("sig"),
+      // bands stay NARROW (4 longs/row): signatures rejoin AFTER the
+      // pair distinct, so the band self-join and the dedup shuffle
+      // never carry the 16-long arrays — at scale the candidate
+      // distinct is the wide shuffle and its row width matters
+      val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.h1"), col("bk.h2"))
-      val cand = bands.as("a")
+        .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+      val pairs = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
             col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sa"), col("b.sig").as("sb"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      val cand = pairs
+        .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
+        .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
       cand
         .select(col("doc_a"), col("doc_b"),
           (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
