@@ -108,11 +108,15 @@ object ClusterAnalyzer {
     * always tiny regardless of data scale), in rule order like the
     * reference.
     */
-  def recommendations(histogram: DataFrame): Seq[Recommendation] = {
-    val counts = histogram.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  def recommendations(histogram: DataFrame): Seq[Recommendation] =
+    recommendationsFromCounts(histogram.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+
+  /** The threshold rules over already-collected counts — the ONE place
+    * the `count > threshold` semantics live (renderers reuse this).
+    */
+  def recommendationsFromCounts(counts: Map[String, Long]): Seq[Recommendation] =
     rules.collect { case (key, thr, rec) if counts.getOrElse(key, 0L) > thr => rec }
-  }
 
   /** In-plan variant: broadcast-join the (≤ 5 row) rules relation to the
     * histogram and filter `occurrences > threshold` — used where the

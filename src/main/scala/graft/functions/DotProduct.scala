@@ -47,6 +47,10 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     val n = a.numElements()
     while (i < n) {
+      // null element → null result, matching the HOF formulation's
+      // null propagation (zip_with product of a null is null, the
+      // aggregate sum of a null is null)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -65,10 +69,16 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double s = 0.0;
          |  int n = $a.numElements();
+         |  boolean nullElem = false;
          |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { nullElem = true; break; }
          |    s += ((double) $a.$aGet(i)) * ((double) $b.$bGet(i));
          |  }
-         |  ${ev.value} = s;
+         |  if (nullElem) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = s;
+         |  }
          |}
        """.stripMargin
     })

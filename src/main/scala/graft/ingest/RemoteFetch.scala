@@ -3,7 +3,6 @@ package graft.ingest
 import java.nio.charset.CodingErrorAction
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.mutable
-import scala.sys.process.{Process, ProcessLogger}
 
 /** Remote log retrieval — the engine's version of the reference's SSH
   * layer (`cassandra_log_analyzer.py:75-167`). This is driver-side
@@ -35,21 +34,33 @@ object RemoteFetch {
     def run(command: String): (Array[Byte], String, Int)
   }
 
+  /** Spawn a subprocess and return (raw stdout bytes, stderr text, exit
+    * code). Stdout is read as RAW BYTES — a line-based ProcessLogger
+    * would re-append '\n' per line (inventing a trailing newline files
+    * without one never had, inflating `total_lines` by a phantom empty
+    * element), strip '\r', and pre-decode with the JVM charset before
+    * the documented errors='replace' step.
+    */
+  private def execRaw(cmd: Seq[String]): (Array[Byte], String, Int) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val p = new java.lang.ProcessBuilder(cmd: _*).start()
+    p.getOutputStream.close()
+    // drain stderr concurrently so neither pipe buffer can deadlock
+    val errF = Future(new String(p.getErrorStream.readAllBytes(), UTF_8))(
+      ExecutionContext.global)
+    val out = p.getInputStream.readAllBytes()
+    val err = Await.result(errF, Duration.Inf)
+    val code = p.waitFor()
+    (out, err, code)
+  }
+
   /** Runs the command through a local shell — the test/staging runner,
     * and the degenerate "node is this machine" case.
     */
   final class LocalShellRunner extends CommandRunner {
-    override def run(command: String): (Array[Byte], String, Int) = {
-      val outBuf = new java.io.ByteArrayOutputStream()
-      val errBuf = new StringBuilder
-      val p = Process(Seq("/bin/sh", "-c", command))
-      val code = p.run(new ProcessLogger {
-        override def out(s: => String): Unit = { outBuf.write(s.getBytes(UTF_8)); outBuf.write('\n') }
-        override def err(s: => String): Unit = { errBuf.append(s).append('\n') }
-        override def buffer[T](f: => T): T = f
-      }).exitValue()
-      (outBuf.toByteArray, errBuf.toString, code)
-    }
+    override def run(command: String): (Array[Byte], String, Int) =
+      execRaw(Seq("/bin/sh", "-c", command))
   }
 
   /** `ssh`-subprocess runner (key/agent auth; no password support — a
@@ -57,19 +68,10 @@ object RemoteFetch {
     */
   final class SshProcessRunner(host: String, user: String, port: Int = 22)
       extends CommandRunner {
-    override def run(command: String): (Array[Byte], String, Int) = {
-      val outBuf = new java.io.ByteArrayOutputStream()
-      val errBuf = new StringBuilder
-      val p = Process(Seq("ssh", "-p", port.toString,
+    override def run(command: String): (Array[Byte], String, Int) =
+      execRaw(Seq("ssh", "-p", port.toString,
         "-o", "ConnectTimeout=30", // reference default, CLA:59-66
         s"$user@$host", command))
-      val code = p.run(new ProcessLogger {
-        override def out(s: => String): Unit = { outBuf.write(s.getBytes(UTF_8)); outBuf.write('\n') }
-        override def err(s: => String): Unit = { errBuf.append(s).append('\n') }
-        override def buffer[T](f: => T): T = f
-      }).exitValue()
-      (outBuf.toByteArray, errBuf.toString, code)
-    }
   }
 
   /** POSIX single-quote escaping: safe interpolation of a path operand
@@ -189,13 +191,21 @@ final class RemoteFetcher(
     // dict order drives report ordering, SURVEY §7.4.3). `blocking`
     // tells the global pool these threads sit in subprocess I/O, so
     // concurrency isn't capped at CPU count; Try keeps a thrown
-    // transport error per-node instead of failing the whole batch.
-    val fetched = Await.result(Future.sequence(nodes.map { case (name, cfg) =>
-      Future((name, Try(blocking {
+    // transport error per-node instead of failing the whole batch, and
+    // a node still hanging at the deadline becomes ITS OWN timed-out
+    // Left — completed nodes are never discarded.
+    val futures = nodes.map { case (name, cfg) =>
+      name -> Future(Try(blocking {
         readLogFile(cfg, logPath(cfg, logType), tailLines)
-      }).fold(e => Left(CommandFailed(e.toString)), identity)))
-    }), timeout)
-    fetched.map { case (name, res) =>
+      }).fold(e => Left(CommandFailed(e.toString)), identity))
+    }
+    Try(Await.ready(Future.sequence(futures.map(_._2)), timeout))
+    futures.map { case (name, f) =>
+      val res = f.value match {
+        case Some(scala.util.Success(r)) => r
+        case Some(scala.util.Failure(e)) => Left(CommandFailed(e.toString))
+        case None => Left(CommandFailed(s"fetch timed out after $timeout"))
+      }
       name -> res.map(content =>
         catalog.loadContent(nodeKey(name, logType), content))
     }

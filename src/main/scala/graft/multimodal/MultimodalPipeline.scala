@@ -45,7 +45,8 @@ final class FakeDecoder private (val decoderId: Int) {
       sum += (payload(i) & 0xff)
       i += 1
     }
-    val nFrames = payload.length / frameBytes + 1
+    // ceil division — consistent with sampleFrames and q32
+    val nFrames = (payload.length + frameBytes - 1) / frameBytes
     val meanByte = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
     (checksum, nFrames, meanByte)
   }

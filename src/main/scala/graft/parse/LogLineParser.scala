@@ -37,12 +37,16 @@ object LogLineParser {
   private val fields: Seq[(String, Int)] =
     Seq("level" -> 1, "timestamp" -> 2, "thread" -> 3, "clazz" -> 4, "line" -> 5, "message" -> 6)
 
-  /** The 7 parsed columns (minus `node`, which the caller already has).
-    * Each is `regexp_extract(line, anchored, i)` — empty string when the
-    * line does not match, so pair with [[matches]] to drop non-matches.
+  /** The 7 parsed columns (minus `node`, which the caller already has),
+    * projected from ONE [[graft.functions.RegexGroups]] pass — a
+    * per-field `regexp_extract` formulation would execute the regex
+    * once per field per line. Null (not "") when the line does not
+    * match, so pair with [[matches]] to drop non-matches.
     */
-  def parsedColumns(line: Column): Seq[Column] =
-    fields.map { case (name, idx) => regexp_extract(line, anchored, idx).as(name) }
+  def parsedColumns(line: Column): Seq[Column] = {
+    val groups = graft.functions.RegexGroups(line, anchored)
+    fields.map { case (name, idx) => element_at(groups, idx).as(name) }
+  }
 
   /** Project a raw-lines DataFrame (columns incl. `node`, `value`) to the
     * parsed-entries DataFrame, dropping non-matching lines — the exact
@@ -62,10 +66,14 @@ object LogLineParser {
     */
   def parseKeepingUnmatched(raw: DataFrame, lineCol: String = "value"): DataFrame = {
     val c = col(lineCol)
-    val m = matches(c)
+    // one regex execution per line: the groups array doubles as the
+    // match flag (null = unmatched), and codegen subexpression
+    // elimination shares it across the field projections
+    val groups = graft.functions.RegexGroups(c, anchored)
     val parsedCols = fields.map { case (name, idx) =>
-      when(m, regexp_extract(c, anchored, idx)).as(name)
+      element_at(groups, idx).as(name)
     }
-    raw.select((raw.columns.map(col).toSeq ++ parsedCols :+ m.as("parsed")): _*)
+    raw.select((raw.columns.map(col).toSeq ++ parsedCols
+      :+ groups.isNotNull.as("parsed")): _*)
   }
 }

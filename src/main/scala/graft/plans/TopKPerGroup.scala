@@ -129,9 +129,14 @@ object TopK {
         "use df.orderBy(...).limit(k) (TakeOrderedAndProject)")
     val plan = df.queryExecution.analyzed
     def attr(name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"unknown column $name in ${plan.output.map(_.name)}"))
+      plan.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"unknown column $name in ${plan.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $name: ${many.size} attributes match " +
+            "(disambiguate with select/alias before TopK.perGroup)")
+      }
     val groupAttrs = groupCols.map(attr)
     // the exec groups by raw UnsafeRow bytes; float/double keys would
     // need -0.0/NaN normalization (Catalyst's NormalizeFloatingNumbers

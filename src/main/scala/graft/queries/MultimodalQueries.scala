@@ -33,7 +33,10 @@ object MultimodalQueries {
           md5(col("payload")).as("content_md5"),
           col("meta.width").as("width"),
           col("meta.height").as("height"),
-          (expr(s"length(payload) div $frameBytes") + 1).as("n_frames"),
+          // ceil division — an exact-multiple payload fills its last
+          // frame exactly, it doesn't start a new one
+          expr(s"(length(payload) + ${frameBytes - 1}) div $frameBytes")
+            .as("n_frames"),
           md5(substring(col("payload"), 1, frameSigBytes)).as("frame0_sig"))
         .orderBy("doc_id")
     }))
@@ -45,7 +48,7 @@ object MultimodalQueries {
          |  md5(text) AS content_md5,
          |  n_chars % 64 * 10 + 64 AS width,
          |  doc_id % 48 + 16 AS height,
-         |  octet_length(encode(text)) // $frameBytes + 1 AS n_frames,
+         |  (octet_length(encode(text)) + ${frameBytes - 1}) // $frameBytes AS n_frames,
          |  md5(substring(text, 1, $frameSigBytes)) AS frame0_sig
          |FROM documents
          |ORDER BY doc_id""".stripMargin)

@@ -37,14 +37,19 @@ object LogQueries {
       .orderBy("node", "line_number")
   }
 
-  /** Search with display cap — first 100 hits plus total
-    * (`cassandra_log_analyzer.py:790-797`). Returns (hits ≤ 100, total).
+  /** Search with display cap — the first 100 hits (collected) plus the
+    * total (`cassandra_log_analyzer.py:790-797`). The filtered relation
+    * is cached across the pair of jobs so the regex scan over the raw
+    * corpus runs ONCE (uncached, limit and count would each rescan
+    * every line), then dropped.
     */
   def searchLogsCapped(catalog: LogCatalog, pattern: String,
                        caseSensitive: Boolean = false,
-                       nodeFilter: Option[String] = None): (DataFrame, Long) = {
-    val all = searchLogs(catalog, pattern, caseSensitive, nodeFilter)
-    (all.limit(100), all.count())
+                       nodeFilter: Option[String] = None)
+      : (Array[org.apache.spark.sql.Row], Long) = {
+    val all = searchLogs(catalog, pattern, caseSensitive, nodeFilter).cache()
+    try (all.limit(100).collect(), all.count())
+    finally all.unpersist(blocking = false)
   }
 
   /** `get_errors` (`cassandra_log_analyzer.py:801-826`): error entries,

@@ -28,11 +28,8 @@ object Reports {
     val summaryByNode = ClusterAnalyzer.summary(classified).collect()
       .map(r => r.getString(0) -> r).toMap
     val hist = ClusterAnalyzer.issueHistogram(classified).collect()
-    val recs = ClusterAnalyzer.rules.collect {
-      case (key, thr, rec) if hist.collectFirst {
-        case r if r.getString(0) == key => r.getLong(1)
-      }.getOrElse(0L) > thr => rec
-    }
+    val recs = ClusterAnalyzer.recommendationsFromCounts(
+      hist.map(r => r.getString(0) -> r.getLong(1)).toMap)
 
     val sb = new StringBuilder("# Analyse du Cluster Cassandra\n\n")
     sb ++= "## Résumé par Node\n"
@@ -65,7 +62,7 @@ object Reports {
     val (hits, total) = LogQueries.searchLogsCapped(catalog, pattern, caseSensitive, nodeFilter)
     if (total == 0) return s"Aucun résultat pour: $pattern"
     val sb = new StringBuilder(s"# Résultats de recherche: '$pattern'\n\nTotal: $total\n\n")
-    hits.collect().foreach { r =>
+    hits.foreach { r =>
       sb ++= s"**${r.getString(0)}** (ligne ${r.getLong(1)})\n"
       sb ++= s"```\n${r.getString(2)}\n```\n\n"
     }
@@ -128,11 +125,8 @@ object Reports {
     val summaryByNode = ClusterAnalyzer.summary(classified).collect()
       .map(r => r.getString(0) -> r).toMap
     val hist = ClusterAnalyzer.issueHistogram(classified).collect()
-    val recs: Seq[Recommendation] = ClusterAnalyzer.rules.collect {
-      case (key, thr, rec) if hist.collectFirst {
-        case r if r.getString(0) == key => r.getLong(1)
-      }.getOrElse(0L) > thr => rec
-    }
+    val recs: Seq[Recommendation] = ClusterAnalyzer.recommendationsFromCounts(
+      hist.map(r => r.getString(0) -> r.getLong(1)).toMap)
     val summaryJson = catalog.nodeKeys.flatMap(n => summaryByNode.get(n).map(n -> _))
       .map { case (n, s) =>
         s"${jstr(n)}: {\"errors\": ${s.getLong(1)}, \"warnings\": ${s.getLong(2)}, \"total_lines\": ${s.getLong(3)}}"

@@ -26,7 +26,12 @@ object Profile {
       val t1 = System.nanoTime(); val n2 = f
       val t2 = System.nanoTime()
       println(f"[prof] $name%-28s cold=${(t1 - t0) / 1e9}%6.3f warm=${(t2 - t1) / 1e9}%6.3f rows=$n1%d/$n2%d")
+      spark.catalog.clearCache()
     }
+
+    /** Full-plan execution — .count() would prune final projections. */
+    def exec(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
 
     // warm the session
     Tables(spark, sfDir, "documents").count()
@@ -62,7 +67,7 @@ object Profile {
     val full = graft.SparkEntry.queries
     Seq("q26_ngram_jaccard", "q27_minhash_lsh", "q28_simhash",
       "q33_sessionize", "q38_tfidf_terms").foreach { q =>
-      time(q)(full(q)(spark, sfDir).count())
+      time(q)(exec(full(q)(spark, sfDir)))
     }
 
     // q26 gram stage alone

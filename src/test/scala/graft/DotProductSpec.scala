@@ -38,4 +38,24 @@ class DotProductSpec extends SparkSuite {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     assert(df.select(DotProduct(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("null ELEMENT propagates to null (HOF parity), both eval paths") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    def vals(mode: String): Seq[Option[Double]] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(DotProduct(col("a"), col("b")).as("d"),
+        VectorFunctions.dotBuiltin(col("a"), col("b")).as("ref"))
+        .collect().map { r =>
+          assert(r.isNullAt(0) === r.isNullAt(1), "custom vs HOF null drift")
+          if (r.isNullAt(0)) None else Some(r.getDouble(0))
+        }.toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(vals("CODEGEN_ONLY") === Seq(None, Some(5.0)))
+    assert(vals("CODEGEN_ONLY") === vals("NO_CODEGEN"))
+  }
 }

@@ -34,6 +34,18 @@ class RemoteFetchSpec extends SparkSuite {
     assert(tail.startsWith("line91"))
   }
 
+  test("byte fidelity: no invented trailing newline, CR preserved") {
+    val d = Files.createTempDirectory("graft-fetch-raw")
+    Files.writeString(d.resolve("system.log"), "a\nb") // NO trailing \n
+    Files.write(d.resolve("crlf.log"), "x\r\ny\r\n".getBytes("UTF-8"))
+    val f = fetcher
+    val c = NodeConfig("localhost", "tester", logDirectory = d.toString)
+    // reference: content.split('\n') of 'a\nb' -> 2 lines, not 3
+    assert(f.readLogFile(c, s"$d/system.log").toOption.get === "a\nb")
+    // CRLF bytes survive the fetch verbatim
+    assert(f.readLogFile(c, s"$d/crlf.log").toOption.get === "x\r\ny\r\n")
+  }
+
   test("missing file yields FileNotFound, not an exception") {
     assert(fetcher.readLogFile(cfg, s"$dir/ghost.log")
       === Left(FileNotFound(s"$dir/ghost.log")))
