@@ -39,7 +39,31 @@ object MultimodalQueries {
             .as("n_frames"),
           md5(substring(col("payload"), 1, frameSigBytes)).as("frame0_sig"))
         .orderBy("doc_id")
+    }),
+
+    // frame sampling as a relational surface: every 2nd fixed-width
+    // frame of the payload as its own row with a content hash — the
+    // q32 companion that fans one media row out to per-frame rows
+    // (MultimodalPipeline.sampleFrames is the typed-Dataset twin).
+    // Explode of a when-guarded sequence; everything else scan-stage.
+    "q56_frame_sample" -> ((s, dir) => {
+      import graft.functions.TextFunctions.polyHash
+      val nFrames = expr(
+        s"(length(text) + ${frameBytes - 1}) div $frameBytes").cast("int")
+      Tables(s, dir, "documents")
+        .where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"), explode(
+          when(nFrames >= 1, sequence(lit(0), nFrames - 1, lit(2)))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          length(substring_index_frame(col("text"), col("frame_idx"))).as("frame_len"),
+          polyHash(substring_index_frame(col("text"), col("frame_idx"))).as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
     }))
+
+  /** Frame `i` of a text payload: chars [i*frameBytes, +frameBytes). */
+  private def substring_index_frame(text: org.apache.spark.sql.Column,
+      idx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substr(text, (idx * frameBytes + 1).cast("int"), lit(frameBytes))
 
   def oracle: Map[String, String] = Map(
     "q32_multimodal_features" ->
@@ -51,5 +75,17 @@ object MultimodalQueries {
          |  (octet_length(encode(text)) + ${frameBytes - 1}) // $frameBytes AS n_frames,
          |  md5(substring(text, 1, $frameSigBytes)) AS frame0_sig
          |FROM documents
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q56_frame_sample" -> {
+      import graft.functions.TextFunctions.sqlPolyHash
+      val frame = s"substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"
+      s"""SELECT doc_id, frame_idx,
+         |  length($frame) AS frame_len,
+         |  ${sqlPolyHash(frame)} AS frame_hash
+         |FROM (SELECT doc_id, text,
+         |    unnest(range(0, (length(text) + ${frameBytes - 1}) // $frameBytes, 2))
+         |      AS frame_idx
+         |  FROM documents WHERE doc_id % 7 = 0)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    })
 }
