@@ -192,7 +192,7 @@ object ExtendedOpsQueries {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
     }),
 
