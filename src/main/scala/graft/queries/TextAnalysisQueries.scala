@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over `documents`: language-ID, quality scoring,
@@ -78,6 +79,49 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic train/val/test assignment by CONTENT hash bucket
+    // (80/10/10): reproducible on any cluster size / partition layout,
+    // unlike rng-based sample() whose draws follow the partitioning —
+    // the standard reproducible-split pattern of a training pipeline.
+    // Keyed on the text hash so exact duplicates land in ONE split
+    // (no train/test leakage between copies).
+    "q57_hash_split" -> ((s, dir) => {
+      val bucket = pmod(polyHash(col("text")), lit(100))
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      Tables(s, dir, "documents")
+        .select(split.as("split"), col("n_chars"), col("lang"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    }),
+
+    // staged curation funnel: how many docs survive each successive
+    // filter of a pre-training cleanup (language keep → quality floor →
+    // exact-dup representative). ONE scan with nested conditional
+    // aggregates; the dedup stage reuses q25's canonical key, keeping
+    // min(doc_id) per canonical class via a window on the same pass's
+    // shuffle.
+    "q58_curation_funnel" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+      val quality = least(lit(1.0), nTok / 100.0) * 0.5 +
+        (lit(1.0) - punct / length(col("text")).cast("double")) * 0.5
+      val w = Window.partitionBy("canon_key")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), quality.as("q"),
+          canonicalKey(col("text")).as("canon_key"))
+        .withColumn("rep_doc", min(col("doc_id")).over(w))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("lang") === "en", 1)).as("n_lang"),
+          count(when(col("lang") === "en" && col("q") >= 0.5, 1)).as("n_quality"),
+          count(when(col("lang") === "en" && col("q") >= 0.5 &&
+            col("doc_id") === col("rep_doc"), 1)).as("n_final"))
+    }),
+
     // full winnowing fingerprints (Schleimer et al., MOSS): distinct
     // sliding-window-minima of the positional 8-gram hashes, window 4.
     // CharGramHashes + WinnowedMins are two codegen'd map passes —
@@ -136,6 +180,32 @@ object TextAnalysisQueries {
          |      i -> ${sqlPolyHash("substring(text, CAST(i AS INT), 8)")}) AS gram_hashes
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "q57_hash_split" ->
+      s"""SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  COUNT(DISTINCT lang) AS n_langs
+         |FROM (SELECT CASE WHEN b < 80 THEN 'train'
+         |                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |        n_chars, lang
+         |      FROM (SELECT ${sqlPolyHash("text")} % 100 AS b, n_chars, lang
+         |            FROM documents))
+         |GROUP BY split ORDER BY split""".stripMargin,
+    "q58_curation_funnel" -> {
+      val toks = sqlTokens("text")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    least(1.0, CAST(len($toks) AS DOUBLE) / 100.0) * 0.5
+         |      + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE)) * 0.5 AS q,
+         |    ${sqlCanonicalKey("text")} AS canon_key
+         |  FROM documents),
+         |r AS (SELECT *, MIN(doc_id) OVER (PARTITION BY canon_key) AS rep_doc FROM d)
+         |SELECT COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_lang,
+         |  COUNT(CASE WHEN lang = 'en' AND q >= 0.5 THEN 1 END) AS n_quality,
+         |  COUNT(CASE WHEN lang = 'en' AND q >= 0.5 AND doc_id = rep_doc THEN 1 END) AS n_final
+         |FROM r""".stripMargin
+    },
     "q55_winnowing" ->
       s"""SELECT doc_id, len(fps) AS n_fingerprints,
          |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
