@@ -35,12 +35,19 @@ object Bench {
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache() // per-query cache()s must not accumulate
     }
+    // two timed iterations, report the per-query MIN: single-shot
+    // numbers carry ±10-15% scheduler/GC noise at these sub-second
+    // scales, and the min is the standard low-variance steady-state
+    // estimator
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+      val dts = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> dts.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
