@@ -40,14 +40,18 @@ object Bench {
     // scales, and the min is the standard low-variance steady-state
     // estimator
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val dts = (0 until 2).map { _ =>
+      // min over SUCCESSFUL iterations only — a failed-fast run must
+      // not beat a valid timing; all-failed reports -1
+      val dts = (0 until 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+        val ok =
+          try { run(fn(spark, sfDir)); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> dts.min
+      name -> (if (dts.nonEmpty) dts.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -237,4 +237,25 @@ object TextFunctions {
   }
 
   val enStopwords: Seq[String] = stopwordProfiles.head._2
+
+  // ------------------------------------------------------------------
+  // Quality-score fragments (shared by q22 and the q58 curation funnel
+  // — ONE definition generates both engines' formulations)
+  // ------------------------------------------------------------------
+
+  /** Saturating token-length score: min(1, |tokens| / 100). */
+  def lengthScore(text: Column): Column =
+    least(lit(1.0), size(tokens(text)).cast("double") / 100.0)
+
+  def sqlLengthScore(text: String): String =
+    s"least(1.0, CAST(len(${sqlTokens(text)}) AS DOUBLE) / 100.0)"
+
+  /** Fraction of characters that are punctuation (not [a-z0-9 ]). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+      length(text).cast("double")
+
+  def sqlPunctRatio(text: String): String =
+    s"(CAST(length(regexp_replace($text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)" +
+      s" / CAST(length($text) AS DOUBLE))"
 }

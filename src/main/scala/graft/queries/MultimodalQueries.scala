@@ -42,10 +42,12 @@ object MultimodalQueries {
     }),
 
     // frame sampling as a relational surface: every 2nd fixed-width
-    // frame of the payload as its own row with a content hash — the
-    // q32 companion that fans one media row out to per-frame rows
-    // (MultimodalPipeline.sampleFrames is the typed-Dataset twin).
-    // Explode of a when-guarded sequence; everything else scan-stage.
+    // frame as its own row with a content hash — the fan-out shape of
+    // MultimodalPipeline.sampleFrames. NOTE: frames here are CHARACTER
+    // slices of the text (both engines), which coincides with q32's
+    // byte-based n_frames only because the corpus is ASCII; the typed
+    // pipeline slices real payload bytes. Explode of a when-guarded
+    // sequence; everything else scan-stage.
     "q56_frame_sample" -> ((s, dir) => {
       import graft.functions.TextFunctions.polyHash
       val nFrames = expr(

@@ -105,11 +105,11 @@ object TextAnalysisQueries {
     // min(doc_id) per canonical class via a window on the same pass's
     // shuffle.
     "q58_curation_funnel" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
-      val quality = least(lit(1.0), nTok / 100.0) * 0.5 +
-        (lit(1.0) - punct / length(col("text")).cast("double")) * 0.5
+      // threshold 0.6 sits INSIDE the corpus quality range (observed
+      // min 0.55) so the floor stage actually filters — 0.5 would pass
+      // every document and demonstrate nothing
+      val quality = lengthScore(col("text")) * 0.5 +
+        (lit(1.0) - punctRatio(col("text"))) * 0.5
       val w = Window.partitionBy("canon_key")
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), quality.as("q"),
@@ -117,8 +117,8 @@ object TextAnalysisQueries {
         .withColumn("rep_doc", min(col("doc_id")).over(w))
         .agg(count(lit(1)).as("n_total"),
           count(when(col("lang") === "en", 1)).as("n_lang"),
-          count(when(col("lang") === "en" && col("q") >= 0.5, 1)).as("n_quality"),
-          count(when(col("lang") === "en" && col("q") >= 0.5 &&
+          count(when(col("lang") === "en" && col("q") >= 0.6, 1)).as("n_quality"),
+          count(when(col("lang") === "en" && col("q") >= 0.6 &&
             col("doc_id") === col("rep_doc"), 1)).as("n_final"))
     }),
 
@@ -190,22 +190,19 @@ object TextAnalysisQueries {
          |      FROM (SELECT ${sqlPolyHash("text")} % 100 AS b, n_chars, lang
          |            FROM documents))
          |GROUP BY split ORDER BY split""".stripMargin,
-    "q58_curation_funnel" -> {
-      val toks = sqlTokens("text")
+    "q58_curation_funnel" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang,
-         |    least(1.0, CAST(len($toks) AS DOUBLE) / 100.0) * 0.5
-         |      + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |           / CAST(length(text) AS DOUBLE)) * 0.5 AS q,
+         |    ${sqlLengthScore("text")} * 0.5
+         |      + (1.0 - ${sqlPunctRatio("text")}) * 0.5 AS q,
          |    ${sqlCanonicalKey("text")} AS canon_key
          |  FROM documents),
          |r AS (SELECT *, MIN(doc_id) OVER (PARTITION BY canon_key) AS rep_doc FROM d)
          |SELECT COUNT(*) AS n_total,
          |  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_lang,
-         |  COUNT(CASE WHEN lang = 'en' AND q >= 0.5 THEN 1 END) AS n_quality,
-         |  COUNT(CASE WHEN lang = 'en' AND q >= 0.5 AND doc_id = rep_doc THEN 1 END) AS n_final
-         |FROM r""".stripMargin
-    },
+         |  COUNT(CASE WHEN lang = 'en' AND q >= 0.6 THEN 1 END) AS n_quality,
+         |  COUNT(CASE WHEN lang = 'en' AND q >= 0.6 AND doc_id = rep_doc THEN 1 END) AS n_final
+         |FROM r""".stripMargin,
     "q55_winnowing" ->
       s"""SELECT doc_id, len(fps) AS n_fingerprints,
          |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
