@@ -12,7 +12,8 @@ object SparkEntry {
       TimeSeriesQueries.queries ++ TextAnalysisQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ WindowOpsQueries.queries ++
-      TextRankQueries.queries ++ ExtendedOpsQueries.queries
+      TextRankQueries.queries ++ ExtendedOpsQueries.queries ++
+      graft.streaming.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +21,6 @@ object SparkEntry {
       TimeSeriesQueries.oracle ++ TextAnalysisQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ WindowOpsQueries.oracle ++
-      TextRankQueries.oracle ++ ExtendedOpsQueries.oracle
+      TextRankQueries.oracle ++ ExtendedOpsQueries.oracle ++
+      graft.streaming.StreamingQueries.oracle
 }

@@ -187,12 +187,21 @@ object ExtendedOpsQueries {
 
     // HLL++ approximate distinct users per event type — mergeable
     // fixed-memory sketch, the 100 TB replacement for exact distinct.
-    // No DuckDB twin (engine-specific estimator) → rows-only check.
+    // The raw estimate is engine-specific, so the hashed output carries
+    // the EXACT distinct plus a `within_tol` bound (relative error
+    // < 5%, ~2.5× the default rsd=0.05 sketch's expected error): the
+    // DuckDB twin recomputes the exact column and asserts TRUE, which
+    // hash-gates the estimator's sanity without faking cross-engine
+    // estimate equality.
     "q49_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") < 0.05).as("within_tol"))
         .orderBy("event_type")
     }),
 
@@ -346,6 +355,11 @@ object ExtendedOpsQueries {
     "q48_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q49_approx_distinct" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q50_exists_subquery" ->
       """SELECT o.o_orderkey,

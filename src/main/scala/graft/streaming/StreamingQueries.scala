@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-gated Structured Streaming: the windowed-count plan from
+  * `LogStreams.windowedIssueCounts` run THROUGH the streaming engine
+  * (micro-batch execution, state store, watermark eviction) via
+  * `Trigger.AvailableNow` over the driver's parquet fixture, so the
+  * DuckDB oracle hash-gates what the incremental executor actually
+  * emits — not just the batch twin of the same plan.
+  *
+  * Watermark semantics mirrored in SQL (so Append-mode emission is part
+  * of the gated contract, same constants both sides):
+  *   watermark_us = floor(max(event_time)/1ms) * 1000 - delay
+  *     (Spark's EventTimeStatsAccum tracks the max in whole ms);
+  *   a window is emitted iff window.end <= watermark_us
+  *     (WatermarkSupport.watermarkExpression uses LessThanOrEqual).
+  * The final no-data micro-batch that AvailableNow runs after the data
+  * batch is what advances the watermark and flushes closed windows.
+  *
+  * Scale notes: state is (window × event_type) — bounded by the
+  * watermark horizon, evicted on advance; the shuffle key spreads
+  * naturally. `maxFilesPerTrigger` bounds micro-batch size under
+  * backlog; a real deployment swaps `Trigger.AvailableNow` for a
+  * processing-time trigger with zero plan changes.
+  */
+object StreamingQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val windowUs = 300000000L // 5 minutes
+  private val delayUs = 600000000L // 10-minute watermark delay
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E20 oracle-gated: per-(5-min window, event_type) counts + decimal
+    // value sums, emitted by Append-mode watermark eviction.
+    "q59_stream_window" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      // schema from a batch read (ts is epoch-nanos long under
+      // nanosAsLong); readStream requires it explicitly
+      val schema = s.read.parquet(path).schema
+      val agg = s.readStream.schema(schema).parquet(path)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec2)).as("sv"))
+        .select(unix_micros(col("window.start")).as("window_us"),
+          col("event_type"), col("n_events"),
+          col("sv").cast("double").as("sum_value"))
+      val ckpt = Files.createTempDirectory("graft-q59-ckpt").toString
+      val sink = "graft_q59_sink"
+      val query = agg.writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink).orderBy("window_us", "event_type")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // Same window arithmetic + the Append-mode emission predicate: the
+    // watermark is the ms-floored max event time minus the delay, and
+    // only windows whose END has passed it are in the output.
+    "q59_stream_window" ->
+      s"""WITH e AS (SELECT (epoch_us(ts) // $windowUs) * $windowUs AS window_us,
+         |                  event_type, value FROM events),
+         |wm AS (SELECT MAX(epoch_ms(ts)) * 1000 - $delayUs AS w FROM events)
+         |SELECT window_us, event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM e WHERE window_us + $windowUs <= (SELECT w FROM wm)
+         |GROUP BY window_us, event_type
+         |ORDER BY window_us, event_type""".stripMargin)
+}
