@@ -189,8 +189,9 @@ object ExtendedOpsQueries {
     // fixed-memory sketch, the 100 TB replacement for exact distinct.
     // The raw estimate is engine-specific, so the hashed output carries
     // the EXACT distinct plus a `within_tol` bound (relative error
-    // < 5%, ~2.5× the default rsd=0.05 sketch's expected error): the
-    // DuckDB twin recomputes the exact column and asserts TRUE, which
+    // < 15% = 3× the default rsd=0.05 sketch's standard error, a
+    // ~3-sigma margin that survives fixture regeneration): the DuckDB
+    // twin recomputes the exact column and asserts TRUE, which
     // hash-gates the estimator's sanity without faking cross-engine
     // estimate equality.
     "q49_approx_distinct" -> ((s, dir) => {
@@ -201,7 +202,7 @@ object ExtendedOpsQueries {
           approx_count_distinct(col("user_id")).as("approx_users"))
         .select(col("event_type"), col("n_events"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /
-            col("exact_users").cast("double") < 0.05).as("within_tol"))
+            col("exact_users").cast("double") < 0.15).as("within_tol"))
         .orderBy("event_type")
     }),
 

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,6 +25,12 @@ import org.apache.spark.sql.types.DecimalType
   * The final no-data micro-batch that AvailableNow runs after the data
   * batch is what advances the watermark and flushes closed windows.
   *
+  * Single-batch premise: the fixture is ONE parquet file staged alone
+  * into the source directory, well under the default
+  * maxFilesPerTrigger, so the data arrives in exactly one micro-batch
+  * and no event can be late relative to a mid-stream watermark — the
+  * oracle's "all rows participate" arithmetic is therefore exact.
+  *
   * Scale notes: state is (window × event_type) — bounded by the
   * watermark horizon, evicted on advance; the shuffle key spreads
   * naturally. `maxFilesPerTrigger` bounds micro-batch size under
@@ -35,32 +43,61 @@ object StreamingQueries {
   private val windowUs = 300000000L // 5 minutes
   private val delayUs = 600000000L // 10-minute watermark delay
 
+  // unique sink/checkpoint per invocation — Bench runs the query three
+  // times (warmup + 2 timed) in one session
+  private val runSeq = new AtomicInteger(0)
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E20 oracle-gated: per-(5-min window, event_type) counts + decimal
     // value sums, emitted by Append-mode watermark eviction.
     "q59_stream_window" -> ((s, dir) => {
-      val path = s"$dir/events.parquet"
-      // schema from a batch read (ts is epoch-nanos long under
-      // nanosAsLong); readStream requires it explicitly
-      val schema = s.read.parquet(path).schema
-      val agg = s.readStream.schema(schema).parquet(path)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("event_time", "10 minutes")
-        .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec2)).as("sv"))
-        .select(unix_micros(col("window.start")).as("window_us"),
-          col("event_type"), col("n_events"),
-          col("sv").cast("double").as("sum_value"))
-      val ckpt = Files.createTempDirectory("graft-q59-ckpt").toString
-      val sink = "graft_q59_sink"
-      val query = agg.writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(sink).orderBy("window_us", "event_type")
+      val src = Paths.get(s"$dir/events.parquet")
+      // FileStreamSource requires a DIRECTORY ("Option basePath must be
+      // a directory"); the driver fixture is a single parquet FILE, so
+      // stage it into a temp dir first (copy, not symlink — Hadoop's
+      // RawLocalFileSystem stat of symlinks is platform-dependent).
+      val stage = Files.createTempDirectory("graft-q59-src")
+      val ckpt = Files.createTempDirectory("graft-q59-ckpt")
+      val sink = s"graft_q59_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        // schema from a batch read (ts is epoch-nanos long under
+        // nanosAsLong); readStream requires it explicitly
+        val schema = s.read.parquet(src.toString).schema
+        val agg = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec2)).as("sv"))
+          .select(unix_micros(col("window.start")).as("window_us"),
+            col("event_type"), col("n_events"),
+            col("sv").cast("double").as("sum_value"))
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // Materialize into a LocalRelation so the returned frame
+        // survives the temp-view drop and dir cleanup below. The
+        // result is tiny by construction: one row per closed
+        // (5-minute window × event_type).
+        val out = s.table(sink).orderBy("window_us", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
     }))
 
   def oracle: Map[String, String] = Map(
