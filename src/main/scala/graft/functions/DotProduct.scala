@@ -62,22 +62,30 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val bGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // ctx.freshName for EVERY local: several DotProducts can fuse into
+    // one codegen scope (e.g. the q37 centroid argmax evaluates 8 in a
+    // single CreateArray), and fixed names make Janino reject the
+    // function with "Redefinition of local variable".
+    val s = ctx.freshName("dotSum")
+    val n = ctx.freshName("dotLen")
+    val nullElem = ctx.freshName("dotNullElem")
+    val i = ctx.freshName("dotIdx")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double s = 0.0;
-         |  int n = $a.numElements();
-         |  boolean nullElem = false;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { nullElem = true; break; }
-         |    s += ((double) $a.$aGet(i)) * ((double) $b.$bGet(i));
+         |  double $s = 0.0;
+         |  int $n = $a.numElements();
+         |  boolean $nullElem = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullElem = true; break; }
+         |    $s += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
          |  }
-         |  if (nullElem) {
+         |  if ($nullElem) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = s;
+         |    ${ev.value} = $s;
          |  }
          |}
        """.stripMargin

@@ -55,14 +55,20 @@ case class MultiMatch(child: Expression, patterns: Seq[String])
     // compiled patterns live once per task as a reference object
     val pats = ctx.addReferenceObj("multiMatchPatterns", compiled,
       "java.util.regex.Pattern[]")
+    // freshName every local — two MultiMatch instances fused into one
+    // codegen scope would otherwise collide on s/mask/i (Janino
+    // "Redefinition of local variable")
+    val s = ctx.freshName("mmStr")
+    val mask = ctx.freshName("mmMask")
+    val i = ctx.freshName("mmIdx")
     nullSafeCodeGen(ctx, ev, input => {
       s"""
-         |java.lang.String s = $input.toString();
-         |long mask = 0L;
-         |for (int i = 0; i < ${patterns.size}; i++) {
-         |  if ($pats[i].matcher(s).find()) mask |= (1L << i);
+         |java.lang.String $s = $input.toString();
+         |long $mask = 0L;
+         |for (int $i = 0; $i < ${patterns.size}; $i++) {
+         |  if ($pats[$i].matcher($s).find()) $mask |= (1L << $i);
          |}
-         |${ev.value} = mask;
+         |${ev.value} = $mask;
        """.stripMargin
     })
   }

@@ -83,23 +83,37 @@ object SimilarityQueries {
     }),
 
     // IVF-flat ANN: vectors assigned to the argmax-cosine centroid
-    // cell (one small broadcast cross join); probes scan ONLY their
-    // own cell — at scale the cell id is the partition key and each
-    // probe touches one partition
+    // cell; probes scan ONLY their own cell — at scale the cell id is
+    // the partition key and each probe touches one partition.
+    //
+    // The centroid codebook is the index's MODEL ARTIFACT (8×64
+    // floats): collected once to the driver and folded into the
+    // projection as literals, so cell assignment is a pure map over
+    // the corpus — zero shuffle, zero window. (The previous
+    // formulation crossJoined the broadcast centroids and ranked with
+    // a row_number window partitioned by vec_id: a full-corpus
+    // shuffle, rows carrying the 64-dim embedding, purely to pick the
+    // argmax of 8 broadcast-side cosines.)
     "q37_ann_ivf" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val centroids = corpus.where(col("vec_id").isin(centroidIds: _*))
-        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-          col("n2").as("cn2"))
-      val byVec = Window.partitionBy("vec_id").orderBy(desc("c_cos"), asc("c_id"))
-      val cells = corpus.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("n2"), col("c_id"),
-          cosineFrom(dot(col("embedding"), col("ce")), col("n2"), col("cn2"))
-            .as("c_cos"))
-        .withColumn("rn", row_number().over(byVec))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("n2"),
-          col("c_id").as("cell"))
+      val cents: Array[(Long, Array[Float], Double)] = corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      // argmax with the (cosine DESC, c_id ASC) tiebreak as a single
+      // lexicographic array_max over struct(cosine, -c_id): each
+      // centroid cosine is evaluated exactly once per row (no
+      // when-chain subtree duplication).
+      val best = array_max(array(cents.map { case (cId, ce, cn2) =>
+        struct(
+          cosineFrom(
+            dot(col("embedding"), array(ce.map(v => lit(v.toDouble)): _*)),
+            col("n2"), lit(cn2)).as("c"),
+          lit(-cId).as("nid"))
+      }: _*))
+      val cells = corpus.select(col("vec_id"), col("embedding"), col("n2"),
+        (-best.getField("nid")).as("cell"))
       val probes = cells.where(col("vec_id") % 61 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"), col("cell").as("pcell"))
