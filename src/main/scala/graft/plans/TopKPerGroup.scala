@@ -5,11 +5,12 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.internal.SQLConf
 
 /** Grouped top-k as a WHOLE-OPERATOR custom plan — logical node,
   * planner strategy, and a two-phase physical operator (SURVEY.md §7.3
@@ -17,20 +18,29 @@ import org.apache.spark.sql.graft.ColumnBridge
   * (`row_number().over(Window.partitionBy(g).orderBy(o)) <= k`) pays a
   * full sort of every group's row set and shuffles EVERY row.
   *
-  * This operator keeps a bounded heap of k rows per group:
-  *
   *  - partial phase (pre-shuffle, any distribution): local top-k per
-  *    group per input partition — the map-side combine; at most
-  *    k·|groups| rows per partition cross the wire instead of all rows;
+  *    group per input partition via a bounded heap per group — the
+  *    map-side combine; at most k·|groups| rows per partition cross the
+  *    wire instead of all rows. Memory is BOUNDED by a flush budget
+  *    (`spark.graft.topk.partial.flushRows`): when the buffered row
+  *    count exceeds it, the current partial heaps are emitted downstream
+  *    and the map is cleared — emitting extra partials is always
+  *    correct because the final phase re-merges, so a high-cardinality
+  *    group key degrades throughput (less combining) instead of OOMing
+  *    the executor.
   *  - final phase (after a hash shuffle on the group key, inserted by
   *    `EnsureRequirements` from the declared `ClusteredDistribution`):
-  *    merges the partial heaps exactly.
+  *    SORT-BASED — it requires input ordered by (group, order), which
+  *    Spark satisfies with a SortExec whose external sorter spills to
+  *    disk, then streams each group taking its first k rows. Peak
+  *    memory beyond the (spill-safe) sort is one group key + a row
+  *    counter, regardless of group cardinality.
   *
   * Correctness: global top-k of a union = top-k of the union of
-  * per-part top-ks (heap keeps the k first rows in the total sort
-  * order; ties never occur when the caller includes a unique
-  * tiebreaker, which `TopK.perGroup` requires by convention).
-  * O(n log k) per partition, memory k·groups-per-partition rows.
+  * per-part top-ks (the heap keeps the k first rows in the total sort
+  * order; the caller includes a unique tiebreaker by `TopK.perGroup`
+  * convention, so the order is total).
+  * O(n log k) per partition partial, memory min(budget, k·groups) rows.
   */
 case class TopKPerGroup(
     groupCols: Seq[Attribute],
@@ -44,23 +54,25 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
-case class TopKPerGroupExec(
+/** Pre-shuffle partial: per-group bounded heaps with a row-count flush
+  * budget (see class doc of [[TopKPerGroup]]).
+  */
+case class TopKPartialExec(
     groupCols: Seq[Attribute],
     order: Seq[SortOrder],
     k: Int,
-    partial: Boolean,
+    flushRows: Long,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
-
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial) Seq(UnspecifiedDistribution)
-    else Seq(ClusteredDistribution(groupCols))
+    Seq(UnspecifiedDistribution)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val ord = order
     val kk = k
+    val budget = flushRows
     val keyExprs = groupCols
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
@@ -71,12 +83,14 @@ case class TopKPerGroupExec(
       val rowOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => cmp.compare(a, b)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
+      var bufRows = 0L
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
             if (h.size < kk) {
               h += row.copy().asInstanceOf[UnsafeRow]
+              bufRows += 1
             } else if (cmp.compare(row, h.head) < 0) {
               h.dequeue()
               h += row.copy().asInstanceOf[UnsafeRow]
@@ -85,27 +99,104 @@ case class TopKPerGroupExec(
             val h = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
             h += row.copy().asInstanceOf[UnsafeRow]
             heaps.put(key.copy(), h)
+            bufRows += 1
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      def drain(): Iterator[InternalRow] = {
+        // materialize before clearing — the heap iterators are lazy
+        val out = heaps.valuesIterator.flatMap(_.iterator).toArray
+        heaps.clear()
+        bufRows = 0L
+        out.iterator
+      }
+      new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && (iter.hasNext || bufRows > 0)) {
+            while (iter.hasNext && bufRows <= budget) insert(iter.next())
+            cur = drain()
+          }
+          cur.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          cur.next()
+        }
+      }
     }
   }
 
-  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
     copy(child = newChild)
 
-  override def nodeName: String =
-    if (partial) "TopKPerGroup (partial)" else "TopKPerGroup (final)"
+  override def nodeName: String = "TopKPerGroup (partial)"
 }
 
-/** Plans [[TopKPerGroup]] as partial → (shuffle) → final. Registered by
-  * [[GraftExtensions]] via `injectPlannerStrategy`.
+/** Post-shuffle final: streams (group, order)-sorted input, emitting
+  * the first k rows of each group. The required ordering is satisfied
+  * by a spill-safe SortExec that `EnsureRequirements` inserts above the
+  * exchange, so this operator itself holds O(1) state.
+  */
+case class TopKFinalExec(
+    groupCols: Seq[Attribute],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  private def groupOrdering: Seq[SortOrder] =
+    groupCols.map(a => SortOrder(a, Ascending))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(groupCols))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(groupOrdering ++ order)
+  override def outputOrdering: Seq[SortOrder] = groupOrdering ++ order
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val keyExprs = groupCols
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      var curKey: UnsafeRow = null
+      var emitted = 0
+      iter.flatMap { row =>
+        val key = keyProj(row)
+        if (curKey == null || key != curKey) {
+          curKey = key.copy()
+          emitted = 1
+          Iterator.single(row)
+        } else if (emitted < kk) {
+          emitted += 1
+          Iterator.single(row)
+        } else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
+    copy(child = newChild)
+
+  override def nodeName: String = "TopKPerGroup (final)"
+}
+
+/** Plans [[TopKPerGroup]] as partial → (shuffle+sort) → final.
+  * Registered by [[GraftExtensions]] via `injectPlannerStrategy`.
   */
 object TopKStrategy extends SparkStrategy {
+  /** Partial-phase flush budget in buffered rows per partition. */
+  val flushRowsKey = "spark.graft.topk.partial.flushRows"
+  val flushRowsDefault = 1L << 20 // ~1M rows ≈ tens of MB of UnsafeRows
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+      val budget =
+        SQLConf.get.getConfString(flushRowsKey, flushRowsDefault.toString).toLong
+      TopKFinalExec(g, o, k,
+        TopKPartialExec(g, o, k, budget, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{TopK, TopKPerGroupExec}
+import graft.plans.{TopK, TopKStrategy}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,5 +74,36 @@ class TopKPerGroupSpec extends SparkSuite {
     val df = TopK.perGroup(orders, Seq("o_custkey"),
       Seq("o_totalprice" -> true, "o_orderkey" -> false), 1000000)
     assert(df.count() === orders.count())
+  }
+
+  test("partial phase flushes under a tiny budget without changing results") {
+    // o_orderkey is (near-)unique → every row is its own group: the
+    // worst case for the partial heap map. A 4-row budget forces a
+    // flush every few input rows; the final phase must still merge the
+    // repeated partials exactly.
+    spark.conf.set(TopKStrategy.flushRowsKey, "4")
+    try {
+      val custom = TopK.perGroup(orders.repartition(4), Seq("o_orderkey"),
+        Seq("o_totalprice" -> true, "o_custkey" -> false), 2)
+      val w = Window.partitionBy("o_orderkey")
+        .orderBy(col("o_totalprice").desc, col("o_custkey").asc)
+      val reference = orders.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2).drop("rn")
+      assert(custom.exceptAll(reference).count() === 0, "extra rows")
+      assert(reference.exceptAll(custom).count() === 0, "missing rows")
+    } finally spark.conf.unset(TopKStrategy.flushRowsKey)
+  }
+
+  test("final phase is sort-based: a spill-safe Sort sits between the exchange and the final exec") {
+    val df = TopK.perGroup(orders, Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
+    df.collect()
+    val ps = finalPlan(df).toString
+    val fin = ps.indexOf("TopKPerGroup (final)")
+    val sort = ps.indexOf("Sort ")
+    val ex = ps.indexOf("Exchange hashpartitioning")
+    assert(fin >= 0 && sort >= 0 && ex >= 0, ps)
+    assert(fin < sort && sort < ex,
+      s"expected final < Sort < Exchange in:\n$ps")
   }
 }
