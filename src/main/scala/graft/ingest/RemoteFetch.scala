@@ -134,6 +134,16 @@ final class RemoteFetcher(
     else Right(decodeReplace(out))
   }
 
+  /** `configure_ssh_node`'s remote directory probe
+    * (`cassandra_log_analyzer.py:607-612`): `test -d {dir} && echo
+    * 'exists'`, true iff stdout says so.
+    */
+  def testDirectory(cfg: NodeConfig): Boolean = {
+    val (out, _, _) = runner(cfg)
+      .run(s"test -d ${shellQuote(cfg.logDirectory)} && echo 'exists'")
+    decodeReplace(out).trim == "exists"
+  }
+
   /** `list_log_files` (`cassandra_log_analyzer.py:156-167`): `ls -1`
     * glob; ANY failure yields an empty list, never an error.
     */
