@@ -65,13 +65,29 @@ object RemoteFetch {
 
   /** `ssh`-subprocess runner (key/agent auth; no password support — a
     * JVM paramiko equivalent is out of scope and out of deps).
+    *
+    * The destination is caller-controlled (MCP `configure_ssh_node`
+    * arguments), and ssh parses its argv — a username like
+    * `-oProxyCommand=...` would otherwise be read as an OPTION, turning
+    * a tool argument into local command execution (the reference's
+    * paramiko API has no argv surface to attack). Defense is layered:
+    * reject option-shaped or `@`-bearing parts up front, and terminate
+    * option parsing with `--` before the destination regardless.
+    * BatchMode keeps the non-interactive contract (no password prompt
+    * can hang the pool).
     */
   final class SshProcessRunner(host: String, user: String, port: Int = 22)
       extends CommandRunner {
+    require(host.nonEmpty && user.nonEmpty, "empty ssh host/username")
+    require(!host.startsWith("-") && !user.startsWith("-"),
+      s"ssh host/username may not start with '-' (option injection): $user@$host")
+    require(!user.contains("@") && !host.contains("@"),
+      s"ssh host/username may not contain '@': $user@$host")
     override def run(command: String): (Array[Byte], String, Int) =
       execRaw(Seq("ssh", "-p", port.toString,
         "-o", "ConnectTimeout=30", // reference default, CLA:59-66
-        s"$user@$host", command))
+        "-o", "BatchMode=yes",
+        "--", s"$user@$host", command))
   }
 
   /** POSIX single-quote escaping: safe interpolation of a path operand
@@ -192,7 +208,23 @@ final class RemoteFetcher(
       tailLines: Option[Int] = None,
       timeout: scala.concurrent.duration.Duration =
         scala.concurrent.duration.Duration(10, "min"))
-      : Seq[(String, Either[FetchError, (Long, Int)])] = {
+      : Seq[(String, Either[FetchError, (Long, Int)])] =
+    loadAllTypes(catalog, nodes, Seq(logType), tailLines, timeout)
+      .map { case (name, _, res) => name -> res }
+
+  /** Multi-type variant: every (node, type) pair fetches concurrently,
+    * but catalog insertion runs node-major (`node1_system, node1_debug,
+    * node2_system, ...`) — the reference loads types per node inside
+    * its node loop (`cassandra_log_analyzer.py:704-714`), and key
+    * insertion order is a load-bearing report-ordering semantic.
+    */
+  def loadAllTypes(catalog: LogCatalog,
+      nodes: Seq[(String, NodeConfig)],
+      logTypes: Seq[String],
+      tailLines: Option[Int] = None,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(10, "min"))
+      : Seq[(String, String, Either[FetchError, (Long, Int)])] = {
     import scala.concurrent.{blocking, Await, ExecutionContext, Future}
     import scala.util.Try
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -204,20 +236,21 @@ final class RemoteFetcher(
     // transport error per-node instead of failing the whole batch, and
     // a node still hanging at the deadline becomes ITS OWN timed-out
     // Left — completed nodes are never discarded.
-    val futures = nodes.map { case (name, cfg) =>
-      name -> Future(Try(blocking {
-        readLogFile(cfg, logPath(cfg, logType), tailLines)
-      }).fold(e => Left(CommandFailed(e.toString)), identity))
-    }
-    Try(Await.ready(Future.sequence(futures.map(_._2)), timeout))
-    futures.map { case (name, f) =>
+    val futures = for {
+      (name, cfg) <- nodes
+      logType <- logTypes
+    } yield (name, logType, Future(Try(blocking {
+      readLogFile(cfg, logPath(cfg, logType), tailLines)
+    }).fold(e => Left(CommandFailed(e.toString)), identity)))
+    Try(Await.ready(Future.sequence(futures.map(_._3)), timeout))
+    futures.map { case (name, logType, f) =>
       val res = f.value match {
         case Some(scala.util.Success(r)) => r
         case Some(scala.util.Failure(e)) => Left(CommandFailed(e.toString))
         case None => Left(CommandFailed(s"fetch timed out after $timeout"))
       }
-      name -> res.map(content =>
-        catalog.loadContent(nodeKey(name, logType), content))
+      (name, logType, res.map(content =>
+        catalog.loadContent(nodeKey(name, logType), content)))
     }
   }
 }

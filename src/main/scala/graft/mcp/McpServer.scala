@@ -194,12 +194,15 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
         val types =
           Seq("system", "debug").filter(t => logType == t || logType == "both")
         val nodes = sshNodes.toSeq.map { case (n, s) => n -> s.cfg }
-        // node result = conjunction over its requested log types
-        val byNode = types.map(t => fetcher.loadAll(catalog, nodes, t, tail))
+        // one node-major pass over node×type (catalog keys land
+        // node1_system, node1_debug, node2_system, ... — the
+        // reference's per-node loop order); node result = conjunction
+        // over its requested log types
+        val loaded = fetcher.loadAllTypes(catalog, nodes, types, tail)
         val results = nodes.map { case (name, _) =>
-          val errs = byNode.flatMap(_.collectFirst {
-            case (`name`, Left(e)) => e.message
-          })
+          val errs = loaded.collect {
+            case (`name`, _, Left(e)) => e.message
+          }
           name -> errs.headOption
         }
         val lines = results.map {

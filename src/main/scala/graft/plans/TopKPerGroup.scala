@@ -23,7 +23,8 @@ import org.apache.spark.sql.internal.SQLConf
   *    map-side combine; at most k·|groups| rows per partition cross the
   *    wire instead of all rows. Memory is BOUNDED by a flush budget
   *    (`spark.graft.topk.partial.flushRows`): when the buffered row
-  *    count exceeds it, the current partial heaps are emitted downstream
+  *    count reaches it (minimum one row per cycle), the current
+  *    partial heaps are emitted downstream
   *    and the map is cleared — emitting extra partials is always
   *    correct because the final phase re-merges, so a high-cardinality
   *    group key degrades throughput (less combining) instead of OOMing
@@ -113,7 +114,10 @@ case class TopKPartialExec(
         private var cur: Iterator[InternalRow] = Iterator.empty
         override def hasNext: Boolean = {
           while (!cur.hasNext && (iter.hasNext || bufRows > 0)) {
-            while (iter.hasNext && bufRows <= budget) insert(iter.next())
+            // at most `budget` rows buffered; the max(1) floors the
+            // budget so each drain cycle always makes progress (a zero
+            // budget still buffers one row per cycle)
+            while (iter.hasNext && bufRows < budget.max(1L)) insert(iter.next())
             cur = drain()
           }
           cur.hasNext
@@ -161,11 +165,19 @@ case class TopKFinalExec(
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // group boundaries by ORDERING equality, not UnsafeRow byte
+      // equality: the upstream SortExec groups by ordering, so keys that
+      // are ordering-equal yet byte-distinct (non-canonical NaN doubles
+      // in a directly-constructed plan — NormalizeFloatingNumbers does
+      // not see custom operators) must stay one group here too, or the
+      // counter resets mid-group and emits more than k rows.
+      val keyCmp = RowOrdering.create(
+        keyExprs.map(a => SortOrder(a, Ascending)), keyExprs)
       var curKey: UnsafeRow = null
       var emitted = 0
       iter.flatMap { row =>
         val key = keyProj(row)
-        if (curKey == null || key != curKey) {
+        if (curKey == null || keyCmp.compare(key, curKey) != 0) {
           curKey = key.copy()
           emitted = 1
           Iterator.single(row)

@@ -49,8 +49,10 @@ object StreamingQueries {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p) // stream holds a directory fd until closed
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,126 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.ingest.{LogCatalog, RemoteFetch, RemoteFetcher}
+import graft.mcp.{McpDispatcher, McpServer}
+import org.json4s._
+import org.json4s.jackson.JsonMethods.parse
+
+/** End-to-end MCP transport: newline-delimited JSON-RPC frames in,
+  * responses out, tool bodies dispatching into the real engine
+  * (catalog + fetcher over a local shell). Covers the reference's
+  * server surface (`cassandra_log_analyzer.py:331,863-881`) and the
+  * argv-injection guard on the ssh runner.
+  */
+class McpServerSpec extends SparkSuite {
+
+  private lazy val logDir = {
+    val d = Files.createTempDirectory("graft-mcp")
+    Files.writeString(d.resolve("system.log"),
+      "INFO  [main] 2024-01-01 10:00:00,000 Startup complete\n" +
+        "ERROR [rpc] 2024-01-01 10:00:01,000 Connection timeout detected\n")
+    Files.writeString(d.resolve("debug.log"), "DEBUG [d] x\n")
+    d.toString
+  }
+
+  private def newDispatcher =
+    new McpDispatcher(new LogCatalog(spark),
+      new RemoteFetcher(_ => new RemoteFetch.LocalShellRunner))
+
+  /** Drive raw frames through the blocking serve() loop. */
+  private def roundTrip(dispatcher: McpDispatcher, frames: String*): Seq[JValue] = {
+    val in = new ByteArrayInputStream(
+      frames.mkString("", "\n", "\n").getBytes(UTF_8))
+    val out = new ByteArrayOutputStream()
+    McpServer.serve(in, out, dispatcher)
+    out.toString(UTF_8).split("\n").toSeq.filter(_.nonEmpty).map(parse(_))
+  }
+
+  private def resultText(resp: JValue): String =
+    resp \ "result" \ "content" match {
+      case JArray(List(item)) =>
+        val JString(t) = (item \ "text"): @unchecked
+        t
+      case other => fail(s"unexpected content: $other")
+    }
+
+  test("two tool calls end-to-end through the stdio transport") {
+    val d = newDispatcher
+    val responses = roundTrip(d,
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""",
+      """{"jsonrpc":"2.0","method":"notifications/initialized"}""",
+      s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"load_logs","arguments":{"node_name":"node1","log_content":"INFO  [2024-01-01 10:00:00,000] [main] o.a.c.Service:100 - Startup complete\\nERROR [2024-01-01 10:00:01,000] [ReadStage-2] o.a.c.db.ReadCommand:512 - Connection timeout detected"}}}""",
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"analyze_cluster","arguments":{}}}""")
+    // notification produced no frame: 3 responses for 4 inputs
+    assert(responses.size === 3)
+    assert((responses.head \ "result" \ "serverInfo" \ "name")
+      === JString("cassandra-log-analyzer"))
+    assert(resultText(responses(1)).contains("Nombre de lignes: 2"))
+    val report = resultText(responses(2))
+    assert(report.contains("node1")) // per-node summary rendered
+    assert(report.contains("Erreurs: 1")) // ERROR line counted
+    assert(report.contains("timeout: 1 occurrences")) // classifier hit
+  }
+
+  test("tools/list exposes the reference's nine tools; unknown tool errors") {
+    val d = newDispatcher
+    val Seq(tools, bad) = roundTrip(d,
+      """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""",
+      """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"nope"}}""")
+    val JArray(list) = (tools \ "result" \ "tools"): @unchecked
+    assert(list.map(t => (t \ "name")) === Seq(
+      "configure_ssh_node", "load_logs_from_ssh", "load_logs_from_all_nodes",
+      "load_logs", "analyze_cluster", "search_logs", "get_errors",
+      "compare_nodes", "detect_issues").map(JString(_)))
+    assert((bad \ "error" \ "code") === JInt(-32602))
+  }
+
+  test("configure_ssh_node previews the first five files and flags password auth") {
+    val d = newDispatcher
+    val resp = roundTrip(d,
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"configure_ssh_node","arguments":{"node_name":"n1","host":"localhost","username":"tester","password":"pw","log_directory":"${logDir}"}}}""")
+    val text = resultText(resp.head)
+    assert(text.contains("Configuration SSH réussie"))
+    assert(text.contains("Fichiers trouvés: 2"))
+    assert(text.contains("  - " + logDir)) // file preview lines
+    assert(text.contains("non supporté")) // password flagged, not silently used
+  }
+
+  test("load_logs_from_all_nodes with both types inserts catalog keys node-major") {
+    val d = newDispatcher
+    roundTrip(d,
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"configure_ssh_node","arguments":{"node_name":"n1","host":"localhost","username":"t","log_directory":"${logDir}"}}}""",
+      s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"configure_ssh_node","arguments":{"node_name":"n2","host":"localhost","username":"t","log_directory":"${logDir}"}}}""",
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"load_logs_from_all_nodes","arguments":{"log_type":"both"}}}""")
+    // reference per-node loop order, not per-type batches (CLA:704-714)
+    assert(d.catalog.nodeKeys === Seq(
+      "n1_system", "n1_debug", "n2_system", "n2_debug"))
+  }
+
+  test("malformed JSON and unknown methods answer with JSON-RPC errors") {
+    val d = newDispatcher
+    val Seq(parseErr, unknown) = roundTrip(d,
+      """this is not json""",
+      """{"jsonrpc":"2.0","id":7,"method":"bogus/method"}""")
+    assert((parseErr \ "error" \ "code") === JInt(-32700))
+    assert((unknown \ "error" \ "code") === JInt(-32601))
+    assert((unknown \ "id") === JInt(7))
+  }
+
+  test("ssh runner rejects option-shaped destinations (argv injection)") {
+    intercept[IllegalArgumentException] {
+      new RemoteFetch.SshProcessRunner("host", "-oProxyCommand=evil")
+    }
+    intercept[IllegalArgumentException] {
+      new RemoteFetch.SshProcessRunner("-oProxyCommand=evil", "user")
+    }
+    intercept[IllegalArgumentException] {
+      new RemoteFetch.SshProcessRunner("host", "user@extra")
+    }
+    // sane destination constructs fine
+    new RemoteFetch.SshProcessRunner("db-1.example.com", "cassandra")
+  }
+}
