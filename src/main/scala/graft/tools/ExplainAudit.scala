@@ -11,7 +11,22 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- args) {
+    // `--summary` prints one line of load-bearing operator counts per
+    // query (all queries when none named) instead of full plans
+    val (flags, qs) = args.partition(_.startsWith("--"))
+    if (flags.contains("--summary")) {
+      val names =
+        if (qs.nonEmpty) qs.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+      for (q <- names) {
+        val plan =
+          graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+        def n(op: String) = op.r.findAllIn(plan).size
+        println(f"$q%-24s BHJ=${n("BroadcastHashJoin")} SMJ=${n("SortMergeJoin")} " +
+          s"SHJ=${n("ShuffledHashJoin")} BNLJ=${n("BroadcastNestedLoopJoin")} " +
+          s"CART=${n("CartesianProduct")} EXCH=${n("Exchange")} " +
+          s"WIN=${n("Window")} TOPK=${n("TopKPerGroup")}")
+      }
+    } else for (q <- qs) {
       println(s"\n===================== $q =====================")
       graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

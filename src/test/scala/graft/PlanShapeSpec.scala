@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+import graft.plans.{TopKFinalExec, TopKPartialExec}
+
+/** Plan-shape regression guard (VERDICT round-2 item 8): the
+  * load-bearing physical-plan properties the 100 TB design depends on,
+  * asserted over every `SparkEntry` query so a future edit that
+  * silently flips a join strategy or adds a shuffle fails `sbt test`
+  * instead of surfacing as a bench cliff.
+  *
+  * AQE is off for the planning pass — `collect` does not traverse into
+  * adaptive query stages, and the properties asserted here are about
+  * the STATIC plan Catalyst produces (AQE can only improve on it at
+  * runtime: coalescing, skew splitting, SMJ→BHJ promotion).
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // q59 runs the streaming engine eagerly (stages files, executes a
+  // micro-batch) — its incremental plan is StreamingSpec territory.
+  private lazy val plans: Map[String, SparkPlan] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.view.filterKeys(_ != "q59_stream_window").toMap
+      .map { case (name, fn) =>
+        name -> fn(spark, dir).queryExecution.executedPlan
+      }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Broadcast pair/probe scans where a nested-loop against a broadcast
+    * side IS the intended plan: q26's bounded all-pairs tier, q29/q31's
+    * broadcast probe batches, and scalar-subquery joins (one-row build
+    * side) in q38/q47.
+    */
+  private val bnljAllowed = Set("q26_ngram_jaccard", "q29_cosine_topk",
+    "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel")
+
+  test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
+    for ((name, plan) <- plans) {
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
+      assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"$name plans a ShuffledHashJoin — a dim side stopped broadcasting")
+      assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("broadcast nested-loop joins only where the design calls for them") {
+    for ((name, plan) <- plans) {
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      if (bnljAllowed(name)) assert(bnlj.nonEmpty,
+        s"$name lost its deliberate broadcast pair/probe scan")
+      else assert(bnlj.isEmpty,
+        s"$name plans a BroadcastNestedLoopJoin — unbounded pair blowup at scale")
+    }
+  }
+
+  test("every relational join in the headline queries broadcasts its dim side") {
+    // (query, expected broadcast-hash-join count) — counts are pinned:
+    // losing one means a dim join degraded, gaining one means a new
+    // join slipped in unreviewed.
+    val expected = Seq(
+      "q02_join_broadcast" -> 1,
+      "q03_join_multi" -> 4,
+      "q04_semi_join" -> 1,
+      "q05_anti_join" -> 1,
+      "q27_minhash_lsh" -> 3,
+      "q28_simhash" -> 1,
+      "q36_range_join" -> 1,
+      "q37_ann_ivf" -> 1)
+    for ((name, n) <- expected) {
+      val bhj = plans(name).collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.size === n, s"$name broadcast-join count drifted")
+    }
+  }
+
+  test("shuffle-exchange budgets hold for the scale-critical queries") {
+    // Shuffles are THE scale cost; each count below is the plan's
+    // designed minimum (agg exchange, window repartition, final sort).
+    // A regression that sneaks an extra full-corpus shuffle in fails
+    // here before it shows up as a 100 TB bottleneck.
+    val budget = Seq(
+      "q01_pushdown_agg" -> 2, // partial/final agg + result sort
+      "q11_parse_extract" -> 1, // scan-stage regex + oracle-mandated sort
+      "q22_quality_score" -> 1, // map-only scoring + sort
+      "q24_fingerprint" -> 1, // rolling hash is scan-stage
+      "q25_dedup_exact" -> 2, // canonical-key agg + sort
+      "q26_ngram_jaccard" -> 2, // pair-scan spread + result sort
+      "q27_minhash_lsh" -> 3, // band explode agg + pair distinct + sort
+      "q28_simhash" -> 2, // chunk-bucket agg + sort
+      "q30_ann_lsh" -> 2, // bucket agg + sort
+      "q37_ann_ivf" -> 2, // per-probe top-k window + sort
+      "q54_topk_custom" -> 2, // group-key shuffle + result sort
+      "q55_winnowing" -> 1, // winnow is scan-stage; group agg local? no: agg+sort collapse
+      "q57_hash_split" -> 3) // content-distinct + split-bucket agg + sort
+    for ((name, n) <- budget) {
+      val shuffles = plans(name).collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= n,
+        s"$name shuffle count ${shuffles.size} exceeds designed budget $n")
+    }
+  }
+
+  test("q37 cell assignment stays shuffle-free below the probe join") {
+    // the round-4 redesign: centroid argmax happens IN the projection,
+    // so the corpus reaches the broadcast probe join with no exchange
+    val joins = plans("q37_ann_ivf").collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.size === 1)
+    val streamed = joins.head.children.head // build side is the broadcast
+    assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "corpus side of the IVF probe join picked up a shuffle")
+  }
+
+  test("q54 plans as partial -> one exchange -> sort-based final") {
+    val plan = plans("q54_topk_custom")
+    assert(plan.collect { case p: TopKPartialExec => p }.size === 1)
+    val finals = plan.collect { case f: TopKFinalExec => f }
+    assert(finals.size === 1)
+    // exactly ONE shuffle between the phases (the group-key exchange);
+    // only k rows per group per partition cross it
+    val between = finals.head.collect { case e: ShuffleExchangeExec => e }
+    assert(between.size === 1, "TopKPerGroup must shuffle exactly once between phases")
+  }
+
+  test("filter pushdown reaches the parquet scan in q01") {
+    val scans = plans("q01_pushdown_agg").collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      "q01's predicate no longer reaches the scan")
+  }
+}
