@@ -185,6 +185,33 @@ object ExtendedOpsQueries {
         .orderBy("event_type")
     }),
 
+    // salted shuffled JOIN over a deliberately skewed key: 80% of
+    // events land on one 'hot' key, and the dim side carries a
+    // shuffle_hash hint (standing in for a build side too large to
+    // broadcast) — the shape where, unsalted, ONE reducer takes 80% of
+    // the probe rows and the stage runs at straggler speed.
+    // SkewJoin.saltedInnerJoin spreads the hot key over 16 salted
+    // partitions (replicating only the 98-row dim); the oracle is the
+    // plain UNSALTED join, proving salting redistributes rows without
+    // changing a single result. At 100 TB this (or AQE skew-join, which
+    // only handles sort-merge shapes) is mandatory for power-law keys.
+    "q60_skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("value"),
+        when(col("event_id") % 10 < 8, lit("hot"))
+          .otherwise(concat(lit("k"), (col("event_id") % 97).cast("string")))
+          .as("skew_key"))
+      val dim = ev.groupBy("skew_key").agg(count(lit(1)).as("key_rows"))
+      val joined = graft.ext.SkewJoin.saltedInnerJoin(
+        ev, dim.hint("shuffle_hash"), "skew_key",
+        saltOn = Seq("event_id"), factor = 16)
+      joined.groupBy("skew_key")
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("key_rows")).as("key_rows"),
+          sum(col("value").cast(dec2)).cast("double").as("sum_value"))
+        .orderBy("skew_key")
+    }),
+
     // HLL++ approximate distinct users per event type — mergeable
     // fixed-memory sketch, the 100 TB replacement for exact distinct.
     // The raw estimate is engine-specific, so the hashed output carries
@@ -357,6 +384,17 @@ object ExtendedOpsQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q60_skew_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, value,
+        |    CASE WHEN event_id % 10 < 8 THEN 'hot'
+        |         ELSE concat('k', CAST(event_id % 97 AS VARCHAR)) END AS skew_key
+        |  FROM events),
+        |dim AS (SELECT skew_key, COUNT(*) AS key_rows FROM ev GROUP BY skew_key)
+        |SELECT e.skew_key, COUNT(*) AS n_rows, MAX(d.key_rows) AS key_rows,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev e JOIN dim d USING (skew_key)
+        |GROUP BY e.skew_key ORDER BY e.skew_key""".stripMargin,
     "q49_approx_distinct" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS exact_users,

@@ -44,11 +44,22 @@ class PlanShapeSpec extends SparkSuite {
     for ((name, plan) <- plans) {
       assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
         s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
-      assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
-        s"$name plans a ShuffledHashJoin — a dim side stopped broadcasting")
+      // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
+      if (name != "q60_skew_join")
+        assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+          s"$name plans a ShuffledHashJoin — a dim side stopped broadcasting")
       assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")
     }
+  }
+
+  test("q60's salted join shuffles on (key, salt) — the hot key spreads") {
+    val shj = plans("q60_skew_join").collect { case j: ShuffledHashJoinExec => j }
+    assert(shj.size === 1, "q60 must keep its forced shuffled-hash join")
+    // the salt is part of the join (and therefore shuffle) key: the hot
+    // key's rows hash to `factor` reducers instead of one
+    assert(shj.head.leftKeys.exists(_.references.exists(_.name == "__salt")),
+      "salt column dropped from the join keys — hot key no longer spreads")
   }
 
   test("broadcast nested-loop joins only where the design calls for them") {
