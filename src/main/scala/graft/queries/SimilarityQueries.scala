@@ -26,6 +26,20 @@ object SimilarityQueries {
   private val topK = 5
   private val annK = 3
   private val nearDupThreshold = 0.3
+  /** Probe batches are a modular id slice CAPPED at a fixed horizon: a
+    * real query/screen batch is O(1) in corpus size (you screen the
+    * vectors that just arrived, not 2% of all vectors ever stored), so
+    * probe work must not grow with SF — uncapped, pair cost scales
+    * quadratically (probes × corpus) and the 10× scale run showed q31
+    * at 19× instead of ~10×. The horizon exceeds every driver
+    * fixture's max vec_id (1999 at sf0.1), so all oracle-gated results
+    * are unchanged at every driver SF.
+    */
+  private val probeHorizon = 2000L
+  private def probeSlice(modulus: Int) =
+    col("vec_id") % modulus === 0 && col("vec_id") < probeHorizon
+  private def sqlProbeSlice(modulus: Int) =
+    s"vec_id % $modulus = 0 AND vec_id < $probeHorizon"
   /** Deterministic IVF "centroids": a fixed id set drawn from the
     * corpus itself (all exist at every SF). A real pipeline would
     * k-means these; the INDEX STRUCTURE — cell assignment by argmax
@@ -50,7 +64,7 @@ object SimilarityQueries {
     // window that derives `rn` then runs over <= k rows per probe.
     "q29_cosine_topk" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val probes = corpus.where(col("vec_id") % 61 === 0)
+      val probes = corpus.where(probeSlice(61))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
       val scored = corpus
@@ -68,7 +82,7 @@ object SimilarityQueries {
     // ANN: probes meet only their own hyperplane-sign bucket
     "q30_ann_lsh" -> ((s, dir) => {
       val bucketed = emb(s, dir).withColumn("bucket", lshBucket(col("embedding")))
-      val probes = bucketed.where(col("vec_id") % 61 === 0)
+      val probes = bucketed.where(probeSlice(61))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"), col("bucket").as("pbucket"))
       val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
@@ -114,7 +128,7 @@ object SimilarityQueries {
       }: _*))
       val cells = corpus.select(col("vec_id"), col("embedding"), col("n2"),
         (-best.getField("nid")).as("cell"))
-      val probes = cells.where(col("vec_id") % 61 === 0)
+      val probes = cells.where(probeSlice(61))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"), col("cell").as("pcell"))
       val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
@@ -131,7 +145,7 @@ object SimilarityQueries {
     // near-dup screen: incoming batch (2% id slice) vs corpus
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val probes = corpus.where(col("vec_id") % 50 === 0)
+      val probes = corpus.where(probeSlice(50))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
       corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -148,7 +162,7 @@ object SimilarityQueries {
       "q29_cosine_topk" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
-           |      FROM e WHERE vec_id % 61 = 0)
+           |      FROM e WHERE ${sqlProbeSlice(61)})
            |SELECT probe_id, vec_id, cosine, rn FROM (
            |  SELECT p.probe_id, e.vec_id, $cos AS cosine,
            |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
@@ -160,7 +174,7 @@ object SimilarityQueries {
            |b AS (SELECT vec_id, embedding, n2,
            |        ${sqlLshBucket("embedding")} AS bucket FROM e),
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2,
-           |        bucket AS pbucket FROM b WHERE vec_id % 61 = 0)
+           |        bucket AS pbucket FROM b WHERE ${sqlProbeSlice(61)})
            |SELECT probe_id, vec_id, bucket, cosine, rn FROM (
            |  SELECT p.probe_id, b.vec_id, b.bucket,
            |    ${sqlCosineFrom(sqlDot("p.pe", "b.embedding"), "p.pn2", "b.n2")} AS cosine,
@@ -182,7 +196,7 @@ object SimilarityQueries {
            |        ORDER BY $cCos DESC, c.c_id) AS rn
            |    FROM e, c) WHERE rn = 1),
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2, cell
-           |      FROM cells WHERE vec_id % 61 = 0)
+           |      FROM cells WHERE ${sqlProbeSlice(61)})
            |SELECT probe_id, vec_id, cell, cosine, rn FROM (
            |  SELECT p.probe_id, cl.vec_id, cl.cell, $pCos AS cosine,
            |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
@@ -194,7 +208,7 @@ object SimilarityQueries {
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
-           |      FROM e WHERE vec_id % 50 = 0)
+           |      FROM e WHERE ${sqlProbeSlice(50)})
            |SELECT probe_id, vec_id, cosine FROM (
            |  SELECT p.probe_id, e.vec_id, $cos AS cosine
            |  FROM p JOIN e ON e.vec_id <> p.probe_id)
