@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,40 @@ import org.apache.spark.sql.functions._
 object TextAnalysisQueries {
 
   private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** PII patterns shared by the Spark plan and the DuckDB twin —
+    * lowercase classes (the corpus is lowercase), and only syntax in
+    * the Java-regex ∩ RE2 intersection (no lookarounds, no backrefs).
+    */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val urlRe = "https?://[a-z0-9.-]+(/[^ ]*)?"
+
+  /** The synthetic corpus carries no PII/URLs, so q61/q63 WEAVE
+    * deterministic tokens into each doc (same construction in the
+    * oracle) and run the real redaction/extraction machinery on top —
+    * the operator under test is the regex pipeline, not the fixture.
+    */
+  private def piiText: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail"), (col("doc_id") % 7).cast("string"),
+    lit(".com via 10."), (col("doc_id") % 256).cast("string"),
+    lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+    lit("."), ((col("doc_id") * 13) % 256).cast("string"))
+  private val sqlPiiText =
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@mail', " +
+      "CAST(doc_id % 7 AS VARCHAR), '.com via 10.', " +
+      "CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR), " +
+      "'.', CAST((doc_id * 13) % 256 AS VARCHAR))"
+
+  private def urlText: Column = concat(col("text"),
+    lit(" see https://www.site"), (col("doc_id") % 23).cast("string"),
+    lit(".com/p/"), col("doc_id").cast("string"),
+    lit(" and http://cdn"), (col("doc_id") % 5).cast("string"), lit(".net/x"))
+  private val sqlUrlText =
+    "concat(text, ' see https://www.site', CAST(doc_id % 23 AS VARCHAR), " +
+      "'.com/p/', CAST(doc_id AS VARCHAR), ' and http://cdn', " +
+      "CAST(doc_id % 5 AS VARCHAR), '.net/x')"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // n-gram/stopword language-ID heuristic vs the labeled lang column
@@ -135,6 +169,61 @@ object TextAnalysisQueries {
           array_min(fps).as("min_fp"),
           array_max(fps).as("max_fp"))
         .orderBy("doc_id")
+    }),
+
+    // PII scrub: count + redact emails and IPv4s in one scan-stage
+    // pass (regexp_count + chained regexp_replace, all codegen'd).
+    // redacted_len/redacted_tail hash-gate the actual replacement
+    // output, not just the counts. At 100 TB this is a pure map —
+    // no shuffle except the oracle-mandated sort.
+    "q61_pii_redact" -> ((s, dir) => {
+      val redacted = regexp_replace(
+        regexp_replace(piiText, emailRe, "<EMAIL>"), ipRe, "<IP>")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(piiText, lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(piiText, lit(ipRe)).cast("long").as("n_ips"),
+          length(redacted).cast("long").as("redacted_len"),
+          // last 32 chars of the redacted text (every doc exceeds 32
+          // chars: the woven suffix alone is ~38) — hash-gates content
+          substring(redacted, -32, 32).as("redacted_tail"))
+        .orderBy("doc_id")
+    }),
+
+    // within-doc repetition: word-frequency profile per document —
+    // total/distinct tokens, hottest token count, repeated-token
+    // ratio (the boilerplate/spam signal a pre-training cleanup
+    // thresholds on). explode → (doc, word) partial-agg → per-doc agg:
+    // two map-side-combined shuffles, no per-doc state on the driver.
+    "q62_repetition" -> ((s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), w => w =!= "")).as("word"))
+      words.groupBy("doc_id", "word").agg(count(lit(1)).as("f"))
+        .groupBy("doc_id")
+        .agg(sum(col("f")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("f")).as("max_freq"),
+          ((sum(col("f")) - count(lit(1))).cast("double") /
+            sum(col("f")).cast("double")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // URL extraction + domain filtering: extract-all → explode →
+    // domain parse → blocklist filter → per-domain rollup. The
+    // extraction fan-out is bounded by URLs per doc; the only real
+    // shuffle is the tiny domain agg.
+    "q63_url_domains" -> ((s, dir) => {
+      val urls = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(urlText, lit(urlRe), lit(0))).as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+      urls.where(!col("domain").endsWith(".net")) // blocklist demo
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -214,5 +303,36 @@ object TextAnalysisQueries {
          |      list_transform(range(1, length(text) - 6),
          |        i -> ${sqlPolyHash("substring(text, CAST(i AS INT), 8)")}) AS hs
          |    FROM documents))
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q61_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+         |  CAST(length(red) AS BIGINT) AS redacted_len,
+         |  substring(red, -32, 32) AS redacted_tail
+         |FROM (
+         |  SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+         |      '$ipRe', '<IP>', 'g') AS red
+         |  FROM (SELECT doc_id, $sqlPiiText AS t FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "q62_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT doc_id, word, COUNT(*) AS f FROM w
+        |      WHERE word <> '' GROUP BY doc_id, word)
+        |SELECT doc_id, CAST(SUM(f) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_distinct, CAST(MAX(f) AS BIGINT) AS max_freq,
+        |  CAST(SUM(f) - COUNT(*) AS DOUBLE) / CAST(SUM(f) AS DOUBLE) AS rep_ratio
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q63_url_domains" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all($sqlUrlText, '$urlRe')) AS url
+         |  FROM documents),
+         |d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS domain
+         |      FROM u)
+         |SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM d WHERE NOT domain LIKE '%.net'
+         |GROUP BY domain ORDER BY domain""".stripMargin)
 }
