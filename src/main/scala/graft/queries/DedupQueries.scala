@@ -43,6 +43,44 @@ object DedupQueries {
   private def sqlDocHashes: String =
     s"hashes AS (SELECT doc_id, ${sqlShingleHashes("text")} AS hs FROM documents)"
 
+  /** q27's LSH candidate pipeline, shared with q64's clustering.
+    * The whole signature is ONE codegen'd map pass (MinHashSig) — no
+    * explode, no groupBy shuffle; cached (5k rows × 16 longs) so the
+    * band self-join doesn't recompute the chain per side. Bands stay
+    * NARROW (4 longs/row): signatures rejoin AFTER the pair distinct,
+    * so the band self-join and the dedup shuffle never carry the
+    * 16-long arrays — at scale the candidate distinct is the wide
+    * shuffle and its row width matters.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = hashArrays(s, dir)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(col("hs")).as("sig"))
+      .where(col("sig").isNotNull)
+      .cache()
+    val bandStructs = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        element_at(col("sig"), b * minhashBandRows + 1).as("h1"),
+        element_at(col("sig"), b * minhashBandRows + 2).as("h2"))
+    }
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
+          col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
+      .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)).cast("double") / minhashK).as("est_sim"))
+      .where(col("est_sim") >= minhashEstThreshold)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup on the canonical token-set form: single hash shuffle,
     // map-side partial agg; representative = min doc_id
@@ -97,42 +135,47 @@ object DedupQueries {
 
     // MinHash signatures + banded LSH: only docs colliding in a band
     // ever meet; est_sim from the signatures (no raw-text re-read)
-    "q27_minhash_lsh" -> ((s, dir) => {
-      // the whole signature is ONE codegen'd map pass (MinHashSig) —
-      // no explode, no groupBy shuffle; cached (5k rows × 16 longs) so
-      // the band self-join doesn't recompute the chain per side
-      val sig = hashArrays(s, dir)
-        .select(col("doc_id"),
-          graft.functions.MinHashSig(col("hs")).as("sig"))
-        .where(col("sig").isNotNull)
+    "q27_minhash_lsh" -> ((s, dir) =>
+      lshCandidates(s, dir).orderBy("doc_a", "doc_b")),
+
+    // near-dup CLUSTERS: connected components over the q27 candidate
+    // graph via Pregel-style min-label propagation — label(v) converges
+    // to the min doc_id of v's component in diameter-many rounds (one
+    // shuffle-agg + one join per round; near-dup components are tiny,
+    // so 2-3 rounds in practice). This is the step between "candidate
+    // pairs" and "keep one representative per dup group": at 100 TB the
+    // edge list is ∝ near-dups, every round is hash-partitioned on the
+    // node id, and nothing ever materializes a component on one
+    // executor. The oracle computes the same labels as a recursive-CTE
+    // transitive closure.
+    "q64_dedup_clusters" -> ((s, dir) => {
+      val pairs = lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .cache()
-      val bandStructs = (0 until minhashBands).map { b =>
-        struct(lit(b).as("band"),
-          element_at(col("sig"), b * minhashBandRows + 1).as("h1"),
-          element_at(col("sig"), b * minhashBandRows + 2).as("h2"))
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .cache()
+      var changed = 1L
+      while (changed > 0) {
+        val neighborMin = edges
+          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label"))
+          .cache()
+        changed = next.select(col("node"), col("label").as("new_label"))
+          .join(labels, "node")
+          .where(col("new_label") =!= col("label")).count()
+        labels.unpersist()
+        labels = next
       }
-      // bands stay NARROW (4 longs/row): signatures rejoin AFTER the
-      // pair distinct, so the band self-join and the dedup shuffle
-      // never carry the 16-long arrays — at scale the candidate
-      // distinct is the wide shuffle and its row width matters
-      val bands = sig.select(col("doc_id"),
-        explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.h1"), col("bk.h2"))
-      val pairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
-            col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val cand = pairs
-        .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
-        .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
-      cand
-        .select(col("doc_a"), col("doc_b"),
-          (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
-            b => b)).cast("double") / minhashK).as("est_sim"))
-        .where(col("est_sim") >= minhashEstThreshold)
-        .orderBy("doc_a", "doc_b")
+      labels.groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
+        .orderBy("cluster_rep")
     }),
 
     // SimHash + pigeonhole chunk join: hamming <= 3 over 4 chunks of a
@@ -170,6 +213,27 @@ object DedupQueries {
 
   def oracle: Map[String, String] = {
     val sigList = (0 until minhashK).map(k => sqlMinhash("hs", k)).mkString("[", ",\n    ", "]")
+    // q27's candidate pipeline as a CTE chain, shared with q64
+    val sqlLshEst =
+      s"""$sqlDocHashes,
+         |sig AS (SELECT doc_id, $sigList AS sig FROM hashes),
+         |bands AS (
+         |  SELECT doc_id, sig, CAST(i AS INT) AS band,
+         |    sig[CAST(${minhashBandRows} * i + 1 AS INT)] AS h1,
+         |    sig[CAST(${minhashBandRows} * i + 2 AS INT)] AS h2
+         |  FROM sig, range(0, $minhashBands) r(i)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sig AS sa, b.sig AS sb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         |      AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_filter(range(1, ${minhashK + 1}),
+         |      i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) AS DOUBLE)
+         |      / $minhashK AS est_sim
+         |  FROM cand)""".stripMargin
     val chunkArms = (0 until simhashChunks)
       .map(c => s"SELECT doc_id, sh, $c AS ci, ${sqlSimhashChunk("sh", c)} AS cv FROM sh")
       .mkString("\nUNION ALL\n")
@@ -205,27 +269,26 @@ object DedupQueries {
            |WHERE jaccard >= $jaccardThreshold
            |ORDER BY doc_a, doc_b""".stripMargin,
       "q27_minhash_lsh" ->
-        s"""WITH $sqlDocHashes,
-           |sig AS (SELECT doc_id, $sigList AS sig FROM hashes),
-           |bands AS (
-           |  SELECT doc_id, sig, CAST(i AS INT) AS band,
-           |    sig[CAST(${minhashBandRows} * i + 1 AS INT)] AS h1,
-           |    sig[CAST(${minhashBandRows} * i + 2 AS INT)] AS h2
-           |  FROM sig, range(0, $minhashBands) r(i)),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    a.sig AS sa, b.sig AS sb
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-           |      AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, est_sim FROM (
-           |  SELECT doc_a, doc_b,
-           |    CAST(len(list_filter(range(1, ${minhashK + 1}),
-           |      i -> sa[CAST(i AS INT)] = sb[CAST(i AS INT)])) AS DOUBLE)
-           |      / $minhashK AS est_sim
-           |  FROM cand)
+        s"""WITH $sqlLshEst
+           |SELECT doc_a, doc_b, est_sim FROM est
            |WHERE est_sim >= $minhashEstThreshold
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // transitive closure over the same candidate pairs; label(v) =
+      // min reachable doc_id == the propagation fixpoint
+      "q64_dedup_clusters" ->
+        s"""WITH RECURSIVE $sqlLshEst,
+           |pairs AS (SELECT doc_a, doc_b FROM est
+           |          WHERE est_sim >= $minhashEstThreshold),
+           |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+           |labels AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a)
+           |SELECT label AS cluster_rep, COUNT(*) AS n_members,
+           |  MAX(node) AS max_doc
+           |FROM labels GROUP BY label ORDER BY cluster_rep""".stripMargin,
       "q28_simhash" ->
         s"""WITH $sqlDocHashes,
            |sh AS (SELECT doc_id, ${sqlSimhash("hs")} AS sh
