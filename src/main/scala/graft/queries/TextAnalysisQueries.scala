@@ -209,6 +209,82 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // quantile-based filtering: keep docs at or above the global p75
+    // length — the "top-quartile quality band" selection. Two passes:
+    // a tiny scalar agg (exact percentile, broadcast back) then a
+    // scan-stage filter + rollup. n_chars is integer-valued and 0.75
+    // is binary-exact, so the interpolated threshold is bit-identical
+    // cross-engine. At 100 TB the scale path swaps the exact
+    // percentile for ApproxStats' sketch with zero shape change.
+    "q65_quantile_filter" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val thr = docs.agg(
+        expr("percentile(n_chars, 0.75D)").as("p75"))
+      docs.join(broadcast(thr))
+        .where(col("n_chars").cast("double") >= col("p75"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"))
+        .orderBy("lang")
+    }),
+
+    // stratified downsampling: per-language keep rates applied via a
+    // deterministic content-hash draw — reproducible on any cluster
+    // size/partition layout (rng sample() is not), and exact dups get
+    // the same draw so a kept doc's copies stay together. Pure map +
+    // tiny rollup.
+    "q66_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 25).otherwise(75)
+      val kept = pmod(polyHash(col("text")), lit(100)) < rate
+      Tables(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(kept, 1)).as("n_kept"),
+          sum(when(kept, col("n_chars"))).as("kept_chars"))
+        .orderBy("lang")
+    }),
+
+    // dataset-mixing weights: per-source inverse-sqrt frequency weight
+    // normalized against the LARGEST source (max-normalization keeps
+    // every arithmetic step a deterministic scalar op — a sum-normalized
+    // weight would divide by an order-sensitive float reduction).
+    "q67_mix_weights" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val maxN = counts.agg(max(col("n_docs")).as("max_n"))
+      counts.join(broadcast(maxN))
+        .select(col("source"), col("n_docs"),
+          sqrt(col("max_n").cast("double") / col("n_docs").cast("double"))
+            .as("weight"))
+        .orderBy("source")
+    }),
+
+    // sequence packing: greedy sequential fill of fixed token-budget
+    // bins via a running token cumsum — bin = (cum - tokens) / budget.
+    // Packing needs an order, so the stream is SHARDED (doc_id % 8)
+    // and the window partitions by shard: each shard's prefix-sum runs
+    // independently — the distributed form of what a single global
+    // window (one-partition anti-pattern) would compute. The budget is
+    // a power of two, so fill_ratio is an exact binary division.
+    "q68_seq_packing" -> ((s, dir) => {
+      val budget = 2048
+      val toks = size(filter(split(col("text"), " "), w => w =!= ""))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          toks.cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("shard"),
+          ((col("cum") - col("toks")) / budget).cast("long").as("bin"),
+          col("toks"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"),
+          (sum(col("toks")).cast("double") / budget).as("fill_ratio"))
+        .orderBy("shard", "bin")
+    }),
+
     // URL extraction + domain filtering: extract-all → explode →
     // domain parse → blocklist filter → per-domain rollup. The
     // extraction fan-out is bounded by URLs per doc; the only real
@@ -325,6 +401,40 @@ object TextAnalysisQueries {
         |  COUNT(*) AS n_distinct, CAST(MAX(f) AS BIGINT) AS max_freq,
         |  CAST(SUM(f) - COUNT(*) AS DOUBLE) / CAST(SUM(f) AS DOUBLE) AS rep_ratio
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q65_quantile_filter" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, 0.75) AS p75 FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(n_chars) AS min_chars
+        |FROM documents, t WHERE CAST(n_chars AS DOUBLE) >= p75
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q66_stratified_sample" ->
+      s"""SELECT lang, COUNT(*) AS n_total,
+         |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN n_chars END) AS BIGINT) AS kept_chars
+         |FROM (SELECT lang, n_chars,
+         |    (${sqlPolyHash("text")} % 100)
+         |      < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END) AS kept
+         |  FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q67_mix_weights" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |m AS (SELECT MAX(n_docs) AS max_n FROM c)
+        |SELECT source, n_docs,
+        |  sqrt(CAST(max_n AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS weight
+        |FROM c, m ORDER BY source""".stripMargin,
+    "q68_seq_packing" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS toks
+        |  FROM documents),
+        |c AS (SELECT shard, toks, SUM(toks) OVER (PARTITION BY shard
+        |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS cum FROM d)
+        |SELECT shard, CAST((cum - toks) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(toks) AS DOUBLE) / 2048 AS fill_ratio
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q63_url_domains" ->
       s"""WITH u AS (
          |  SELECT doc_id,

@@ -38,7 +38,9 @@ class PlanShapeSpec extends SparkSuite {
     * side) in q38/q47.
     */
   private val bnljAllowed = Set("q26_ngram_jaccard", "q29_cosine_topk",
-    "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel")
+    "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel",
+    // one-row broadcast scalars (percentile threshold / max count)
+    "q65_quantile_filter", "q67_mix_weights")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
