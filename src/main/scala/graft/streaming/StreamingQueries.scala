@@ -100,6 +100,44 @@ object StreamingQueries {
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
+    }),
+
+    // E20 streaming dedup, oracle-gated: dropDuplicates over
+    // (user_id, event_type) run through the incremental engine — the
+    // streaming state store sees every key, Append emits each key's
+    // first arrival. The output is ONLY the key columns, so the result
+    // is the distinct key set regardless of which physical row won the
+    // race — the determinism contract a streaming dedup must offer
+    // (non-key columns of "the first row" are arrival-order-dependent
+    // by definition). Oracle: plain SELECT DISTINCT.
+    "q69_stream_dedup" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = Files.createTempDirectory("graft-q69-src")
+      val ckpt = Files.createTempDirectory("graft-q69-ckpt")
+      val sink = s"graft_q69_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val dedup = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .dropDuplicates("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+        val query = dedup.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("user_id", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
     }))
 
   def oracle: Map[String, String] = Map(
@@ -114,5 +152,8 @@ object StreamingQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM e WHERE window_us + $windowUs <= (SELECT w FROM wm)
          |GROUP BY window_us, event_type
-         |ORDER BY window_us, event_type""".stripMargin)
+         |ORDER BY window_us, event_type""".stripMargin,
+    "q69_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
 }

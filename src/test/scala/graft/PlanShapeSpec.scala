@@ -21,11 +21,13 @@ class PlanShapeSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // q59 runs the streaming engine eagerly (stages files, executes a
-  // micro-batch) — its incremental plan is StreamingSpec territory.
+  // q59/q69 run the streaming engine eagerly (stage files, execute a
+  // micro-batch) — their incremental plans are StreamingSpec territory.
+  private val streamingQueries = Set("q59_stream_window", "q69_stream_dedup")
+
   private lazy val plans: Map[String, SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.queries.view.filterKeys(_ != "q59_stream_window").toMap
+    try SparkEntry.queries.view.filterKeys(!streamingQueries(_)).toMap
       .map { case (name, fn) =>
         name -> fn(spark, dir).queryExecution.executedPlan
       }
