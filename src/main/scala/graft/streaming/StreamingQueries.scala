@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.DecimalType
 
 /** Oracle-gated Structured Streaming: the windowed-count plan from
@@ -42,6 +42,18 @@ object StreamingQueries {
   private val dec2 = DecimalType(18, 2)
   private val windowUs = 300000000L // 5 minutes
   private val delayUs = 600000000L // 10-minute watermark delay
+  private val gapUs = 3600L * 1000000L // q33's 1-hour session gap
+  private val gapMs = gapUs / 1000L
+
+  /** q70's custom state: the open session plus how many sessions this
+    * user has already closed (so the timeout flush can number it).
+    */
+  // NOT private: the state/object encoders generate Java that must
+  // reach the constructor
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sid: Long)
+  case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
 
   // unique sink/checkpoint per invocation — Bench runs the query three
   // times (warmup + 2 timed) in one session
@@ -138,6 +150,79 @@ object StreamingQueries {
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
+    }),
+
+    // E21 oracle-gated: q33's sessionization run through
+    // flatMapGroupsWithState with an EVENT-TIME TIMEOUT — gap-closed
+    // sessions emit in the data batch; each user's final open session
+    // emits only when the watermark passes its timeout (the no-data
+    // batch AvailableNow runs last), exactly like a production session
+    // stream. The state function sorts its batch's timestamps (the
+    // grouped iterator has no order contract) and carries µs longs
+    // (Timestamp.getTime would floor to ms). Emission mirrored in SQL:
+    // open session emitted iff end_ms + gap < watermark_ms.
+    "q70_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = Files.createTempDirectory("graft-q70-src")
+      val ckpt = Files.createTempDirectory("graft-q70-ckpt")
+      val sink = s"graft_q70_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val sessions = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "10 minutes")
+          // the watermarked column must survive into the stateful op's
+          // input (UnsupportedOperationChecker requires it), even
+          // though the state function reads the µs long
+          .select(col("user_id").as[Long], col("ts_us").as[Long],
+            col("event_time").as[java.sql.Timestamp])
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[SessionState, SessionOut](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            case (user, rows, state: GroupState[SessionState]) =>
+              if (state.hasTimedOut) {
+                val st = state.get
+                state.remove()
+                Iterator(SessionOut(user, st.sid, st.n, st.startUs, st.lastUs))
+              } else {
+                val times = rows.map(_._2).toSeq.sorted
+                val (closed, open) = times.foldLeft(
+                  (List.empty[SessionOut], state.getOption)) {
+                  case ((done, Some(st)), t) if t - st.lastUs > gapUs =>
+                    (SessionOut(user, st.sid, st.n, st.startUs, st.lastUs) :: done,
+                      Some(SessionState(t, t, 1, st.sid + 1)))
+                  case ((done, Some(st)), t) =>
+                    (done, Some(SessionState(st.startUs, math.max(st.lastUs, t),
+                      st.n + 1, st.sid)))
+                  case ((done, None), t) =>
+                    (done, Some(SessionState(t, t, 1, 1)))
+                }
+                open.foreach { st =>
+                  state.update(st)
+                  state.setTimeoutTimestamp(st.lastUs / 1000L + gapMs)
+                }
+                closed.reverseIterator
+              }
+          }
+        val query = sessions.toDF().writeStream.format("memory")
+          .queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("user_id", "session_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
     }))
 
   def oracle: Map[String, String] = Map(
@@ -155,5 +240,39 @@ object StreamingQueries {
          |ORDER BY window_us, event_type""".stripMargin,
     "q69_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin,
+    // q33's gap sessions + the streaming emission predicate: every
+    // gap-closed session (session_id < user's max) emits in the data
+    // batch; the final open session emits iff its event-time timeout
+    // (end_ms + gap) has passed the final watermark (ms-floored max
+    // event time minus the delay) — Spark fires the timeout when the
+    // watermark advances STRICTLY beyond the set timestamp.
+    "q70_stream_sessions" ->
+      s"""WITH t AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS prev_us
+         |  FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |      OR ts_us - prev_us > $gapUs THEN 1 ELSE 0 END AS ns
+         |  FROM t),
+         |sess AS (
+         |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         |  FROM m),
+         |agg AS (
+         |  SELECT user_id, session_id, COUNT(*) AS n_events,
+         |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+         |  FROM sess GROUP BY user_id, session_id),
+         |mx AS (SELECT user_id, MAX(session_id) AS max_sid FROM agg
+         |       GROUP BY user_id),
+         |wm AS (SELECT MAX(epoch_ms(ts)) - ${delayUs / 1000} AS w FROM events)
+         |SELECT a.user_id, a.session_id, a.n_events, a.start_us, a.end_us
+         |FROM agg a JOIN mx ON a.user_id = mx.user_id
+         |WHERE a.session_id < mx.max_sid
+         |   OR (a.end_us // 1000) + $gapMs < (SELECT w FROM wm)
+         |ORDER BY a.user_id, a.session_id""".stripMargin)
 }
