@@ -223,6 +223,47 @@ object StreamingQueries {
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
+    }),
+
+    // E39 oracle-gated: stream-static enrichment — the event stream
+    // joins a BATCH dimension (nation, keyed by a derived user bucket)
+    // inside the micro-batch; the static side broadcasts per batch, no
+    // stream state, no stream shuffle. Aggregation happens post-sink
+    // (the gated contract is the enriched row set).
+    "q71_stream_enrich" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = Files.createTempDirectory("graft-q71-src")
+      val ckpt = Files.createTempDirectory("graft-q71-ckpt")
+      val sink = s"graft_q71_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val dim = s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))
+        val enriched = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("n_nationkey", col("user_id") % 25)
+          .join(broadcast(dim), "n_nationkey")
+          .select(col("event_id"), col("n_name"),
+            col("value").cast(dec2).as("v"))
+        val query = enriched.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink)
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("v")).cast("double").as("sum_value"))
+          .orderBy("n_name")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
     }))
 
   def oracle: Map[String, String] = Map(
@@ -274,5 +315,10 @@ object StreamingQueries {
          |FROM agg a JOIN mx ON a.user_id = mx.user_id
          |WHERE a.session_id < mx.max_sid
          |   OR (a.end_us // 1000) + $gapMs < (SELECT w FROM wm)
-         |ORDER BY a.user_id, a.session_id""".stripMargin)
+         |ORDER BY a.user_id, a.session_id""".stripMargin,
+    "q71_stream_enrich" ->
+      """SELECT n.n_name, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
 }

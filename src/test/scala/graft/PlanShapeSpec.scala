@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkSuite {
   // q59/q69 run the streaming engine eagerly (stage files, execute a
   // micro-batch) — their incremental plans are StreamingSpec territory.
   private val streamingQueries =
-    Set("q59_stream_window", "q69_stream_dedup", "q70_stream_sessions")
+    Set("q59_stream_window", "q69_stream_dedup", "q70_stream_sessions",
+      "q71_stream_enrich")
 
   private lazy val plans: Map[String, SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
