@@ -84,6 +84,16 @@ object Demo {
       show("q47_funnel")
       show("q54_topk_custom")
       show("q55_winnowing")
+      // round-5 pipeline surface: skew salting, PII scrub, repetition,
+      // URL rollup, dup clustering, sampling/mixing/packing, streaming
+      show("q60_skew_join")
+      show("q61_pii_redact")
+      show("q62_repetition")
+      show("q63_url_domains")
+      show("q64_dedup_clusters")
+      show("q66_stratified_sample")
+      show("q68_seq_packing")
+      show("q70_stream_sessions")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)

@@ -75,8 +75,11 @@ object ScaleUp {
       // events file with Files.copy, which needs a regular file)
       val tmp = s"$dest/.tmp_$name"
       out.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString
-        .endsWith(".parquet")).findFirst.get
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        finally listing.close()
       Files.move(part, Paths.get(s"$dest/$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       deleteRecursively(Paths.get(tmp))
