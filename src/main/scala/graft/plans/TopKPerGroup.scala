@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, RowOrder
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.internal.SQLConf
 
@@ -70,12 +71,23 @@ case class TopKPartialExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(UnspecifiedDistribution)
 
+  // cluster-scale observability: combine ratio = output/input rows,
+  // and whether the flush budget ever triggered (a signal the group
+  // cardinality outgrew the partial tier)
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext, "budget-triggered flushes"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val ord = order
     val kk = k
     val budget = flushRows
     val keyExprs = groupCols
     val childOutput = child.output
+    val outRows = longMetric("numOutputRows")
+    val inRows = longMetric("numInputRows")
+    val flushes = longMetric("numFlushes")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = RowOrdering.create(ord, childOutput)
@@ -108,6 +120,7 @@ case class TopKPartialExec(
         val out = heaps.valuesIterator.flatMap(_.iterator).toArray
         heaps.clear()
         bufRows = 0L
+        outRows.add(out.length)
         out.iterator
       }
       new Iterator[InternalRow] {
@@ -117,7 +130,11 @@ case class TopKPartialExec(
             // at most `budget` rows buffered; the max(1) floors the
             // budget so each drain cycle always makes progress (a zero
             // budget still buffers one row per cycle)
-            while (iter.hasNext && bufRows < budget.max(1L)) insert(iter.next())
+            while (iter.hasNext && bufRows < budget.max(1L)) {
+              insert(iter.next())
+              inRows.add(1)
+            }
+            if (iter.hasNext) flushes.add(1) // budget, not end-of-input
             cur = drain()
           }
           cur.hasNext
@@ -159,10 +176,16 @@ case class TopKFinalExec(
     Seq(groupOrdering ++ order)
   override def outputOrdering: Seq[SortOrder] = groupOrdering ++ order
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val keyExprs = groupCols
     val childOutput = child.output
+    val outRows = longMetric("numOutputRows")
+    val nGroups = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // group boundaries by ORDERING equality, not UnsafeRow byte
@@ -180,9 +203,12 @@ case class TopKFinalExec(
         if (curKey == null || keyCmp.compare(key, curKey) != 0) {
           curKey = key.copy()
           emitted = 1
+          nGroups.add(1)
+          outRows.add(1)
           Iterator.single(row)
         } else if (emitted < kk) {
           emitted += 1
+          outRows.add(1)
           Iterator.single(row)
         } else Iterator.empty
       }

@@ -49,6 +49,10 @@ object ScaleUp {
     val factor = factorS.toInt
     require(factor >= 1 && factor <= alphabet.length,
       s"factor must be in [1, ${alphabet.length}]")
+    // getOrCreate may return a caller's session (e.g. the shared test
+    // session) — only stop what this tool itself created
+    val preexisting = SparkSession.getDefaultSession
+      .orElse(SparkSession.getActiveSession).isDefined
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scaleup")
@@ -111,7 +115,7 @@ object ScaleUp {
     replicate("embeddings", (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecShift)))
 
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -94,6 +94,40 @@ class TopKPerGroupSpec extends SparkSuite {
     } finally spark.conf.unset(TopKStrategy.flushRowsKey)
   }
 
+  test("operator metrics report combine ratio, groups, and budget flushes") {
+    import graft.plans.{TopKFinalExec, TopKPartialExec}
+    // AQE wraps executed stages in QueryStageExec nodes that
+    // plan.collect does not traverse — run this test's plans static
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nGroups = orders.select("o_custkey").distinct().count()
+      val df = TopK.perGroup(orders, Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
+      // collect() executes df's OWN plan instance — count() would build
+      // and execute a different one, leaving these metrics untouched
+      val expected = df.collect().length
+      val plan = finalPlan(df)
+      val partial = plan.collect { case p: TopKPartialExec => p }.head
+      val fin = plan.collect { case f: TopKFinalExec => f }.head
+      assert(partial.metrics("numInputRows").value === orders.count())
+      // map-side combine: partial output strictly below input, final
+      // output = query result, group count = distinct keys
+      assert(partial.metrics("numOutputRows").value < orders.count())
+      assert(partial.metrics("numFlushes").value === 0) // default budget never trips
+      assert(fin.metrics("numOutputRows").value === expected)
+      assert(fin.metrics("numGroups").value === nGroups)
+      // a 4-row budget MUST record flushes on the same data
+      spark.conf.set(TopKStrategy.flushRowsKey, "4")
+      try {
+        val df2 = TopK.perGroup(orders, Seq("o_custkey"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
+        df2.collect()
+        val p2 = finalPlan(df2).collect { case p: TopKPartialExec => p }.head
+        assert(p2.metrics("numFlushes").value > 0)
+      } finally spark.conf.unset(TopKStrategy.flushRowsKey)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("final phase is sort-based: a spill-safe Sort sits between the exchange and the final exec") {
     val df = TopK.perGroup(orders, Seq("o_custkey"),
       Seq("o_totalprice" -> true, "o_orderkey" -> false), 2)
