@@ -117,7 +117,11 @@ object StreamingQueries {
     // E20 streaming dedup, oracle-gated: dropDuplicates over
     // (user_id, event_type) run through the incremental engine — the
     // streaming state store sees every key, Append emits each key's
-    // first arrival. The output is ONLY the key columns, so the result
+    // first arrival. (Scale note: plain dropDuplicates state is
+    // unbounded by design — exact forever-dedup; a real deployment
+    // with bounded keys-per-horizon uses dropDuplicatesWithinWatermark,
+    // which would re-emit keys recurring beyond the watermark and so
+    // cannot be gated against a global DISTINCT.) The output is ONLY the key columns, so the result
     // is the distinct key set regardless of which physical row won the
     // race — the determinism contract a streaming dedup must offer
     // (non-key columns of "the first row" are arrival-order-dependent
