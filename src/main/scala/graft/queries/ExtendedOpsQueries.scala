@@ -212,6 +212,50 @@ object ExtendedOpsQueries {
         .orderBy("skew_key")
     }),
 
+    // CDC MERGE: apply a change batch (upserts + deletes) to a
+    // snapshot in ONE full-outer hash join — the incremental-refresh
+    // primitive of a data-versioned pipeline (Delta/Iceberg MERGE INTO
+    // semantics, expressed on plain DataFrames). The change batch is
+    // derived deterministically from the snapshot so both engines
+    // construct the identical input: keys %11==0 delete, else %7==0
+    // reprice ×1.1 (IEEE multiply, cross-engine exact), plus one
+    // shifted insert per %13==0 key. Result = per-status rollup of the
+    // merged table. One shuffle each side of the join at scale; with a
+    // bucketed snapshot the join becomes co-located.
+    "q72_cdc_merge" -> ((s, dir) => {
+      val snap = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val keyShift = 10000000L
+      // decimal-first repricing: dec(18,2) × dec(2,1) is EXACT decimal
+      // arithmetic in both engines — a double×1.1 then cast-to-decimal
+      // would hit engine-specific rounding at the third digit
+      val dec3 = DecimalType(21, 3)
+      val priceDec = col("o_totalprice").cast(dec2)
+      val changes = snap
+        .where(col("o_orderkey") % 11 === 0 || col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("c_key"),
+          when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+          (priceDec * lit(BigDecimal("1.1"))).cast(dec3).as("c_price"),
+          col("o_orderstatus").as("c_status"))
+        .unionAll(snap.where(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + keyShift).as("c_key"),
+            lit("I").as("op"), priceDec.cast(dec3).as("c_price"),
+            lit("N").as("c_status")))
+      val merged = snap.join(changes, col("o_orderkey") === col("c_key"),
+          "full_outer")
+        .where(col("op").isNull || col("op") =!= "D") // deletes drop
+        .select(
+          coalesce(col("o_orderkey"), col("c_key")).as("key"),
+          when(col("op") === "U" || col("op") === "I", col("c_price"))
+            .otherwise(priceDec.cast(dec3)).as("price"),
+          when(col("op") === "I", col("c_status"))
+            .otherwise(col("o_orderstatus")).as("status"))
+      merged.groupBy("status")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price")).cast("double").as("sum_price"))
+        .orderBy("status")
+    }),
+
     // HLL++ approximate distinct users per event type — mergeable
     // fixed-memory sketch, the 100 TB replacement for exact distinct.
     // The raw estimate is engine-specific, so the hashed output carries
@@ -395,6 +439,30 @@ object ExtendedOpsQueries {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ev e JOIN dim d USING (skew_key)
         |GROUP BY e.skew_key ORDER BY e.skew_key""".stripMargin,
+    "q72_cdc_merge" ->
+      """WITH snap AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey AS c_key,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(price_dec * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3)) AS c_price,
+        |    o_orderstatus AS c_status
+        |  FROM snap WHERE o_orderkey % 11 = 0 OR o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I',
+        |    CAST(price_dec AS DECIMAL(21,3)), 'N'
+        |  FROM snap WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT COALESCE(s.o_orderkey, c.c_key) AS key,
+        |    CASE WHEN c.op IN ('U', 'I') THEN c.c_price
+        |         ELSE CAST(s.price_dec AS DECIMAL(21,3)) END AS price,
+        |    CASE WHEN c.op = 'I' THEN c.c_status
+        |         ELSE s.o_orderstatus END AS status
+        |  FROM snap s FULL OUTER JOIN changes c ON s.o_orderkey = c.c_key
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT status, COUNT(*) AS n_rows,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
     "q49_approx_distinct" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS exact_users,

@@ -48,8 +48,11 @@ class PlanShapeSpec extends SparkSuite {
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
-      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
-        s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
+      // q72's full-outer CDC merge joins two LARGE sides on the key —
+      // sort-merge is the designed 100 TB plan there, nowhere else
+      if (name != "q72_cdc_merge")
+        assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+          s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
       if (name != "q60_skew_join")
         assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
