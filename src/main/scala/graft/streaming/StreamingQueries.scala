@@ -60,12 +60,7 @@ object StreamingQueries {
   private val runSeq = new AtomicInteger(0)
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p) // stream holds a directory fd until closed
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    graft.util.FileUtils.deleteRecursively(p)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E20 oracle-gated: per-(5-min window, event_type) counts + decimal

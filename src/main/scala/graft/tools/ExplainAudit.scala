@@ -12,19 +12,30 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     // `--summary` prints one line of load-bearing operator counts per
-    // query (all queries when none named) instead of full plans
+    // query (all BATCH queries when none named) instead of full plans.
+    // Streaming queries execute eagerly and return a collected
+    // LocalRelation — their incremental plans live in StreamingSpec,
+    // so the default listing skips them rather than print zeros.
+    val streaming = Set("q59_stream_window", "q69_stream_dedup",
+      "q70_stream_sessions", "q71_stream_enrich")
     val (flags, qs) = args.partition(_.startsWith("--"))
     if (flags.contains("--summary")) {
       val names =
-        if (qs.nonEmpty) qs.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+        if (qs.nonEmpty) qs.toSeq
+        else graft.SparkEntry.queries.keys.toSeq.sorted.filterNot(streaming)
       for (q <- names) {
         val plan =
           graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
         def n(op: String) = op.r.findAllIn(plan).size
+        // EXCH counts SHUFFLES only ("Exchange hashpartitioning(...)");
+        // a bare substring would also match BroadcastExchange. WIN
+        // must not count the WindowGroupLimit pushdown nodes.
+        val shuffles = n("(?<!Broadcast)Exchange ")
+        val windows = n("Window(?!GroupLimit)")
         println(f"$q%-24s BHJ=${n("BroadcastHashJoin")} SMJ=${n("SortMergeJoin")} " +
           s"SHJ=${n("ShuffledHashJoin")} BNLJ=${n("BroadcastNestedLoopJoin")} " +
-          s"CART=${n("CartesianProduct")} EXCH=${n("Exchange")} " +
-          s"WIN=${n("Window")} TOPK=${n("TopKPerGroup")}")
+          s"CART=${n("CartesianProduct")} BCAST=${n("BroadcastExchange")} " +
+          s"EXCH=$shuffles WIN=$windows TOPK=${n("TopKPerGroup")}")
       }
     } else for (q <- qs) {
       println(s"\n===================== $q =====================")

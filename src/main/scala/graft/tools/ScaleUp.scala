@@ -119,10 +119,5 @@ object ScaleUp {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    graft.util.FileUtils.deleteRecursively(p)
 }
