@@ -100,6 +100,21 @@ class McpServerSpec extends SparkSuite {
       "n1_system", "n1_debug", "n2_system", "n2_debug"))
   }
 
+  test("resources list and read round-trip; unknown uri errors") {
+    val d = newDispatcher
+    val Seq(list, nodes, bad) = roundTrip(d,
+      """{"jsonrpc":"2.0","id":1,"method":"resources/list"}""",
+      """{"jsonrpc":"2.0","id":2,"method":"resources/read","params":{"uri":"cassandra://logs/nodes"}}""",
+      """{"jsonrpc":"2.0","id":3,"method":"resources/read","params":{"uri":"cassandra://bogus"}}""")
+    val JArray(rs) = (list \ "result" \ "resources"): @unchecked
+    assert(rs.map(r => r \ "uri") === Seq(
+      "cassandra://logs/analysis", "cassandra://logs/nodes").map(JString(_)))
+    val JString(text) =
+      (nodes \ "result" \ "contents")(0) \ "text": @unchecked
+    assert(text.contains("\"total_nodes\"") || text.contains("nodes"))
+    assert((bad \ "error" \ "code") === JInt(-32002))
+  }
+
   test("malformed JSON and unknown methods answer with JSON-RPC errors") {
     val d = newDispatcher
     val Seq(parseErr, unknown) = roundTrip(d,
