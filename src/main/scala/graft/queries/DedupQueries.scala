@@ -81,6 +81,44 @@ object DedupQueries {
       .where(col("est_sim") >= minhashEstThreshold)
   }
 
+  /** Connected-component labels over an undirected pair list
+    * (`doc_a`, `doc_b`) by Pregel-style min-label propagation: every
+    * node's label converges to the min node id of its component in
+    * diameter-many rounds. Each round is one hash-partitioned
+    * shuffle-agg plus one join; labels only decrease, so the fixpoint
+    * check (one count per round) is exact. Isolated nodes (absent from
+    * the pair list) are not emitted.
+    *
+    * @return (node, label) — label = min doc_id of the component
+    */
+  def componentLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .cache()
+      changed = next.select(col("node"), col("label").as("new_label"))
+        .join(labels, "node")
+        .where(col("new_label") =!= col("label")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup on the canonical token-set form: single hash shuffle,
     // map-side partial agg; representative = min doc_id
@@ -150,30 +188,8 @@ object DedupQueries {
     // transitive closure.
     "q64_dedup_clusters" -> ((s, dir) => {
       val pairs = lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .cache()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .cache()
-      var changed = 1L
-      while (changed > 0) {
-        val neighborMin = edges
-          .join(labels.select(col("node").as("dst"), col("label")), "dst")
-          .groupBy(col("src").as("node"))
-          .agg(min(col("label")).as("nbr_label"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_label"), col("label")))
-              .as("label"))
-          .cache()
-        changed = next.select(col("node"), col("label").as("new_label"))
-          .join(labels, "node")
-          .where(col("new_label") =!= col("label")).count()
-        labels.unpersist()
-        labels = next
-      }
-      labels.groupBy(col("label").as("cluster_rep"))
+      componentLabels(pairs)
+        .groupBy(col("label").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
         .orderBy("cluster_rep")
     }),
