@@ -130,10 +130,14 @@ case class TopKPartialExec(
             // at most `budget` rows buffered; the max(1) floors the
             // budget so each drain cycle always makes progress (a zero
             // budget still buffers one row per cycle)
+            // metric batched per drain cycle — a per-row SQLMetric
+            // add would put an atomic on the map-side hot path
+            var consumed = 0L
             while (iter.hasNext && bufRows < budget.max(1L)) {
               insert(iter.next())
-              inRows.add(1)
+              consumed += 1
             }
+            inRows.add(consumed)
             if (iter.hasNext) flushes.add(1) // budget, not end-of-input
             cur = drain()
           }

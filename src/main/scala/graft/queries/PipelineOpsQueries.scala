@@ -1,0 +1,378 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 coverage widening — the governance / layout / model-refresh
+  * tier of a training-data pipeline:
+  *
+  *  - q73 benchmark decontamination (test-set n-gram overlap scan)
+  *  - q74 SCD2 history build (change detection → validity intervals)
+  *  - q75 Z-order (Morton) layout clustering + zone-map stats
+  *  - q76 statistical anomaly detection over time-bucketed counts
+  *  - q77 BM25 term scoring (the saturating tf ranking, log-free idf)
+  *  - q78 one k-means (Lloyd) refinement step over the embedding corpus
+  *
+  * Cross-engine determinism follows the house rules (see
+  * ExtendedOpsQueries scaladoc): integer/decimal sums where order can
+  * vary, fixed-shape double trees shared with the generated oracle SQL,
+  * floor-quantization where float sums would be order-sensitive.
+  */
+object PipelineOpsQueries {
+
+  // ---------------------------------------------------------------- q73
+  /** Test-set membership: a fixed id slice stands in for the held-out
+    * eval set (~4% of docs). The TRAIN side is everything else — at
+    * 100 TB it is the full corpus scan and the test n-gram set is the
+    * small broadcast side.
+    */
+  private val testModulus = 23
+  /** Pairs sharing fewer distinct shingles than this are noise (stray
+    * common phrases), not contamination.
+    */
+  private val minSharedShingles = 2
+
+  // ---------------------------------------------------------------- q75
+  /** Bits per dimension in the Morton interleave; 6 bits cover
+    * quantity's 1..50 domain and the partkey bucket 0..63.
+    */
+  private val mortonBits = 6
+  /** Morton code: bit i of `a` lands at 2i, bit i of `b` at 2i+1 —
+    * shared generator so the Spark Column and the DuckDB SQL are the
+    * same arithmetic.
+    */
+  private def morton(a: Column, b: Column): Column =
+    (0 until mortonBits).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1)): Column
+    }.reduce(_ + _)
+  private def sqlMorton(a: String, b: String): String =
+    (0 until mortonBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  // ---------------------------------------------------------------- q76
+  /** 1-hour buckets: the fixture's events run ~1/minute over a month,
+    * so minute buckets are all-count-1 (σ=0, nothing flaggable) —
+    * hourly counts have real variance at every driver SF.
+    */
+  private val bucketUs = 3600000000L
+  private val sigmas = 2.0
+
+  // ---------------------------------------------------------------- q77
+  /** BM25 constants. Both engines parse the same decimal literals to
+    * the same doubles; the score tree below appears in the identical
+    * IEEE op order in the oracle SQL. Linear idf ((N-df+0.5)/(df+0.5))
+    * instead of its log — division is correctly rounded, `ln` is not
+    * guaranteed to be, and log is monotone so ranking is unchanged
+    * (same rationale as q38).
+    */
+  private val bm25K1 = "1.2"
+  private val bm25B = "0.75"
+  private val bm25TopN = 3
+  private val bm25DocModulus = 20
+
+  // ---------------------------------------------------------------- q78
+  /** Same corpus-derived codebook as q37 — this is the step that would
+    * REFRESH it. */
+  private val centroidIds = Seq(1L, 3L, 8L, 21L, 55L, 144L, 233L, 377L)
+  /** Component quantizer: floor(x * 1e6) on the float's exact double
+    * value. Floor is exact in both engines, and the resulting BIGINT
+    * micro-units sum associatively — a float/double sum would be
+    * order-sensitive across partitionings (and engines).
+    */
+  private val quantScale = 1000000.0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: which TRAIN docs share enough word
+    // 3-shingles with any TEST doc to be contaminated, and by which
+    // test docs. The test side's exploded n-gram set is tiny and
+    // BROADCAST; the train side explodes in the scan stage and the
+    // broadcast hash join discards non-colliding shingles immediately —
+    // the only shuffle is the per-(train,test) pair count, whose rows
+    // are ∝ actual contamination. At 100 TB this is one pass over the
+    // corpus against a fixed eval set, the shape a decontamination
+    // sweep must have.
+    "q73_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def grams(d: DataFrame) =
+        d.select(col("doc_id"), explode(shingleHashes(col("text"))).as("h"))
+      val train = grams(docs.where(col("doc_id") % testModulus =!= 0))
+      val test = grams(docs.where(col("doc_id") % testModulus === 0))
+        .select(col("doc_id").as("test_doc"), col("h"))
+      val pairs = train.join(broadcast(test), "h")
+        .groupBy(col("doc_id").as("train_doc"), col("test_doc"))
+        .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct per doc
+        .where(col("n_shared") >= minSharedShingles)
+      pairs.groupBy("train_doc")
+        .agg(count(lit(1)).as("n_test_docs"),
+          sum(col("n_shared")).as("total_shared"),
+          max(col("n_shared")).as("max_shared"),
+          min(col("test_doc")).as("first_test_doc"))
+        .orderBy("train_doc")
+    }),
+
+    // SCD2 history build: collapse each user's event stream into
+    // validity intervals of the tracked attribute (event_type) —
+    // change detection via lag, interval close via lead over the
+    // SURVIVING change rows. Both windows share one (user) partitioning
+    // and one (t, event_id) sort: a single shuffle+sort feeds the whole
+    // history build at any scale. valid_to is NULL on each user's
+    // current row (version numbering makes the survivor deterministic).
+    "q74_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val changes = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_from_us", col("t"))
+        .withColumn("valid_to_us", lead(col("t"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Z-order layout clustering: the Morton interleave of two scan
+    // dimensions (quantity, partkey bucket) as the SORT/LAYOUT key, and
+    // the per-z-range zone map (min/max of each dimension) that makes
+    // it useful — a 2-D range predicate prunes z-ranges whose boxes
+    // miss it, which a single-column sort can only do for its leading
+    // dimension. The z computation is a pure scan-stage expression; the
+    // rollup is one small agg. At 100 TB `z` is the repartitionByRange
+    // + sortWithinPartitions key at write time; this query is the
+    // layout audit that proves the boxes are tight.
+    "q75_zorder_layout" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qb"),
+          (col("l_partkey") % 64).as("pb"))
+        .withColumn("z", morton(col("qb"), col("pb")).cast("long"))
+        .select(col("qb"), col("pb"), expr("z div 64").as("z_range"))
+        .groupBy("z_range")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("qb")).as("min_q"), max(col("qb")).as("max_q"),
+          min(col("pb")).as("min_p"), max(col("pb")).as("max_p"))
+        .orderBy("z_range")
+    }),
+
+    // Statistical anomaly detection: per-(event_type, minute) counts
+    // flagged against the type's global mean + 2σ. The bucket counts
+    // and their square sums are BIGINT (exact, order-independent); mean
+    // and σ are closed-form doubles from those sums (same fixed tree as
+    // the oracle — never the engines' streaming stddev). Two aggs: the
+    // bucket count (map-side partial) and a tiny per-type stats row
+    // broadcast back onto the buckets.
+    "q76_anomaly_buckets" -> ((s, dir) => {
+      val buckets = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"(ts_ns div 1000) div ${bucketUs}L").as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      val stats = buckets.groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("cnt")).as("sx"),
+          sum(col("cnt") * col("cnt")).as("sxx"))
+      val nd = col("n_buckets").cast("double")
+      val mean = col("sx").cast("double") / nd
+      val sigma = sqrt(nd * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")) / nd
+      buckets.join(broadcast(stats), "event_type")
+        .withColumn("mean_cnt", mean)
+        .withColumn("sigma_cnt", sigma)
+        .where(col("cnt").cast("double") >
+          col("mean_cnt") + lit(sigmas) * col("sigma_cnt"))
+        .select(col("event_type"), (col("bucket") * bucketUs).as("bucket_us"),
+          col("cnt"), col("mean_cnt"), col("sigma_cnt"))
+        .orderBy("event_type", "bucket_us")
+    }),
+
+    // BM25 term scoring for a probe doc slice: saturating tf against
+    // GLOBAL collection stats (df, avg doc length). The corpus-wide df
+    // and avgdl aggregates broadcast onto the slice's term counts —
+    // at 100 TB the collection-stats pass is the big scan and the
+    // per-doc scoring joins against its (small) result, never the
+    // reverse. avgdl = BIGINT token total / doc count, exact before
+    // one double division.
+    "q77_bm25" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val df = docs.select(explode(array_distinct(col("toks"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      val tf = docs.where(col("doc_id") % bm25DocModulus === 0)
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val k1 = lit(BigDecimal(bm25K1)).cast("double")
+      val b = lit(BigDecimal(bm25B)).cast("double")
+      val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+      val tfd = col("tf").cast("double")
+      val idf = (col("n_docs").cast("double") - col("doc_freq").cast("double")
+        + lit(0.5)) / (col("doc_freq").cast("double") + lit(0.5))
+      val score = (tfd * (k1 + lit(1.0)) /
+        (tfd + k1 * (lit(1.0) - b + b * (col("dl").cast("double") / avgdl)))) * idf
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(broadcast(df), "term")
+        .join(broadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= bm25TopN)
+        .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
+          col("score"), col("rn"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    // One k-means (Lloyd) refinement step over the embedding corpus:
+    // assign every vector to its argmax-cosine centroid (q37's
+    // shuffle-free in-projection assignment — the codebook is 8×64
+    // driver-side literals), then recompute each centroid as the
+    // per-(cell, dim) mean. Components are floor-quantized to BIGINT
+    // micro-units BEFORE the sum so the aggregation is exact and
+    // order-independent — the float sum a naive mean would use differs
+    // across partitionings. One shuffle on (cell, dim); at 100 TB
+    // that's 512 hot keys fed by map-side partial sums.
+    "q78_kmeans_step" -> ((s, dir) => {
+      val corpus = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
+      val cents: Array[(Long, Array[Float], Double)] = corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val best = array_max(array(cents.map { case (cId, ce, cn2) =>
+        struct(
+          cosineFrom(
+            dot(col("embedding"), array(ce.map(v => lit(v.toDouble)): _*)),
+            col("n2"), lit(cn2)).as("c"),
+          lit(-cId).as("nid"))
+      }: _*))
+      corpus.select((-best.getField("nid")).as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cell"), col("dim"),
+          floor(col("x").cast("double") * quantScale).cast("long").as("q"))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n_members"), sum(col("q")).as("sq"))
+        .select(col("cell"), col("dim"), col("n_members"),
+          (col("sq").cast("double") / col("n_members").cast("double"))
+            .as("centroid_micro"))
+        .orderBy("cell", "dim")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q73_contamination" ->
+      s"""WITH tr AS (SELECT doc_id, unnest(${sqlShingleHashes("text")}) AS h
+         |           FROM documents WHERE doc_id % $testModulus <> 0),
+         |te AS (SELECT doc_id AS test_doc, unnest(${sqlShingleHashes("text")}) AS h
+         |       FROM documents WHERE doc_id % $testModulus = 0),
+         |pairs AS (
+         |  SELECT tr.doc_id AS train_doc, te.test_doc, COUNT(*) AS n_shared
+         |  FROM tr JOIN te USING (h)
+         |  GROUP BY tr.doc_id, te.test_doc
+         |  HAVING COUNT(*) >= $minSharedShingles)
+         |SELECT train_doc, COUNT(*) AS n_test_docs,
+         |  CAST(SUM(n_shared) AS BIGINT) AS total_shared, MAX(n_shared) AS max_shared,
+         |  MIN(test_doc) AS first_test_doc
+         |FROM pairs GROUP BY train_doc ORDER BY train_doc""".stripMargin,
+    "q74_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT * FROM ev
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  event_type, t AS valid_from_us,
+        |  lead(t) OVER w AS valid_to_us,
+        |  lead(t) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "q75_zorder_layout" ->
+      s"""WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS qb,
+         |                  l_partkey % 64 AS pb FROM lineitem)
+         |SELECT (${sqlMorton("qb", "pb")}) // 64 AS z_range,
+         |  COUNT(*) AS n_rows,
+         |  MIN(qb) AS min_q, MAX(qb) AS max_q,
+         |  MIN(pb) AS min_p, MAX(pb) AS max_p
+         |FROM d GROUP BY z_range ORDER BY z_range""".stripMargin,
+    "q76_anomaly_buckets" ->
+      s"""WITH b AS (
+         |  SELECT event_type, epoch_us(ts) // $bucketUs AS bucket,
+         |    COUNT(*) AS cnt
+         |  FROM events GROUP BY event_type, bucket),
+         |st AS (
+         |  SELECT event_type, COUNT(*) AS n_buckets,
+         |    CAST(SUM(cnt) AS BIGINT) AS sx,
+         |    CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+         |  FROM b GROUP BY event_type)
+         |SELECT event_type, bucket * $bucketUs AS bucket_us, cnt,
+         |  mean_cnt, sigma_cnt
+         |FROM (
+         |  SELECT b.event_type, b.bucket, b.cnt,
+         |    CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_cnt,
+         |    sqrt(CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      / CAST(n_buckets AS DOUBLE) AS sigma_cnt
+         |  FROM b JOIN st USING (event_type))
+         |WHERE CAST(cnt AS DOUBLE) > mean_cnt + $sigmas * sigma_cnt
+         |ORDER BY event_type, bucket_us""".stripMargin,
+    "q77_bm25" ->
+      s"""WITH docs AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl
+         |       FROM dl),
+         |df AS (SELECT term, COUNT(*) AS doc_freq FROM
+         |         (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs)
+         |       GROUP BY term),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+         |         (SELECT doc_id, unnest(toks) AS term FROM docs
+         |          WHERE doc_id % $bm25DocModulus = 0)
+         |       GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+         |    (CAST(tf.tf AS DOUBLE) * ($bm25K1 + 1.0) /
+         |      (CAST(tf.tf AS DOUBLE) + $bm25K1 * (1.0 - $bm25B + $bm25B *
+         |        (CAST(dl.dl AS DOUBLE) /
+         |         (CAST(st.total_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+         |    * ((CAST(st.n_docs AS DOUBLE) - CAST(df.doc_freq AS DOUBLE) + 0.5)
+         |       / (CAST(df.doc_freq AS DOUBLE) + 0.5)) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st)
+         |SELECT doc_id, term, tf, doc_freq, score, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS INTEGER) AS rn
+         |  FROM scored)
+         |WHERE rn <= $bm25TopN ORDER BY doc_id, rn""".stripMargin,
+    "q78_kmeans_step" -> {
+      val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+         |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+         |cells AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cCos DESC, c.c_id) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |comp AS (
+         |  SELECT cell,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${quantScale.toLong}.0)
+         |      AS BIGINT) AS q
+         |  FROM cells)
+         |SELECT cell, dim, COUNT(*) AS n_members,
+         |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid_micro
+         |FROM comp GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+    })
+}

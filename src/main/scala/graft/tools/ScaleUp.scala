@@ -61,7 +61,14 @@ object ScaleUp {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    if (preexisting) {
+      // builder configs were silently ignored on a reused session —
+      // require the one that changes read semantics instead of
+      // mutating the caller's log level / assuming the rest applied
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "reused SparkSession must set spark.sql.legacy.parquet.nanosAsLong=true " +
+          "(events.parquet is TIMESTAMP(NANOS))")
+    } else spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dest))
 
     for (t <- dimTables)
