@@ -224,6 +224,59 @@ object StreamingQueries {
       }
     }),
 
+    // Stream-STREAM interval join, oracle-gated: purchases matched to
+    // the same user's clicks within the preceding 30 minutes — the
+    // attribution shape. Both sides are independent file-stream
+    // sources over the staged fixture, watermarked 10 minutes; the
+    // event-time range condition is what lets the join's state store
+    // evict rows once the watermark passes them (without it, both
+    // sides buffer forever). Inner-join emission is the complete match
+    // set — deterministic under the single-batch premise (no row is
+    // late relative to a mid-stream watermark). State is partitioned
+    // by user_id on both sides; at scale the range bound keeps each
+    // side's buffered window to 30 minutes + watermark delay of rows
+    // per user.
+    "q79_stream_join" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = Files.createTempDirectory("graft-q79-src")
+      val ckpt = Files.createTempDirectory("graft-q79-ckpt")
+      val sink = s"graft_q79_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        def side(evType: String, prefix: String) =
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(col("event_type") === evType)
+            .withColumn(s"${prefix}_us", expr("ts div 1000"))
+            .withColumn(s"${prefix}_time",
+              timestamp_micros(col(s"${prefix}_us")))
+            .withWatermark(s"${prefix}_time", "10 minutes")
+            .select(col("user_id").as(s"${prefix}_user"),
+              col("event_id").as(s"${prefix}_event"),
+              col(s"${prefix}_us"), col(s"${prefix}_time"))
+        val joined = side("purchase", "p").join(side("click", "c"),
+          col("p_user") === col("c_user") &&
+            col("c_time") >= col("p_time") - expr("INTERVAL 30 MINUTES") &&
+            col("c_time") <= col("p_time"))
+          .select(col("p_user").as("user_id"), col("p_event"), col("c_event"),
+            (col("p_us") - col("c_us")).as("delta_us"))
+        val query = joined.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("user_id", "p_event", "c_event")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -315,6 +368,15 @@ object StreamingQueries {
          |WHERE a.session_id < mx.max_sid
          |   OR (a.end_us // 1000) + $gapMs < (SELECT w FROM wm)
          |ORDER BY a.user_id, a.session_id""".stripMargin,
+    "q79_stream_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_event, epoch_us(ts) AS c_us
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.p_event, c.c_event, p.p_us - c.c_us AS delta_us
+        |FROM p JOIN c USING (user_id)
+        |WHERE c.c_us BETWEEN p.p_us - 1800000000 AND p.p_us
+        |ORDER BY user_id, p_event, c_event""".stripMargin,
     "q71_stream_enrich" ->
       """SELECT n.n_name, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

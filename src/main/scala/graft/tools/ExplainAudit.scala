@@ -20,7 +20,8 @@ object ExplainAudit {
     // its fixpoint loop, so building its DataFrame executes full Spark
     // jobs eagerly and the plan here would cover only the final rollup.
     val streaming = Set("q59_stream_window", "q69_stream_dedup",
-      "q70_stream_sessions", "q71_stream_enrich", "q64_dedup_clusters")
+      "q70_stream_sessions", "q71_stream_enrich", "q79_stream_join",
+      "q64_dedup_clusters")
     val (flags, qs) = args.partition(_.startsWith("--"))
     if (flags.contains("--summary")) {
       val names =

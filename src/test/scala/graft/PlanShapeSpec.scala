@@ -25,7 +25,7 @@ class PlanShapeSpec extends SparkSuite {
   // micro-batch) — their incremental plans are StreamingSpec territory.
   private val streamingQueries =
     Set("q59_stream_window", "q69_stream_dedup", "q70_stream_sessions",
-      "q71_stream_enrich")
+      "q71_stream_enrich", "q79_stream_join")
 
   private lazy val plans: Map[String, SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -43,8 +43,9 @@ class PlanShapeSpec extends SparkSuite {
     */
   private val bnljAllowed = Set("q26_ngram_jaccard", "q29_cosine_topk",
     "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel",
-    // one-row broadcast scalars (percentile threshold / max count)
-    "q65_quantile_filter", "q67_mix_weights")
+    // one-row broadcast scalars (percentile threshold / max count /
+    // BM25 collection stats)
+    "q65_quantile_filter", "q67_mix_weights", "q77_bm25")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
