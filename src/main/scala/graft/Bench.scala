@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // comma-separated allowlist for targeted iteration (dev only; the
+    // driver runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def included(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -31,15 +36,18 @@ object Bench {
     // parquet scan instead of their actual expression work.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
-      spark.catalog.clearCache() // per-query cache()s must not accumulate
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (included(name)) {
+        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+        spark.catalog.clearCache() // per-query cache()s must not accumulate
+      }
     }
     // two timed iterations, report the per-query MIN: single-shot
     // numbers carry ±10-15% scheduler/GC noise at these sub-second
     // scales, and the min is the standard low-variance steady-state
     // estimator
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(q => included(q._1))
+      .map { case (name, fn) =>
       // min over SUCCESSFUL iterations only — a failed-fast run must
       // not beat a valid timing; all-failed reports -1
       val dts = (0 until 2).flatMap { _ =>

@@ -261,11 +261,22 @@ object StreamingQueries {
             col("c_time") <= col("p_time"))
           .select(col("p_user").as("user_id"), col("p_event"), col("c_event"),
             (col("p_us") - col("c_us")).as("delta_us"))
-        val query = joined.writeStream.format("memory").queryName(sink)
-          .outputMode(OutputMode.Append)
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
+        // a stream-stream join keeps FOUR state stores per shuffle
+        // partition (left/right × keyToNumValues/keyWithIndexToValue),
+        // each with per-batch open/commit I/O — size the state
+        // partitioning to the stream, not the batch default (results
+        // are partition-count-independent; the conf is read at stream
+        // start and pinned in the checkpoint)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val query =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            joined.writeStream.format("memory").queryName(sink)
+              .outputMode(OutputMode.Append)
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         query.awaitTermination()
         val out = s.table(sink).orderBy("user_id", "p_event", "c_event")
         val rows = out.collect()
