@@ -256,6 +256,53 @@ object ExtendedOpsQueries {
         .orderBy("status")
     }),
 
+    // Runtime BLOOM-FILTER join pruning, oracle-gated (E59): a
+    // selective dim-side filter becomes a bloom filter applied to the
+    // fact scan BEFORE the join shuffle — at 100 TB the row-level
+    // pruning path for joins too big to broadcast. The builder pins
+    // the injection confs (thresholds target real clusters; zeroed
+    // here so the rewrite fires at fixture scale, broadcast disabled
+    // because it would bypass the runtime filter) and FORCES the
+    // physical plan under them, then restores the session confs — the
+    // oracle is the plain join, proving the injected filter is
+    // semantics-preserving. PlanShapeSpec asserts the
+    // BloomFilterMightContain is actually in this plan.
+    "q80_bloom_join" -> ((s, dir) => {
+      val conf = s.conf
+      val oldScan = conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      val oldBcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val orders = Tables(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val joined = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast(dec2).as("qty"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+        joined.queryExecution.executedPlan // force planning UNDER the confs
+        joined
+      } finally {
+        oldScan match {
+          case Some(v) => conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+          case None => conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        }
+        oldBcast match {
+          case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    }),
+
     // HLL++ approximate distinct users per event type — mergeable
     // fixed-memory sketch, the 100 TB replacement for exact distinct.
     // The raw estimate is engine-specific, so the hashed output carries
@@ -463,6 +510,12 @@ object ExtendedOpsQueries {
         |SELECT status, COUNT(*) AS n_rows,
         |  CAST(SUM(price) AS DOUBLE) AS sum_price
         |FROM merged GROUP BY status ORDER BY status""".stripMargin,
+    "q80_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q49_approx_distinct" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  COUNT(DISTINCT user_id) AS exact_users,

@@ -50,8 +50,10 @@ class PlanShapeSpec extends SparkSuite {
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
       // q72's full-outer CDC merge joins two LARGE sides on the key —
-      // sort-merge is the designed 100 TB plan there, nowhere else
-      if (name != "q72_cdc_merge")
+      // sort-merge is the designed 100 TB plan there; q80 forces the
+      // shuffled path on purpose (broadcast would bypass the runtime
+      // bloom filter it demonstrates)
+      if (name != "q72_cdc_merge" && name != "q80_bloom_join")
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
@@ -125,6 +127,14 @@ class PlanShapeSpec extends SparkSuite {
       assert(shuffles.size <= n,
         s"$name shuffle count ${shuffles.size} exceeds designed budget $n")
     }
+  }
+
+  test("q80 keeps its injected runtime bloom filter on the fact side") {
+    val s = plans("q80_bloom_join").toString
+    // physical plan spells the injected pair might_contain(<scalar
+    // subquery over bloom_filter_agg>) on the fact-side Filter
+    assert(s.contains("might_contain") && s.contains("bloom_filter_agg"),
+      s"q80 lost its runtime bloom filter:\n$s")
   }
 
   test("q37 cell assignment stays shuffle-free below the probe join") {
