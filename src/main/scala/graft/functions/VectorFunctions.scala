@@ -51,6 +51,22 @@ object VectorFunctions {
   def sqlCosineFrom(dot: String, na2: String, nb2: String): String =
     s"($dot / (sqrt($na2) * sqrt($nb2)))"
 
+  /** Best (cosine, id) over a driver-side codebook as ONE projection
+    * expression — the shuffle-free cell assignment shared by the IVF
+    * index (q37), the gated k-means step (q78) and the KMeans trainer:
+    * a lexicographic `array_max` over `struct(cosine, -id)` gives the
+    * argmax with a (cosine DESC, id ASC) tiebreak, evaluating each
+    * centroid cosine exactly once per row. Extract the winning id as
+    * `-result.getField("nid")` and its cosine as `.getField("c")`.
+    */
+  def bestCell(emb: Column, n2: Column,
+      cents: Seq[(Long, Array[Double], Double)]): Column =
+    array_max(array(cents.map { case (cId, ce, cn2) =>
+      struct(
+        cosineFrom(dot(emb, array(ce.map(lit(_)): _*)), n2, lit(cn2)).as("c"),
+        lit(-cId).as("nid"))
+    }: _*))
+
   // ------------------------------------------------------------------
   // Random-hyperplane LSH (signed projections → bucket id)
   // ------------------------------------------------------------------

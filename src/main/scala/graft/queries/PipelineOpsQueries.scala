@@ -53,9 +53,10 @@ object PipelineOpsQueries {
   private val mortonBits = 6
   /** Morton code: bit i of `a` lands at 2i, bit i of `b` at 2i+1 —
     * shared generator so the Spark Column and the DuckDB SQL are the
-    * same arithmetic.
+    * same arithmetic. Public: ZOrderLayoutSpec uses it as the
+    * write-time clustering key to prove row-group pruning.
     */
-  private def morton(a: Column, b: Column): Column =
+  def mortonCode(a: Column, b: Column): Column =
     (0 until mortonBits).map { i =>
       (shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1)): Column
@@ -169,7 +170,7 @@ object PipelineOpsQueries {
       Tables(s, dir, "lineitem")
         .select(col("l_quantity").cast("long").as("qb"),
           (col("l_partkey") % 64).as("pb"))
-        .withColumn("z", morton(col("qb"), col("pb")).cast("long"))
+        .withColumn("z", mortonCode(col("qb"), col("pb")).cast("long"))
         .select(col("qb"), col("pb"), expr("z div 64").as("z_range"))
         .groupBy("z_range")
         .agg(count(lit(1)).as("n_rows"),
@@ -268,13 +269,8 @@ object PipelineOpsQueries {
         .orderBy("vec_id")
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-      val best = array_max(array(cents.map { case (cId, ce, cn2) =>
-        struct(
-          cosineFrom(
-            dot(col("embedding"), array(ce.map(v => lit(v.toDouble)): _*)),
-            col("n2"), lit(cn2)).as("c"),
-          lit(-cId).as("nid"))
-      }: _*))
+      val best = bestCell(col("embedding"), col("n2"),
+        cents.toSeq.map { case (id, ce, n2) => (id, ce.map(_.toDouble), n2) })
       corpus.select((-best.getField("nid")).as("cell"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("cell"), col("dim"),

@@ -118,14 +118,10 @@ object SimilarityQueries {
       // argmax with the (cosine DESC, c_id ASC) tiebreak as a single
       // lexicographic array_max over struct(cosine, -c_id): each
       // centroid cosine is evaluated exactly once per row (no
-      // when-chain subtree duplication).
-      val best = array_max(array(cents.map { case (cId, ce, cn2) =>
-        struct(
-          cosineFrom(
-            dot(col("embedding"), array(ce.map(v => lit(v.toDouble)): _*)),
-            col("n2"), lit(cn2)).as("c"),
-          lit(-cId).as("nid"))
-      }: _*))
+      // when-chain subtree duplication). Shared helper — the KMeans
+      // trainer refreshes this codebook with the same expression.
+      val best = bestCell(col("embedding"), col("n2"),
+        cents.toSeq.map { case (id, ce, n2) => (id, ce.map(_.toDouble), n2) })
       val cells = corpus.select(col("vec_id"), col("embedding"), col("n2"),
         (-best.getField("nid")).as("cell"))
       val probes = cells.where(probeSlice(61))
