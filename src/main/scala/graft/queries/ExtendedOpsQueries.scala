@@ -324,6 +324,33 @@ object ExtendedOpsQueries {
         .orderBy("event_type")
     }),
 
+    // Approximate-percentile sketch gated the q49 way: the KLL-style
+    // percentile_approx sketch (fixed memory, mergeable — the 100 TB
+    // replacement for q45's sort-based exact quantiles) carries the
+    // EXACT quantile and a within_tol bound in the hashed output. The
+    // approx estimator guarantees rank error <= 1/accuracy; with
+    // accuracy 1000 on the 1..50 quantity domain the returned value
+    // sits within 1.0 of the exact interpolated quantile at every
+    // driver SF, with margin. Fractions stay binary-exact (.5/.75) so
+    // the EXACT columns are cross-engine bit-identical (q45 rule);
+    // non-dyadic fractions would make the interpolation arithmetic
+    // engine-shape-dependent. DuckDB recomputes the exact columns and
+    // asserts TRUE.
+    "q81_approx_quantiles" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("percentile(l_quantity, 0.5D)").as("exact_median"),
+          expr("percentile(l_quantity, 0.75D)").as("exact_p75"),
+          expr("percentile_approx(l_quantity, 0.5D, 1000)").as("am"),
+          expr("percentile_approx(l_quantity, 0.75D, 1000)").as("a75"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("exact_median"), col("exact_p75"),
+          (abs(col("am") - col("exact_median")) <= 1.0).as("median_tol"),
+          (abs(col("a75") - col("exact_p75")) <= 1.0).as("p75_tol"))
+        .orderBy("l_returnflag")
+    }),
+
     // correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
     // decorrelates both into semi/anti hash joins on l_orderkey (one
     // shuffle each side; the subquery never executes per-row)
@@ -521,6 +548,13 @@ object ExtendedOpsQueries {
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q81_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  quantile_cont(l_quantity, 0.5) AS exact_median,
+        |  quantile_cont(l_quantity, 0.75) AS exact_p75,
+        |  TRUE AS median_tol, TRUE AS p75_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q50_exists_subquery" ->
       """SELECT o.o_orderkey,
         |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
