@@ -29,6 +29,12 @@ object ExtendedOpsQueries {
   private val tsUs = "(ts_ns div 1000)"
   private val rangeUs = 600000000L // 10 minutes in µs
 
+  /** The physical plan q80 actually executed (it returns a collected
+    * LocalRelation, so the interesting plan is gone from the returned
+    * frame) — PlanShapeSpec asserts the runtime bloom filter on it.
+    */
+  val lastBloomJoinPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // INTERSECT + EXCEPT (SURVEY §2.7: absent in the reference; exposed
     // by the engine). Customers ordering in both 1995 and 1996, minus
@@ -262,11 +268,14 @@ object ExtendedOpsQueries {
     // pruning path for joins too big to broadcast. The builder pins
     // the injection confs (thresholds target real clusters; zeroed
     // here so the rewrite fires at fixture scale, broadcast disabled
-    // because it would bypass the runtime filter) and FORCES the
-    // physical plan under them, then restores the session confs — the
-    // oracle is the plain join, proving the injected filter is
-    // semantics-preserving. PlanShapeSpec asserts the
-    // BloomFilterMightContain is actually in this plan.
+    // because it would bypass the runtime filter), EXECUTES the plan
+    // under them (collect into a LocalRelation, same eager pattern as
+    // the streaming queries — Verify's .write would otherwise replan
+    // under the restored session confs and gate the wrong plan), then
+    // restores the confs. The oracle is the plain join, proving the
+    // injected filter is semantics-preserving; PlanShapeSpec asserts
+    // might_contain/bloom_filter_agg are in the plan. The result is
+    // 3 rows — safe to collect.
     "q80_bloom_join" -> ((s, dir) => {
       val conf = s.conf
       val oldScan = conf.getOption(
@@ -287,8 +296,9 @@ object ExtendedOpsQueries {
           .agg(count(lit(1)).as("n_rows"),
             sum(col("qty")).cast("double").as("sum_qty"))
           .orderBy("l_returnflag")
-        joined.queryExecution.executedPlan // force planning UNDER the confs
-        joined
+        lastBloomJoinPlan.set(joined.queryExecution.executedPlan.toString)
+        val rows = joined.collect() // execute UNDER the confs
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
       } finally {
         oldScan match {
           case Some(v) => conf.set(

@@ -94,9 +94,23 @@ object Demo {
       show("q66_stratified_sample")
       show("q68_seq_packing")
       show("q70_stream_sessions")
+      // round-6 governance/layout/model-refresh tier
+      show("q73_contamination")
+      show("q74_scd2")
+      show("q75_zorder_layout")
+      show("q76_anomaly_buckets")
+      show("q77_bm25")
+      show("q80_bloom_join")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
+      println("-- k-means refresh (ext/KMeans, 2 Lloyd iterations) --")
+      val km = graft.ext.KMeans.train(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        "vec_id", "embedding", k = 4, iters = 2)
+      println(s"inertia per iteration: ${km.inertia.mkString(" -> ")}")
+      km.cells.groupBy("cell").count().orderBy("cell").show(truncate = false)
+      km.cells.unpersist()
     }
     spark.stop()
   }

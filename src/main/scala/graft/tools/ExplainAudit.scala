@@ -19,9 +19,11 @@ object ExplainAudit {
     // q64 is likewise skipped: componentLabels runs count() actions in
     // its fixpoint loop, so building its DataFrame executes full Spark
     // jobs eagerly and the plan here would cover only the final rollup.
+    // q80 executes eagerly too (it must run under its pinned bloom
+    // confs) and returns a LocalRelation.
     val streaming = Set("q59_stream_window", "q69_stream_dedup",
       "q70_stream_sessions", "q71_stream_enrich", "q79_stream_join",
-      "q64_dedup_clusters")
+      "q64_dedup_clusters", "q80_bloom_join")
     val (flags, qs) = args.partition(_.startsWith("--"))
     if (flags.contains("--summary")) {
       val names =

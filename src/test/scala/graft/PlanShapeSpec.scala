@@ -130,7 +130,11 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("q80 keeps its injected runtime bloom filter on the fact side") {
-    val s = plans("q80_bloom_join").toString
+    // q80 returns a collected LocalRelation (it must EXECUTE under its
+    // pinned confs — Verify's write replans); the executed join plan
+    // is recorded by the builder
+    plans("q80_bloom_join") // building runs the query
+    val s = queries.ExtendedOpsQueries.lastBloomJoinPlan.get()
     // physical plan spells the injected pair might_contain(<scalar
     // subquery over bloom_filter_agg>) on the fact-side Filter
     assert(s.contains("might_contain") && s.contains("bloom_filter_agg"),
