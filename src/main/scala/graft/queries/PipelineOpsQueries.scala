@@ -252,6 +252,34 @@ object PipelineOpsQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // Incremental aggregation refresh — the materialized-view
+    // maintenance primitive: a stored per-key aggregate (count +
+    // DECIMAL sum over ~90% "history") absorbs a delta batch's partial
+    // aggregate through one full-outer merge on the key, NEVER
+    // rescanning history. Decimal partials re-associate exactly, which
+    // the oracle (a flat GROUP BY over everything) proves. At 100 TB
+    // this turns a daily full recompute into work ∝ the delta: two
+    // small aggs + a tiny merge join.
+    "q82_incremental_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("v"))
+      def partial(d: DataFrame) = d.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val stored = partial(ev.where(col("event_id") % 10 =!= 0))
+        .withColumnRenamed("n", "n_old").withColumnRenamed("sv", "sv_old")
+      val delta = partial(ev.where(col("event_id") % 10 === 0))
+        .withColumnRenamed("n", "n_new").withColumnRenamed("sv", "sv_new")
+      stored.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("sv_old"), lit(BigDecimal(0)).cast("decimal(28,2)")) +
+            coalesce(col("sv_new"), lit(BigDecimal(0)).cast("decimal(28,2)")))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // One k-means (Lloyd) refinement step over the embedding corpus:
     // assign every vector to its argmax-cosine centroid (q37's
     // shuffle-free in-projection assignment — the codebook is 8×64
@@ -372,6 +400,10 @@ object PipelineOpsQueries {
          |    ORDER BY score DESC, term) AS INTEGER) AS rn
          |  FROM scored)
          |WHERE rn <= $bm25TopN ORDER BY doc_id, rn""".stripMargin,
+    "q82_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q78_kmeans_step" -> {
       val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
       s"""WITH e AS (SELECT vec_id, embedding,
