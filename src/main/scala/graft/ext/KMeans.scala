@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** @param centroids final codebook, row i = centroid of cell i
-    * @param inertia   Σ(1 − cosine-to-assigned-centroid) after each
-    *                  iteration — non-increasing modulo float noise
+    * @param inertia   Σ(1 − cosine-to-assigned-centroid) measured under
+    *                  each iteration's codebook BEFORE its update —
+    *                  non-increasing modulo float noise
     * @param cells     (id, cell) assignment under the FINAL codebook
+    *                  (cached; caller unpersists when done)
     */
   case class Result(
       centroids: Array[Array[Double]],
@@ -46,17 +48,19 @@ object KMeans {
     // deterministic init: the k lowest-id vectors
     var centroids: Array[Array[Double]] = base.orderBy("id").limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
-    val inertia = Seq.newBuilder[Double]
-    var cells: DataFrame = null
-    for (_ <- 0 until iters) {
+    def assign(): DataFrame = {
       val codebook = centroids.zipWithIndex.map { case (c, i) =>
         (i.toLong, c, c.map(x => x * x).sum)
       }.toSeq
       val best = bestCell(col("v"), norm2(col("v")), codebook)
-      val assigned = base.select(col("id"), col("v"),
+      base.select(col("id"), col("v"),
         (-best.getField("nid")).as("cell"),
         best.getField("c").as("cos"))
         .cache()
+    }
+    val inertia = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val assigned = assign()
       inertia += assigned.agg(sum(lit(1.0) - col("cos"))).head().getDouble(0)
       // update: per-(cell, dim) mean — one shuffle onto k·dim keys
       val means = assigned
@@ -68,10 +72,11 @@ object KMeans {
           Array.tabulate(dim)(d => means((i.toLong, d)))
         else old // empty cell: keep previous centroid
       }
-      if (cells != null) cells.unpersist(blocking = false)
-      cells = assigned
+      assigned.unpersist(blocking = false)
     }
+    // one extra assignment pass so cells match the RETURNED codebook —
+    // the in-loop frame reflects the pre-update centroids
     Result(centroids, inertia.result(),
-      cells.select(col("id"), col("cell")))
+      assign().select(col("id"), col("cell")))
   }
 }

@@ -281,6 +281,7 @@ object ExtendedOpsQueries {
       val oldScan = conf.getOption(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
       val oldBcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val oldEnabled = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
       conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -309,6 +310,10 @@ object ExtendedOpsQueries {
         oldBcast match {
           case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
           case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        oldEnabled match {
+          case Some(v) => conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v)
+          case None => conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
         }
       }
     }),

@@ -72,6 +72,11 @@ object PipelineOpsQueries {
     * hourly counts have real variance at every driver SF.
     */
   private val bucketUs = 3600000000L
+  /** q76's cached bucket relation, one generation live (same pattern
+    * and rationale as DedupQueries.lastSig — repeated builder calls in
+    * one session must not accumulate storage-memory entries).
+    */
+  private val lastBuckets = new java.util.concurrent.atomic.AtomicReference[DataFrame]
   private val sigmas = 2.0
 
   // ---------------------------------------------------------------- q77
@@ -197,6 +202,7 @@ object PipelineOpsQueries {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("cnt"))
         .cache()
+      Option(lastBuckets.getAndSet(buckets)).foreach(_.unpersist(blocking = false))
       val stats = buckets.groupBy("event_type")
         .agg(count(lit(1)).as("n_buckets"),
           sum(col("cnt")).as("sx"),
@@ -241,8 +247,12 @@ object PipelineOpsQueries {
       val score = (tfd * (k1 + lit(1.0)) /
         (tfd + k1 * (lit(1.0) - b + b * (col("dl").cast("double") / avgdl)))) * idf
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      // only the PROBE SLICE's lengths join the scoring — broadcasting
+      // the full per-document dl would ship one row per corpus doc;
+      // `stats` above already consumed the full dl for avgdl
+      val dlSlice = dl.where(col("doc_id") % bm25DocModulus === 0)
       tf.join(broadcast(df), "term")
-        .join(broadcast(dl), "doc_id")
+        .join(broadcast(dlSlice), "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("score", score)
         .withColumn("rn", row_number().over(w))

@@ -49,11 +49,12 @@ class PlanShapeSpec extends SparkSuite {
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
-      // q72's full-outer CDC merge joins two LARGE sides on the key —
+      // q72's and q82's full-outer merges join two sides that are both
+      // large at scale (and full-outer equi-joins cannot broadcast) —
       // sort-merge is the designed 100 TB plan there; q80 forces the
       // shuffled path on purpose (broadcast would bypass the runtime
       // bloom filter it demonstrates)
-      if (name != "q72_cdc_merge" && name != "q80_bloom_join")
+      if (!Set("q72_cdc_merge", "q80_bloom_join", "q82_incremental_agg")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
