@@ -92,6 +92,19 @@ object PipelineOpsQueries {
   private val bm25TopN = 3
   private val bm25DocModulus = 20
 
+  // ---------------------------------------------------------------- q83
+  /** A 3-gram shingle present in at least this many distinct docs is
+    * template text, not content. The corpus' max shingle df is 7-25
+    * across driver SFs, so 5 yields a non-trivial template set (and
+    * non-zero ratios) at every SF.
+    */
+  private val boilerplateDf = 5
+
+  // ---------------------------------------------------------------- q84
+  private val chunkLen = 64
+  private val chunkStride = 48 // 16-token overlap between chunks
+  private val chunkDocModulus = 20
+
   // ---------------------------------------------------------------- q78
   /** Same corpus-derived codebook as q37 — this is the step that would
     * REFRESH it. */
@@ -262,6 +275,91 @@ object PipelineOpsQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // Boilerplate/template detection (the CCNet-style cleaning pass):
+    // shingles occurring in >= boilerplateDf distinct docs are
+    // "template" phrases; each doc's boilerplate ratio is the share of
+    // its distinct shingles that are template. Ratios aggregate per
+    // source as INTEGER sums divided once at the end — an avg() of
+    // per-doc doubles would be an order-sensitive reduction. Two
+    // shuffles (shingle df, source rollup); the template set is the
+    // broadcast side.
+    "q83_boilerplate" -> ((s, dir) => {
+      val shingled = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(array_distinct(
+          graft.functions.ShingleHash(tokens(col("text")), 3))).as("h"))
+      val template = shingled.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= boilerplateDf)
+        .select(col("h"), lit(1).as("is_template"))
+      shingled.join(broadcast(template), Seq("h"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("is_template"), lit(0))).as("n_template"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_shingles")).as("total_shingles"),
+          sum(col("n_template")).as("total_template"))
+        .select(col("source"), col("n_docs"),
+          (col("total_template").cast("double") /
+            col("total_shingles").cast("double")).as("boilerplate_ratio"))
+        .orderBy("source")
+    }),
+
+    // Fixed-width token chunking with stride (the RAG/pretraining
+    // chunker): each probe-slice doc fans out into
+    // floor((n_tokens-1)/stride)+1 chunks; the chunk text is hashed
+    // (md5 over the space-joined tokens — identical in both engines)
+    // so the gated output pins the exact chunk CONTENT, not just the
+    // boundaries. Pure scan-stage fan-out, bounded by tokens/stride.
+    "q84_chunking" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .where(col("doc_id") % chunkDocModulus === 0)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_chunks",
+          ((col("n_toks") - 1) / chunkStride).cast("long") + 1)
+      docs.select(col("doc_id"), col("toks"), col("n_toks"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"), col("n_toks"),
+          (col("chunk_id") * chunkStride + 1).as("start_tok"),
+          slice(col("toks"), (col("chunk_id") * chunkStride + 1).cast("int"),
+            lit(chunkLen)).as("ctoks"))
+        .select(col("doc_id"), col("chunk_id"), col("n_toks"),
+          col("start_tok"), size(col("ctoks")).as("chunk_tokens"),
+          md5(concat_ws(" ", col("ctoks"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Column profiling (the data-quality primitive that guards every
+    // 100 TB ingest): one scan computing count/nulls/distinct/min/max/
+    // mean per tracked measure, emitted as one row per column. Means
+    // go through DECIMAL sums; distincts are exact here (swap in the
+    // q49/q81 sketches at scale, same shape).
+    "q85_profile" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = metrics.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          sum(col(c).cast("decimal(18,2)")).as(s"${c}_sum"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      val rows = metrics.map { c =>
+        struct(lit(c).as("column"), col(s"${c}_n").as("n_rows"),
+          col(s"${c}_nulls").as("n_nulls"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_value"), col(s"${c}_max").as("max_value"),
+          (col(s"${c}_sum").cast("double") / col(s"${c}_n").cast("double"))
+            .as("mean_value"))
+      }
+      wide.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("column")
+    }),
+
     // Incremental aggregation refresh — the materialized-view
     // maintenance primitive: a stored per-key aggregate (count +
     // DECIMAL sum over ~90% "history") absorbs a delta batch's partial
@@ -414,6 +512,63 @@ object PipelineOpsQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q83_boilerplate" ->
+      s"""WITH sh AS (SELECT doc_id, source,
+         |              unnest(${sqlShingleHashes("text")}) AS h
+         |            FROM documents),
+         |tmpl AS (SELECT h FROM (
+         |  SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h)
+         |  WHERE df >= $boilerplateDf),
+         |per AS (
+         |  SELECT doc_id, source, COUNT(*) AS n_shingles,
+         |    CAST(SUM(CASE WHEN h IN (SELECT h FROM tmpl) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_template
+         |  FROM sh GROUP BY doc_id, source)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_template) AS DOUBLE) / CAST(SUM(n_shingles) AS DOUBLE)
+         |    AS boilerplate_ratio
+         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    "q84_chunking" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+         |  WHERE doc_id % $chunkDocModulus = 0),
+         |d2 AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    (CAST(len(toks) AS BIGINT) - 1) // $chunkStride + 1 AS n_chunks
+         |  FROM docs WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT doc_id, n_toks, toks,
+         |    unnest(range(0, n_chunks)) AS chunk_id
+         |  FROM d2)
+         |SELECT doc_id, chunk_id, n_toks,
+         |  chunk_id * $chunkStride + 1 AS start_tok,
+         |  CAST(len(ctoks) AS INTEGER) AS chunk_tokens,
+         |  md5(array_to_string(ctoks, ' ')) AS chunk_hash
+         |FROM (SELECT *, toks[CAST(chunk_id * $chunkStride + 1 AS INT):
+         |        CAST(chunk_id * $chunkStride + $chunkLen AS INT)] AS ctoks
+         |      FROM ch)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q85_profile" -> {
+      val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val wideAggs = metrics.map { c =>
+        s"""COUNT($c) AS ${c}_n,
+           |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ${c}_nulls,
+           |    COUNT(DISTINCT $c) AS ${c}_distinct,
+           |    MIN($c) AS ${c}_min, MAX($c) AS ${c}_max,
+           |    SUM(CAST($c AS DECIMAL(18,2))) AS ${c}_sum""".stripMargin
+      }.mkString(",\n    ")
+      val arms = metrics.map { c =>
+        s"""SELECT '$c' AS "column", ${c}_n AS n_rows, ${c}_nulls AS n_nulls,
+           |  ${c}_distinct AS n_distinct, ${c}_min AS min_value,
+           |  ${c}_max AS max_value,
+           |  CAST(${c}_sum AS DOUBLE) / CAST(${c}_n AS DOUBLE) AS mean_value
+           |FROM w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (SELECT\n    $wideAggs\n  FROM lineitem)
+         |$arms
+         |ORDER BY "column"""".stripMargin
+    },
     "q78_kmeans_step" -> {
       val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
       s"""WITH e AS (SELECT vec_id, embedding,
