@@ -287,8 +287,11 @@ object PipelineOpsQueries {
       val shingled = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), explode(array_distinct(
           graft.functions.ShingleHash(tokens(col("text")), 3))).as("h"))
+      // (doc_id, h) is already distinct (array_distinct before the
+      // explode), so df = a plain count — countDistinct would add an
+      // expand + extra shuffle phase for the same number
       val template = shingled.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
         .where(col("df") >= boilerplateDf)
         .select(col("h"), lit(1).as("is_template"))
       shingled.join(broadcast(template), Seq("h"), "left")
