@@ -28,6 +28,7 @@ object ExtendedOpsQueries {
   private val dec2 = DecimalType(18, 2)
   private val tsUs = "(ts_ns div 1000)"
   private val rangeUs = 600000000L // 10 minutes in µs
+  private val kmvK = 32 // KMV sketch size (q86)
 
   /** The physical plan q80 actually executed (it returns a collected
     * LocalRelation, so the interesting plan is gone from the returned
@@ -339,6 +340,40 @@ object ExtendedOpsQueries {
         .orderBy("event_type")
     }),
 
+    // KMV (k-minimum-values) distinct sketch — the custom
+    // TypedImperativeAggregate (graft.functions.KMinValues): O(k)
+    // bounded state per group, set-union merge (map-side partials
+    // apply, any merge order gives the same state). Unlike HLL the
+    // sketch VALUE is engine-independent — the k smallest distinct
+    // polynomial hashes are a pure function of the input — so the
+    // DuckDB twin reproduces the sketch AND the (k-1)·H/h_k estimator
+    // bit-for-bit: a fully hash-gated approximate-distinct, no
+    // tolerance column needed.
+    "q86_kmv_distinct" -> ((s, dir) => {
+      val k = kmvK
+      // polyHash of a short id string is SMALL (it never wraps the
+      // modulus), so the raw hash is far from uniform and the (k-1)H/h_k
+      // estimator explodes — the affine permutation (same a/b constants
+      // as MinHash row 0) spreads it over [0, P)
+      val a = graft.functions.TextFunctions.minhashA.head
+      val b = graft.functions.TextFunctions.minhashB.head
+      val p = graft.functions.TextFunctions.P
+      val h = (lit(a) * graft.functions.PolyHash(col("user_id").cast("string"))
+        + lit(b)) % p
+      val sk = graft.functions.KMinValues(h, k)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"), sk.as("sketch"))
+        .select(col("event_type"), col("exact_users"),
+          array_join(transform(col("sketch"), v => v.cast("string")), ",")
+            .as("sketch_str"),
+          when(size(col("sketch")) >= k,
+            (lit((k - 1).toDouble) * lit(graft.functions.TextFunctions.P.toDouble)) /
+              element_at(col("sketch"), k).cast("double"))
+            .otherwise(size(col("sketch")).cast("double")).as("kmv_estimate"))
+        .orderBy("event_type")
+    }),
+
     // Approximate-percentile sketch gated the q49 way: the KLL-style
     // percentile_approx sketch (fixed memory, mergeable — the 100 TB
     // replacement for q45's sort-based exact quantiles) carries the
@@ -563,6 +598,25 @@ object ExtendedOpsQueries {
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q86_kmv_distinct" -> {
+      val k = kmvK
+      val a = graft.functions.TextFunctions.minhashA.head
+      val b = graft.functions.TextFunctions.minhashB.head
+      val p = graft.functions.TextFunctions.P
+      val h = s"($a * ${graft.functions.TextFunctions.sqlPolyHash("CAST(user_id AS VARCHAR)")} + $b) % $p"
+      s"""WITH hs AS (SELECT event_type, user_id, $h AS h FROM events),
+         |sk AS (
+         |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+         |    list_sort(list_distinct(list(h)))[:$k] AS sketch
+         |  FROM hs GROUP BY event_type)
+         |SELECT event_type, exact_users,
+         |  array_to_string(sketch, ',') AS sketch_str,
+         |  CASE WHEN len(sketch) >= $k
+         |    THEN (${(k - 1).toDouble} * ${graft.functions.TextFunctions.P.toDouble})
+         |         / CAST(sketch[$k] AS DOUBLE)
+         |    ELSE CAST(len(sketch) AS DOUBLE) END AS kmv_estimate
+         |FROM sk ORDER BY event_type""".stripMargin
+    },
     "q81_approx_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  quantile_cont(l_quantity, 0.5) AS exact_median,
