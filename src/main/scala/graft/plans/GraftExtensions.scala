@@ -51,5 +51,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.size == 1, "issue_mask(str)")
         MultiMatch(exprs.head, IssueClassifier.allPatterns.map(_._3))
       }))
+    // the custom AGGREGATE: `k_min_values(expr, k)` — KMV distinct
+    // sketch (k smallest distinct hashes, O(k) state). The registry
+    // builder returns the aggregate FUNCTION; the analyzer wraps it
+    // into an AggregateExpression itself.
+    ext.injectFunction((
+      new FunctionIdentifier("k_min_values"),
+      new ExpressionInfo(classOf[graft.functions.KMinValues].getName,
+        "k_min_values"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "k_min_values(expr, k)")
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"k_min_values k must be an integer literal, got $other")
+        }
+        graft.functions.KMinValues(exprs.head, k)
+      }))
   }
 }

@@ -52,6 +52,19 @@ class KMinValuesSpec extends SparkSuite {
     assert(back === buf)
   }
 
+  test("k_min_values is callable through the SQL registry") {
+    Seq(5L, 3L, 5L, 9L, 1L).toDF("v").createOrReplaceTempView("kmv_t")
+    val got = spark.sql("SELECT k_min_values(v, 3) AS sk FROM kmv_t")
+      .head().getSeq[Long](0)
+    assert(got.toSeq === Seq(1L, 3L, 5L))
+    // all values are odd → one group, sketch = the 2 smallest distinct
+    val grouped = spark.sql(
+      """SELECT v % 2 AS g, k_min_values(v, 2) AS sk
+        |FROM kmv_t GROUP BY v % 2""".stripMargin).collect()
+    assert(grouped.length === 1)
+    assert(grouped(0).getSeq[Long](1).toSeq === Seq(1L, 3L))
+  }
+
   test("KMV estimate lands within 3 standard errors of exact distinct") {
     // KMV standard error ~ 1/sqrt(k-2); use the fixture's user ids
     val kk = 32
