@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -44,6 +45,14 @@ case class KMinValues(
   require(k >= 1, "KMinValues needs k >= 1")
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time contract: the buffer stores longs, so a non-BIGINT
+  // child must fail analysis rather than ClassCastException mid-job —
+  // the function is reachable from raw SQL via the registry (which
+  // casts integral inputs up to BIGINT for convenience)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"k_min_values requires BIGINT input, got ${child.dataType.sql}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

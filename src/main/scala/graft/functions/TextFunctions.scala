@@ -98,6 +98,19 @@ object TextFunctions {
       s"list_transform(string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(h, c) -> (h * 31 + c) % $P)"
 
+  /** Uniform-spread hash of an arbitrary string: polyHash composed
+    * with the first MinHash affine permutation. Raw polyHash of a
+    * SHORT string never wraps the modulus (its value is bounded by
+    * ~31^len), so it is far from uniform over [0, P) — estimators that
+    * assume uniformity (KMV's (k-1)·H/h_k, q86) need this spread form.
+    * a < P and polyHash < P keep the product under 2^62 (no overflow).
+    */
+  def spreadHash(s: Column): Column =
+    (lit(minhashA.head) * PolyHash(s) + lit(minhashB.head)) % P
+
+  def sqlSpreadHash(v: String): String =
+    s"(${minhashA.head} * ${sqlPolyHash(v)} + ${minhashB.head}) % $P"
+
   /** Distinct shingle-hash set per doc — input to MinHash and SimHash. */
   def shingleHashes(text: Column): Column =
     array_distinct(transform(wordShingles(text), s => polyHash(s)))

@@ -61,13 +61,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "k_min_values"),
       (exprs: Seq[Expression]) => {
         require(exprs.size == 2, "k_min_values(expr, k)")
+        require(exprs(1).foldable, "k_min_values k must be a literal")
         val k = exprs(1).eval() match {
           case i: Int => i
           case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
           case other => throw new IllegalArgumentException(
             s"k_min_values k must be an integer literal, got $other")
         }
-        graft.functions.KMinValues(exprs.head, k)
+        // integral inputs cast up to BIGINT here (the aggregate itself
+        // requires LongType so non-numeric inputs still fail analysis)
+        import org.apache.spark.sql.types._
+        val child = exprs.head.dataType match {
+          case LongType => exprs.head
+          case ByteType | ShortType | IntegerType =>
+            org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, LongType)
+          case _ => exprs.head // let checkInputDataTypes report it
+        }
+        graft.functions.KMinValues(child, k)
       }))
   }
 }

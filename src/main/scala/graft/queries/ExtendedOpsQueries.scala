@@ -351,15 +351,10 @@ object ExtendedOpsQueries {
     // tolerance column needed.
     "q86_kmv_distinct" -> ((s, dir) => {
       val k = kmvK
-      // polyHash of a short id string is SMALL (it never wraps the
-      // modulus), so the raw hash is far from uniform and the (k-1)H/h_k
-      // estimator explodes — the affine permutation (same a/b constants
-      // as MinHash row 0) spreads it over [0, P)
-      val a = graft.functions.TextFunctions.minhashA.head
-      val b = graft.functions.TextFunctions.minhashB.head
-      val p = graft.functions.TextFunctions.P
-      val h = (lit(a) * graft.functions.PolyHash(col("user_id").cast("string"))
-        + lit(b)) % p
+      // spreadHash, not raw polyHash: the estimator assumes hashes
+      // uniform over [0, P) (see TextFunctions.spreadHash scaladoc)
+      val h = graft.functions.TextFunctions.spreadHash(
+        col("user_id").cast("string"))
       val sk = graft.functions.KMinValues(h, k)
       Tables.events(s, dir)
         .groupBy("event_type")
@@ -600,10 +595,7 @@ object ExtendedOpsQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q86_kmv_distinct" -> {
       val k = kmvK
-      val a = graft.functions.TextFunctions.minhashA.head
-      val b = graft.functions.TextFunctions.minhashB.head
-      val p = graft.functions.TextFunctions.P
-      val h = s"($a * ${graft.functions.TextFunctions.sqlPolyHash("CAST(user_id AS VARCHAR)")} + $b) % $p"
+      val h = graft.functions.TextFunctions.sqlSpreadHash("CAST(user_id AS VARCHAR)")
       s"""WITH hs AS (SELECT event_type, user_id, $h AS h FROM events),
          |sk AS (
          |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,

@@ -99,6 +99,8 @@ object PipelineOpsQueries {
     * non-zero ratios) at every SF.
     */
   private val boilerplateDf = 5
+  /** q83's cached (doc, shingle) relation, one generation live. */
+  private val lastShingled = new java.util.concurrent.atomic.AtomicReference[DataFrame]
 
   // ---------------------------------------------------------------- q84
   private val chunkLen = 64
@@ -284,9 +286,15 @@ object PipelineOpsQueries {
     // shuffles (shingle df, source rollup); the template set is the
     // broadcast side.
     "q83_boilerplate" -> ((s, dir) => {
+      // cached: the (doc, shingle) relation feeds BOTH the template-df
+      // build and the probe side — uncached, the scan + tokenize +
+      // ShingleHash explode run twice (Spark does not dedupe common
+      // subplans); one generation live, q76-style
       val shingled = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), explode(array_distinct(
           graft.functions.ShingleHash(tokens(col("text")), 3))).as("h"))
+        .cache()
+      Option(lastShingled.getAndSet(shingled)).foreach(_.unpersist(blocking = false))
       // (doc_id, h) is already distinct (array_distinct before the
       // explode), so df = a plain count — countDistinct would add an
       // expand + extra shuffle phase for the same number

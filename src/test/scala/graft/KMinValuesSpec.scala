@@ -65,16 +65,25 @@ class KMinValuesSpec extends SparkSuite {
     assert(grouped(0).getSeq[Long](1).toSeq === Seq(1L, 3L))
   }
 
+  test("integral inputs cast up; non-numeric inputs fail analysis") {
+    Seq(5L, 3L, 5L, 9L, 1L).toDF("v").createOrReplaceTempView("kmv_t2")
+    val got = spark.sql("SELECT k_min_values(CAST(v AS INT), 2) FROM kmv_t2")
+      .head().getSeq[Long](0)
+    assert(got.toSeq === Seq(1L, 3L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT k_min_values(CAST(v AS STRING), 2) FROM kmv_t2").collect()
+    }
+    assert(err.getMessage.contains("BIGINT"))
+  }
+
   test("KMV estimate lands within 3 standard errors of exact distinct") {
     // KMV standard error ~ 1/sqrt(k-2); use the fixture's user ids
     val kk = 32
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.01")
-    // affine-spread hash (see q86): raw polyHash of short id strings
-    // is small-valued, not uniform over [0, P)
-    val h = (lit(graft.functions.TextFunctions.minhashA.head) *
-      graft.functions.PolyHash(col("user_id").cast("string")) +
-      lit(graft.functions.TextFunctions.minhashB.head)) %
-      graft.functions.TextFunctions.P
+    // spread hash (see TextFunctions.spreadHash): raw polyHash of
+    // short id strings is small-valued, not uniform over [0, P)
+    val h = graft.functions.TextFunctions.spreadHash(
+      col("user_id").cast("string"))
     val row = events.agg(
       countDistinct(col("user_id")).as("exact"),
       KMinValues(h, kk).as("sk")).head()
