@@ -99,8 +99,6 @@ object PipelineOpsQueries {
     * non-zero ratios) at every SF.
     */
   private val boilerplateDf = 5
-  /** q83's cached (doc, shingle) relation, one generation live. */
-  private val lastShingled = new java.util.concurrent.atomic.AtomicReference[DataFrame]
 
   // ---------------------------------------------------------------- q84
   private val chunkLen = 64
@@ -286,15 +284,16 @@ object PipelineOpsQueries {
     // shuffles (shingle df, source rollup); the template set is the
     // broadcast side.
     "q83_boilerplate" -> ((s, dir) => {
-      // cached: the (doc, shingle) relation feeds BOTH the template-df
-      // build and the probe side — uncached, the scan + tokenize +
-      // ShingleHash explode run twice (Spark does not dedupe common
-      // subplans); one generation live, q76-style
+      // The (doc, shingle) relation feeds BOTH the template-df build
+      // and the probe side, and Spark does not dedupe common subplans
+      // — but deliberately NOT cached: measured at sf0.1, recomputing
+      // the codegen scan→tokenize→ShingleHash pipeline twice (0.7-1.0s)
+      // beats materializing the exploded relation and reading it back
+      // twice (1.2-1.7s). The tradeoff flips only when the SCAN
+      // dominates (slow storage); cache at the call site then.
       val shingled = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), explode(array_distinct(
           graft.functions.ShingleHash(tokens(col("text")), 3))).as("h"))
-        .cache()
-      Option(lastShingled.getAndSet(shingled)).foreach(_.unpersist(blocking = false))
       // (doc_id, h) is already distinct (array_distinct before the
       // explode), so df = a plain count — countDistinct would add an
       // expand + extra shuffle phase for the same number
