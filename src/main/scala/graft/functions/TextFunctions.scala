@@ -98,6 +98,24 @@ object TextFunctions {
       s"list_transform(string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(h, c) -> (h * 31 + c) % $P)"
 
+  /** The q22 quality score as a reusable Column (fixed double tree:
+    * length saturation, distinct ratio, punctuation penalty, stopword
+    * density — equal weights). Shared by the q22 gated query and the
+    * CurationPipeline's quality-floor stage.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val punct = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
+    val nChars = length(text).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
+    least(lit(1.0), nTok / 100.0) * 0.25 +
+      (nDistinct / nTok) * 0.25 +
+      (lit(1.0) - punct / nChars) * 0.25 +
+      least(lit(1.0), (stopHits / nTok) * 4.0) * 0.25
+  }
+
   /** Uniform-spread hash of an arbitrary string: polyHash composed
     * with the first MinHash affine permutation. Raw polyHash of a
     * SHORT string never wraps the modulus (its value is bounded by

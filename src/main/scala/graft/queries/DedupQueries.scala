@@ -68,7 +68,8 @@ object DedupQueries {
     next
   }
 
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** Public: the CurationPipeline reuses the candidate generator. */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val sig = swapCached(lastSig, hashArrays(s, dir)
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("hs")).as("sig"))

@@ -65,20 +65,15 @@ object TextAnalysisQueries {
     // ratio, stopword ratio — fixed double formula, same tree in DuckDB
     "q22_quality_score" -> ((s, dir) => {
       val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val nDistinct = size(array_distinct(toks)).cast("double")
       val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
-      val nChars = length(col("text")).cast("double")
-      val stopHits = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_distinct"),
           punct.cast("long").as("punct_chars"),
-          (least(lit(1.0), nTok / 100.0) * 0.25
-            + (nDistinct / nTok) * 0.25
-            + (lit(1.0) - punct / nChars) * 0.25
-            + least(lit(1.0), (stopHits / nTok) * 4.0) * 0.25).as("quality"))
+          // the scoring tree lives in TextFunctions.qualityScore —
+          // shared with the CurationPipeline's quality floor
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
 
