@@ -56,11 +56,10 @@ object KMeans {
       base.select(col("id"), col("v"),
         (-best.getField("nid")).as("cell"),
         best.getField("c").as("cos"))
-        .cache()
     }
     val inertia = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
-      val assigned = assign()
+      val assigned = assign().cache()
       inertia += assigned.agg(sum(lit(1.0) - col("cos"))).head().getDouble(0)
       // update: per-(cell, dim) mean — one shuffle onto k·dim keys
       val means = assigned
@@ -75,8 +74,11 @@ object KMeans {
       assigned.unpersist(blocking = false)
     }
     // one extra assignment pass so cells match the RETURNED codebook —
-    // the in-loop frame reflects the pre-update centroids
+    // the in-loop frame reflects the pre-update centroids. Cache AFTER
+    // the projection: Dataset.unpersist only releases a cache entry
+    // whose plan sameResults the dataset itself, so caching the 4-col
+    // frame and returning a select() of it would leak the entry.
     Result(centroids, inertia.result(),
-      assign().select(col("id"), col("cell")))
+      assign().select(col("id"), col("cell")).cache())
   }
 }

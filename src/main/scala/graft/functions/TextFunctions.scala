@@ -110,10 +110,16 @@ object TextFunctions {
     val punct = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
     val nChars = length(text).cast("double")
     val stopHits = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
-    least(lit(1.0), nTok / 100.0) * 0.25 +
-      (nDistinct / nTok) * 0.25 +
-      (lit(1.0) - punct / nChars) * 0.25 +
-      least(lit(1.0), (stopHits / nTok) * 4.0) * 0.25
+    // token-free text (digits/punct only, or empty) must score 0.0, not
+    // 0.0/0.0 = NaN: under Spark's NaN-greater-than-everything ordering
+    // a NaN score would PASS any quality floor. nTok > 0 implies at
+    // least one letter, so nChars > 0 is covered by the same guard.
+    when(nTok > 0,
+      least(lit(1.0), nTok / 100.0) * 0.25 +
+        (nDistinct / nTok) * 0.25 +
+        (lit(1.0) - punct / nChars) * 0.25 +
+        least(lit(1.0), (stopHits / nTok) * 4.0) * 0.25)
+      .otherwise(lit(0.0))
   }
 
   /** Uniform-spread hash of an arbitrary string: polyHash composed

@@ -105,6 +105,22 @@ object PipelineOpsQueries {
   private val chunkStride = 48 // 16-token overlap between chunks
   private val chunkDocModulus = 20
 
+  // ---------------------------------------------------------------- q87
+  /** KMV sketch size for the sketch-backed profile. 64 keeps the
+    * low-cardinality measures (quantity ~50, discount ~11 distinct)
+    * UNDER k — their sketch is the exact distinct set — while the
+    * quasi-continuous price column exercises the full-sketch
+    * (k-1)·H/h_k estimator (rsd ≈ 1/√(k-1) ≈ 13%).
+    */
+  private val profileKmvK = 64
+  /** Canonical BIGINT quantization for hashing a 2-decimal measure
+    * stored as double: x*100 is the same IEEE double in both engines
+    * and never lands exactly on .5, so HALF_UP round is cross-engine
+    * deterministic and injective on the domain.
+    */
+  private def quantized(c: Column): Column =
+    round(c * 100).cast("long")
+
   // ---------------------------------------------------------------- q78
   /** Same corpus-derived codebook as q37 — this is the step that would
     * REFRESH it. */
@@ -344,8 +360,9 @@ object PipelineOpsQueries {
     // Column profiling (the data-quality primitive that guards every
     // 100 TB ingest): one scan computing count/nulls/distinct/min/max/
     // mean per tracked measure, emitted as one row per column. Means
-    // go through DECIMAL sums; distincts are exact here (swap in the
-    // q49/q81 sketches at scale, same shape).
+    // go through DECIMAL sums; distincts are exact here — this is the
+    // EXACT TWIN kept for estimator-error documentation; q87 below is
+    // the sketch-backed plan you run at 100 TB.
     "q85_profile" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
@@ -361,6 +378,50 @@ object PipelineOpsQueries {
         struct(lit(c).as("column"), col(s"${c}_n").as("n_rows"),
           col(s"${c}_nulls").as("n_nulls"),
           col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_value"), col(s"${c}_max").as("max_value"),
+          (col(s"${c}_sum").cast("double") / col(s"${c}_n").cast("double"))
+            .as("mean_value"))
+      }
+      wide.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("column")
+    }),
+
+    // Sketch-backed column profile — q85's declared scale path made
+    // real. Same one-pass profile, but the 3× COUNT(DISTINCT) (a ×4
+    // Catalyst Expand over the fact table + a shuffle keyed on every
+    // distinct value) is replaced by the repo's own KMV
+    // TypedImperativeAggregate: O(k) state per column, map-side
+    // partials, ONE ordinary aggregate over the scan — the plan that
+    // survives 100 TB. Each measure is canonically quantized to BIGINT
+    // (see `quantized`) before the uniform spread hash, so the sketch
+    // AND its (k-1)·H/h_k estimator are pure functions of the input
+    // that the DuckDB twin reproduces bit-for-bit (the q86 gate). q85
+    // stays in the suite as the exact twin documenting estimator error.
+    "q87_profile_sketch" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val k = profileKmvK
+      def h(c: String) = graft.functions.TextFunctions.spreadHash(
+        quantized(col(c)).cast("string"))
+      val aggs = metrics.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          graft.functions.KMinValues(h(c), k).as(s"${c}_sketch"),
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          sum(col(c).cast("decimal(18,2)")).as(s"${c}_sum"))
+      }
+      val wide = li.agg(aggs.head, aggs.tail: _*)
+      def est(c: String) = when(size(col(s"${c}_sketch")) >= k,
+        (lit((k - 1).toDouble) * lit(graft.functions.TextFunctions.P.toDouble)) /
+          element_at(col(s"${c}_sketch"), k).cast("double"))
+        .otherwise(size(col(s"${c}_sketch")).cast("double"))
+      val rows = metrics.map { c =>
+        struct(lit(c).as("column"), col(s"${c}_n").as("n_rows"),
+          col(s"${c}_nulls").as("n_nulls"),
+          est(c).as("distinct_est"),
+          array_join(transform(col(s"${c}_sketch"), v => v.cast("string")), ",")
+            .as("sketch_str"),
           col(s"${c}_min").as("min_value"), col(s"${c}_max").as("max_value"),
           (col(s"${c}_sum").cast("double") / col(s"${c}_n").cast("double"))
             .as("mean_value"))
@@ -576,6 +637,37 @@ object PipelineOpsQueries {
            |FROM w""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH w AS (SELECT\n    $wideAggs\n  FROM lineitem)
+         |$arms
+         |ORDER BY "column"""".stripMargin
+    },
+    "q87_profile_sketch" -> {
+      val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val k = profileKmvK
+      // list_distinct also drops NULLs, matching the sketch's null skip
+      def h(c: String) = graft.functions.TextFunctions.sqlSpreadHash(
+        s"CAST(CAST(ROUND($c * 100) AS BIGINT) AS VARCHAR)")
+      val hsel = metrics.map(c => s"${h(c)} AS h_$c").mkString(",\n    ")
+      val wideAggs = metrics.map { c =>
+        s"""COUNT($c) AS ${c}_n,
+           |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ${c}_nulls,
+           |    list_sort(list_distinct(list(h_$c)))[:$k] AS ${c}_sketch,
+           |    MIN($c) AS ${c}_min, MAX($c) AS ${c}_max,
+           |    SUM(CAST($c AS DECIMAL(18,2))) AS ${c}_sum""".stripMargin
+      }.mkString(",\n    ")
+      val arms = metrics.map { c =>
+        s"""SELECT '$c' AS "column", ${c}_n AS n_rows, ${c}_nulls AS n_nulls,
+           |  CASE WHEN len(${c}_sketch) >= $k
+           |    THEN (${(k - 1).toDouble} * ${graft.functions.TextFunctions.P.toDouble})
+           |         / CAST(${c}_sketch[$k] AS DOUBLE)
+           |    ELSE CAST(len(${c}_sketch) AS DOUBLE) END AS distinct_est,
+           |  array_to_string(${c}_sketch, ',') AS sketch_str,
+           |  ${c}_min AS min_value, ${c}_max AS max_value,
+           |  CAST(${c}_sum AS DOUBLE) / CAST(${c}_n AS DOUBLE) AS mean_value
+           |FROM w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hs AS (SELECT *,\n    $hsel\n  FROM lineitem),
+         |w AS (SELECT\n    $wideAggs\n  FROM hs)
          |$arms
          |ORDER BY "column"""".stripMargin
     },

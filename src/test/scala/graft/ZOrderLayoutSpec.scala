@@ -56,6 +56,7 @@ class ZOrderLayoutSpec extends SparkSuite {
         spark.read.parquet(path)
           .where(col("qb").between(10, 13) && col("pb").between(20, 23))
 
+      val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         val (natRows, zRows) = (scanOutputRows(box(natural)), scanOutputRows(box(zordered)))
@@ -68,7 +69,7 @@ class ZOrderLayoutSpec extends SparkSuite {
         // the z-ordered layout must skip most row groups
         assert(zRows < natRows / 2,
           s"z-order pruning ineffective: scanned $zRows vs natural $natRows")
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     } finally {
       graft.util.FileUtils.deleteRecursively(java.nio.file.Paths.get(natural))
       graft.util.FileUtils.deleteRecursively(java.nio.file.Paths.get(zordered))
