@@ -43,7 +43,10 @@ object PipelineOpsQueries {
     * synthetic scale-up fixtures (shifted ids) feel the cap.
     */
   private val testHorizon = 5000L
-  private def isTestDoc(c: Column): Column =
+  /** Shared with CurationPipeline's decontamination stage — the ONE
+    * definition of eval-set membership, horizon cap included.
+    */
+  private[graft] def isTestDoc(c: Column): Column =
     c % testModulus === 0 && c < testHorizon
 
   // ---------------------------------------------------------------- q75

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.functions.TextFunctions
-import graft.queries.{DedupQueries, Tables}
+import graft.queries.{DedupQueries, PipelineOpsQueries, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,30 +35,42 @@ object CurationPipeline {
 
   val qualityFloor = 0.5
   private val contamShingles = 2
-  private val evalModulus = 23 // the q73 eval-set slice
 
   /** Runs the funnel over `$sfDir/documents.parquet`, writes
     * train/val/test parquet under `outDir`, returns the stage counts.
+    *
+    * Action budget (the 100 TB cost model): the three pre-dedup stage
+    * counts come from ONE conditional aggregate over the scored scan
+    * (the q58 shape — counting them as three `.count()`s would pay
+    * three full corpus scans), and every later stage count reads a
+    * CACHED upstream frame, so the raw corpus is scanned once for the
+    * funnel plus once for the LSH signature pass.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String): Funnel = {
     val docs = Tables(spark, sfDir, "documents")
-    val total = docs.count()
 
-    // 1-2: language + quality, one scan-stage pass
+    // 1-2: language + quality — one scan, one aggregate for all three
+    // pre-dedup counts
     val scored = docs
       .withColumn("lang_id", TextFunctions.langId(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
-    val langKeptDf = scored.where(col("lang_id") === "en")
-    val langKept = langKeptDf.count()
-    val qualityDf = langKeptDf.where(col("quality") >= qualityFloor)
-    val qualityKept = qualityDf.count()
+    val langOk = col("lang_id") === "en"
+    val qualOk = langOk && col("quality") >= qualityFloor
+    val pre = scored.agg(count(lit(1)).as("total"),
+      count(when(langOk, 1)).as("lang_kept"),
+      count(when(qualOk, 1)).as("quality_kept")).head()
+    val (total, langKept, qualityKept) =
+      (pre.getLong(0), pre.getLong(1), pre.getLong(2))
 
-    // 3: exact dedup — keep the min doc_id per canonical form
+    // 3: exact dedup — keep the min doc_id per canonical form. Cached:
+    // it feeds the pair restriction, the near-dup anti-join and (via
+    // nearDf/cleanDf) the decontamination screen and the split.
     val wCanon = Window.partitionBy("canon_key").orderBy("doc_id")
-    val exactDf = qualityDf
+    val exactDf = scored.where(qualOk)
       .withColumn("canon_key", TextFunctions.canonicalKey(col("text")))
       .withColumn("rn", row_number().over(wCanon))
       .where(col("rn") === 1).drop("rn")
+      .cache()
     val exactKept = exactDf.count()
 
     // 4: near-dup representatives — LSH pairs restricted to survivors,
@@ -73,13 +85,17 @@ object CurationPipeline {
       .where(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     val nearDf = exactDf.join(broadcast(nonReps), Seq("doc_id"), "left_anti")
+      .cache()
     val nearDupKept = nearDf.count()
 
     // 5: decontamination — drop the eval slice itself, then every doc
-    // sharing >= contamShingles shingles with it (q73's screen)
+    // sharing >= contamShingles shingles with it (q73's screen, and
+    // q73's EXACT eval-slice definition: modulus AND fixed id horizon —
+    // an uncapped modulus slice grows with the corpus and makes the
+    // shingle-pair work quadratic in SF)
     def grams(d: DataFrame) = d.select(col("doc_id"), explode(array_distinct(
       graft.functions.ShingleHash(TextFunctions.tokens(col("text")), 3))).as("h"))
-    val isEval = col("doc_id") % evalModulus === 0
+    val isEval = PipelineOpsQueries.isTestDoc(col("doc_id"))
     val evalGrams = grams(docs.where(isEval))
       .select(col("doc_id").as("eval_doc"), col("h"))
     val contaminated = grams(nearDf.where(!isEval))
@@ -89,7 +105,6 @@ object CurationPipeline {
       .select("doc_id")
     val cleanDf = nearDf.where(!isEval)
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    val decontaminated = cleanDf.count()
 
     // 6: deterministic split on the canonical-form hash (dup-leak-free:
     // any surviving near-identical docs share a bucket), 80/10/10
@@ -98,12 +113,16 @@ object CurationPipeline {
       when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
     val out = split.select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("quality"), col("split")).cache()
+    // decontaminated = Σ split counts: same cached frame, no extra pass
     val counts = out.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val decontaminated = counts.valuesIterator.sum
     for (s <- Seq("train", "val", "test"))
       out.where(col("split") === s).drop("split")
         .write.mode("overwrite").parquet(s"$outDir/$s")
     out.unpersist()
+    nearDf.unpersist()
+    exactDf.unpersist()
 
     Funnel(total, langKept, qualityKept, exactKept, nearDupKept,
       decontaminated,
