@@ -224,6 +224,41 @@ object TextAnalysisQueries {
         .orderBy("lang")
     }),
 
+    // q65's 100 TB swap as CODE, gated the q81 way: the threshold
+    // aggregate computes BOTH the exact p75 (a sort-based/global
+    // aggregate — fine at gate scale, the cliff at 100 TB) and the
+    // mergeable percentile_approx sketch (fixed memory, one pass —
+    // the production threshold). The hashed output carries the
+    // exact-threshold rollup bit-for-bit plus two tolerance bounds the
+    // DuckDB twin asserts TRUE: the sketch threshold sits within 5% of
+    // the exact one (adjacent n_chars order stats near p75 are ≤6
+    // apart on a ~420 domain at every driver SF), and the row count
+    // the sketch threshold would keep differs from the exact-threshold
+    // count by at most 2% + 2 rows per language (rank error ≤
+    // n/accuracy plus the interpolation straddle). Dropping the exact
+    // branch leaves exactly the plan you run at 100 TB.
+    "q88_quantile_filter_sketch" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val thr = docs.agg(
+        expr("percentile(n_chars, 0.75D)").as("p75_exact"),
+        expr("percentile_approx(n_chars, 0.75D, 10000)")
+          .cast("double").as("p75_sketch"))
+      val nc = col("n_chars").cast("double")
+      docs.join(broadcast(thr))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(nc >= col("p75_exact"), 1)).as("n_kept"),
+          count(when(nc >= col("p75_sketch"), 1)).as("n_kept_sketch"),
+          first(col("p75_exact")).as("p75_exact"),
+          first(col("p75_sketch")).as("p75_sketch"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          (abs(col("p75_sketch") - col("p75_exact")) / col("p75_exact") <= 0.05)
+            .as("thr_within_tol"),
+          (abs(col("n_kept_sketch") - col("n_kept")).cast("double") <=
+            col("n_docs").cast("double") * 0.02 + 2.0).as("kept_within_tol"))
+        .orderBy("lang")
+    }),
+
     // stratified downsampling: per-language keep rates applied via a
     // deterministic content-hash draw — reproducible on any cluster
     // size/partition layout (rng sample() is not), and exact dups get
@@ -404,6 +439,13 @@ object TextAnalysisQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(n_chars) AS min_chars
         |FROM documents, t WHERE CAST(n_chars AS DOUBLE) >= p75
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q88_quantile_filter_sketch" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, 0.75) AS p75 FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN CAST(n_chars AS DOUBLE) >= p75 THEN 1 END) AS n_kept,
+        |  TRUE AS thr_within_tol, TRUE AS kept_within_tol
+        |FROM documents, t
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q66_stratified_sample" ->
       s"""SELECT lang, COUNT(*) AS n_total,
