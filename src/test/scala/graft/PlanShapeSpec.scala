@@ -44,8 +44,9 @@ class PlanShapeSpec extends SparkSuite {
   private val bnljAllowed = Set("q26_ngram_jaccard", "q29_cosine_topk",
     "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel",
     // one-row broadcast scalars (percentile threshold / max count /
-    // BM25 collection stats)
-    "q65_quantile_filter", "q67_mix_weights", "q77_bm25")
+    // BM25 collection stats / exact+sketch threshold pair)
+    "q65_quantile_filter", "q67_mix_weights", "q77_bm25",
+    "q88_quantile_filter_sketch")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
@@ -161,6 +162,48 @@ class PlanShapeSpec extends SparkSuite {
     // only k rows per group per partition cross it
     val between = finals.head.collect { case e: ShuffleExchangeExec => e }
     assert(between.size === 1, "TopKPerGroup must shuffle exactly once between phases")
+  }
+
+  test("pipeline-tier queries keep their designed plan shapes") {
+    // q73: the eval shingle set broadcasts; the train-side explode
+    // reaches the probe join straight from the scan (no exchange
+    // anywhere under the join — the broadcast build side is a
+    // BroadcastExchange, not a shuffle)
+    val q73 = plans("q73_contamination").collect { case j: BroadcastHashJoinExec => j }
+    assert(q73.size === 1, "q73 must probe a broadcast eval shingle set")
+    assert(q73.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "q73's train-side explode picked up a shuffle below the broadcast join")
+
+    // q77: both slice joins (df terms, dl doc lengths) broadcast; the
+    // collection-stats scalar rides the allowed one-row BNLJ
+    val q77 = plans("q77_bm25").collect { case j: BroadcastHashJoinExec => j }
+    assert(q77.size === 2, "q77's df/dl slice joins must both broadcast")
+
+    // q83: the template set (df >= threshold shingles) broadcasts; the
+    // only shuffle under the probe join is the build side's own df agg —
+    // the corpus side stays scan-stage
+    val q83 = plans("q83_boilerplate").collect { case j: BroadcastHashJoinExec => j }
+    assert(q83.size === 1, "q83 must probe a broadcast template set")
+    assert(q83.head.collect { case e: ShuffleExchangeExec => e }.size <= 1,
+      "q83's corpus side picked up a shuffle below the template join")
+
+    // q78: assignment is an in-projection argmax over the literal
+    // codebook — NO join anywhere; exactly the (cell, dim) partial-agg
+    // exchange plus the oracle-mandated result sort
+    val q78 = plans("q78_kmeans_step")
+    assert(q78.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      q78.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "q78's cell assignment must stay join-free")
+    assert(q78.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      "q78 must shuffle only for the (cell, dim) agg and the result sort")
+
+    // q87: the whole point vs q85 — ONE ordinary aggregate, no Expand,
+    // one single-partition exchange (3 sketch rows)
+    val q87 = plans("q87_profile_sketch")
+    assert(q87.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
+      "q87 regressed to an Expand-based distinct plan")
+    assert(q87.collect { case e: ShuffleExchangeExec => e }.size <= 1,
+      "q87 must reach the driver through one single-row exchange")
   }
 
   test("filter pushdown reaches the parquet scan in q01") {
