@@ -59,6 +59,103 @@ object FakeDecoder {
   def open(partitionId: Int): FakeDecoder = new FakeDecoder(partitionId)
 }
 
+/** Channel stats decoded from one REAL image payload (PPM P6). */
+case class PpmFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    mean_r: Double,
+    mean_g: Double,
+    mean_b: Double,
+    decoderId: Int)
+
+/** ===== REAL DECODER (binary PPM / netpbm P6) =====
+  * One genuinely decoded, dependency-free PUBLIC format, so the
+  * multimodal tier parses real image bytes and not only the stub
+  * contract: "P6" magic, ASCII width/height/maxval with `#` comments,
+  * a single whitespace byte, then width×height raw RGB triplets
+  * (maxval must be 255 — the 1-byte-per-sample variant). Same
+  * once-per-partition `open()` contract as [[FakeDecoder]]; a real
+  * codec library slots in here with no plumbing change.
+  */
+final class PpmDecoder private (val decoderId: Int) {
+
+  /** Channel means over the raster; None for anything that is not a
+    * well-formed P6 payload (wrong magic, malformed header, wide
+    * maxval, truncated raster) — curation semantics: undecodable media
+    * drops out of the feature stream, counted by subtraction upstream.
+    */
+  def decode(p: Array[Byte]): Option[PpmDecoder.PpmStats] = header(p).map {
+    case (w, h, off) =>
+      val n = w.toLong * h
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      val base = off
+      while (i < n) {
+        sr += p(base + 3 * i) & 0xff
+        sg += p(base + 3 * i + 1) & 0xff
+        sb += p(base + 3 * i + 2) & 0xff
+        i += 1
+      }
+      PpmDecoder.PpmStats(w, h,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** (width, height, raster offset), or None if not valid P6. */
+  private def header(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    var pos = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def skipWsAndComments(): Unit = {
+      var cont = true
+      while (cont && pos < p.length) {
+        if (isWs(p(pos))) pos += 1
+        else if (p(pos) == '#') { while (pos < p.length && p(pos) != '\n') pos += 1 }
+        else cont = false
+      }
+    }
+    def readInt(): Int = { // -1 = malformed; 1e6 cap forbids overflow
+      skipWsAndComments()
+      var v = 0; var any = false
+      while (pos < p.length && p(pos) >= '0' && p(pos) <= '9' && v <= 1000000) {
+        v = v * 10 + (p(pos) - '0'); pos += 1; any = true
+      }
+      if (any && v <= 1000000) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval != 255) return None
+    // exactly ONE whitespace byte separates maxval from the raster
+    // (the spec's rule — a '#' here would be raster data, not comment)
+    if (pos >= p.length || !isWs(p(pos))) return None
+    pos += 1
+    if (p.length - pos < 3L * w * h) return None
+    Some((w, h, pos))
+  }
+}
+
+object PpmDecoder {
+  final case class PpmStats(
+      width: Int, height: Int, meanR: Double, meanG: Double, meanB: Double)
+
+  /** Once per PARTITION, never once per row (the FakeDecoder rule). */
+  def open(partitionId: Int): PpmDecoder = new PpmDecoder(partitionId)
+
+  /** Fixture/round-trip helper: raw RGB triplets → P6 bytes. */
+  def encode(width: Int, height: Int, rgb: Array[Byte],
+      comment: Option[String] = None): Array[Byte] = {
+    require(rgb.length == 3 * width * height,
+      s"raster must hold ${3 * width * height} bytes, got ${rgb.length}")
+    val header = comment.fold(s"P6\n$width $height\n255\n")(c =>
+      s"P6\n#$c\n$width $height\n255\n")
+    val hb = header.getBytes("US-ASCII")
+    val out = new Array[Byte](hb.length + rgb.length)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(rgb, 0, out, hb.length, rgb.length)
+    out
+  }
+}
+
 /** Multimodal plumbing: documents → binary records → partition-batched
   * feature extraction. Typed `Dataset` boundaries (encoders define the
   * schema), `mapPartitions` for the decode stage so the per-partition
@@ -99,6 +196,26 @@ object MultimodalPipeline {
         val (checksum, nFrames, meanByte) = decoder.decode(r.payload)
         MediaFeatures(r.doc_id, r.payload.length, checksum, nFrames,
           meanByte, decoder.decoderId)
+      }
+    }
+  }
+
+  /** The REAL decode stage (PPM P6): identical shape to
+    * [[extractFeatures]] — one decoder per partition, streamed rows —
+    * but the bytes are genuinely parsed; undecodable payloads drop out
+    * of the stream (flatMap), so `records.count - features.count` is
+    * the corrupt-media count.
+    */
+  def decodePpm(records: Dataset[MediaRecord]): Dataset[PpmFeatures] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      val decoder = PpmDecoder.open(org.apache.spark.TaskContext.getPartitionId())
+      it.flatMap { r =>
+        decoder.decode(r.payload).map { s =>
+          PpmFeatures(r.doc_id, s.width, s.height, s.width.toLong * s.height,
+            s.meanR, s.meanG, s.meanB, decoder.decoderId)
+        }
       }
     }
   }

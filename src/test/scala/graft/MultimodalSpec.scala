@@ -94,6 +94,49 @@ class MultimodalSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("PPM decode: real bytes round-trip through the partition decoder") {
+    import spark.implicits._
+    import graft.multimodal.PpmDecoder
+    // deterministic gradient rasters, one comment-bearing header
+    def raster(w: Int, h: Int, seed: Int): Array[Byte] =
+      Array.tabulate(3 * w * h)(i => ((i * 31 + seed * 7) % 256).toByte)
+    val imgs = Seq((10L, 8, 5, None), (11L, 3, 3, Some("fixture")),
+      (12L, 1, 1, None))
+    val recs = imgs.map { case (id, w, h, c) =>
+      MediaRecord(id, PpmDecoder.encode(w, h, raster(w, h, id.toInt), c),
+        w, h, "image/x-portable-pixmap")
+    }
+    val feats = MultimodalPipeline.decodePpm(recs.toDS().repartition(2))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.keySet === Set(10L, 11L, 12L))
+    for ((id, w, h, _) <- imgs) {
+      val f = feats(id)
+      assert(f.width === w && f.height === h && f.n_pixels === w.toLong * h)
+      // channel means computed directly from the fixture raster
+      val rgb = raster(w, h, id.toInt)
+      def mean(ch: Int) =
+        rgb.indices.collect { case i if i % 3 == ch => rgb(i) & 0xff }
+          .sum.toDouble / (w * h)
+      assert(f.mean_r === mean(0) && f.mean_g === mean(1) && f.mean_b === mean(2))
+    }
+  }
+
+  test("PPM decode: undecodable payloads drop out of the feature stream") {
+    import spark.implicits._
+    import graft.multimodal.PpmDecoder
+    val good = PpmDecoder.encode(2, 2, Array.fill[Byte](12)(5))
+    val bad = Seq(
+      MediaRecord(1L, "P5\n2 2\n255\n0000".getBytes("US-ASCII"), 2, 2, "pgm"), // wrong magic
+      MediaRecord(2L, good.dropRight(1), 2, 2, "ppm"), // truncated raster
+      MediaRecord(3L, "P6\n2 2\n65535\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](24)(0), 2, 2, "ppm"), // 2-byte samples unsupported
+      MediaRecord(4L, Array.empty[Byte], 0, 0, "ppm"))
+    val mixed = (bad :+ MediaRecord(5L, good, 2, 2, "ppm")).toDS()
+    val out = MultimodalPipeline.decodePpm(mixed).collect()
+    assert(out.map(_.doc_id).toSeq === Seq(5L))
+    assert(out.head.mean_r === 5.0 && out.head.n_pixels === 4L)
+  }
+
   test("featureSummary aggregates the decoded features") {
     val row = MultimodalPipeline.featureSummary(spark, sfDir).head()
     assert(row.getAs[Long]("n_media") === docs.count())
