@@ -41,10 +41,13 @@ object RemoteFetch {
     * element), strip '\r', and pre-decode with the JVM charset before
     * the documented errors='replace' step.
     */
-  private def execRaw(cmd: Seq[String]): (Array[Byte], String, Int) = {
+  private def execRaw(cmd: Seq[String],
+      extraEnv: Map[String, String] = Map.empty): (Array[Byte], String, Int) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val p = new java.lang.ProcessBuilder(cmd: _*).start()
+    val pb = new java.lang.ProcessBuilder(cmd: _*)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    val p = pb.start()
     p.getOutputStream.close()
     // drain stderr concurrently so neither pipe buffer can deadlock
     val errF = Future(new String(p.getErrorStream.readAllBytes(), UTF_8))(
@@ -63,31 +66,74 @@ object RemoteFetch {
       execRaw(Seq("/bin/sh", "-c", command))
   }
 
-  /** `ssh`-subprocess runner (key/agent auth; no password support — a
-    * JVM paramiko equivalent is out of scope and out of deps).
-    *
-    * The destination is caller-controlled (MCP `configure_ssh_node`
-    * arguments), and ssh parses its argv — a username like
-    * `-oProxyCommand=...` would otherwise be read as an OPTION, turning
-    * a tool argument into local command execution (the reference's
-    * paramiko API has no argv surface to attack). Defense is layered:
-    * reject option-shaped or `@`-bearing parts up front, and terminate
-    * option parsing with `--` before the destination regardless.
-    * BatchMode keeps the non-interactive contract (no password prompt
-    * can hang the pool).
+  /** Shared argv-injection defense: the destination is caller-
+    * controlled (MCP `configure_ssh_node` arguments), and ssh parses
+    * its argv — a username like `-oProxyCommand=...` would otherwise be
+    * read as an OPTION, turning a tool argument into local command
+    * execution (the reference's paramiko API has no argv surface to
+    * attack). Defense is layered: reject option-shaped or `@`-bearing
+    * parts up front, and terminate option parsing with `--` before the
+    * destination regardless.
     */
-  final class SshProcessRunner(host: String, user: String, port: Int = 22)
-      extends CommandRunner {
+  private def requireSafeDestination(host: String, user: String,
+      keyFile: Option[String]): Unit = {
     require(host.nonEmpty && user.nonEmpty, "empty ssh host/username")
     require(!host.startsWith("-") && !user.startsWith("-"),
       s"ssh host/username may not start with '-' (option injection): $user@$host")
     require(!user.contains("@") && !host.contains("@"),
       s"ssh host/username may not contain '@': $user@$host")
+    keyFile.foreach(k => require(k.nonEmpty && !k.startsWith("-"),
+      s"ssh key path may not start with '-' (option injection): $k"))
+  }
+
+  /** batch=true → key/agent mode (BatchMode forbids prompts);
+    * batch=false → password mode (one prompt, answered by sshpass).
+    */
+  private def sshArgs(host: String, user: String, port: Int,
+      keyFile: Option[String], batch: Boolean): Seq[String] =
+    Seq("ssh", "-p", port.toString,
+      "-o", "ConnectTimeout=30") ++ // reference default, CLA:59-66
+      (if (batch) Seq("-o", "BatchMode=yes")
+       else Seq("-o", "NumberOfPasswordPrompts=1")) ++
+      keyFile.toSeq.flatMap(k => Seq("-i", k)) ++
+      Seq("--", s"$user@$host")
+
+  /** `ssh`-subprocess runner — key/agent auth (`-i` when an explicit
+    * key file is configured, the agent/default keys otherwise).
+    * BatchMode keeps the non-interactive contract (no password prompt
+    * can hang the pool).
+    */
+  final class SshProcessRunner(host: String, user: String, port: Int = 22,
+      keyFile: Option[String] = None)
+      extends CommandRunner {
+    requireSafeDestination(host, user, keyFile)
+    /** exposed so specs can pin the exact command line without sshd */
+    private[graft] def argv(command: String): Seq[String] =
+      sshArgs(host, user, port, keyFile, batch = true) :+ command
     override def run(command: String): (Array[Byte], String, Int) =
-      execRaw(Seq("ssh", "-p", port.toString,
-        "-o", "ConnectTimeout=30", // reference default, CLA:59-66
-        "-o", "BatchMode=yes",
-        "--", s"$user@$host", command))
+      execRaw(argv(command))
+  }
+
+  /** Password-auth runner — the reference's paramiko password fallback
+    * (`cassandra_log_analyzer.py:101-117`), realized as `sshpass -e
+    * ssh ...`: the password travels in the child's SSHPASS environment
+    * variable, NEVER argv (argv is world-readable in /proc). Requires
+    * the standard `sshpass` binary on the driver host; a missing binary
+    * surfaces as the spawn failure of the first fetch. BatchMode is
+    * OFF here (it would disable password auth); NumberOfPasswordPrompts=1
+    * keeps a wrong password from retry-hanging the pool.
+    */
+  final class SshPasswordRunner(host: String, user: String,
+      password: String, port: Int = 22)
+      extends CommandRunner {
+    requireSafeDestination(host, user, None)
+    require(password.nonEmpty, "empty ssh password")
+    /** exposed so specs can pin the exact command line without sshd */
+    private[graft] def argv(command: String): Seq[String] =
+      Seq("sshpass", "-e") ++
+        sshArgs(host, user, port, None, batch = false) :+ command
+    override def run(command: String): (Array[Byte], String, Int) =
+      execRaw(argv(command), extraEnv = Map("SSHPASS" -> password))
   }
 
   /** POSIX single-quote escaping: safe interpolation of a path operand
@@ -96,11 +142,32 @@ object RemoteFetch {
   def shellQuote(s: String): String =
     "'" + s.replace("'", "'\\''") + "'"
 
+  /** Auth selection mirrors the reference's paramiko fallback chain
+    * (key file → agent/default keys → password,
+    * `cassandra_log_analyzer.py:101-117`): an explicit key file rides
+    * `-i`, a password selects the sshpass runner, neither = agent.
+    */
   final case class NodeConfig(
       host: String,
       username: String,
       port: Int = 22,
-      logDirectory: String = "/var/log/cassandra")
+      logDirectory: String = "/var/log/cassandra",
+      keyFile: Option[String] = None,
+      password: Option[String] = None)
+
+  /** The production runner-factory wiring: localhost bypasses ssh, a
+    * configured password selects the sshpass runner, otherwise
+    * key/agent. (Factored out of the MCP main so specs can pin it.)
+    */
+  def defaultRunner(cfg: NodeConfig): CommandRunner =
+    if (cfg.host == "localhost" || cfg.host == "127.0.0.1")
+      new LocalShellRunner
+    else cfg.password match {
+      case Some(pw) =>
+        new SshPasswordRunner(cfg.host, cfg.username, pw, cfg.port)
+      case None =>
+        new SshProcessRunner(cfg.host, cfg.username, cfg.port, cfg.keyFile)
+    }
 
   sealed trait FetchError { def message: String }
   final case class FileNotFound(path: String) extends FetchError {

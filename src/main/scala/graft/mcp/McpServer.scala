@@ -22,21 +22,20 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * response texts (`:582-857`). JSON via json4s, which ships with
   * Spark.
   *
-  * Known limitation vs the reference (documented in README): password
-  * SSH auth. The `ssh`-subprocess runner supports key and agent auth;
-  * a `password` argument is accepted and stored but the Auth line
-  * flags it as unsupported.
+  * Auth parity with the reference's paramiko chain (`:101-117`): key
+  * file → `-i`, password → the sshpass-backed runner, neither → agent;
+  * the Auth response line mirrors the reference's exact wording.
   */
 final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
   import McpServer._
 
   /** Transport-level node registry — the reference's
     * `ssh_connections_config` dict (`cassandra_log_analyzer.py:338`).
-    * keyFile/password ride along for the Auth response line only.
+    * Credentials live in the NodeConfig, which the runner factory
+    * reads to pick the auth mode.
     */
-  private case class SshNode(cfg: RemoteFetch.NodeConfig,
-      keyFile: Option[String], password: Option[String])
-  private val sshNodes = mutable.LinkedHashMap.empty[String, SshNode]
+  private val sshNodes =
+    mutable.LinkedHashMap.empty[String, RemoteFetch.NodeConfig]
 
   def handle(method: String, params: JValue): Either[(Int, String), JValue] =
     method match {
@@ -129,8 +128,9 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
       val logDir = str(args, "log_directory").getOrElse("/var/log/cassandra")
       val keyFile = str(args, "key_file")
       val password = str(args, "password")
-      val cfg = RemoteFetch.NodeConfig(host, username, port, logDir)
-      sshNodes(node) = SshNode(cfg, keyFile, password)
+      val cfg = RemoteFetch.NodeConfig(host, username, port, logDir,
+        keyFile, password)
+      sshNodes(node) = cfg
       try {
         if (!fetcher.testDirectory(cfg))
           s"Configuration SSH sauvegardée pour '$node' ($host). " +
@@ -139,10 +139,10 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
           val files = fetcher.listLogFiles(cfg)
           val filesList = files.take(5).map("  - " + _).mkString("\n")
           val more = if (files.size > 5) " ..." else ""
+          // the reference's exact auth-priority wording (CLA:621)
           val auth =
             if (keyFile.isDefined) "Clé SSH"
-            else if (password.isDefined)
-              "Mot de passe (non supporté par ce moteur — utilisez une clé ou l'agent SSH)"
+            else if (password.isDefined) "Mot de passe"
             else "Agent SSH"
           s"Configuration SSH réussie pour '$node'\nHost: $host:$port\n" +
             s"User: $username\nAuth: $auth\nRépertoire: $logDir\n" +
@@ -170,12 +170,12 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
           val types =
             Seq("system", "debug").filter(t => logType == t || logType == "both")
           val loaded = types.map { t =>
-            fetcher.loadNode(catalog, sn.cfg, node, t, tail) match {
+            fetcher.loadNode(catalog, sn, node, t, tail) match {
               case Right((lines, _)) => s"  - $t.log ($lines lignes)"
               case Left(err) => s"  - $t.log (ERREUR: ${err.message})"
             }
           }
-          s"Logs chargés depuis '$node' (${sn.cfg.host})\n" +
+          s"Logs chargés depuis '$node' (${sn.host})\n" +
             s"${loaded.mkString("\n")}\n\n" +
             s"Total nodes avec logs: ${catalog.distinctBaseNodes}"
       }
@@ -193,7 +193,7 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
         val tail = int(args, "tail_lines")
         val types =
           Seq("system", "debug").filter(t => logType == t || logType == "both")
-        val nodes = sshNodes.toSeq.map { case (n, s) => n -> s.cfg }
+        val nodes = sshNodes.toSeq.map { case (n, s) => n -> s }
         // one node-major pass over node×type (catalog keys land
         // node1_system, node1_debug, node2_system, ... — the
         // reference's per-node loop order); node result = conjunction
@@ -244,7 +244,7 @@ object McpServer {
       |   "node_name":{"type":"string","description":"Nom du node"},
       |   "host":{"type":"string","description":"Adresse IP ou hostname"},
       |   "username":{"type":"string","description":"Nom d'utilisateur SSH"},
-      |   "password":{"type":"string","description":"Mot de passe SSH (optionnel; non supporté par ce moteur)"},
+      |   "password":{"type":"string","description":"Mot de passe SSH (optionnel)"},
       |   "key_file":{"type":"string","description":"Chemin vers la clé privée SSH"},
       |   "port":{"type":"integer","description":"Port SSH","default":22},
       |   "log_directory":{"type":"string","description":"Répertoire des logs Cassandra","default":"/var/log/cassandra"}},
@@ -341,7 +341,8 @@ object McpServer {
   /** Stdio entry point: `runMain graft.mcp.McpServer`. Spark logs go to
     * stderr; stdout carries only JSON-RPC frames. localhost nodes run
     * through a local shell (no sshd needed), anything else through the
-    * `ssh` subprocess (key/agent auth).
+    * `ssh` subprocess — key file / agent / sshpass-password per the
+    * node's configured credentials ([[RemoteFetch.defaultRunner]]).
     */
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -353,10 +354,7 @@ object McpServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fetcher = new RemoteFetcher(cfg =>
-      if (cfg.host == "localhost" || cfg.host == "127.0.0.1")
-        new RemoteFetch.LocalShellRunner
-      else new RemoteFetch.SshProcessRunner(cfg.host, cfg.username, cfg.port))
+    val fetcher = new RemoteFetcher(RemoteFetch.defaultRunner)
     serve(System.in, System.out,
       new McpDispatcher(new LogCatalog(spark), fetcher))
     spark.stop()

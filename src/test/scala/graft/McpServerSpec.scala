@@ -78,7 +78,7 @@ class McpServerSpec extends SparkSuite {
     assert((bad \ "error" \ "code") === JInt(-32602))
   }
 
-  test("configure_ssh_node previews the first five files and flags password auth") {
+  test("configure_ssh_node previews the first five files; auth line has reference parity") {
     val d = newDispatcher
     val resp = roundTrip(d,
       s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"configure_ssh_node","arguments":{"node_name":"n1","host":"localhost","username":"tester","password":"pw","log_directory":"${logDir}"}}}""")
@@ -86,7 +86,8 @@ class McpServerSpec extends SparkSuite {
     assert(text.contains("Configuration SSH réussie"))
     assert(text.contains("Fichiers trouvés: 2"))
     assert(text.contains("  - " + logDir)) // file preview lines
-    assert(text.contains("non supporté")) // password flagged, not silently used
+    // the reference's exact auth-priority wording (CLA:621)
+    assert(text.contains("Auth: Mot de passe"))
   }
 
   test("load_logs_from_all_nodes with both types inserts catalog keys node-major") {

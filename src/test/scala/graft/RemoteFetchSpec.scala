@@ -76,6 +76,41 @@ class RemoteFetchSpec extends SparkSuite {
     assert(catalog.rawFor("node1_system").count() === 6)
   }
 
+  test("password auth: sshpass command shape, env-only password, injection guards") {
+    val r = new SshPasswordRunner("db1", "cass", "s3cret", 2222)
+    // password mode: sshpass -e (env password), ONE prompt, NO
+    // BatchMode (it would disable password auth), options terminated
+    // with -- before the caller-controlled destination
+    assert(r.argv("cat x") === Seq("sshpass", "-e", "ssh", "-p", "2222",
+      "-o", "ConnectTimeout=30", "-o", "NumberOfPasswordPrompts=1",
+      "--", "cass@db1", "cat x"))
+    // the password must never appear in argv
+    assert(!r.argv("cat x").exists(_.contains("s3cret")))
+    intercept[IllegalArgumentException](
+      new SshPasswordRunner("-oProxyCommand=evil", "u", "pw"))
+    intercept[IllegalArgumentException](new SshPasswordRunner("h", "u", ""))
+  }
+
+  test("key/agent auth: explicit key file rides -i; BatchMode stays on") {
+    val k = new SshProcessRunner("db1", "cass", 22, Some("/keys/id_ed25519"))
+    assert(k.argv("ls") === Seq("ssh", "-p", "22",
+      "-o", "ConnectTimeout=30", "-o", "BatchMode=yes",
+      "-i", "/keys/id_ed25519", "--", "cass@db1", "ls"))
+    intercept[IllegalArgumentException](
+      new SshProcessRunner("h", "u", 22, Some("-F/evil")))
+  }
+
+  test("defaultRunner picks the auth mode from the node's credentials") {
+    assert(defaultRunner(NodeConfig("localhost", "u"))
+      .isInstanceOf[LocalShellRunner])
+    assert(defaultRunner(NodeConfig("db1", "u", password = Some("pw")))
+      .isInstanceOf[SshPasswordRunner])
+    assert(defaultRunner(NodeConfig("db1", "u", keyFile = Some("/k")))
+      .isInstanceOf[SshProcessRunner])
+    assert(defaultRunner(NodeConfig("db1", "u"))
+      .isInstanceOf[SshProcessRunner])
+  }
+
   test("loadAll fetches concurrently but keeps caller node order; bad nodes error per-node") {
     val catalog = new LogCatalog(spark)
     val nodes = Seq(
