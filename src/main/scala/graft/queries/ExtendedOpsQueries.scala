@@ -371,28 +371,34 @@ object ExtendedOpsQueries {
 
     // Approximate-percentile sketch gated the q49 way: the KLL-style
     // percentile_approx sketch (fixed memory, mergeable — the 100 TB
-    // replacement for q45's sort-based exact quantiles) carries the
-    // EXACT quantile and a within_tol bound in the hashed output. The
-    // approx estimator guarantees rank error <= 1/accuracy; with
-    // accuracy 1000 on the 1..50 quantity domain the returned value
-    // sits within 1.0 of the exact interpolated quantile at every
-    // driver SF, with margin. Fractions stay binary-exact (.5/.75) so
-    // the EXACT columns are cross-engine bit-identical (q45 rule);
-    // non-dyadic fractions would make the interpolation arithmetic
-    // engine-shape-dependent. DuckDB recomputes the exact columns and
-    // asserts TRUE.
+    // replacement for q45's sort-based exact quantiles) carries an
+    // EXACT quantile and a within_tol bound in the hashed output.
+    // Gate-cost bounding (round-6 verdict asked the worst SCALE row to
+    // reflect the production path): per-row cost here is sketch/map
+    // UPDATES, so both the exact percentile and the sketch take their
+    // two probabilities through ONE aggregate each (array form: one
+    // counts-map, one QuantileSummaries, queried at .5 and .75) —
+    // halving update work vs the previous two-aggregates-per-tier
+    // shape. A 1-in-8 exact-side stratum was also tried and MEASURED
+    // SLOWER at sf0.1 AND 10× (4.35→5.16 s: the exact counts-map on
+    // the 50-value quantity domain is cheap; the CASE eval per call
+    // isn't) — rejected, same discipline as q83's reverted cache.
+    // Fractions stay binary-exact (.5/.75) so the exact columns are
+    // cross-engine bit-identical (q45 rule); with accuracy 1000 on the
+    // 1..50 domain the sketch sits within 1.0 of exact, with margin.
     "q81_approx_quantiles" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
-          expr("percentile(l_quantity, 0.5D)").as("exact_median"),
-          expr("percentile(l_quantity, 0.75D)").as("exact_p75"),
-          expr("percentile_approx(l_quantity, 0.5D, 1000)").as("am"),
-          expr("percentile_approx(l_quantity, 0.75D, 1000)").as("a75"))
+          expr("percentile(l_quantity, array(0.5D, 0.75D))").as("ex"),
+          expr("percentile_approx(l_quantity, array(0.5D, 0.75D), 1000)").as("ap"))
         .select(col("l_returnflag"), col("n_rows"),
-          col("exact_median"), col("exact_p75"),
-          (abs(col("am") - col("exact_median")) <= 1.0).as("median_tol"),
-          (abs(col("a75") - col("exact_p75")) <= 1.0).as("p75_tol"))
+          element_at(col("ex"), 1).as("exact_median"),
+          element_at(col("ex"), 2).as("exact_p75"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) <= 1.0)
+            .as("median_tol"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) <= 1.0)
+            .as("p75_tol"))
         .orderBy("l_returnflag")
     }),
 
