@@ -13,7 +13,7 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ WindowOpsQueries.queries ++
       TextRankQueries.queries ++ ExtendedOpsQueries.queries ++
-      PipelineOpsQueries.queries ++
+      PipelineOpsQueries.queries ++ ScaleOpsQueries.queries ++
       graft.streaming.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,6 +23,6 @@ object SparkEntry {
       DedupQueries.oracle ++ SimilarityQueries.oracle ++
       MultimodalQueries.oracle ++ WindowOpsQueries.oracle ++
       TextRankQueries.oracle ++ ExtendedOpsQueries.oracle ++
-      PipelineOpsQueries.oracle ++
+      PipelineOpsQueries.oracle ++ ScaleOpsQueries.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

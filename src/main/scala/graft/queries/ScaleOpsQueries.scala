@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 scale-ops tier: the operators a curation/serving pipeline
+  * needs once the corpus outgrows single-stage formulations —
+  * deterministic per-group caps through the custom bounded-heap
+  * operator, graph centrality over an extracted entity graph, and
+  * (further down) semantic dedup, global sequence ids, streaks, and
+  * interval concurrency. Every query is oracle-gated; all arithmetic
+  * that crosses the engine boundary is integer or fixed-tree double
+  * (no order-sensitive float reductions).
+  */
+object ScaleOpsQueries {
+
+  /** q89 per-source cap. */
+  private val sourceCap = 10
+
+  /** q90 PageRank: ranks in integer millionths, 3 unrolled iterations,
+    * damping 0.85 as the exact integer step `150000 + (85*sum) div 100`.
+    */
+  private val prIters = 3
+  private val prInit = 1000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-source document cap — the "at most N docs per domain/source"
+    // curation rule (over-represented sources crowd out the mixture).
+    // Deterministic: docs are kept in content-hash order (layout- and
+    // cluster-size-independent, exact dups draw the same hash), and the
+    // cut runs through the custom TopKPerGroup whole-operator — bounded
+    // heap per group, map-side k-row combine — so at most cap·|sources|
+    // rows per partition cross the shuffle, vs the row_number window
+    // sorting EVERY doc per source. The oracle is that window.
+    "q89_source_cap" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          spreadHash(col("text")).as("h"))
+      graft.plans.TopK.perGroup(docs, Seq("source"),
+        Seq("h" -> false, "doc_id" -> false), sourceCap)
+        .orderBy("source", "doc_id")
+    }),
+
+    // Domain-graph centrality (PageRank) over the q63 URL extraction —
+    // the "quality weight by link/co-citation importance" signal.
+    // Shape: ONE corpus scan builds per-doc distinct domain sets (one
+    // shuffle on doc_id), pair fan-out is bounded by domains-per-doc²,
+    // and the aggregated edge list (nodes² at worst, here ≤ 28·28 rows)
+    // is CACHED — the 3 Lloyd-style iterations run on the tiny cached
+    // graph, never rescanning the corpus. All arithmetic is BIGINT
+    // micro-units with floor division (150000 + (85·Σ(rank·w div wout))
+    // div 100): exact, order-independent, bit-equal in DuckDB's
+    // unrolled-CTE twin. At 100 TB the corpus scan dominates and the
+    // iteration cost ∝ edges — the standard decoupling (extract once,
+    // iterate on the graph).
+    "q90_domain_pagerank" -> ((s, dir) => {
+      val doms = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(TextAnalysisQueries.urlText,
+            lit(TextAnalysisQueries.urlRe), lit(0))).as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+      val byDoc = doms.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("domain"))).as("ds"))
+      val edges = byDoc
+        .select(explode(col("ds")).as("src"), col("ds"))
+        .select(col("src"), explode(col("ds")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .cache() // the aggregated graph — iterations must not rescan the corpus
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+      val nodes = edges.select(col("src").as("domain")).distinct()
+      var ranks = nodes.select(col("domain"), lit(prInit).as("pr"))
+      for (_ <- 1 to prIters) {
+        val contribs = edges
+          .join(outw, "src")
+          .join(ranks.withColumnRenamed("domain", "src_d"),
+            col("src") === col("src_d"))
+          .select(col("dst"), expr("(pr * w) div wout").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("csum"))
+        ranks = nodes
+          .join(contribs, nodes("domain") === contribs("dst"), "left")
+          .select(col("domain"),
+            expr("150000 + (85 * coalesce(csum, 0)) div 100").as("pr"))
+      }
+      ranks.orderBy(desc("pr"), asc("domain"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q89_source_cap" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars,
+         |            ${sqlSpreadHash("text")} AS h FROM documents),
+         |r AS (SELECT source, doc_id, n_chars, h,
+         |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |      FROM d)
+         |SELECT source, doc_id, n_chars, h FROM r WHERE rn <= $sourceCap
+         |ORDER BY source, doc_id""".stripMargin,
+    "q90_domain_pagerank" -> {
+      val base =
+        s"""WITH u AS (SELECT doc_id,
+           |      unnest(regexp_extract_all(${TextAnalysisQueries.sqlUrlText},
+           |        '${TextAnalysisQueries.urlRe}')) AS url FROM documents),
+           |d AS (SELECT DISTINCT doc_id,
+           |        regexp_extract(url, 'https?://([^/]+)', 1) AS domain FROM u),
+           |e AS (SELECT a.domain AS src, b.domain AS dst, COUNT(*) AS w
+           |      FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.domain <> b.domain
+           |      GROUP BY 1, 2),
+           |ow AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+           |n AS (SELECT DISTINCT src AS domain FROM e),
+           |r0 AS (SELECT domain, CAST($prInit AS BIGINT) AS pr FROM n)""".stripMargin
+      val steps = (1 to prIters).map { i =>
+        s"""r$i AS (SELECT n.domain,
+           |  CAST(150000 + ((85 * COALESCE(s.csum, 0)) // 100) AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst, SUM((p.pr * e.w) // ow.wout) AS csum
+           |    FROM e JOIN ow ON ow.src = e.src
+           |           JOIN r${i - 1} p ON p.domain = e.src
+           |    GROUP BY e.dst) s ON s.dst = n.domain)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$steps
+         |SELECT domain, pr FROM r$prIters ORDER BY pr DESC, domain""".stripMargin
+    })
+}

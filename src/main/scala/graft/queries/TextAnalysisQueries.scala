@@ -22,7 +22,7 @@ object TextAnalysisQueries {
     */
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  private val urlRe = "https?://[a-z0-9.-]+(/[^ ]*)?"
+  private[queries] val urlRe = "https?://[a-z0-9.-]+(/[^ ]*)?"
 
   /** The synthetic corpus carries no PII/URLs, so q61/q63 WEAVE
     * deterministic tokens into each doc (same construction in the
@@ -41,11 +41,11 @@ object TextAnalysisQueries {
       "CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR), " +
       "'.', CAST((doc_id * 13) % 256 AS VARCHAR))"
 
-  private def urlText: Column = concat(col("text"),
+  private[queries] def urlText: Column = concat(col("text"),
     lit(" see https://www.site"), (col("doc_id") % 23).cast("string"),
     lit(".com/p/"), col("doc_id").cast("string"),
     lit(" and http://cdn"), (col("doc_id") % 5).cast("string"), lit(".net/x"))
-  private val sqlUrlText =
+  private[queries] val sqlUrlText =
     "concat(text, ' see https://www.site', CAST(doc_id % 23 AS VARCHAR), " +
       "'.com/p/', CAST(doc_id AS VARCHAR), ' and http://cdn', " +
       "CAST(doc_id % 5 AS VARCHAR), '.net/x')"
