@@ -25,7 +25,48 @@ object ScaleOpsQueries {
   private val prIters = 3
   private val prInit = 1000000L
 
+  /** q91 SemDeDup cosine threshold: within an IVF cell, a vector whose
+    * cosine to some LOWER-id cell member exceeds this is a semantic
+    * duplicate (the earlier member is its representative).
+    */
+  private val semTau = 0.4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Semantic dedup, the SemDeDup construction (Abbas et al. 2023,
+    // arXiv:2303.09540 — public): cluster the embedding space, then
+    // screen for near-duplicates ONLY within a cluster, so pair work is
+    // bounded by cell size instead of corpus². Reuses q37's shuffle-free
+    // argmax-cosine cell assignment (centroid codebook folded in as
+    // literals); the within-cell screen is a hash LEFT SEMI join keyed
+    // on the cell — at 100 TB the cell is the partition key and no
+    // cross-cell pair ever materializes. Output = the dropped vectors
+    // (those with an earlier near-identical cell member), which the
+    // oracle reproduces via a correlated EXISTS over the same cells CTE.
+    "q91_semantic_dedup" -> ((s, dir) => {
+      val corpus = SimilarityQueries.emb(s, dir)
+      val cents: Seq[(Long, Array[Double], Double)] = corpus
+        .where(col("vec_id").isin(SimilarityQueries.centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble),
+          r.getDouble(2))).toSeq
+      val best = graft.functions.VectorFunctions.bestCell(
+        col("embedding"), col("n2"),
+        cents.map { case (id, ce, n2) => (id, ce, n2) })
+      val cells = corpus.select(col("vec_id"), col("embedding"), col("n2"),
+        (-best.getField("nid")).as("cell"))
+      val earlier = cells.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("n2").as("bn2"), col("cell").as("b_cell"))
+      import graft.functions.VectorFunctions.{cosineFrom, dot}
+      cells.join(earlier,
+        col("cell") === col("b_cell") && col("b_id") < col("vec_id") &&
+          cosineFrom(dot(col("embedding"), col("be")), col("n2"), col("bn2"))
+            > semTau,
+        "left_semi")
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     // Per-source document cap — the "at most N docs per domain/source"
     // curation rule (over-represented sources crowd out the mixture).
     // Deterministic: docs are kept in content-hash order (layout- and
@@ -89,6 +130,23 @@ object ScaleOpsQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q91_semantic_dedup" -> {
+      import graft.functions.VectorFunctions.{sqlCosineFrom, sqlDot}
+      val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+      val abCos = sqlCosineFrom(sqlDot("a.embedding", "b.embedding"), "a.n2", "b.n2")
+      s"""WITH ${SimilarityQueries.sqlEmb},
+         |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+         |      FROM e WHERE vec_id IN (${SimilarityQueries.centroidIds.mkString(",")})),
+         |cells AS (
+         |  SELECT vec_id, embedding, n2, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.n2, c.c_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cCos DESC, c.c_id) AS rn
+         |    FROM e, c) WHERE rn = 1)
+         |SELECT DISTINCT a.vec_id, a.cell FROM cells a JOIN cells b
+         |  ON b.cell = a.cell AND b.vec_id < a.vec_id AND $abCos > $semTau
+         |ORDER BY a.vec_id""".stripMargin
+    },
     "q89_source_cap" ->
       s"""WITH d AS (SELECT source, doc_id, n_chars,
          |            ${sqlSpreadHash("text")} AS h FROM documents),

@@ -45,14 +45,14 @@ object SimilarityQueries {
     * k-means these; the INDEX STRUCTURE — cell assignment by argmax
     * cosine, probes scanning one cell — is what's being exercised.
     */
-  private val centroidIds = Seq(1L, 3L, 8L, 21L, 55L, 144L, 233L, 377L)
+  private[queries] val centroidIds = Seq(1L, 3L, 8L, 21L, 55L, 144L, 233L, 377L)
 
   /** vectors + squared norms; probe sets are deterministic id slices. */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
 
-  private val sqlEmb =
+  private[queries] val sqlEmb =
     s"e AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
