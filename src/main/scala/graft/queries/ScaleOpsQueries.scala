@@ -84,6 +84,22 @@ object ScaleOpsQueries {
         .orderBy("source", "doc_id")
     }),
 
+    // Global sequence-id assignment — the shard/packing prerequisite
+    // ("number every doc in corpus order"). The naive row_number()
+    // window with no PARTITION BY moves the whole corpus to ONE
+    // partition; ext/GlobalIndex is the two-phase replacement (range
+    // repartition + per-partition counts + offset attach, Spark's own
+    // zipWithIndex technique) that keeps all 32 partitions working.
+    // The oracle IS that naive window — proving the distributed
+    // formulation bit-equal to the single-node semantics.
+    "q92_global_index" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.ext.GlobalIndex.withGlobalIndex(docs,
+        Seq(col("n_chars").desc, col("doc_id").asc), 32)
+        .orderBy("global_idx")
+    }),
+
     // Domain-graph centrality (PageRank) over the q63 URL extraction —
     // the "quality weight by link/co-citation importance" signal.
     // Shape: ONE corpus scan builds per-doc distinct domain sets (one
@@ -155,6 +171,11 @@ object ScaleOpsQueries {
          |      FROM d)
          |SELECT source, doc_id, n_chars, h FROM r WHERE rn <= $sourceCap
          |ORDER BY source, doc_id""".stripMargin,
+    "q92_global_index" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT)
+        |    AS global_idx
+        |FROM documents ORDER BY global_idx""".stripMargin,
     "q90_domain_pagerank" -> {
       val base =
         s"""WITH u AS (SELECT doc_id,

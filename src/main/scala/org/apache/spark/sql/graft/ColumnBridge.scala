@@ -23,4 +23,16 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** DataFrame over an already-computed `RDD[InternalRow]`
+    * (`internalCreateDataFrame` is `private[sql]`) — needed by
+    * per-partition operators that derive new rows imperatively, e.g.
+    * [[graft.ext.GlobalIndex]]'s offset-attach pass.
+    */
+  def ofInternalRows(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
