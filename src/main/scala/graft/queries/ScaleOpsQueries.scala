@@ -100,6 +100,57 @@ object ScaleOpsQueries {
         .orderBy("global_idx")
     }),
 
+    // Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    // classic streak problem — user retention / activity-streak
+    // features). The island key is the constant `day_number −
+    // row_number()` within a user: consecutive days share it, a gap
+    // breaks it. One shuffle on user_id feeds the window; both
+    // follow-up aggregates stay on the same key family. Dense
+    // formulation — no self-join, no explode over the date range.
+    "q93_activity_streaks" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val rn = row_number().over(
+        Window.partitionBy("user_id").orderBy("day"))
+      val withGrp = days.select(col("user_id"), col("day"),
+        (expr("datediff(day, DATE'1970-01-01')").cast("long") - rn).as("grp"))
+      val islands = withGrp.groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    }),
+
+    // Interval-overlap concurrency by sweep line: each event holds a
+    // deterministic integer-second duration; max concurrent intervals
+    // per event_type = max running sum over (+1 at start, −1 at end)
+    // in global time order, ends before starts at the same instant.
+    // The sweep is ONE window (one shuffle+sort per event_type) over
+    // 2·n rows — never the O(n²) self-join that "count overlaps" naively
+    // invites. All time arithmetic is exact BIGINT nanoseconds.
+    "q94_interval_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts_ns"),
+          (col("event_id") % 3600 + 60).as("dur_s"))
+      val starts = ev.select(col("event_type"), col("ts_ns").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      val ends = ev.select(col("event_type"),
+        (col("ts_ns") + col("dur_s") * lit(1000000000L)).as("t"),
+        lit(-1L).as("delta"), col("event_id"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("delta"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      starts.union(ends)
+        .withColumn("c", sum(col("delta")).over(w))
+        .groupBy("event_type")
+        .agg(max(col("c")).as("max_concurrent"),
+          expr("count(1) div 2").as("n_intervals"))
+        .orderBy("event_type")
+    }),
+
     // Domain-graph centrality (PageRank) over the q63 URL extraction —
     // the "quality weight by link/co-citation importance" signal.
     // Shape: ONE corpus scan builds per-doc distinct domain sets (one
@@ -176,6 +227,32 @@ object ScaleOpsQueries {
         |  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT)
         |    AS global_idx
         |FROM documents ORDER BY global_idx""".stripMargin,
+    "q93_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        CAST(day - DATE '1970-01-01' AS BIGINT)
+        |          - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |i AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q94_interval_concurrency" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |        CAST(epoch_ns(ts) AS BIGINT) AS tns,
+        |        event_id % 3600 + 60 AS dur_s FROM events),
+        |s AS (SELECT event_type, tns AS t, CAST(1 AS BIGINT) AS delta, event_id
+        |      FROM ev
+        |      UNION ALL
+        |      SELECT event_type, tns + dur_s * 1000000000,
+        |        CAST(-1 AS BIGINT), event_id FROM ev),
+        |c AS (SELECT event_type,
+        |        SUM(delta) OVER (PARTITION BY event_type
+        |          ORDER BY t, delta, event_id ROWS UNBOUNDED PRECEDING) AS c
+        |      FROM s)
+        |SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent,
+        |  COUNT(*) // 2 AS n_intervals
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q90_domain_pagerank" -> {
       val base =
         s"""WITH u AS (SELECT doc_id,
