@@ -135,6 +135,19 @@ object TextFunctions {
   def sqlSpreadHash(v: String): String =
     s"(${minhashA.head} * ${sqlPolyHash(v)} + ${minhashB.head}) % $P"
 
+  /** [[spreadHash]] for a value that is ALREADY an integer: the same
+    * first MinHash affine permutation applied to `x mod P` directly —
+    * three integer ops per value instead of rendering the number to a
+    * string and folding a polynomial hash over its digits (that
+    * allocation-per-row was q87's hot path: 3 hashes × every fact row).
+    * `a < P` and `pmod < P` keep the product under 2^62.
+    */
+  def spreadHashLong(x: Column): Column =
+    (lit(minhashA.head) * pmod(x, lit(P)) + lit(minhashB.head)) % P
+
+  def sqlSpreadHashLong(v: String): String =
+    s"(${minhashA.head} * ((($v) % $P + $P) % $P) + ${minhashB.head}) % $P"
+
   /** Distinct shingle-hash set per doc — input to MinHash and SimHash. */
   def shingleHashes(text: Column): Column =
     array_distinct(transform(wordShingles(text), s => polyHash(s)))

@@ -397,24 +397,40 @@ object PipelineOpsQueries {
     // TypedImperativeAggregate: O(k) state per column, map-side
     // partials, ONE ordinary aggregate over the scan — the plan that
     // survives 100 TB. Each measure is canonically quantized to BIGINT
-    // (see `quantized`) before the uniform spread hash, so the sketch
-    // AND its (k-1)·H/h_k estimator are pure functions of the input
-    // that the DuckDB twin reproduces bit-for-bit (the q86 gate). q85
-    // stays in the suite as the exact twin documenting estimator error.
+    // (see `quantized`) and fed to the INTEGER spread hash — three
+    // integer ops per value, no per-row string rendering — so the
+    // sketch AND its (k-1)·H/h_k estimator are pure functions of the
+    // input that the DuckDB twin reproduces bit-for-bit (the q86 gate).
+    // q85 stays in the suite as the exact twin documenting estimator
+    // error.
     "q87_profile_sketch" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
       val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
       val k = profileKmvK
-      def h(c: String) = graft.functions.TextFunctions.spreadHash(
-        quantized(col(c)).cast("string"))
-      val aggs = metrics.flatMap { c =>
+      def h(c: String) = graft.functions.TextFunctions.spreadHashLong(
+        quantized(col(c)))
+      // TWO single-row aggregates, cross-joined: one TypedImperative
+      // function in an agg takes the WHOLE aggregate off codegen
+      // (ObjectHashAggregate evaluates every function interpreted), so
+      // mixing the 15 cheap numeric functions with the 3 sketches made
+      // all of them pay the interpreted path — measured 7× the split
+      // plan at 10× data. Split, the numeric agg keeps whole-stage
+      // codegen and the object agg carries only the 3 KMV updates; the
+      // join of two 1-row results is free.
+      val numAggs = metrics.flatMap { c =>
         Seq(count(col(c)).as(s"${c}_n"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          graft.functions.KMinValues(h(c), k).as(s"${c}_sketch"),
           min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
           sum(col(c).cast("decimal(18,2)")).as(s"${c}_sum"))
       }
-      val wide = li.agg(aggs.head, aggs.tail: _*)
+      // hashes evaluate in a CODEGEN projection under the scan; the
+      // object agg's update expressions are then bare attribute reads
+      val hashed = li.select(metrics.map(c => h(c).as(s"h_$c")): _*)
+      val kmvAggs = metrics.map { c =>
+        graft.functions.KMinValues(col(s"h_$c"), k).as(s"${c}_sketch")
+      }
+      val wide = li.agg(numAggs.head, numAggs.tail: _*)
+        .crossJoin(hashed.agg(kmvAggs.head, kmvAggs.tail: _*))
       def est(c: String) = when(size(col(s"${c}_sketch")) >= k,
         (lit((k - 1).toDouble) * lit(graft.functions.TextFunctions.P.toDouble)) /
           element_at(col(s"${c}_sketch"), k).cast("double"))
@@ -647,8 +663,8 @@ object PipelineOpsQueries {
       val metrics = Seq("l_quantity", "l_extendedprice", "l_discount")
       val k = profileKmvK
       // list_distinct also drops NULLs, matching the sketch's null skip
-      def h(c: String) = graft.functions.TextFunctions.sqlSpreadHash(
-        s"CAST(CAST(ROUND($c * 100) AS BIGINT) AS VARCHAR)")
+      def h(c: String) = graft.functions.TextFunctions.sqlSpreadHashLong(
+        s"CAST(ROUND($c * 100) AS BIGINT)")
       val hsel = metrics.map(c => s"${h(c)} AS h_$c").mkString(",\n    ")
       val wideAggs = metrics.map { c =>
         s"""COUNT($c) AS ${c}_n,
