@@ -46,7 +46,10 @@ class PlanShapeSpec extends SparkSuite {
     // one-row broadcast scalars (percentile threshold / max count /
     // BM25 collection stats / exact+sketch threshold pair)
     "q65_quantile_filter", "q67_mix_weights", "q77_bm25",
-    "q88_quantile_filter_sketch")
+    "q88_quantile_filter_sketch",
+    // q87's split plan: codegen numeric agg ⨯ KMV object agg, both
+    // single-row — the crossJoin of two 1-row results is a BNLJ
+    "q87_profile_sketch")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
@@ -197,13 +200,62 @@ class PlanShapeSpec extends SparkSuite {
     assert(q78.collect { case e: ShuffleExchangeExec => e }.size <= 2,
       "q78 must shuffle only for the (cell, dim) agg and the result sort")
 
-    // q87: the whole point vs q85 — ONE ordinary aggregate, no Expand,
-    // one single-partition exchange (3 sketch rows)
+    // q87: the whole point vs q85 — ordinary aggregates, no Expand;
+    // the split plan pays one single-row exchange per agg (numeric +
+    // KMV) and nothing else
     val q87 = plans("q87_profile_sketch")
     assert(q87.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty,
       "q87 regressed to an Expand-based distinct plan")
-    assert(q87.collect { case e: ShuffleExchangeExec => e }.size <= 1,
-      "q87 must reach the driver through one single-row exchange")
+    assert(q87.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      "q87 must reach the driver through two single-row agg exchanges")
+  }
+
+  test("scale-ops tier (round 7) keeps its designed plan shapes") {
+    // q89: the cap runs through the custom two-phase TopK operator —
+    // NO window sort of every doc, one group-key shuffle + result sort
+    val q89 = plans("q89_source_cap")
+    assert(q89.collect { case t: graft.plans.TopKPartialExec => t }.size === 1
+      && q89.collect { case t: graft.plans.TopKFinalExec => t }.size === 1,
+      "q89 must plan the two-phase TopKPerGroup operator")
+    assert(q89.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "q89 regressed to the full window formulation")
+    assert(q89.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      "q89: one group-key shuffle + the result sort")
+
+    // q90: the three iterations must read the CACHED edge list, never
+    // re-deriving it from the corpus scan
+    val q90 = plans("q90_domain_pagerank")
+    assert(q90.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.nonEmpty, "q90's iterations must run on the cached aggregated graph")
+
+    // q91: ONE join, keyed on the cell — the SemDeDup invariant that
+    // no cross-cell pair ever materializes
+    val q91joins = plans("q91_semantic_dedup").collect {
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+    }
+    assert(q91joins.size === 1, "q91 must plan exactly one within-cell join")
+    assert(q91joins.head.exists(_.references.toSeq.map(_.name)
+        .exists(n => n == "cell" || n == "b_cell")),
+      "q91's join must be keyed on the cell")
+
+    // q92: global ids without the single-partition window
+    val q92 = plans("q92_global_index")
+    assert(q92.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "q92 regressed to the single-partition window formulation")
+
+    // q93/q94: exactly one window pass each (the island ranking / the
+    // sweep running sum), never a join
+    for (name <- Seq("q93_activity_streaks", "q94_interval_concurrency")) {
+      val p = plans(name)
+      assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.size === 1,
+        s"$name must plan exactly one window pass")
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"$name must stay join-free")
+    }
   }
 
   test("filter pushdown reaches the parquet scan in q01") {
