@@ -81,5 +81,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.KMinValues(child, k)
       }))
+    // `misra_gries(expr, k)` — heavy-hitters counter summary (at most
+    // k tracked items; est ≤ true, undercount ≤ n/(k+1) for any merge
+    // tree). Same analyzer contract as k_min_values.
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName,
+        "misra_gries"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "misra_gries(expr, k)")
+        require(exprs(1).foldable, "misra_gries k must be a literal")
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"misra_gries k must be an integer literal, got $other")
+        }
+        graft.functions.MisraGries(exprs.head, k)
+      }))
   }
 }

@@ -31,7 +31,44 @@ object ScaleOpsQueries {
     */
   private val semTau = 0.4
 
+  /** q95 Misra-Gries counter budget. The woven key stream has 3 hot
+    * keys (~20% each) and 97 cold keys (~0.4%): with k=16 the
+    * guarantee threshold n/(k+1) ≈ 5.9% separates them, so the gated
+    * guarantees are non-trivial (the fixture's natural columns are
+    * near-uniform — nothing would qualify).
+    */
+  private val hhK = 16
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Heavy hitters via the custom Misra-Gries TypedImperativeAggregate
+    // — the fixed-memory "which items dominate the stream" sketch
+    // (top sources/domains/tokens at 100 TB, where an exact groupBy's
+    // key set is the problem). A bounded counter summary's ESTIMATES
+    // are merge-order-dependent, so q95 gates what IS deterministic:
+    // the sketch guarantees (est ≤ true, undercount ≤ n/(k+1), every
+    // item above the threshold present — Agarwal et al., PODS 2012,
+    // for any merge tree), asserted against the exact counting twin,
+    // with the oracle emitting the guaranteed literals. Same gate
+    // family as q81/q88.
+    "q95_heavy_hitters" -> ((s, dir) => {
+      val item = concat(lit("k"),
+        when(col("event_id") % 100 < 60, col("event_id") % 3)
+          .otherwise(col("event_id") % 97 + 100).cast("string"))
+      val items = Tables(s, dir, "events").select(item.as("item"))
+      val sketch = items.agg(
+        graft.functions.MisraGries(col("item"), hhK).as("sketch"))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("n_true"))
+      val total = exact.agg(sum(col("n_true")).as("n"))
+      def est = coalesce(element_at(col("sketch"), col("item")), lit(0L))
+      exact.join(broadcast(sketch)).join(broadcast(total))
+        .where(col("n_true") * (hhK + 1) > col("n"))
+        .select(col("item"), col("n_true"),
+          element_at(col("sketch"), col("item")).isNotNull.as("in_sketch"),
+          (est <= col("n_true") &&
+            (col("n_true") - est) * (hhK + 1) <= col("n")).as("within_bound"))
+        .orderBy("item")
+    }),
+
     // Semantic dedup, the SemDeDup construction (Abbas et al. 2023,
     // arXiv:2303.09540 — public): cluster the embedding space, then
     // screen for near-duplicates ONLY within a cluster, so pair work is
@@ -197,6 +234,14 @@ object ScaleOpsQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q95_heavy_hitters" ->
+      s"""WITH s AS (SELECT concat('k', CAST(CASE WHEN event_id % 100 < 60
+         |    THEN event_id % 3 ELSE event_id % 97 + 100 END AS VARCHAR)) AS item
+         |  FROM events),
+         |c AS (SELECT item, COUNT(*) AS n_true FROM s GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_true) AS BIGINT) AS n FROM c)
+         |SELECT item, n_true, TRUE AS in_sketch, TRUE AS within_bound
+         |FROM c, t WHERE n_true * ${hhK + 1} > n ORDER BY item""".stripMargin,
     "q91_semantic_dedup" -> {
       import graft.functions.VectorFunctions.{sqlCosineFrom, sqlDot}
       val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
