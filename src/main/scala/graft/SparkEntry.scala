@@ -14,6 +14,7 @@ object SparkEntry {
       MultimodalQueries.queries ++ WindowOpsQueries.queries ++
       TextRankQueries.queries ++ ExtendedOpsQueries.queries ++
       PipelineOpsQueries.queries ++ ScaleOpsQueries.queries ++
+      CorpusOpsQueries.queries ++
       graft.streaming.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++ WindowOpsQueries.oracle ++
       TextRankQueries.oracle ++ ExtendedOpsQueries.oracle ++
       PipelineOpsQueries.oracle ++ ScaleOpsQueries.oracle ++
+      CorpusOpsQueries.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 corpus-ops tier: the data-selection and serving-layout
+  * operators a training-data pipeline needs AROUND dedup/quality —
+  * importance-weighted selection (DSIR), substring-level duplication
+  * measurement, a sharded inverted index, compaction planning, weighted
+  * sampling, and histogram-compressed exact medians. Every query is
+  * oracle-gated; all cross-engine arithmetic is integer (`div` / `//`
+  * floor division on BIGINT), so results are bit-identical at any
+  * parallelism.
+  */
+object CorpusOpsQueries {
+
+  /** q96 DSIR: hashed-feature bucket count and the fixed-point scale of
+    * the per-bucket importance weight. 64 buckets keeps the weight table
+    * a trivially-broadcast literal-sized dim at ANY corpus size — the
+    * whole point of hashed importance estimation.
+    */
+  private val dsirBuckets = 64L
+  private val dsirScale = 1000000L
+
+  /** q97 duplicated-span gram width (token 5-grams — wide enough that a
+    * match is a copied phrase, not a common collocation).
+    */
+  private val dupN = 5
+
+  /** q98 postings shard width: each (term, shard) posting list holds at
+    * most this many doc ids, so no term — however hot — ever builds an
+    * unbounded list on one reducer.
+    */
+  private val shardSize = 2500L
+
+  /** q99 compaction planner: docs-per-input-file granule and the target
+    * compacted output size (scaled to the fixture; the ratio is what
+    * matters).
+    */
+  private val fileGranule = 50L
+  private val targetBytes = 64000L
+
+  /** q100 weighted sample: draws per stratum and the fixed-point scale
+    * of the priority key.
+    */
+  private val wsK = 20
+  private val wsScale = 1000000L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169
+    // — public): score every train doc by how target-like its hashed
+    // n-gram features are. Features = unigram polynomial hashes folded
+    // into 64 buckets; per-bucket weight = add-one-smoothed
+    // target/source occurrence ratio in fixed-point. This is the
+    // additive (log-free) integer variant, so both engines agree
+    // bit-for-bit. Plan shape at 100 TB: ONE scan builds the 64-row
+    // histogram (map-side partials into 64 keys), the weight table
+    // broadcasts, a second scan scores — no high-cardinality shuffle
+    // beyond the per-doc regroup, target slice fixed (q73's horizon).
+    "q96_importance_weights" -> ((s, dir) => {
+      val isEval = PipelineOpsQueries.isTestDoc(col("doc_id"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .select(col("doc_id"), (polyHash(col("t")) % dsirBuckets).as("b"))
+      val hist = tok.groupBy("b").agg(
+        sum(when(isEval, 1L).otherwise(0L)).as("tgt"),
+        sum(when(isEval, 0L).otherwise(1L)).as("src"))
+      val weights = hist.select(col("b"),
+        expr(s"((tgt + 1) * $dsirScale) div (src + 1)").as("wb"))
+      tok.where(!isEval)
+        .join(broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("wb")).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Substring-level duplication measurement (the signal behind exact
+    // substring dedup, Lee et al. 2022, arXiv:2107.06499): what fraction
+    // of each doc's token 5-grams also appear in some OTHER doc's text?
+    // Per-doc DISTINCT gram hashes (in-doc repeats collapse at the
+    // scan), then the cross-corpus frequency of each gram comes from a
+    // count-over-window PARTITIONed on the gram hash — ONE corpus scan
+    // and one shuffle keyed on the gram, no groupBy+join-back (the
+    // self-join formulation scans the gram stream twice and plans a
+    // shuffled join on exactly the same key this window already
+    // shuffles on). Second shuffle = the per-doc rollup. Nothing is
+    // ever ∝ corpus².
+    "q97_dup_ngram_spans" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(transform(
+          wordShingles(col("text"), dupN), x => polyHash(x)))).as("h"))
+      val byGram = Window.partitionBy("h")
+      grams.withColumn("nd", count(lit(1)).over(byGram))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          expr("(n_dup * 1000) div n_grams").as("dup_permille"))
+        .orderBy("doc_id")
+    }),
+
+    // Sharded inverted index: term → sorted doc-id posting list, with
+    // the doc space pre-sharded so a posting list NEVER exceeds
+    // shardSize entries — a stopword-grade term becomes many bounded
+    // (term, shard) rows instead of one reducer-killing list (and a
+    // conjunctive query is a per-shard merge, shards in parallel).
+    // sort_array pins the in-list order the parallel collect loses.
+    "q98_inverted_index" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+        .withColumn("shard", expr(s"doc_id div $shardSize"))
+        .groupBy("term", "shard")
+        .agg(count(lit(1)).as("df_shard"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .orderBy("term", "shard")
+    }),
+
+    // Compaction bin-packing planner: group the doc inventory into
+    // input-file granules, then assign consecutive files to
+    // target-sized output bins via the running-sum rule (a file starts
+    // a new bin when its first byte crosses a bin boundary). This is a
+    // METADATA-scale operator — at 100 TB it plans over file listings
+    // (millions of rows), not data; one window per source partition.
+    "q99_compaction_plan" -> ((s, dir) => {
+      val files = docs(s, dir)
+        .groupBy(col("source"), expr(s"doc_id div $fileGranule").as("file_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val w = Window.partitionBy("source").orderBy("file_id")
+      files.withColumn("cum", sum(col("bytes")).over(w))
+        .select(col("source"), col("file_id"), col("n_docs"), col("bytes"),
+          expr(s"(cum - bytes) div $targetBytes").as("bin"))
+        .orderBy("source", "file_id")
+    }),
+
+    // Weighted sampling without replacement (the A-Res priority-key
+    // construction of Efraimidis & Spirakis 2006, integer variant):
+    // each doc draws a deterministic content-hash key scaled DOWN by
+    // its weight (n_chars), and the k smallest keys per language win —
+    // longer docs are proportionally likelier, the draw is
+    // layout-independent, and exact duplicates share a key. The cut
+    // runs through the TopKPerGroup bounded-heap operator (k rows per
+    // group per partition cross the shuffle); the oracle is the full
+    // row_number window it replaces.
+    "q100_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          spreadHash(col("text")).as("h"))
+        .withColumn("prio", expr(s"(h * $wsScale) div (n_chars + 1)"))
+        .select("lang", "doc_id", "n_chars", "prio")
+      graft.plans.TopK.perGroup(d, Seq("lang"),
+        Seq("prio" -> false, "doc_id" -> false), wsK)
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Exact per-group median via the dense value histogram: shuffle
+    // (source, n_chars) COUNTS — rows ∝ distinct values per group, not
+    // docs — then pick the lower median where the running count first
+    // reaches ⌈n/2⌉. The 100 TB contrast: a sort-based median moves
+    // every row; this moves one row per distinct (group, value) pair
+    // (bounded by the value domain) and the windows run over that
+    // compressed histogram.
+    "q101_grouped_median" -> ((s, dir) => {
+      val vc = docs(s, dir).groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy("source").orderBy("n_chars")
+      val all = Window.partitionBy("source")
+      vc.withColumn("cum", sum(col("c")).over(run))
+        .withColumn("n", sum(col("c")).over(all))
+        .where(col("cum") * 2 >= col("n") && (col("cum") - col("c")) * 2 < col("n"))
+        .select(col("source"), col("n"), col("n_chars").as("median_n_chars"))
+        .orderBy("source")
+    }))
+
+  def oracle: Map[String, String] = {
+    val isTest = PipelineOpsQueries.sqlIsTestDoc("doc_id")
+    val isTestTb = PipelineOpsQueries.sqlIsTestDoc("tb.doc_id")
+    Map(
+      "q96_importance_weights" ->
+        s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+           |tb AS (SELECT doc_id, ${sqlPolyHash("t")} % $dsirBuckets AS b
+           |       FROM (SELECT doc_id, unnest(toks) AS t FROM d)),
+           |h AS (SELECT b,
+           |        SUM(CASE WHEN $isTest THEN 1 ELSE 0 END) AS tgt,
+           |        SUM(CASE WHEN $isTest THEN 0 ELSE 1 END) AS src
+           |      FROM tb GROUP BY b),
+           |w AS (SELECT b, CAST(((tgt + 1) * $dsirScale) // (src + 1) AS BIGINT) AS wb
+           |      FROM h)
+           |SELECT tb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           |  CAST(SUM(wb) AS BIGINT) AS score
+           |FROM tb JOIN w ON w.b = tb.b
+           |WHERE NOT $isTestTb
+           |GROUP BY tb.doc_id ORDER BY tb.doc_id""".stripMargin,
+      "q97_dup_ngram_spans" ->
+        s"""WITH g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |        ${sqlWordShingles("text", dupN)}, x -> ${sqlPolyHash("x")}))) AS h
+           |      FROM documents),
+           |c AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |  CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |  CAST((SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+           |    // COUNT(*) AS BIGINT) AS dup_permille
+           |FROM g LEFT JOIN c ON c.h = g.h
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q98_inverted_index" ->
+        s"""WITH t AS (SELECT DISTINCT doc_id, term
+           |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+           |            FROM documents))
+           |SELECT term, doc_id // $shardSize AS shard,
+           |  CAST(COUNT(*) AS BIGINT) AS df_shard,
+           |  list_sort(list(doc_id)) AS postings
+           |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin,
+      "q99_compaction_plan" ->
+        s"""WITH f AS (SELECT source, doc_id // $fileGranule AS file_id,
+           |        CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |        CAST(SUM(n_chars) AS BIGINT) AS bytes
+           |      FROM documents GROUP BY 1, 2),
+           |c AS (SELECT source, file_id, n_docs, bytes,
+           |        SUM(bytes) OVER (PARTITION BY source ORDER BY file_id) AS cum
+           |      FROM f)
+           |SELECT source, file_id, n_docs, bytes,
+           |  CAST((cum - bytes) // $targetBytes AS BIGINT) AS bin
+           |FROM c ORDER BY source, file_id""".stripMargin,
+      "q100_weighted_sample" ->
+        s"""WITH d AS (SELECT lang, doc_id, n_chars,
+           |        CAST((${sqlSpreadHash("text")} * $wsScale) // (n_chars + 1) AS BIGINT)
+           |          AS prio
+           |      FROM documents),
+           |r AS (SELECT lang, doc_id, n_chars, prio,
+           |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rn
+           |      FROM d)
+           |SELECT lang, doc_id, n_chars, prio FROM r WHERE rn <= $wsK
+           |ORDER BY lang, doc_id""".stripMargin,
+      "q101_grouped_median" ->
+        s"""WITH vc AS (SELECT source, n_chars, COUNT(*) AS c
+           |      FROM documents GROUP BY 1, 2),
+           |w AS (SELECT source, n_chars, c,
+           |        SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+           |        SUM(c) OVER (PARTITION BY source) AS n
+           |      FROM vc)
+           |SELECT source, CAST(n AS BIGINT) AS n, n_chars AS median_n_chars
+           |FROM w WHERE cum * 2 >= n AND (cum - c) * 2 < n
+           |ORDER BY source""".stripMargin)
+  }
+}

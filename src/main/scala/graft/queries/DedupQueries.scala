@@ -24,6 +24,10 @@ object DedupQueries {
 
   private val jaccardThreshold = 0.40
   private val minhashEstThreshold = 0.375 // 6 of 16 signature positions
+  /** q102: a pair is a containment hit when ≥80% of EITHER side's
+    * distinct shingles appear in the other (integer permille).
+    */
+  private val containmentTau = 800L
 
   /** doc_id → distinct word-3-shingle hash set (shared by q27/q28). */
   private def docHashes(s: SparkSession, dir: String): DataFrame =
@@ -251,6 +255,35 @@ object DedupQueries {
           bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
         .where(col("hamming") <= simhashMaxHamming)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Containment screen (Broder 1997's |A∩B|/|A|, the direction-aware
+    // companion of resemblance): over the SAME LSH candidate pairs as
+    // q27, compute exact shingle containment both ways — catching the
+    // "doc B is doc A plus a paragraph" sub-document duplication that a
+    // symmetric Jaccard threshold under-scores (small doc inside big doc
+    // ⇒ low Jaccard, high containment). Candidate volume ∝ true
+    // near-dups (inherited from the banded LSH); the exact verify is the
+    // same SortedIntersectCount merge kernel as q26, one codegen'd pass
+    // per pair. The broadcast hash rejoin mirrors q27's signature rejoin
+    // (at cluster scale both become shuffle equi-joins keyed on doc_id,
+    // volume ∝ candidates).
+    "q102_containment" -> ((s, dir) => {
+      val cands = lshCandidates(s, dir).select("doc_a", "doc_b")
+      val hs = hashArrays(s, dir)
+        .select(col("doc_id"), array_sort(col("hs")).as("hs"))
+      val j = cands
+        .join(broadcast(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+        .join(broadcast(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+      val i = graft.functions.SortedIntersectCount(col("ha"), col("hb"))
+      j.select(col("doc_a"), col("doc_b"), i.cast("long").as("inter"),
+          size(col("ha")).cast("long").as("na"), size(col("hb")).cast("long").as("nb"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          expr("(inter * 1000) div na").as("cont_a_permille"),
+          expr("(inter * 1000) div nb").as("cont_b_permille"))
+        .where(col("cont_a_permille") >= containmentTau ||
+          col("cont_b_permille") >= containmentTau)
+        .orderBy("doc_a", "doc_b")
     }))
 
   def oracle: Map[String, String] = {
@@ -314,6 +347,26 @@ object DedupQueries {
         s"""WITH $sqlLshEst
            |SELECT doc_a, doc_b, est_sim FROM est
            |WHERE est_sim >= $minhashEstThreshold
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // exact containment verify over the same candidate CTE; DuckDB's
+      // list_intersect on the distinct hash lists = SortedIntersectCount
+      "q102_containment" ->
+        s"""WITH $sqlLshEst,
+           |cpairs AS (SELECT doc_a, doc_b FROM est
+           |           WHERE est_sim >= $minhashEstThreshold)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+           |  CAST((len(list_intersect(a.hs, b.hs)) * 1000) // len(a.hs) AS BIGINT)
+           |    AS cont_a_permille,
+           |  CAST((len(list_intersect(a.hs, b.hs)) * 1000) // len(b.hs) AS BIGINT)
+           |    AS cont_b_permille
+           |FROM cpairs p
+           |JOIN hashes a ON a.doc_id = p.doc_a
+           |JOIN hashes b ON b.doc_id = p.doc_b
+           |WHERE (len(list_intersect(a.hs, b.hs)) * 1000) // len(a.hs)
+           |        >= $containmentTau
+           |   OR (len(list_intersect(a.hs, b.hs)) * 1000) // len(b.hs)
+           |        >= $containmentTau
            |ORDER BY doc_a, doc_b""".stripMargin,
       // transitive closure over the same candidate pairs; label(v) =
       // min reachable doc_id == the propagation fixpoint

@@ -49,6 +49,12 @@ object PipelineOpsQueries {
   private[graft] def isTestDoc(c: Column): Column =
     c % testModulus === 0 && c < testHorizon
 
+  /** [[isTestDoc]] rendered for a DuckDB oracle (q96 reuses the same
+    * eval-set membership as its DSIR target slice).
+    */
+  private[graft] def sqlIsTestDoc(v: String): String =
+    s"($v % $testModulus = 0 AND $v < $testHorizon)"
+
   // ---------------------------------------------------------------- q75
   /** Bits per dimension in the Morton interleave; 6 bits cover
     * quantity's 1..50 domain and the partkey bucket 0..63.

@@ -49,7 +49,10 @@ class PlanShapeSpec extends SparkSuite {
     "q88_quantile_filter_sketch",
     // q87's split plan: codegen numeric agg ⨯ KMV object agg, both
     // single-row — the crossJoin of two 1-row results is a BNLJ
-    "q87_profile_sketch")
+    "q87_profile_sketch",
+    // q95 joins the exact counting twin against two one-row broadcast
+    // scalars (the Misra-Gries sketch map + the stream total)
+    "q95_heavy_hitters")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
