@@ -122,6 +122,22 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** [[qualityScore]] rendered for DuckDB — the SAME fixed double tree
+    * (shared by the q22 gate and q105's curriculum ordering).
+    */
+  def sqlQualityScore(text: String): String = {
+    val toks = sqlTokens(text)
+    val stopList = enStopwords.map(w => s"'$w'").mkString(",")
+    val punct = s"CAST(length(regexp_replace($text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    s"""CASE WHEN len($toks) > 0 THEN
+       |    least(1.0, CAST(len($toks) AS DOUBLE) / 100.0) * 0.25
+       |    + (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 0.25
+       |    + (1.0 - $punct / CAST(length($text) AS DOUBLE)) * 0.25
+       |    + least(1.0, (CAST(len(list_filter($toks, t -> list_contains([$stopList], t))) AS DOUBLE)
+       |         / CAST(len($toks) AS DOUBLE)) * 4.0) * 0.25
+       |  ELSE 0.0 END""".stripMargin
+  }
+
   /** Uniform-spread hash of an arbitrary string: polyHash composed
     * with the first MinHash affine permutation. Raw polyHash of a
     * SHORT string never wraps the modulus (its value is bounded by

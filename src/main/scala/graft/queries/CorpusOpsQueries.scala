@@ -48,6 +48,9 @@ object CorpusOpsQueries {
   private val wsK = 20
   private val wsScale = 1000000L
 
+  /** q105 curriculum: docs per training shard. */
+  private val shardDocs = 500L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -175,6 +178,47 @@ object CorpusOpsQueries {
         .where(col("cum") * 2 >= col("n") && (col("cum") - col("c")) * 2 < col("n"))
         .select(col("source"), col("n"), col("n_chars").as("median_n_chars"))
         .orderBy("source")
+    }),
+
+    // Corpus-wide equi-depth histogram: decile boundaries of the doc
+    // length distribution, EXACT, without a single-partition global
+    // sort — ranks come from the two-phase GlobalIndex (range
+    // repartition, all partitions parallel), the total is a one-row
+    // broadcast scalar, and decile = (rank·10) div n. The oracle is the
+    // one-partition ROW_NUMBER window the two-phase layout replaces.
+    // At 100 TB this is how you get exact distribution cut points;
+    // q81/q88 are the sketch tier when approximate is enough.
+    "q104_equidepth_deciles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val idx = graft.ext.GlobalIndex.withGlobalIndex(d,
+        Seq(col("n_chars").asc, col("doc_id").asc), 32, "idx")
+      val tot = d.groupBy().agg(count(lit(1)).as("n"))
+      idx.crossJoin(broadcast(tot))
+        .select(col("n_chars"), expr("(idx * 10) div n").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"))
+        .orderBy("decile")
+    }),
+
+    // Curriculum shard assignment: order the corpus by descending
+    // quality (the q22 scoring tree), number it with the two-phase
+    // GlobalIndex, and cut consecutive ranks into fixed-size training
+    // shards — shard 0 is the highest-quality slice, the tail shards
+    // the noisiest (anti-curriculum drops them). Per-shard quality mass
+    // is summed in floor-quantized BIGINT micro-units (the q78 rule:
+    // never an order-sensitive double reduction across a shuffle).
+    "q105_curriculum_shards" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      val idx = graft.ext.GlobalIndex.withGlobalIndex(q,
+        Seq(col("quality").desc, col("doc_id").asc), 32, "idx")
+      idx.select(expr(s"idx div $shardDocs").as("shard"), col("idx"),
+          floor(col("quality") * dsirScale).cast("long").as("qmicro"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("qmicro")).as("sum_qmicro"),
+          min(col("idx")).as("lo_idx"), max(col("idx")).as("hi_idx"))
+        .orderBy("shard")
     }))
 
   def oracle: Map[String, String] = {
@@ -245,6 +289,28 @@ object CorpusOpsQueries {
            |      FROM vc)
            |SELECT source, CAST(n AS BIGINT) AS n, n_chars AS median_n_chars
            |FROM w WHERE cum * 2 >= n AND (cum - c) * 2 < n
-           |ORDER BY source""".stripMargin)
+           |ORDER BY source""".stripMargin,
+      "q104_equidepth_deciles" ->
+        """WITH r AS (SELECT n_chars,
+          |        CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+          |          AS idx,
+          |        COUNT(*) OVER () AS n
+          |      FROM documents)
+          |SELECT (idx * 10) // n AS decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  MIN(n_chars) AS lo, MAX(n_chars) AS hi
+          |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+      "q105_curriculum_shards" ->
+        s"""WITH q AS (SELECT doc_id,
+           |        ${graft.functions.TextFunctions.sqlQualityScore("text")} AS quality
+           |      FROM documents),
+           |r AS (SELECT quality,
+           |        CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) - 1 AS BIGINT)
+           |          AS idx
+           |      FROM q)
+           |SELECT idx // $shardDocs AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CAST(FLOOR(quality * $dsirScale) AS BIGINT)) AS BIGINT)
+           |    AS sum_qmicro,
+           |  MIN(idx) AS lo_idx, MAX(idx) AS hi_idx
+           |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)
   }
 }

@@ -39,6 +39,37 @@ object ScaleOpsQueries {
     */
   private val hhK = 16
 
+  /** q103: sources sharing at least this many distinct domains are
+    * affiliated (an edge of the projected graph). The fixture's domain
+    * set saturates (~2 dozen domains at every SF), so the threshold
+    * separates the dense core (24 shared) from the bulk (23).
+    */
+  private val triMinShared = 24
+
+  /** Aggregated URL-domain co-occurrence edge list (q90 PageRank):
+    * ONE corpus scan builds per-doc
+    * distinct domain sets (one shuffle on doc_id), pair fan-out is
+    * bounded by domains-per-doc², and the aggregated graph (≤ |domains|²
+    * rows) is CACHED so graph algorithms iterate without rescanning the
+    * corpus — the standard extract-once/iterate-on-the-graph decoupling.
+    */
+  private def domainEdges(s: SparkSession, dir: String): DataFrame = {
+    val doms = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(TextAnalysisQueries.urlText,
+          lit(TextAnalysisQueries.urlRe), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+    val byDoc = doms.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("domain"))).as("ds"))
+    byDoc
+      .select(explode(col("ds")).as("src"), col("ds"))
+      .select(col("src"), explode(col("ds")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .cache() // the aggregated graph — iterations must not rescan the corpus
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Heavy hitters via the custom Misra-Gries TypedImperativeAggregate
     // — the fixed-memory "which items dominate the stream" sketch
@@ -201,20 +232,7 @@ object ScaleOpsQueries {
     // iteration cost ∝ edges — the standard decoupling (extract once,
     // iterate on the graph).
     "q90_domain_pagerank" -> ((s, dir) => {
-      val doms = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(regexp_extract_all(TextAnalysisQueries.urlText,
-            lit(TextAnalysisQueries.urlRe), lit(0))).as("url"))
-        .select(col("doc_id"),
-          regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
-      val byDoc = doms.groupBy("doc_id")
-        .agg(sort_array(collect_set(col("domain"))).as("ds"))
-      val edges = byDoc
-        .select(explode(col("ds")).as("src"), col("ds"))
-        .select(col("src"), explode(col("ds")).as("dst"))
-        .where(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        .cache() // the aggregated graph — iterations must not rescan the corpus
+      val edges = domainEdges(s, dir)
       val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
       val nodes = edges.select(col("src").as("domain")).distinct()
       var ranks = nodes.select(col("domain"), lit(prInit).as("pr"))
@@ -231,6 +249,46 @@ object ScaleOpsQueries {
             expr("150000 + (85 * coalesce(csum, 0)) div 100").as("pr"))
       }
       ranks.orderBy(desc("pr"), asc("domain"))
+    }),
+
+    // Triangle participation over the source-affiliation graph — the
+    // syndication/mirror-cluster signal (sources whose link profiles
+    // pairwise overlap heavily form triangles; a source in many
+    // triangles sits inside a dense affiliation cluster). The raw
+    // domain co-occurrence graph is BIPARTITE here (site ↔ cdn, no
+    // triangles by construction), so the graph is the bipartite
+    // PROJECTION: an edge joins two sources sharing ≥ triMinShared
+    // distinct domains. Orientation a<b<c makes each triangle appear
+    // EXACTLY once in the two-hop join — no post-hoc dedup. Edge list =
+    // aggregated entity-level metadata (broadcastable by construction);
+    // the web-scale variant orders vertices by degree (compact-forward,
+    // Latapy 2008) and shuffles on the join key — same plan, hints
+    // dropped.
+    "q103_triangle_count" -> ((s, dir) => {
+      val sd = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(regexp_extract_all(TextAnalysisQueries.urlText,
+            lit(TextAnalysisQueries.urlRe), lit(0))).as("url"))
+        .select(col("source"),
+          regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+        .distinct()
+      val und = sd
+        .join(broadcast(sd.select(col("source").as("b_src"),
+          col("domain").as("b_dom"))),
+          col("domain") === col("b_dom") && col("source") < col("b_src"))
+        .groupBy(col("source").as("a"), col("b_src").as("b"))
+        .agg(count(lit(1)).as("nshared"))
+        .where(col("nshared") >= triMinShared)
+        .select("a", "b")
+        .cache() // the projected graph — three self-joins must not re-derive it
+      und.as("e1")
+        .join(broadcast(und.select(col("a").as("b2"), col("b").as("c"))),
+          col("b") === col("b2"))
+        .join(broadcast(und.select(col("a").as("a3"), col("b").as("c3"))),
+          col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("source"))
+        .groupBy("source").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("source")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -300,14 +358,7 @@ object ScaleOpsQueries {
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q90_domain_pagerank" -> {
       val base =
-        s"""WITH u AS (SELECT doc_id,
-           |      unnest(regexp_extract_all(${TextAnalysisQueries.sqlUrlText},
-           |        '${TextAnalysisQueries.urlRe}')) AS url FROM documents),
-           |d AS (SELECT DISTINCT doc_id,
-           |        regexp_extract(url, 'https?://([^/]+)', 1) AS domain FROM u),
-           |e AS (SELECT a.domain AS src, b.domain AS dst, COUNT(*) AS w
-           |      FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.domain <> b.domain
-           |      GROUP BY 1, 2),
+        s"""WITH $sqlDomainGraph,
            |ow AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
            |n AS (SELECT DISTINCT src AS domain FROM e),
            |r0 AS (SELECT domain, CAST($prInit AS BIGINT) AS pr FROM n)""".stripMargin
@@ -323,5 +374,35 @@ object ScaleOpsQueries {
       s"""$base,
          |$steps
          |SELECT domain, pr FROM r$prIters ORDER BY pr DESC, domain""".stripMargin
-    })
+    },
+    "q103_triangle_count" ->
+      s"""WITH us AS (SELECT source,
+         |      unnest(regexp_extract_all(${TextAnalysisQueries.sqlUrlText},
+         |        '${TextAnalysisQueries.urlRe}')) AS url FROM documents),
+         |sd AS (SELECT DISTINCT source,
+         |        regexp_extract(url, 'https?://([^/]+)', 1) AS domain FROM us),
+         |e AS (SELECT x.source AS a, y.source AS b
+         |      FROM sd x JOIN sd y
+         |        ON x.domain = y.domain AND x.source < y.source
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= $triMinShared),
+         |t AS (SELECT e1.a, e1.b, e2.b AS c
+         |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |      WHERE EXISTS (SELECT 1 FROM e e3
+         |                    WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |v AS (SELECT unnest([a, b, c]) AS source FROM t)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM v GROUP BY source ORDER BY source""".stripMargin)
+
+  /** The u/d/e CTE chain of the domain co-occurrence graph —
+    * [[domainEdges]] rendered for DuckDB (q90).
+    */
+  private def sqlDomainGraph: String =
+    s"""u AS (SELECT doc_id,
+       |      unnest(regexp_extract_all(${TextAnalysisQueries.sqlUrlText},
+       |        '${TextAnalysisQueries.urlRe}')) AS url FROM documents),
+       |d AS (SELECT DISTINCT doc_id,
+       |        regexp_extract(url, 'https?://([^/]+)', 1) AS domain FROM u),
+       |e AS (SELECT a.domain AS src, b.domain AS dst, COUNT(*) AS w
+       |      FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.domain <> b.domain
+       |      GROUP BY 1, 2)""".stripMargin
 }

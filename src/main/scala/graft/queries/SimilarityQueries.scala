@@ -26,6 +26,10 @@ object SimilarityQueries {
   private val topK = 5
   private val annK = 3
   private val nearDupThreshold = 0.3
+  /** q106: negatives must score BELOW this (candidates above it are
+    * positives/near-duplicates, not negatives — the q91 SemDeDup band).
+    */
+  private val hardNegTau = 0.4
   /** Probe batches are a modular id slice CAPPED at a fixed horizon: a
     * real query/screen batch is O(1) in corpus size (you screen the
     * vectors that just arrived, not 2% of all vectors ever stored), so
@@ -72,6 +76,31 @@ object SimilarityQueries {
         .select(col("probe_id"), col("vec_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
             .as("cosine"))
+      val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), topK)
+      val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      top.withColumn("rn", row_number().over(w))
+        .orderBy("probe_id", "rn")
+    }),
+
+    // Hard-negative mining for contrastive training: per probe, the
+    // HIGHEST-cosine candidates that are still below the near-duplicate
+    // band (q91's SemDeDup threshold) — similar enough to be hard,
+    // distant enough to be true negatives. Same broadcast-probe +
+    // bounded-heap shape as q29; the band filter runs in the scan-stage
+    // projection BEFORE the heap, so excluded positives never enter the
+    // top-k state.
+    "q106_hard_negatives" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val scored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .where(col("cosine") < hardNegTau)
       val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
         Seq("cosine" -> true, "vec_id" -> false), topK)
       val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
@@ -164,6 +193,17 @@ object SimilarityQueries {
            |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
            |      ORDER BY $cos DESC, e.vec_id) AS INTEGER) AS rn
            |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |WHERE rn <= $topK ORDER BY probe_id, rn""".stripMargin,
+      "q106_hard_negatives" ->
+        s"""WITH $sqlEmb,
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)})
+           |SELECT probe_id, vec_id, cosine, rn FROM (
+           |  SELECT p.probe_id, e.vec_id, $cos AS cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS INTEGER) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id
+           |  WHERE $cos < $hardNegTau)
            |WHERE rn <= $topK ORDER BY probe_id, rn""".stripMargin,
       "q30_ann_lsh" ->
         s"""WITH $sqlEmb,

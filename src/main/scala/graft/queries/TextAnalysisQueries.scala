@@ -340,19 +340,11 @@ object TextAnalysisQueries {
          |ORDER BY lang, predicted""".stripMargin,
     "q22_quality_score" -> {
       val toks = sqlTokens("text")
-      val stopList = enStopwords.map(w => s"'$w'").mkString(",")
       s"""SELECT doc_id,
          |  len($toks) AS n_tokens,
          |  len(list_distinct($toks)) AS n_distinct,
          |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
-         |  CASE WHEN len($toks) > 0 THEN
-         |    least(1.0, CAST(len($toks) AS DOUBLE) / 100.0) * 0.25
-         |    + (CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 0.25
-         |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |         / CAST(length(text) AS DOUBLE)) * 0.25
-         |    + least(1.0, (CAST(len(list_filter($toks, t -> list_contains([$stopList], t))) AS DOUBLE)
-         |         / CAST(len($toks) AS DOUBLE)) * 4.0) * 0.25
-         |  ELSE 0.0 END AS quality
+         |  ${sqlQualityScore("text")} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q23_token_count" ->

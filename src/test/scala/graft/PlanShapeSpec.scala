@@ -42,6 +42,7 @@ class PlanShapeSpec extends SparkSuite {
     * side) in q38/q47.
     */
   private val bnljAllowed = Set("q26_ngram_jaccard", "q29_cosine_topk",
+    "q106_hard_negatives", // q29's shape with the negative-band filter
     "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel",
     // one-row broadcast scalars (percentile threshold / max count /
     // BM25 collection stats / exact+sketch threshold pair)
@@ -52,7 +53,10 @@ class PlanShapeSpec extends SparkSuite {
     "q87_profile_sketch",
     // q95 joins the exact counting twin against two one-row broadcast
     // scalars (the Misra-Gries sketch map + the stream total)
-    "q95_heavy_hitters")
+    "q95_heavy_hitters",
+    // q104's corpus total is a one-row broadcast scalar under the
+    // decile projection
+    "q104_equidepth_deciles")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
