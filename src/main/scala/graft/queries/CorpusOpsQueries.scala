@@ -48,8 +48,10 @@ object CorpusOpsQueries {
   private val wsK = 20
   private val wsScale = 1000000L
 
-  /** q105 curriculum: docs per training shard. */
-  private val shardDocs = 500L
+  /** q105 curriculum: docs per training shard (100 → 5 shards at the
+    * 500-doc fixtures, 50 at sf0.1 — a non-trivial cut at every SF).
+    */
+  private val shardDocs = 100L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -94,9 +96,14 @@ object CorpusOpsQueries {
     // shuffles on). Second shuffle = the per-doc rollup. Nothing is
     // ever ∝ corpus².
     "q97_dup_ngram_spans" -> ((s, dir) => {
+      // ShingleHash, not transform(wordShingles, polyHash): the lambda
+      // formulation re-evaluates the tokenizer once PER SHINGLE (~26×
+      // per doc — measured 8.2× at the 10× scale run); the codegen
+      // expression tokenizes once and hashes shingles straight off the
+      // token array (equivalence pinned by ShingleHashSpec)
       val grams = docs(s, dir).select(col("doc_id"),
-        explode(array_distinct(transform(
-          wordShingles(col("text"), dupN), x => polyHash(x)))).as("h"))
+        explode(array_distinct(
+          graft.functions.ShingleHash(tokens(col("text")), dupN))).as("h"))
       val byGram = Window.partitionBy("h")
       grams.withColumn("nd", count(lit(1)).over(byGram))
         .groupBy("doc_id")
@@ -209,8 +216,10 @@ object CorpusOpsQueries {
     // is summed in floor-quantized BIGINT micro-units (the q78 rule:
     // never an order-sensitive double reduction across a shuffle).
     "q105_curriculum_shards" -> ((s, dir) => {
-      val q = docs(s, dir).select(col("doc_id"),
-        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      val q = docs(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
       val idx = graft.ext.GlobalIndex.withGlobalIndex(q,
         Seq(col("quality").desc, col("doc_id").asc), 32, "idx")
       idx.select(expr(s"idx div $shardDocs").as("shard"), col("idx"),

@@ -64,16 +64,20 @@ object TextAnalysisQueries {
     // per-doc quality score: token count, vocabulary ratio, punctuation
     // ratio, stopword ratio — fixed double formula, same tree in DuckDB
     "q22_quality_score" -> ((s, dir) => {
-      val toks = tokens(col("text"))
       val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
       Tables(s, dir, "documents")
+        // inner projection materializes the token array ONCE (see
+        // qualityScoreFromTokens scaladoc: inlined, the tokenizer runs
+        // 4× per row)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_distinct"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
           punct.cast("long").as("punct_chars"),
-          // the scoring tree lives in TextFunctions.qualityScore —
-          // shared with the CurationPipeline's quality floor
-          graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+          // the scoring tree lives in TextFunctions — shared with the
+          // CurationPipeline's quality floor
+          graft.functions.TextFunctions
+            .qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -42,6 +42,11 @@ object StreamingQueries {
   private val dec2 = DecimalType(18, 2)
   private val windowUs = 300000000L // 5 minutes
   private val delayUs = 600000000L // 10-minute watermark delay
+  /** q107 KMV size: smaller than q86's 32 so busy windows overflow k
+    * and exercise the (k-1)·H/h_k estimator arm, not just the
+    * exact-small-set arm.
+    */
+  private val streamKmvK = 16
   private val gapUs = 3600L * 1000000L // q33's 1-hour session gap
   private val gapMs = gapUs / 1000L
 
@@ -99,6 +104,61 @@ object StreamingQueries {
         // survives the temp-view drop and dir cleanup below. The
         // result is tiny by construction: one row per closed
         // (5-minute window × event_type).
+        val out = s.table(sink).orderBy("window_us", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
+    // Streaming approximate-distinct: the q86 KMV sketch as a WINDOWED
+    // STREAMING aggregate — the custom TypedImperativeAggregate runs
+    // inside the incremental engine (ObjectHashAggregate partials,
+    // state-store serialized buffers, watermark-evicted windows), and
+    // because a KMV sketch is a pure set-union over inputs
+    // (order-independent, merge-tree-independent), each emitted
+    // window's sketch AND estimator are bit-identical to the batch
+    // construction — so the DuckDB twin hash-gates a STREAMING sketch
+    // exactly, no tolerance column. Emission predicate = q59's
+    // (window.end <= ms-floored-max - delay). At 100 TB: per-window
+    // state is O(k) per (window × event_type), evicted on watermark
+    // advance — the streaming distinct-users dashboard that never
+    // stores a user set.
+    "q107_stream_kmv" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = Files.createTempDirectory("graft-q107-src")
+      val ckpt = Files.createTempDirectory("graft-q107-ckpt")
+      val sink = s"graft_q107_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val k = streamKmvK
+        val h = graft.functions.TextFunctions.spreadHash(
+          col("user_id").cast("string"))
+        val p = graft.functions.TextFunctions.P
+        val agg = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+          .agg(graft.functions.KMinValues(h, k).as("sketch"))
+          .select(unix_micros(col("window.start")).as("window_us"),
+            col("event_type"),
+            array_join(transform(col("sketch"), v => v.cast("string")), ",")
+              .as("sketch_str"),
+            when(size(col("sketch")) >= k,
+              (lit((k - 1).toDouble) * lit(p.toDouble)) /
+                element_at(col("sketch"), k).cast("double"))
+              .otherwise(size(col("sketch")).cast("double")).as("kmv_estimate"))
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
         val out = s.table(sink).orderBy("window_us", "event_type")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
@@ -345,6 +405,26 @@ object StreamingQueries {
     "q69_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // q59's emission predicate + q86's sketch construction per window
+    "q107_stream_kmv" -> {
+      val k = streamKmvK
+      val h = graft.functions.TextFunctions.sqlSpreadHash("CAST(user_id AS VARCHAR)")
+      val p = graft.functions.TextFunctions.P
+      s"""WITH e AS (SELECT (epoch_us(ts) // $windowUs) * $windowUs AS window_us,
+         |                  event_type, $h AS h FROM events),
+         |wm AS (SELECT MAX(epoch_ms(ts)) * 1000 - $delayUs AS w FROM events),
+         |sk AS (SELECT window_us, event_type,
+         |         list_sort(list_distinct(list(h)))[:$k] AS sketch
+         |       FROM e WHERE window_us + $windowUs <= (SELECT w FROM wm)
+         |       GROUP BY 1, 2)
+         |SELECT window_us, event_type,
+         |  array_to_string(sketch, ',') AS sketch_str,
+         |  CASE WHEN len(sketch) >= $k
+         |    THEN (${(k - 1).toDouble} * ${p.toDouble})
+         |         / CAST(sketch[$k] AS DOUBLE)
+         |    ELSE CAST(len(sketch) AS DOUBLE) END AS kmv_estimate
+         |FROM sk ORDER BY window_us, event_type""".stripMargin
+    },
     // q33's gap sessions + the streaming emission predicate: every
     // gap-closed session (session_id < user's max) emits in the data
     // batch; the final open session emits iff its event-time timeout

@@ -52,8 +52,12 @@ object CurationPipeline {
     // 1-2: language + quality — one scan, one aggregate for all three
     // pre-dedup counts
     val scored = docs
+      // token array materialized once (qualityScoreFromTokens scaladoc)
+      .withColumn("toks", TextFunctions.tokens(col("text")))
       .withColumn("lang_id", TextFunctions.langId(col("text")))
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("quality",
+        TextFunctions.qualityScoreFromTokens(col("toks"), col("text")))
+      .drop("toks")
     val langOk = col("lang_id") === "en"
     val qualOk = langOk && col("quality") >= qualityFloor
     val pre = scored.agg(count(lit(1)).as("total"),
