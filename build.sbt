@@ -27,5 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g, deliberately SMALL for a 128 GiB box: frequent young GCs keep
+  // ContextCleaner's weak references firing, so shuffle files and
+  // broadcasts from the ~340 query runs of a full Bench session are
+  // reclaimed promptly (measured: 24g heap ran the same suite 15-70%
+  // slower with roaming multi-second outliers)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~500 wholestage units per full suite overflow the default 240m JIT
+  // code cache, pushing late queries onto the interpreter
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -53,6 +53,15 @@ object CorpusOpsQueries {
     */
   private val shardDocs = 100L
 
+  /** q109: vocabulary head size per source. */
+  private val termK = 5
+
+  /** q110 conjunctive query terms: `dup` hits ~5% of docs (the
+    * duplicate-pair texts), `spark` ~80% — a selective ∧ common pair.
+    */
+  private val qTermA = "dup"
+  private val qTermB = "spark"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -228,6 +237,64 @@ object CorpusOpsQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("qmicro")).as("sum_qmicro"),
           min(col("idx")).as("lo_idx"), max(col("idx")).as("hi_idx"))
         .orderBy("shard")
+    }),
+
+    // Percentile-rank (CDF) attach: each doc's length percentile within
+    // its language, WITHOUT ranking the corpus — the per-(lang, value)
+    // histogram is windowed into a CDF (rows ∝ distinct values, q101's
+    // compression), broadcast, and the corpus joins it on (lang, value)
+    // in the scan stage. The feature-engineering shape at 100 TB: the
+    // corpus never shuffles, only the compressed histogram does.
+    "q108_percentile_rank" -> ((s, dir) => {
+      val hist = docs(s, dir).groupBy("lang", "n_chars")
+        .agg(count(lit(1)).as("c"))
+      val run = Window.partitionBy("lang").orderBy("n_chars")
+      val all = Window.partitionBy("lang")
+      val cdf = hist.withColumn("cum", sum(col("c")).over(run))
+        .withColumn("n", sum(col("c")).over(all))
+        .select(col("lang"), col("n_chars"),
+          expr("(cum * 1000) div n").as("pct_permille"))
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(broadcast(cdf), Seq("lang", "n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source top-k vocabulary (the Zipf head per group): term
+    // counts (one shuffle, map-side partials), then the bounded-heap
+    // TopKPerGroup cut — k rows per source per partition cross the
+    // second shuffle, vs the window formulation sorting every (source,
+    // term) row. The corpus-profiling report a mixture board reads.
+    "q109_top_terms" -> ((s, dir) => {
+      val tc = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      graft.plans.TopK.perGroup(tc, Seq("source"),
+        Seq("n" -> true, "term" -> false), termK)
+        .orderBy(col("source"), desc("n"), asc("term"))
+    }),
+
+    // Conjunctive retrieval THROUGH the q98 sharded inverted index:
+    // docs containing both query terms, answered by per-shard posting
+    // intersection (shards in parallel, intersection cost ∝ posting
+    // lengths) — while the ORACLE answers the same query by direct
+    // corpus scan. Matching results prove index-serving parity, the
+    // gate a retrieval layout actually needs. The term filter prunes
+    // before the index agg; at scale the index is prebuilt and the
+    // query touches |terms|·|shards| rows, never the corpus.
+    "q110_index_retrieval" -> ((s, dir) => {
+      val post = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+        .where(col("term").isin(qTermA, qTermB))
+        .withColumn("shard", expr(s"doc_id div $shardSize"))
+        .groupBy("term", "shard")
+        .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      val a = post.where(col("term") === qTermA)
+        .select(col("shard"), col("postings").as("pa"))
+      val b = post.where(col("term") === qTermB)
+        .select(col("shard").as("shard_b"), col("postings").as("pb"))
+      a.join(broadcast(b), col("shard") === col("shard_b"))
+        .select(explode(array_intersect(col("pa"), col("pb"))).as("doc_id"))
+        .orderBy("doc_id")
     }))
 
   def oracle: Map[String, String] = {
@@ -320,6 +387,35 @@ object CorpusOpsQueries {
            |  CAST(SUM(CAST(FLOOR(quality * $dsirScale) AS BIGINT)) AS BIGINT)
            |    AS sum_qmicro,
            |  MIN(idx) AS lo_idx, MAX(idx) AS hi_idx
-           |FROM r GROUP BY 1 ORDER BY shard""".stripMargin)
+           |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+      "q108_percentile_rank" ->
+        """WITH h AS (SELECT lang, n_chars, COUNT(*) AS c
+          |      FROM documents GROUP BY 1, 2),
+          |w AS (SELECT lang, n_chars,
+          |        SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+          |        SUM(c) OVER (PARTITION BY lang) AS n
+          |      FROM h)
+          |SELECT d.doc_id, d.lang, d.n_chars,
+          |  CAST((w.cum * 1000) // w.n AS BIGINT) AS pct_permille
+          |FROM documents d JOIN w ON w.lang = d.lang AND w.n_chars = d.n_chars
+          |ORDER BY d.doc_id""".stripMargin,
+      "q109_top_terms" ->
+        s"""WITH tc AS (SELECT source, term, COUNT(*) AS n
+           |      FROM (SELECT source, unnest(${sqlTokens("text")}) AS term
+           |            FROM documents)
+           |      GROUP BY 1, 2),
+           |r AS (SELECT source, term, n,
+           |        ROW_NUMBER() OVER (PARTITION BY source
+           |          ORDER BY n DESC, term) AS rn
+           |      FROM tc)
+           |SELECT source, term, n FROM r WHERE rn <= $termK
+           |ORDER BY source, n DESC, term""".stripMargin,
+      // the oracle answers by DIRECT SCAN — matching the index-path
+      // result is the parity gate
+      "q110_index_retrieval" ->
+        s"""SELECT doc_id FROM documents
+           |WHERE list_contains(${sqlTokens("text")}, '$qTermA')
+           |  AND list_contains(${sqlTokens("text")}, '$qTermB')
+           |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -369,6 +369,32 @@ object ExtendedOpsQueries {
         .orderBy("event_type")
     }),
 
+    // Sketch MERGEABILITY as a gated contract: the global KMV built by
+    // merging per-event_type sketches (re-aggregating their elements —
+    // k-min of a union of k-mins IS the k-min of the union) must equal
+    // the directly-built global sketch bit-for-bit. This is the
+    // property that makes sketch tiers work at 100 TB: per-partition /
+    // per-day / per-shard summaries roll up without touching raw data,
+    // on ANY merge tree. The oracle builds the global sketch once and
+    // asserts both paths emit it.
+    "q111_kmv_merge" -> ((s, dir) => {
+      val k = kmvK
+      val h = graft.functions.TextFunctions.spreadHash(
+        col("user_id").cast("string"))
+      def str(c: org.apache.spark.sql.Column) =
+        array_join(transform(c, v => v.cast("string")), ",")
+      val per = Tables.events(s, dir).groupBy("event_type")
+        .agg(graft.functions.KMinValues(h, k).as("sk"))
+      val merged = per.select(explode(col("sk")).as("v"))
+        .agg(graft.functions.KMinValues(col("v"), k).as("msk"))
+      val direct = Tables.events(s, dir)
+        .agg(graft.functions.KMinValues(h, k).as("dsk"))
+      merged.join(broadcast(direct))
+        .select(str(col("msk")).as("merged_str"),
+          str(col("dsk")).as("direct_str"),
+          (col("msk") === col("dsk")).as("sketches_equal"))
+    }),
+
     // Approximate-percentile sketch gated the q49 way: the KLL-style
     // percentile_approx sketch (fixed memory, mergeable — the 100 TB
     // replacement for q45's sort-based exact quantiles) carries an
@@ -614,6 +640,17 @@ object ExtendedOpsQueries {
          |         / CAST(sketch[$k] AS DOUBLE)
          |    ELSE CAST(len(sketch) AS DOUBLE) END AS kmv_estimate
          |FROM sk ORDER BY event_type""".stripMargin
+    },
+    // one global construction, emitted as both paths' expected value
+    "q111_kmv_merge" -> {
+      val k = kmvK
+      val h = graft.functions.TextFunctions.sqlSpreadHash("CAST(user_id AS VARCHAR)")
+      s"""WITH hs AS (SELECT $h AS h FROM events),
+         |sk AS (SELECT list_sort(list_distinct(list(h)))[:$k] AS sketch FROM hs)
+         |SELECT array_to_string(sketch, ',') AS merged_str,
+         |  array_to_string(sketch, ',') AS direct_str,
+         |  TRUE AS sketches_equal
+         |FROM sk""".stripMargin
     },
     "q81_approx_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,

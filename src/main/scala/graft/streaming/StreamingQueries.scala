@@ -67,6 +67,18 @@ object StreamingQueries {
   private def deleteRecursively(p: Path): Unit =
     graft.util.FileUtils.deleteRecursively(p)
 
+  /** Unload every loaded state-store provider and stop the maintenance
+    * task after a query terminates. Without this, providers accumulate
+    * across queries in a long-lived session (Bench/Verify run every
+    * streaming query 1-3×) and the 60 s maintenance rounds snapshot
+    * hundreds of retained stores — CPU bursts that landed on whichever
+    * BATCH query happened to be running (measured as roaming 10-40 s
+    * outliers in full-suite bench runs). The registry re-starts lazily
+    * on the next streaming load, so this is safe between queries.
+    */
+  private def releaseStreamingState(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E20 oracle-gated: per-(5-min window, event_type) counts + decimal
     // value sums, emitted by Append-mode watermark eviction.
@@ -109,6 +121,7 @@ object StreamingQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         s.catalog.dropTempView(sink)
+        releaseStreamingState()
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
@@ -164,6 +177,7 @@ object StreamingQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         s.catalog.dropTempView(sink)
+        releaseStreamingState()
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
@@ -206,6 +220,7 @@ object StreamingQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         s.catalog.dropTempView(sink)
+        releaseStreamingState()
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
@@ -279,6 +294,7 @@ object StreamingQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         s.catalog.dropTempView(sink)
+        releaseStreamingState()
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
@@ -343,6 +359,7 @@ object StreamingQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         s.catalog.dropTempView(sink)
+        releaseStreamingState()
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }
@@ -384,6 +401,7 @@ object StreamingQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
         s.catalog.dropTempView(sink)
+        releaseStreamingState()
         deleteRecursively(ckpt)
         deleteRecursively(stage)
       }

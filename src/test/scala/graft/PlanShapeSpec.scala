@@ -55,8 +55,8 @@ class PlanShapeSpec extends SparkSuite {
     // scalars (the Misra-Gries sketch map + the stream total)
     "q95_heavy_hitters",
     // q104's corpus total is a one-row broadcast scalar under the
-    // decile projection
-    "q104_equidepth_deciles")
+    // decile projection; q111 joins two one-row sketch frames
+    "q104_equidepth_deciles", "q111_kmv_merge")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
@@ -263,6 +263,44 @@ class PlanShapeSpec extends SparkSuite {
         p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
         s"$name must stay join-free")
     }
+  }
+
+  test("corpus-ops tier keeps its designed plan shapes") {
+    // q100/q109: the cut runs through the two-phase TopK operator, not
+    // a window over every row
+    for (name <- Seq("q100_weighted_sample", "q109_top_terms")) {
+      val p = plans(name)
+      assert(p.collect { case t: graft.plans.TopKPartialExec => t }.size === 1
+        && p.collect { case t: graft.plans.TopKFinalExec => t }.size === 1,
+        s"$name must plan the two-phase TopKPerGroup operator")
+      assert(p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+        s"$name regressed to the full window formulation")
+    }
+
+    // q108: the corpus streams into the broadcast CDF join with NO
+    // exchange — only the compressed histogram side shuffles
+    val q108 = plans("q108_percentile_rank").collect {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(q108.size === 1, "q108 must broadcast the CDF histogram")
+    assert(q108.head.children.head.collect {
+      case e: ShuffleExchangeExec => e
+    }.isEmpty, "q108's corpus side picked up a shuffle")
+
+    // q97: the gram-frequency count is ONE window pass over the
+    // exploded gram stream — no self-join on the gram key
+    val q97 = plans("q97_dup_ngram_spans")
+    assert(q97.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.size === 1,
+      "q97 must count gram frequency in one window pass")
+    assert(q97.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "q97 must not join the gram stream against itself")
+
+    // q104/q105: ranks come from the two-phase GlobalIndex, never a
+    // single-partition window
+    for (name <- Seq("q104_equidepth_deciles", "q105_curriculum_shards"))
+      assert(plans(name).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$name regressed to a window-based global rank")
   }
 
   test("filter pushdown reaches the parquet scan in q01") {
