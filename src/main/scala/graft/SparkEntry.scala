@@ -14,7 +14,7 @@ object SparkEntry {
       MultimodalQueries.queries ++ WindowOpsQueries.queries ++
       TextRankQueries.queries ++ ExtendedOpsQueries.queries ++
       PipelineOpsQueries.queries ++ ScaleOpsQueries.queries ++
-      CorpusOpsQueries.queries ++
+      CorpusOpsQueries.queries ++ QualityOpsQueries.queries ++
       graft.streaming.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,6 +25,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++ WindowOpsQueries.oracle ++
       TextRankQueries.oracle ++ ExtendedOpsQueries.oracle ++
       PipelineOpsQueries.oracle ++ ScaleOpsQueries.oracle ++
-      CorpusOpsQueries.oracle ++
+      CorpusOpsQueries.oracle ++ QualityOpsQueries.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

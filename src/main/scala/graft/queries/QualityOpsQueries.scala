@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 quality/serving-ops tier: rule-based data validation
+  * (Deequ-style), time-series downsampling, an n-gram coherence score,
+  * and sorted-neighborhood candidate generation (the classic entity-
+  * resolution blocking technique). Every query is oracle-gated; all
+  * cross-engine arithmetic is integer or fixed-tree/positional double
+  * (no order-sensitive float reductions).
+  */
+object QualityOpsQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** q112 validation policy: allowed language set, length band, and the
+    * "clean corpus carries no URLs" rule.
+    */
+  private val allowedLangs = Seq("en", "es", "fr", "de")
+  private val lenLo = 20L
+  private val lenHi = 400L
+
+  /** q114: fixed-point scale of the bigram conditional probability. */
+  private val cohScale = 1000000L
+
+  /** q115: sorted-neighborhood window width (pairs within w positions
+    * of the blocking-key order are candidates).
+    */
+  private val snWindow = 3
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rule-based validation report (the Deequ-style ingest gate —
+    // Schelter et al., VLDB 2018, public): completeness, consistency,
+    // domain, uniqueness, duplication, content-policy and range rules,
+    // ALL evaluated in one conditional-aggregate corpus scan plus one
+    // key-uniqueness aggregate — never a pass per rule. Violation
+    // counts vary with the data (zh docs, URL-bearing docs, the planted
+    // duplicate texts), so the gate is non-trivial.
+    "q112_validation_rules" -> ((s, dir) => {
+      val urlHits = size(regexp_extract_all(TextAnalysisQueries.urlText,
+        lit(TextAnalysisQueries.urlRe), lit(0))) > 0
+      val base = docs(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("null_or_empty_text"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_chars_mismatch"),
+        sum(when(!col("lang").isin(allowedLangs: _*), 1L).otherwise(0L))
+          .as("lang_violations"),
+        sum(when(urlHits, 1L).otherwise(0L)).as("url_violations"),
+        sum(when(col("n_chars") < lenLo || col("n_chars") > lenHi, 1L)
+          .otherwise(0L)).as("len_violations"))
+      val dupIds = docs(s, dir).groupBy("doc_id")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c"))).as("x"))
+        .select(coalesce(col("x"), lit(0L)).as("dup_id_rows"))
+      val dupText = docs(s, dir)
+        .select(canonicalKey(col("text")).as("ck"))
+        .groupBy("ck").agg(count(lit(1)).as("c"))
+        .agg(sum(when(col("c") > 1, col("c") - 1)).as("x"))
+        .select(coalesce(col("x"), lit(0L)).as("dup_text_rows"))
+      base.join(broadcast(dupIds)).join(broadcast(dupText))
+    }),
+
+    // OHLC-style metric downsampling: per (event_type, hour) the
+    // first/last (by event time, unique per type in this stream) and
+    // min/max/sum/count of `value` — the rollup a metrics store runs
+    // before long-term retention. first/last ride min_by/max_by
+    // (ordered-statistic aggregates with map-side partials: each
+    // partition keeps ONE candidate, no sort, no window); the sum is
+    // DECIMAL for order-independent exactness.
+    "q113_downsample" -> ((s, dir) => {
+      val hour = expr("ts_ns div 3600000000000")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), hour.as("hour"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), col("ts_ns")).as("first_value"),
+          max_by(col("value"), col("ts_ns")).as("last_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(col("value").cast(dec2)).cast("double").as("sum_value"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // Bigram coherence score — the LM-free fluency proxy: how probable
+    // is each doc's word sequence under the corpus's own bigram
+    // statistics? Per-bigram score = add-one-free conditional count
+    // ratio in fixed-point, summed per doc (integer — a log-prob sum
+    // would be order-sensitive float). Both count tables are
+    // vocab-bounded (≤ |V|² rows) and BROADCAST; the corpus never
+    // shuffles — at 100 TB this is two stats scans plus one scoring
+    // scan, the same decoupling as TF-IDF/BM25.
+    "q114_bigram_coherence" -> ((s, dir) => {
+      val toked = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val bi = toked.select(col("doc_id"),
+        explode(wordShinglesFromTokens(col("toks"), 2)).as("bg"))
+        .select(col("doc_id"), col("bg"),
+          substring_index(col("bg"), " ", 1).as("w1"))
+      val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      val uniCounts = toked
+        .select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c_w1"))
+      bi.join(broadcast(biCounts), "bg")
+        .join(broadcast(uniCounts), "w1")
+        .select(col("doc_id"),
+          expr(s"(c_bg * $cohScale) div c_w1").as("sc"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sc")).as("sum_sc"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_sc div n_bigrams").as("mean_coherence_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // Sorted-neighborhood candidate generation (Hernández & Stolfo
+    // 1995, the ER blocking classic): order the corpus by a blocking
+    // key (the canonical token-set form — exact/near rewrites collide
+    // or land adjacent), number it with the two-phase GlobalIndex, and
+    // emit each pair within w positions plus the exact-match verdict.
+    // Pair fan-out is exactly w per doc — O(n·w), never O(n²); the
+    // positional equi-join is the designed co-partitioned merge (both
+    // sides are the corpus: this is the one tier where a broadcast is
+    // wrong by construction).
+    "q115_sorted_neighborhood" -> ((s, dir) => {
+      val keyed = docs(s, dir)
+        .select(col("doc_id"), canonicalKey(col("text")).as("ck"))
+      val idx = graft.ext.GlobalIndex.withGlobalIndex(keyed,
+        Seq(col("ck").asc, col("doc_id").asc), 32, "idx")
+      val probes = idx.select(col("doc_id").as("doc_a"), col("ck").as("ck_a"),
+          explode(sequence(lit(1), lit(snWindow))).as("off"),
+          col("idx"))
+        .select(col("doc_a"), col("ck_a"), (col("idx") + col("off")).as("nidx"))
+      probes.join(idx.select(col("doc_id").as("doc_b"), col("ck").as("ck_b"),
+          col("idx").as("nidx")), "nidx")
+        .select(col("doc_a"), col("doc_b"),
+          (col("ck_a") === col("ck_b")).as("exact_dup"))
+        .orderBy("doc_a", "doc_b")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q112_validation_rules" -> {
+      val langList = allowedLangs.map(l => s"'$l'").mkString(",")
+      s"""WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS null_or_empty_text,
+         |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_chars_mismatch,
+         |  CAST(SUM(CASE WHEN lang NOT IN ($langList) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS lang_violations,
+         |  CAST(SUM(CASE WHEN len(regexp_extract_all(
+         |      ${TextAnalysisQueries.sqlUrlText},
+         |      '${TextAnalysisQueries.urlRe}')) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS url_violations,
+         |  CAST(SUM(CASE WHEN n_chars < $lenLo OR n_chars > $lenHi
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS len_violations
+         |  FROM documents),
+         |di AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
+         |         AS BIGINT) AS dup_id_rows
+         |       FROM (SELECT doc_id, COUNT(*) AS c FROM documents GROUP BY 1)),
+         |dt AS (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0)
+         |         AS BIGINT) AS dup_text_rows
+         |       FROM (SELECT ${sqlCanonicalKey("text")} AS ck, COUNT(*) AS c
+         |             FROM documents GROUP BY 1))
+         |SELECT * FROM base, di, dt""".stripMargin
+    },
+    "q113_downsample" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  arg_min(value, epoch_ns(ts)) AS first_value,
+        |  arg_max(value, epoch_ns(ts)) AS last_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
+    "q114_bigram_coherence" -> {
+      val toks = sqlTokens("text")
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bi AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1
+         |       FROM (SELECT doc_id, unnest(${sqlWordShingles("text", 2)}) AS bg
+         |             FROM documents)),
+         |bc AS (SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY 1),
+         |uc AS (SELECT w1, COUNT(*) AS c_w1
+         |       FROM (SELECT unnest(toks) AS w1 FROM d) GROUP BY 1),
+         |sc AS (SELECT doc_id, (bc.c_bg * $cohScale) // uc.c_w1 AS s
+         |       FROM bi JOIN bc ON bc.bg = bi.bg JOIN uc ON uc.w1 = bi.w1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(CAST(SUM(s) AS BIGINT) // COUNT(*) AS BIGINT)
+         |    AS mean_coherence_micro
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q115_sorted_neighborhood" ->
+      s"""WITH k AS (SELECT doc_id, ${sqlCanonicalKey("text")} AS ck
+         |      FROM documents),
+         |r AS (SELECT doc_id, ck,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY ck, doc_id) - 1 AS BIGINT)
+         |          AS idx
+         |      FROM k)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.ck = b.ck AS exact_dup
+         |FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + $snWindow
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -55,8 +55,9 @@ class PlanShapeSpec extends SparkSuite {
     // scalars (the Misra-Gries sketch map + the stream total)
     "q95_heavy_hitters",
     // q104's corpus total is a one-row broadcast scalar under the
-    // decile projection; q111 joins two one-row sketch frames
-    "q104_equidepth_deciles", "q111_kmv_merge")
+    // decile projection; q111 joins two one-row sketch frames; q112
+    // attaches two one-row uniqueness aggregates to the rule row
+    "q104_equidepth_deciles", "q111_kmv_merge", "q112_validation_rules")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
@@ -65,7 +66,11 @@ class PlanShapeSpec extends SparkSuite {
       // sort-merge is the designed 100 TB plan there; q80 forces the
       // shuffled path on purpose (broadcast would bypass the runtime
       // bloom filter it demonstrates)
-      if (!Set("q72_cdc_merge", "q80_bloom_join", "q82_incremental_agg")(name))
+      // ... and q115's positional neighbor join: both sides are the
+      // corpus (broadcast is wrong by construction) and the merge over
+      // the shared global-index order IS the sorted-neighborhood plan
+      if (!Set("q72_cdc_merge", "q80_bloom_join", "q82_incremental_agg",
+          "q115_sorted_neighborhood")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
