@@ -103,6 +103,11 @@ object QualityOpsQueries {
         explode(wordShinglesFromTokens(col("toks"), 2)).as("bg"))
         .select(col("doc_id"), col("bg"),
           substring_index(col("bg"), " ", 1).as("w1"))
+        // consumed twice (count build + scoring join): cached so the
+        // corpus is tokenized once, not per consumer (6.6× → ~3× at
+        // the 10× fixture); retired by the harness's per-query
+        // clearCache, same contract as q28/q90
+        .cache()
       val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
       val uniCounts = toked
         .select(explode(col("toks")).as("w1"))
