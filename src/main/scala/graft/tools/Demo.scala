@@ -101,6 +101,22 @@ object Demo {
       show("q76_anomaly_buckets")
       show("q77_bm25")
       show("q80_bloom_join")
+      // round-7 corpus/quality-ops tier: selection, retrieval layout,
+      // graph signals, validation, streaming sketch
+      show("q87_profile_sketch")
+      show("q89_source_cap")
+      show("q90_domain_pagerank")
+      show("q96_importance_weights")
+      show("q97_dup_ngram_spans")
+      show("q99_compaction_plan")
+      show("q103_triangle_count")
+      show("q104_equidepth_deciles")
+      show("q105_curriculum_shards")
+      show("q110_index_retrieval")
+      show("q112_validation_rules", 1)
+      show("q113_downsample")
+      show("q115_sorted_neighborhood")
+      show("q107_stream_kmv")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
