@@ -29,6 +29,11 @@ object DedupQueries {
     */
   private val containmentTau = 800L
 
+  /** q116 token-set Jaccard threshold (high: the planted rewrites and
+    * their neighbors qualify, the vocab-dense bulk mostly doesn't).
+    */
+  private val ssjTau = 0.8
+
   /** doc_id → distinct word-3-shingle hash set (shared by q27/q28). */
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -284,6 +289,56 @@ object DedupQueries {
         .where(col("cont_a_permille") >= containmentTau ||
           col("cont_b_permille") >= containmentTau)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Set-similarity join via PREFIX FILTERING (the SSJoin/PPJoin
+    // primitive — Chaudhuri et al. ICDE 2006, Xiao et al. WWW 2008,
+    // public): exact token-set Jaccard ≥ τ over the q26 slice, but
+    // candidates come from an inverted index over each set's PREFIX
+    // (its |s| − ⌈τ·|s|⌉ + 1 globally-RAREST tokens) instead of an
+    // all-pairs scan: two sets with Jaccard ≥ τ must share a prefix
+    // token under any global order, so the generator is COMPLETE —
+    // unlike LSH there is no probabilistic miss, and the gate proves it
+    // by comparing against the oracle's full all-pairs formulation.
+    // Rare-first ordering makes candidate volume ∝ Σ df(rare tokens)²;
+    // the verify is the same SortedIntersectCount merge as q26/q102.
+    "q116_set_similarity_join" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
+        .select(col("doc_id"),
+          array_distinct(tokens(col("text"))).as("ts"))
+        .where(size(col("ts")) > 0)
+      val dfTable = base.select(explode(col("ts")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("df"))
+      // per-doc tokens re-sorted rare-first under the global (df, t)
+      // order; the prefix is a dynamic-length slice of that order
+      val ordered = base.select(col("doc_id"), explode(col("ts")).as("t"))
+        .join(broadcast(dfTable), "t")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ots"),
+          count(lit(1)).as("sz"))
+      val prefLen = (col("sz") - ceil(col("sz") * ssjTau).cast("long") + 1)
+        .cast("int")
+      val pre = ordered.select(col("doc_id"), col("sz"),
+        explode(slice(col("ots"), lit(1), prefLen)).as("p"))
+        .select(col("doc_id"), col("sz"), col("p.t").as("t"))
+      val cands = pre.as("a")
+        .join(pre.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("a.sz").as("na"),
+          col("b.doc_id").as("doc_b"), col("b.sz").as("nb"))
+        .distinct()
+      val hs = base.select(col("doc_id"),
+        array_sort(transform(col("ts"), t => polyHash(t))).as("hs"))
+      val i = graft.functions.SortedIntersectCount(col("ha"), col("hb"))
+      cands
+        .join(broadcast(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+        .join(broadcast(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+        .select(col("doc_a"), col("doc_b"), i.cast("long").as("inter"),
+          (i.cast("double") / (col("na") + col("nb") - i).cast("double"))
+            .as("jaccard"))
+        .where(col("jaccard") >= ssjTau)
+        .orderBy("doc_a", "doc_b")
     }))
 
   def oracle: Map[String, String] = {
@@ -367,6 +422,23 @@ object DedupQueries {
            |        >= $containmentTau
            |   OR (len(list_intersect(a.hs, b.hs)) * 1000) // len(b.hs)
            |        >= $containmentTau
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // the ALL-PAIRS formulation the prefix filter replaces — matching
+      // it exactly is the completeness proof
+      "q116_set_similarity_join" ->
+        s"""WITH d AS (SELECT doc_id, list_distinct(${sqlTokens("text")}) AS ts
+           |      FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500),
+           |d2 AS (SELECT doc_id, ts FROM d WHERE len(ts) > 0),
+           |t AS (SELECT doc_id, unnest(ts) AS t FROM d2),
+           |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+           |      FROM t a JOIN t b ON a.t = b.t AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |c AS (SELECT doc_id, len(ts) AS n FROM d2)
+           |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS inter,
+           |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+           |FROM i JOIN c ca ON ca.doc_id = doc_a
+           |       JOIN c cb ON cb.doc_id = doc_b
+           |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $ssjTau
            |ORDER BY doc_a, doc_b""".stripMargin,
       // transitive closure over the same candidate pairs; label(v) =
       // min reachable doc_id == the propagation fixpoint
