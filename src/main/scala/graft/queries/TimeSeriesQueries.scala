@@ -73,6 +73,58 @@ object TimeSeriesQueries {
         .select(col("event_id"), col("user_id"),
           col("t").as("purchase_us"), col("last_error_us"))
         .orderBy("event_id")
+    }),
+
+    // CEP-lite sequence-pattern matching (the MATCH_RECOGNIZE shape
+    // without the operator): each user's event history collapses to an
+    // ordered one-char-per-event string in ONE grouped pass (sorted
+    // collect pins the order the parallel agg loses), then the pattern
+    // tier is plain regex over that string — "a view leading to a
+    // purchase", "…with no error in between" — plus exact char counts.
+    // At 100 TB: one shuffle on user_id, per-user state bounded by
+    // events/user; patterns compile once per task.
+    "q117_sequence_pattern" -> ((s, dir) => {
+      val ch = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      val seq0 = Tables.events(s, dir)
+        .select(col("user_id"), expr(tsUs).as("t"), col("event_id"), ch.as("ch"))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("t"), col("event_id"), col("ch")))),
+          x => x.getField("ch")), "").as("seq"))
+      seq0.select(col("user_id"), length(col("seq")).as("n_events"),
+          (length(col("seq")) - length(regexp_replace(col("seq"), "v", "")))
+            .as("n_views"),
+          (length(col("seq")) - length(regexp_replace(col("seq"), "p", "")))
+            .as("n_purchases"),
+          col("seq").rlike("v.*p").as("view_then_purchase"),
+          col("seq").rlike("v[^e]*p").as("clean_funnel"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention — the activation/retention matrix every growth
+    // dashboard runs: cohort = the user's first active epoch-week,
+    // cell = distinct users of that cohort active N weeks later. The
+    // user's first day comes from a min-over-user WINDOW on the same
+    // shuffle the distinct needs (no self-join back onto the event
+    // stream), and the matrix agg runs over (cohort, week, user)
+    // distinct rows — never countDistinct's Expand.
+    "q118_cohort_retention" -> ((s, dir) => {
+      val day = expr("ts_ns div 86400000000000")
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), day.as("day"))
+        .withColumn("cohort_day", min(col("day")).over(w))
+        .select(expr("cohort_day div 7").as("cohort_week"),
+          expr("(day - cohort_day) div 7").as("weeks_since"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "weeks_since")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -102,5 +154,31 @@ object TimeSeriesQueries {
         |    OVER (PARTITION BY user_id ORDER BY t, is_target, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_us
         |  FROM u) WHERE is_target = 1
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q117_sequence_pattern" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |        CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |          ELSE 'e' END AS ch
+        |      FROM events),
+        |s AS (SELECT user_id,
+        |        string_agg(ch, '' ORDER BY t, event_id) AS seq
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(length(seq) - length(replace(seq, 'v', '')) AS INT) AS n_views,
+        |  CAST(length(seq) - length(replace(seq, 'p', '')) AS INT) AS n_purchases,
+        |  regexp_matches(seq, 'v.*p') AS view_then_purchase,
+        |  regexp_matches(seq, 'v[^e]*p') AS clean_funnel
+        |FROM s ORDER BY user_id""".stripMargin,
+    "q118_cohort_retention" ->
+      """WITH d AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |      FROM events),
+        |c AS (SELECT user_id, day,
+        |        MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        |      FROM d),
+        |m AS (SELECT DISTINCT cohort_day // 7 AS cohort_week,
+        |        (day - cohort_day) // 7 AS weeks_since, user_id
+        |      FROM c)
+        |SELECT cohort_week, weeks_since, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM m GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin)
 }
