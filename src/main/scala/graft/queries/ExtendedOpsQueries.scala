@@ -181,6 +181,27 @@ object ExtendedOpsQueries {
     // wide partial phase, then a cheap final phase over 16·|groups|
     // rows. Decimal partials make the re-association exact, which the
     // plain-GROUP BY oracle proves.
+    // Shuffle-skew profiler — the diagnostic you run BEFORE picking a
+    // salt factor (q48/q60's prerequisite): rows per hash-partition
+    // bucket for a prospective shuffle key, plus the imbalance factor
+    // (max/avg in permille). The histogram is reducer-count-sized (32
+    // rows) whatever the corpus; the global metrics ride a window over
+    // those 32 rows, not the data.
+    "q120_skew_profile" -> ((s, dir) => {
+      val nb = 32
+      val counts = Tables.events(s, dir)
+        .select((graft.functions.TextFunctions
+          .spreadHashLong(col("user_id")) % nb).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+      val all = Window.partitionBy()
+      counts
+        .withColumn("mx", max(col("n_rows")).over(all))
+        .withColumn("tot", sum(col("n_rows")).over(all))
+        .select(col("bucket"), col("n_rows"),
+          expr(s"(mx * ${nb * 1000L}) div tot").as("imbalance_permille"))
+        .orderBy("bucket")
+    }),
+
     "q48_salted_agg" -> ((s, dir) => {
       val partial = Tables.events(s, dir)
         .withColumn("salt", pmod(col("event_id"), lit(16)))
@@ -579,6 +600,15 @@ object ExtendedOpsQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q120_skew_profile" -> {
+      val h = graft.functions.TextFunctions.sqlSpreadHashLong("user_id")
+      s"""WITH c AS (SELECT ($h) % 32 AS bucket, COUNT(*) AS n_rows
+         |      FROM events GROUP BY 1)
+         |SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
+         |  CAST((MAX(n_rows) OVER () * 32000) // (SUM(n_rows) OVER ())
+         |    AS BIGINT) AS imbalance_permille
+         |FROM c ORDER BY bucket""".stripMargin
+    },
     "q60_skew_join" ->
       """WITH ev AS (
         |  SELECT event_id, value,

@@ -125,6 +125,27 @@ object TimeSeriesQueries {
         .groupBy("cohort_week", "weeks_since")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "weeks_since")
+    }),
+
+    // Inter-arrival latency histogram — the log₂-bucketed gap
+    // distribution (the latency-profile shape every operations
+    // dashboard uses): per event_type, lag() the previous event time on
+    // one ordered window, bucket the gap by its BINARY LENGTH
+    // (`length(bin(gap))` = ⌊log₂⌋+1 — integer-exact in both engines,
+    // no float log), count per bucket. One shuffle+sort per event_type;
+    // the histogram is ≤ 64 rows per type at any corpus size.
+    "q119_gap_histogram" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), expr(tsUs).as("t"), col("event_id"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .where(col("gap").isNotNull && col("gap") > 0)
+        .groupBy(col("event_type"),
+          length(bin(col("gap"))).as("log2_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+        .orderBy("event_type", "log2_bucket")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -180,5 +201,16 @@ object TimeSeriesQueries {
         |        (day - cohort_day) // 7 AS weeks_since, user_id
         |      FROM c)
         |SELECT cohort_week, weeks_since, CAST(COUNT(*) AS BIGINT) AS n_users
-        |FROM m GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin)
+        |FROM m GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin,
+    "q119_gap_histogram" ->
+      """WITH g AS (SELECT event_type,
+        |        epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |          PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+        |          AS gap
+        |      FROM events)
+        |SELECT event_type, CAST(length(bin(gap)) AS INT) AS log2_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL AND gap > 0
+        |GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin)
 }
