@@ -239,6 +239,23 @@ object CorpusOpsQueries {
         .orderBy("shard")
     }),
 
+    // Exact per-group MODE over the same compressed (group, value)
+    // histogram as q101: rank the histogram rows per group (count desc,
+    // value asc pins ties), keep rank 1. The window runs over rows ∝
+    // distinct values per group — never the corpus; mode joins median
+    // (q101) and CDF (q108) as the third value-histogram statistic.
+    "q121_grouped_mode" -> ((s, dir) => {
+      val vc = docs(s, dir).groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("c"), asc("n_chars"))
+      vc.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("source"), col("n_chars").as("mode_n_chars"),
+          col("c").as("n_occurrences"))
+        .orderBy("source")
+    }),
+
     // Percentile-rank (CDF) attach: each doc's length percentile within
     // its language, WITHOUT ranking the corpus — the per-(lang, value)
     // histogram is windowed into a CDF (rows ∝ distinct values, q101's
@@ -388,6 +405,16 @@ object CorpusOpsQueries {
            |    AS sum_qmicro,
            |  MIN(idx) AS lo_idx, MAX(idx) AS hi_idx
            |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
+      "q121_grouped_mode" ->
+        """WITH vc AS (SELECT source, n_chars, COUNT(*) AS c
+          |      FROM documents GROUP BY 1, 2),
+          |r AS (SELECT source, n_chars, c,
+          |        ROW_NUMBER() OVER (PARTITION BY source
+          |          ORDER BY c DESC, n_chars) AS rn
+          |      FROM vc)
+          |SELECT source, n_chars AS mode_n_chars, CAST(c AS BIGINT)
+          |  AS n_occurrences
+          |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
       "q108_percentile_rank" ->
         """WITH h AS (SELECT lang, n_chars, COUNT(*) AS c
           |      FROM documents GROUP BY 1, 2),
