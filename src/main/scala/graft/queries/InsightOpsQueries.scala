@@ -1,0 +1,449 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.{cosineFrom, dot, sqlCosineFrom, sqlDot}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-7 insight/retrieval-ops tier: the reporting and retrieval
+  * operators that sit on TOP of the curation primitives —
+  *
+  *  - q122 robust outlier detection (median + MAD over the q101
+  *    compressed value histogram — never a corpus-wide sort)
+  *  - q123 per-source duplication report (intra-source dup rows and
+  *    cross-source key sharing off ONE canonical-key shuffle)
+  *  - q124 vocabulary-growth / novelty curve (first-occurrence batch
+  *    per n-gram — the "is new data still new?" ingest metric)
+  *  - q125 BPE first-merge pair statistics (the tokenizer-training
+  *    inner step: adjacent character-pair frequencies)
+  *  - q126 reciprocal-rank fusion of a keyword (BM25) and a vector
+  *    (cosine) ranking — the hybrid-retrieval primitive
+  *  - q127 language-ID confusion matrix (classifier eval against the
+  *    labeled corpus)
+  *  - q128 time-decayed activity score (half-life-per-week, windowed
+  *    so every term is a BIGINT — no order-sensitive float decay)
+  *  - q129 item co-occurrence similarity over distinct user sets (the
+  *    collaborative-filtering count join)
+  *
+  * Every query is oracle-gated. Cross-engine arithmetic is integer
+  * (`div` / `//`) except the BM25/cosine doubles, which reuse the exact
+  * q77/q29 formula trees already proven bit-identical in DuckDB; rank
+  * ties are pinned by id so rankings agree wherever scores do.
+  */
+object InsightOpsQueries {
+
+  /** q122: outlier rule |x - median| > madK * MAD (madK=3 is the
+    * textbook robust cut at ~4.5 sigma for normal data).
+    */
+  private val madK = 3
+
+  /** q124: docs per ingest batch (doc_id-ordered arrival proxy) —
+    * 50 → 10 batches at the 500-doc fixture, 100 at sf0.1.
+    */
+  private val growthBatchDocs = 50L
+
+  /** q125: pair-table head size. The pair histogram itself is bounded
+    * by charset² regardless of corpus size.
+    */
+  private val bpeTopK = 30
+
+  /** q126: fused-list depths and the RRF smoothing constant (60 is the
+    * value from the original TREC fusion paper, public).
+    */
+  private val fuseR = 100
+  private val rrfK = 60
+  private val fuseTop = 50
+  private val queryTerms = Seq("dup", "spark")
+  private val bm25K1 = "1.2"
+  private val bm25B = "0.75"
+
+  /** q128: decay window in weeks. Terms are c · 2^(window - age), all
+    * BIGINT — beyond the window a term would underflow the integer
+    * scale exactly where a float formulation would start rounding, so
+    * the cutoff IS the exactness boundary, not a tuning knob.
+    */
+  private val decayWeeks = 8
+  private val weekNs = 604800000000000L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Robust per-group outlier detection: median and MAD (median
+    // absolute deviation) computed EXACTLY over the q101 compressed
+    // (group, value) histogram — two histogram medians and a
+    // conditional sum, all over rows ∝ distinct values per group. The
+    // corpus shuffles once (value-count build); every later step is
+    // histogram-sized. Lower-median semantics on both engines.
+    "q122_mad_outliers" -> ((s, dir) => {
+      // the compressed histogram feeds FOUR consumers (median, deviation
+      // build, MAD, outlier sum) — cached so the corpus scans once and
+      // every later step runs on histogram-sized rows (retired by the
+      // harness's per-query clearCache, same contract as q28/q114)
+      val vc = docs(s, dir).groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("c")).cache()
+      def lowerMedian(hist: DataFrame, valueCol: String): DataFrame = {
+        val run = Window.partitionBy("source").orderBy(valueCol)
+        val all = Window.partitionBy("source")
+        hist.withColumn("cum", sum(col("c")).over(run))
+          .withColumn("n", sum(col("c")).over(all))
+          .where(col("cum") * 2 >= col("n") && (col("cum") - col("c")) * 2 < col("n"))
+          .select(col("source"), col("n"), col(valueCol).as("med"))
+      }
+      val med = lowerMedian(vc, "n_chars")
+      val dev = vc.join(broadcast(med.select("source", "med")), "source")
+        .select(col("source"), abs(col("n_chars") - col("med")).as("dev"),
+          col("c"))
+        .groupBy("source", "dev").agg(sum(col("c")).as("c")).cache()
+      val mad = lowerMedian(dev, "dev")
+        .select(col("source"), col("med").as("mad"))
+      val outliers = dev.join(broadcast(mad), "source")
+        .groupBy("source")
+        .agg(sum(when(col("dev") > col("mad") * madK, col("c"))
+          .otherwise(0L)).as("n_outliers"))
+      med.select(col("source"), col("n"), col("med").as("median_n_chars"))
+        .join(broadcast(mad), "source")
+        .join(broadcast(outliers), "source")
+        .orderBy("source")
+    }),
+
+    // Per-source duplication report: docs, distinct canonical keys,
+    // intra-source duplicate rows, and how many keys/rows are SHARED
+    // with other sources (the cross-source syndication signal that
+    // decides whether dedup must be global or can run per-source). One
+    // corpus shuffle onto the canonical key; the cross-source flag is a
+    // COUNT window over the ≤|sources| rows of each key's slice of the
+    // compressed (key, source) relation — no self-join, no second scan.
+    "q123_dedup_stats" -> ((s, dir) => {
+      val ks = docs(s, dir)
+        .select(col("source"), canonicalKey(col("text")).as("ck"))
+        .groupBy("ck", "source").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("ck")
+      ks.withColumn("n_sources", count(lit(1)).over(w))
+        .groupBy("source").agg(
+          sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_distinct_keys"),
+          sum(when(col("n_sources") > 1, 1L).otherwise(0L))
+            .as("cross_source_keys"),
+          sum(when(col("n_sources") > 1, col("c")).otherwise(0L))
+            .as("cross_source_rows"))
+        .select(col("source"), col("n_docs"), col("n_distinct_keys"),
+          (col("n_docs") - col("n_distinct_keys")).as("intra_dup_rows"),
+          col("cross_source_keys"), col("cross_source_rows"))
+        .orderBy("source")
+    }),
+
+    // Vocabulary-growth (novelty) curve: per ingest batch (doc_id order
+    // as the arrival proxy), how many doc-distinct bigram mentions it
+    // contributes and how many bigrams are NEW (first occurrence), plus
+    // the cumulative vocabulary. The "is the crawl still finding new
+    // language?" curve that decides when more data stops helping. One
+    // shuffle keyed on the bigram (min-batch, map-side combining); the
+    // cumulative window runs over ≤ #batches histogram rows.
+    "q124_vocab_growth" -> ((s, dir) => {
+      // consumed twice (mention counts + first-occurrence build):
+      // cached so the corpus is tokenized/shingled once (q114's rule)
+      val bg = docs(s, dir).select(
+        expr(s"doc_id div $growthBatchDocs").as("batch"),
+        explode(array_distinct(wordShingles(col("text"), 2))).as("bg"))
+        .cache()
+      val mentions = bg.groupBy("batch").agg(count(lit(1)).as("n_mentions"))
+      val firsts = bg.groupBy("bg").agg(min(col("batch")).as("batch"))
+        .groupBy("batch").agg(count(lit(1)).as("new_bigrams"))
+      val cum = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      mentions.join(firsts, Seq("batch"), "left")
+        .withColumn("new_bigrams", coalesce(col("new_bigrams"), lit(0L)))
+        .withColumn("cum_vocab", sum(col("new_bigrams")).over(cum))
+        .orderBy("batch")
+    }),
+
+    // BPE first-merge statistics — the inner step of tokenizer
+    // training: frequency of every adjacent character pair inside
+    // corpus tokens, head of the merge table. The pair histogram is
+    // charset²-bounded (trivially broadcastable at ANY corpus size), so
+    // this is one scan with heavy map-side combine plus a bounded-heap
+    // global top-k (TakeOrderedAndProject — no global sort).
+    "q125_bpe_pairs" -> ((s, dir) => {
+      docs(s, dir).select(explode(tokens(col("text"))).as("t"))
+        .where(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("pair")).limit(bpeTopK)
+    }),
+
+    // Reciprocal-rank fusion — the hybrid-retrieval primitive: fuse a
+    // keyword ranking (BM25 over a fixed 2-term query, q77's exact
+    // formula tree) with a vector ranking (cosine to a probe embedding,
+    // q29's formula) as Σ 1/(rrfK + rank) in integer micro-units.
+    // Each list is cut to its top-R by bounded-heap TakeOrdered (never
+    // a global sort); ranks then come from a window over ≤R rows and
+    // the fusion is a full-outer join of two ≤R-row frames. The scoring
+    // side is 2 corpus scans (collection stats + query-term tf with dl
+    // carried in the projection — the per-doc-length join never touches
+    // the corpus); the vector side is one broadcast-probe scan.
+    "q126_rank_fusion" -> ((s, dir) => {
+      val toked = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val stats = toked.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_dl"))
+      val tf = toked.select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"),
+          explode(filter(col("toks"), t => t.isin(queryTerms: _*))).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      val k1 = lit(BigDecimal(bm25K1)).cast("double")
+      val b = lit(BigDecimal(bm25B)).cast("double")
+      val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+      val tfd = col("tf").cast("double")
+      val idf = (col("n_docs").cast("double") - col("doc_freq").cast("double")
+        + lit(0.5)) / (col("doc_freq").cast("double") + lit(0.5))
+      val score = (tfd * (k1 + lit(1.0)) /
+        (tfd + k1 * (lit(1.0) - b + b * (col("dl").cast("double") / avgdl)))) * idf
+      val kw = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("s", score)
+        .groupBy("doc_id").agg(sum(col("s")).as("kw_score"))
+        .orderBy(desc("kw_score"), asc("doc_id")).limit(fuseR)
+        .withColumn("r_kw", row_number().over(
+          Window.orderBy(desc("kw_score"), asc("doc_id"))))
+      val corpus = SimilarityQueries.emb(s, dir)
+      val probe = corpus.where(col("vec_id") === 0)
+        .select(col("embedding").as("pe"), col("n2").as("pn2"))
+      val vec = corpus.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cos"))
+        .orderBy(desc("cos"), asc("doc_id")).limit(fuseR)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(desc("cos"), asc("doc_id"))))
+      kw.select(col("doc_id"), col("r_kw"))
+        .join(vec.select(col("doc_id"), col("r_vec")), Seq("doc_id"),
+          "full_outer")
+        .select(col("doc_id"), col("r_kw"), col("r_vec"),
+          (coalesce(expr(s"1000000000 div ($rrfK + r_kw)"), lit(0L)) +
+            coalesce(expr(s"1000000000 div ($rrfK + r_vec)"), lit(0L)))
+            .as("rrf_micro"))
+        .orderBy(desc("rrf_micro"), asc("doc_id")).limit(fuseTop)
+    }),
+
+    // Language-ID confusion matrix: the q21 classifier evaluated
+    // against the corpus's own language labels — per (label, predicted)
+    // cell count and its share of the label's row (permille, integer).
+    // Classifier eval as a first-class pipeline op: one scan, one
+    // ≤|langs|²-row aggregate; the row-share window runs over the
+    // matrix, not the data.
+    "q127_lang_confusion" -> ((s, dir) => {
+      val m = docs(s, dir)
+        .select(col("lang"), langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+      m.withColumn("label_total", sum(col("n")).over(w))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 1000 div label_total").as("share_permille"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Time-decayed activity (half-life = one week): per event type,
+    // Σ count_w · 2^(decayWeeks − age_w) over the trailing window —
+    // the freshness-weighted volume score a crawler/source scheduler
+    // ranks by. Weekly counts are one map-side-combining aggregate;
+    // the decay fold is BIGINT shifts over ≤window rows per type, so
+    // the result is exact and order-independent (a float decay sum
+    // would be neither).
+    "q128_decayed_activity" -> ((s, dir) => {
+      val wc = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr(s"ts_ns div $weekNs").as("week"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type")
+      wc.withColumn("max_week", max(col("week")).over(w))
+        .where(col("week") >= col("max_week") - decayWeeks)
+        .groupBy("event_type").agg(
+          sum(expr(
+            s"c * shiftleft(CAST(1 AS BIGINT), $decayWeeks - CAST(max_week - week AS INT))"))
+            .as("decayed_score_256"),
+          count(lit(1)).as("n_recent_weeks"),
+          max(col("week")).as("last_week"))
+        .orderBy("event_type")
+    }),
+
+    // Item co-occurrence similarity (collaborative filtering): for each
+    // event-type pair, the number of users active in both and the
+    // Jaccard overlap of their user sets (permille, integer). ONE
+    // shuffle onto user_id builds each user's sorted item set
+    // (collect_set partials — never a row per event past the map side);
+    // pairs then explode IN-PROJECTION with fan-out ≤ (items per
+    // user)², and the per-type totals broadcast onto the ≤|types|²-row
+    // pair table. The self-join formulation this replaces re-shuffled
+    // the distinct relation three times; the oracle keeps it as the
+    // relational mirror.
+    "q129_cooccurrence" -> ((s, dir) => {
+      // per-user sorted item sets — consumed by totals AND pairs
+      val sets = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("items"))
+        .cache()
+      val totals = sets.select(explode(col("items")).as("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      val co = sets.select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+        .agg(count(lit(1)).as("n_co_users"))
+      co.join(broadcast(totals.select(col("event_type").as("type_a"),
+          col("n_users").as("n_a"))), "type_a")
+        .join(broadcast(totals.select(col("event_type").as("type_b"),
+          col("n_users").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_co_users"),
+          expr("n_co_users * 1000 div (n_a + n_b - n_co_users)")
+            .as("jaccard_permille"))
+        .orderBy("type_a", "type_b")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q122_mad_outliers" ->
+      s"""WITH vc AS (SELECT source, n_chars, COUNT(*) AS c
+         |      FROM documents GROUP BY 1, 2),
+         |mw AS (SELECT source, n_chars, c,
+         |        SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+         |        SUM(c) OVER (PARTITION BY source) AS n
+         |      FROM vc),
+         |med AS (SELECT source, CAST(n AS BIGINT) AS n, n_chars AS med
+         |        FROM mw WHERE cum * 2 >= n AND (cum - c) * 2 < n),
+         |dev AS (SELECT vc.source, abs(vc.n_chars - med.med) AS dev,
+         |          CAST(SUM(vc.c) AS BIGINT) AS c
+         |        FROM vc JOIN med ON med.source = vc.source
+         |        GROUP BY 1, 2),
+         |dw AS (SELECT source, dev, c,
+         |        SUM(c) OVER (PARTITION BY source ORDER BY dev) AS cum,
+         |        SUM(c) OVER (PARTITION BY source) AS n
+         |      FROM dev),
+         |mad AS (SELECT source, dev AS mad
+         |        FROM dw WHERE cum * 2 >= n AND (cum - c) * 2 < n),
+         |outl AS (SELECT dev.source,
+         |          CAST(SUM(CASE WHEN dev.dev > $madK * mad.mad
+         |            THEN dev.c ELSE 0 END) AS BIGINT) AS n_outliers
+         |        FROM dev JOIN mad ON mad.source = dev.source
+         |        GROUP BY 1)
+         |SELECT med.source, med.n, med.med AS median_n_chars, mad.mad,
+         |  outl.n_outliers
+         |FROM med JOIN mad ON mad.source = med.source
+         |  JOIN outl ON outl.source = med.source
+         |ORDER BY med.source""".stripMargin,
+    "q123_dedup_stats" ->
+      s"""WITH ks AS (SELECT ${sqlCanonicalKey("text")} AS ck, source,
+         |        COUNT(*) AS c
+         |      FROM documents GROUP BY 1, 2),
+         |sp AS (SELECT *, COUNT(*) OVER (PARTITION BY ck) AS n_sources
+         |       FROM ks)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+         |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS intra_dup_rows,
+         |  CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS cross_source_keys,
+         |  CAST(SUM(CASE WHEN n_sources > 1 THEN c ELSE 0 END) AS BIGINT)
+         |    AS cross_source_rows
+         |FROM sp GROUP BY source ORDER BY source""".stripMargin,
+    "q124_vocab_growth" ->
+      s"""WITH bg AS (SELECT doc_id // $growthBatchDocs AS batch,
+         |        unnest(list_distinct(${sqlWordShingles("text", 2)})) AS bg
+         |      FROM documents),
+         |m AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_mentions
+         |      FROM bg GROUP BY 1),
+         |f AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS new_bigrams FROM
+         |        (SELECT bg, MIN(batch) AS batch FROM bg GROUP BY bg)
+         |      GROUP BY 1)
+         |SELECT m.batch, m.n_mentions,
+         |  COALESCE(f.new_bigrams, 0) AS new_bigrams,
+         |  CAST(SUM(COALESCE(f.new_bigrams, 0))
+         |    OVER (ORDER BY m.batch) AS BIGINT) AS cum_vocab
+         |FROM m LEFT JOIN f ON f.batch = m.batch
+         |ORDER BY m.batch""".stripMargin,
+    "q125_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest(${sqlTokens("text")}) AS t
+         |      FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, length(t)),
+         |        i -> substr(t, CAST(i AS INT), 2))) AS pair
+         |      FROM toks WHERE length(t) >= 2)
+         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM p GROUP BY 1 ORDER BY c DESC, pair LIMIT $bpeTopK""".stripMargin,
+    "q126_rank_fusion" -> {
+      val terms = queryTerms.map(t => s"t = '$t'").mkString(" OR ")
+      s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |      FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |        CAST(SUM(len(toks)) AS BIGINT) AS total_dl FROM d),
+         |qt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |        unnest(list_filter(toks, t -> $terms)) AS term
+         |      FROM d),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+         |       FROM qt GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, SUM(
+         |    (CAST(tf.tf AS DOUBLE) * ($bm25K1 + 1.0) /
+         |      (CAST(tf.tf AS DOUBLE) + $bm25K1 * (1.0 - $bm25B + $bm25B *
+         |        (CAST(tf.dl AS DOUBLE) /
+         |         (CAST(st.total_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+         |    * ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.doc_freq AS DOUBLE) + 0.5)
+         |       / (CAST(dfq.doc_freq AS DOUBLE) + 0.5))) AS kw_score
+         |  FROM tf JOIN dfq USING (term), st GROUP BY tf.doc_id),
+         |kw AS (SELECT doc_id,
+         |        ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS r_kw
+         |       FROM sc ORDER BY kw_score DESC, doc_id LIMIT $fuseR),
+         |${SimilarityQueries.sqlEmb},
+         |pr AS (SELECT embedding AS pe, n2 AS pn2 FROM e WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS doc_id,
+         |        ${sqlCosineFrom(sqlDot("pe", "embedding"), "pn2", "n2")} AS cos
+         |      FROM e, pr WHERE vec_id <> 0),
+         |vt AS (SELECT doc_id,
+         |        ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+         |       FROM cs ORDER BY cos DESC, doc_id LIMIT $fuseR)
+         |SELECT COALESCE(kw.doc_id, vt.doc_id) AS doc_id, kw.r_kw, vt.r_vec,
+         |  COALESCE(1000000000 // ($rrfK + kw.r_kw), 0) +
+         |    COALESCE(1000000000 // ($rrfK + vt.r_vec), 0) AS rrf_micro
+         |FROM kw FULL OUTER JOIN vt ON vt.doc_id = kw.doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT $fuseTop""".stripMargin
+    },
+    "q127_lang_confusion" ->
+      s"""WITH m AS (SELECT lang, ${sqlLangId("text")} AS pred_lang,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM documents GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |  CAST(n * 1000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+         |    AS share_permille
+         |FROM m ORDER BY lang, pred_lang""".stripMargin,
+    "q128_decayed_activity" ->
+      s"""WITH wc AS (SELECT event_type, epoch_ns(ts) // $weekNs AS week,
+         |        COUNT(*) AS c
+         |      FROM events GROUP BY 1, 2),
+         |mw AS (SELECT *, MAX(week) OVER (PARTITION BY event_type) AS max_week
+         |       FROM wc)
+         |SELECT event_type,
+         |  CAST(SUM(c * (CAST(1 AS BIGINT) <<
+         |    ($decayWeeks - (max_week - week)))) AS BIGINT)
+         |    AS decayed_score_256,
+         |  CAST(COUNT(*) AS BIGINT) AS n_recent_weeks,
+         |  CAST(MAX(week) AS BIGINT) AS last_week
+         |FROM mw WHERE week >= max_week - $decayWeeks
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q129_cooccurrence" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        |      FROM ue GROUP BY 1),
+        |co AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_co_users
+        |      FROM ue a JOIN ue b ON b.user_id = a.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT co.type_a, co.type_b, co.n_co_users,
+        |  co.n_co_users * 1000 // (ta.n_users + tb.n_users - co.n_co_users)
+        |    AS jaccard_permille
+        |FROM co JOIN t ta ON ta.event_type = co.type_a
+        |  JOIN t tb ON tb.event_type = co.type_b
+        |ORDER BY co.type_a, co.type_b""".stripMargin)
+}

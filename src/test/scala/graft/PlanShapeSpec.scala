@@ -57,7 +57,10 @@ class PlanShapeSpec extends SparkSuite {
     // q104's corpus total is a one-row broadcast scalar under the
     // decile projection; q111 joins two one-row sketch frames; q112
     // attaches two one-row uniqueness aggregates to the rule row
-    "q104_equidepth_deciles", "q111_kmv_merge", "q112_validation_rules")
+    "q104_equidepth_deciles", "q111_kmv_merge", "q112_validation_rules",
+    // q126's BM25 side crossJoins two one-row broadcast scalars
+    // (collection stats) and the single-probe vector batch
+    "q126_rank_fusion")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
@@ -69,8 +72,11 @@ class PlanShapeSpec extends SparkSuite {
       // ... and q115's positional neighbor join: both sides are the
       // corpus (broadcast is wrong by construction) and the merge over
       // the shared global-index order IS the sorted-neighborhood plan
+      // ... and q126's rank fusion: the full-outer merge of the two
+      // top-R rank lists (≤R rows each — full-outer equi-joins cannot
+      // broadcast, and both sides are bounded by construction)
       if (!Set("q72_cdc_merge", "q80_bloom_join", "q82_incremental_agg",
-          "q115_sorted_neighborhood")(name))
+          "q115_sorted_neighborhood", "q126_rank_fusion")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
