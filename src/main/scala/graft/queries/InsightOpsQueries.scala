@@ -77,34 +77,35 @@ object InsightOpsQueries {
     // corpus shuffles once (value-count build); every later step is
     // histogram-sized. Lower-median semantics on both engines.
     "q122_mad_outliers" -> ((s, dir) => {
-      // the compressed histogram feeds FOUR consumers (median, deviation
-      // build, MAD, outlier sum) — cached so the corpus scans once and
-      // every later step runs on histogram-sized rows (retired by the
-      // harness's per-query clearCache, same contract as q28/q114)
-      val vc = docs(s, dir).groupBy("source", "n_chars")
-        .agg(count(lit(1)).as("c")).cache()
-      def lowerMedian(hist: DataFrame, valueCol: String): DataFrame = {
+      // JOIN-FREE formulation: the median is attached to every
+      // histogram row as a windowed max(CASE) over the same per-source
+      // partition the cumulative sum already needs — no median dim, no
+      // broadcast, no extra job. The corpus shuffles once (value-count
+      // build); the deviation regroup and both median attachments run
+      // on rows ∝ distinct values per source.
+      def attachLowerMedian(hist: DataFrame, valueCol: String,
+          out: String): DataFrame = {
         val run = Window.partitionBy("source").orderBy(valueCol)
         val all = Window.partitionBy("source")
         hist.withColumn("cum", sum(col("c")).over(run))
           .withColumn("n", sum(col("c")).over(all))
-          .where(col("cum") * 2 >= col("n") && (col("cum") - col("c")) * 2 < col("n"))
-          .select(col("source"), col("n"), col(valueCol).as("med"))
+          .withColumn(out, max(when(
+            col("cum") * 2 >= col("n") && (col("cum") - col("c")) * 2 < col("n"),
+            col(valueCol))).over(all))
       }
-      val med = lowerMedian(vc, "n_chars")
-      val dev = vc.join(broadcast(med.select("source", "med")), "source")
-        .select(col("source"), abs(col("n_chars") - col("med")).as("dev"),
-          col("c"))
-        .groupBy("source", "dev").agg(sum(col("c")).as("c")).cache()
-      val mad = lowerMedian(dev, "dev")
-        .select(col("source"), col("med").as("mad"))
-      val outliers = dev.join(broadcast(mad), "source")
-        .groupBy("source")
-        .agg(sum(when(col("dev") > col("mad") * madK, col("c"))
-          .otherwise(0L)).as("n_outliers"))
-      med.select(col("source"), col("n"), col("med").as("median_n_chars"))
-        .join(broadcast(mad), "source")
-        .join(broadcast(outliers), "source")
+      val vc = docs(s, dir).groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("c"))
+      val dev = attachLowerMedian(vc, "n_chars", "med")
+        .select(col("source"), col("n"), col("med"),
+          abs(col("n_chars") - col("med")).as("dev"), col("c"))
+        .groupBy("source", "n", "med", "dev").agg(sum(col("c")).as("c"))
+      attachLowerMedian(dev, "dev", "mad")
+        .groupBy("source").agg(
+          max(col("n")).as("n"),
+          max(col("med")).as("median_n_chars"),
+          max(col("mad")).as("mad"),
+          sum(when(col("dev") > col("mad") * madK, col("c"))
+            .otherwise(0L)).as("n_outliers"))
         .orderBy("source")
     }),
 
@@ -142,11 +143,17 @@ object InsightOpsQueries {
     // shuffle keyed on the bigram (min-batch, map-side combining); the
     // cumulative window runs over ≤ #batches histogram rows.
     "q124_vocab_growth" -> ((s, dir) => {
-      // consumed twice (mention counts + first-occurrence build):
-      // cached so the corpus is tokenized/shingled once (q114's rule)
-      val bg = docs(s, dir).select(
-        expr(s"doc_id div $growthBatchDocs").as("batch"),
-        explode(array_distinct(wordShingles(col("text"), 2))).as("bg"))
+      // tokens materialized in an inner projection BEFORE shingling
+      // (wordShinglesFromTokens scaladoc: an inlined tokenizer re-runs
+      // once per shingle — measured 5.8 s vs 0.9 s at sf0.1), and the
+      // stream cached: it's consumed twice (mention counts +
+      // first-occurrence build)
+      val bg = docs(s, dir)
+        .select(expr(s"doc_id div $growthBatchDocs").as("batch"),
+          tokens(col("text")).as("toks"))
+        .select(col("batch"),
+          explode(array_distinct(wordShinglesFromTokens(col("toks"), 2)))
+            .as("bg"))
         .cache()
       val mentions = bg.groupBy("batch").agg(count(lit(1)).as("n_mentions"))
       val firsts = bg.groupBy("bg").agg(min(col("batch")).as("batch"))
