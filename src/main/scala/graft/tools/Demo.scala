@@ -116,6 +116,13 @@ object Demo {
       show("q112_validation_rules", 1)
       show("q113_downsample")
       show("q115_sorted_neighborhood")
+      show("q122_mad_outliers")
+      show("q123_dedup_stats")
+      show("q124_vocab_growth")
+      show("q125_bpe_pairs")
+      show("q126_rank_fusion")
+      show("q127_lang_confusion")
+      show("q129_cooccurrence")
       show("q107_stream_kmv")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
