@@ -60,6 +60,15 @@ object StreamingQueries {
       user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
 
+  /** q130's custom state: open (unflushed) window counts for one event
+    * type plus the running count/sum of already-flushed windows — the
+    * "prior baseline" the spike rule compares against.
+    */
+  case class AlertState(wins: Map[Long, Long], priorN: Long, priorSum: Long)
+  case class AlertOut(
+      window_us: Long, event_type: String, n_events: Long,
+      n_prior: Long, sum_prior: Long, is_spike: Boolean)
+
   // unique sink/checkpoint per invocation — Bench runs the query three
   // times (warmup + 2 timed) in one session
   private val runSeq = new AtomicInteger(0)
@@ -300,6 +309,96 @@ object StreamingQueries {
       }
     }),
 
+    // Streaming rate-anomaly alerting with CROSS-WINDOW state: per
+    // event type, each closed 5-minute window's count is compared
+    // against the running mean of the type's previously-closed windows
+    // (integer cross-multiply — no float division in the rule), the
+    // monitoring op a log pipeline pages on. Windowed counting and the
+    // prior baseline both live in flatMapGroupsWithState keyed by
+    // event type (a windowed agg cannot chain into a stateful map, so
+    // the window bucketing is part of the custom state): the data
+    // batch accumulates per-window counts order-independently; the
+    // event-time timeout fires when the watermark passes the earliest
+    // open window end and flushes every ripe window in event-time
+    // order, folding each into the baseline as it emits. Emission
+    // predicate (window end <= watermark) is exactly q59's, mirrored
+    // in the oracle; state is O(open windows) per type, evicted on
+    // flush.
+    "q130_stream_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = Files.createTempDirectory("graft-q130-src")
+      val ckpt = Files.createTempDirectory("graft-q130-ckpt")
+      val sink = s"graft_q130_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val alerts = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "10 minutes")
+          .select(col("event_type").as[String], col("ts_us").as[Long],
+            col("event_time").as[java.sql.Timestamp])
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[AlertState, AlertOut](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            case (etype, rows, state: GroupState[AlertState]) =>
+              if (state.hasTimedOut) {
+                val st = state.get
+                val wmUs = state.getCurrentWatermarkMs() * 1000L
+                val (ripe, open) =
+                  st.wins.partition { case (w, _) => w + windowUs <= wmUs }
+                var (n, sum) = (st.priorN, st.priorSum)
+                val outs = ripe.toSeq.sortBy(_._1).map { case (w, c) =>
+                  val o = AlertOut(w, etype, c, n, sum, c * n > 2 * sum)
+                  n += 1; sum += c; o
+                }
+                // remaining windows are beyond the current watermark;
+                // a later data batch re-arms the timeout — under
+                // AvailableNow's final batch they stay unemitted,
+                // exactly like q59's un-closed windows
+                if (open.isEmpty) state.remove()
+                else state.update(AlertState(open, n, sum))
+                outs.iterator
+              } else {
+                val prev = state.getOption
+                  .getOrElse(AlertState(Map.empty, 0L, 0L))
+                val add = rows.foldLeft(Map.empty[Long, Long]) { (m, r) =>
+                  val w = r._2 / windowUs * windowUs
+                  m.updated(w, m.getOrElse(w, 0L) + 1L)
+                }
+                val merged = (prev.wins.keySet ++ add.keySet).iterator.map(w =>
+                  w -> (prev.wins.getOrElse(w, 0L) + add.getOrElse(w, 0L)))
+                  .toMap
+                state.update(AlertState(merged, prev.priorN, prev.priorSum))
+                // fire when the watermark reaches the earliest open
+                // window's end: wm > end-1  <=>  end <= wm (the
+                // inclusive emission predicate)
+                val minEndMs = merged.keys.min / 1000L + windowUs / 1000L
+                state.setTimeoutTimestamp(
+                  math.max(minEndMs - 1, state.getCurrentWatermarkMs + 1))
+                Iterator.empty
+              }
+          }
+        val query = alerts.toDF().writeStream.format("memory")
+          .queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("window_us", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Stream-STREAM interval join, oracle-gated: purchases matched to
     // the same user's clicks within the preceding 30 minutes — the
     // attribution shape. Both sides are independent file-stream
@@ -443,6 +542,28 @@ object StreamingQueries {
          |    ELSE CAST(len(sketch) AS DOUBLE) END AS kmv_estimate
          |FROM sk ORDER BY window_us, event_type""".stripMargin
     },
+    // q59's window arithmetic + emission predicate, then the prior
+    // baseline as an UNBOUNDED..1-PRECEDING frame per event type —
+    // the relational mirror of the state fold (COUNT over an empty
+    // frame is 0; SUM is NULL, hence the COALESCE).
+    "q130_stream_alerts" ->
+      s"""WITH e AS (SELECT (epoch_us(ts) // $windowUs) * $windowUs AS window_us,
+         |                  event_type FROM events),
+         |wm AS (SELECT MAX(epoch_ms(ts)) * 1000 - $delayUs AS w FROM events),
+         |wc AS (SELECT window_us, event_type, CAST(COUNT(*) AS BIGINT)
+         |         AS n_events
+         |       FROM e WHERE window_us + $windowUs <= (SELECT w FROM wm)
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT *,
+         |        CAST(COUNT(*) OVER p AS BIGINT) AS n_prior,
+         |        CAST(COALESCE(SUM(n_events) OVER p, 0) AS BIGINT)
+         |          AS sum_prior
+         |       FROM wc WINDOW p AS (PARTITION BY event_type
+         |         ORDER BY window_us
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT window_us, event_type, n_events, n_prior, sum_prior,
+         |  n_events * n_prior > 2 * sum_prior AS is_spike
+         |FROM pr ORDER BY window_us, event_type""".stripMargin,
     // q33's gap sessions + the streaming emission predicate: every
     // gap-closed session (session_id < user's max) emits in the data
     // batch; the final open session emits iff its event-time timeout

@@ -25,7 +25,7 @@ class PlanShapeSpec extends SparkSuite {
   // micro-batch) — their incremental plans are StreamingSpec territory.
   private val streamingQueries =
     Set("q59_stream_window", "q69_stream_dedup", "q70_stream_sessions",
-      "q71_stream_enrich", "q79_stream_join")
+      "q71_stream_enrich", "q79_stream_join", "q130_stream_alerts")
 
   private lazy val plans: Map[String, SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
