@@ -167,6 +167,54 @@ object SimilarityQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // ANN index-quality eval: recall@k of the LSH-bucketed index (q30)
+    // against the exact top-k (q29's semantics) per probe, plus the
+    // fleet-wide recall — "measure, don't guess" for the ANN tier: the
+    // number that decides whether the bucketing is good enough to
+    // replace the exact scan. Both lists are ≤k rows per probe (exact
+    // via the bounded-heap TopK operator, ANN via its bucket join), so
+    // the comparison join and the recall arithmetic are probe-set-sized;
+    // the corpus cost is one broadcast-probe scan + one bucket join —
+    // the two indexes being compared, nothing more. Integer permille.
+    "q131_ann_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding")))
+      val probes = bucketed.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"), col("bucket").as("pbucket"))
+      val exactScored = corpus
+        .join(broadcast(probes.drop("pbucket")),
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), annK)
+      val wAnn = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      val ann = bucketed.join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(wAnn))
+        .where(col("rn") <= annK)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      val all = Window.partitionBy()
+      // both rank lists are ≤ k·|probes| rows; the ANN side broadcasts
+      // so the comparison join never sorts or shuffles the lists
+      exact.join(broadcast(ann), Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr(s"n_hits * 1000 div $annK"))
+        .withColumn("total_hits", sum(col("n_hits")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_recall_permille",
+          expr(s"total_hits * 1000 div (n_probes * $annK)"))
+        .drop("total_hits", "n_probes")
+        .orderBy("probe_id")
+    }),
+
     // near-dup screen: incoming batch (2% id slice) vs corpus
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
@@ -240,6 +288,38 @@ object SimilarityQueries {
            |  FROM p JOIN cells cl
            |    ON cl.cell = p.cell AND cl.vec_id <> p.probe_id)
            |WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+      },
+      "q131_ann_recall" -> {
+        val bCos = sqlCosineFrom(sqlDot("p.pe", "b.embedding"), "p.pn2", "b.n2")
+        s"""WITH $sqlEmb,
+           |b AS (SELECT vec_id, embedding, n2,
+           |        ${sqlLshBucket("embedding")} AS bucket FROM e),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2,
+           |        bucket AS pbucket FROM b WHERE ${sqlProbeSlice(61)}),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $annK),
+           |an AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, b.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $bCos DESC, b.vec_id) AS rn
+           |  FROM p JOIN b ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id)
+           |  WHERE rn <= $annK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN an.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |      FROM ex LEFT JOIN an
+           |        ON an.probe_id = ex.probe_id AND an.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits,
+           |  n_hits * 1000 // $annK AS recall_permille,
+           |  CAST(SUM(n_hits) OVER () * 1000
+           |    // (COUNT(*) OVER () * $annK) AS BIGINT)
+           |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin
       },
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,

@@ -60,7 +60,10 @@ class PlanShapeSpec extends SparkSuite {
     "q104_equidepth_deciles", "q111_kmv_merge", "q112_validation_rules",
     // q126's BM25 side crossJoins two one-row broadcast scalars
     // (collection stats) and the single-probe vector batch
-    "q126_rank_fusion")
+    "q126_rank_fusion",
+    // q131 evaluates the ANN index against q29's exact scan — the
+    // broadcast-probe inequality join IS the exact side being measured
+    "q131_ann_recall")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
