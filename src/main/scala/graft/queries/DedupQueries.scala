@@ -206,6 +206,41 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // MinHash calibration curve — "measure, don't guess" for the dedup
+    // sketch (q131's theme applied to the OTHER index): over the q26
+    // bounded pair slice, the 16-position signature match count of
+    // every pair vs its EXACT shingle-set Jaccard, rolled up per match
+    // count. The table that tells you what est_sim >= 0.5 actually
+    // MEANS in true-Jaccard terms before you trust q27's threshold at
+    // 100 TB. Pair scan is the q26 broadcast shape (bounded slice, no
+    // shuffle); the rollup is <= 17 rows; all output arithmetic is
+    // integer permille.
+    "q132_sketch_calibration" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0 && col("doc_id") < 2500)
+        .select(col("doc_id"), array_sort(array_distinct(
+          graft.functions.ShingleHash(tokens(col("text")), 3))).as("hs"))
+        .where(size(col("hs")) > 0)
+        .select(col("doc_id"), col("hs"),
+          graft.functions.MinHashSig(col("hs")).as("sig"))
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pairs = d.repartition(nPart, col("doc_id")).as("a")
+        .join(broadcast(d.as("b")), col("a.doc_id") < col("b.doc_id"))
+      val inter = graft.functions.SortedIntersectCount(col("a.hs"), col("b.hs"))
+      val nMatch = size(filter(
+        zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
+      pairs
+        .select(nMatch.as("n_match"), inter.cast("long").as("i"),
+          size(col("a.hs")).cast("long").as("na"),
+          size(col("b.hs")).cast("long").as("nb"))
+        .selectExpr("n_match", "i * 1000 div (na + nb - i) AS tp")
+        .groupBy("n_match")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("tp")).as("stp"))
+        .selectExpr("n_match", s"n_match * 1000 div $minhashK AS est_permille",
+          "n_pairs", "stp div n_pairs AS mean_true_permille")
+        .orderBy("n_match")
+    }),
+
     // MinHash signatures + banded LSH: only docs colliding in a band
     // ever meet; est_sim from the signatures (no raw-text re-read)
     "q27_minhash_lsh" -> ((s, dir) =>
@@ -368,6 +403,22 @@ object DedupQueries {
       .map(c => s"SELECT doc_id, sh, $c AS ci, ${sqlSimhashChunk("sh", c)} AS cv FROM sh")
       .mkString("\nUNION ALL\n")
     Map(
+      "q132_sketch_calibration" ->
+        s"""WITH d AS (SELECT doc_id, list_sort(${sqlShingleHashes("text")}) AS hs
+           |      FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500),
+           |d2 AS (SELECT doc_id, hs, $sigList AS sig
+           |       FROM d WHERE len(hs) > 0),
+           |m AS (SELECT
+           |    len(list_filter(range(1, ${minhashK + 1}),
+           |      i -> a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)])) AS n_match,
+           |    len(list_intersect(a.hs, b.hs)) AS i,
+           |    len(a.hs) AS na, len(b.hs) AS nb
+           |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id),
+           |t AS (SELECT n_match, i * 1000 // (na + nb - i) AS tp FROM m)
+           |SELECT n_match, n_match * 1000 // $minhashK AS est_permille,
+           |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(tp) // COUNT(*) AS BIGINT) AS mean_true_permille
+           |FROM t GROUP BY 1 ORDER BY n_match""".stripMargin,
       "q25_dedup_exact" ->
         s"""SELECT canon_key, COUNT(*) AS n_docs,
            |  MIN(doc_id) AS rep_doc, MAX(doc_id) AS last_doc

@@ -63,7 +63,10 @@ class PlanShapeSpec extends SparkSuite {
     "q126_rank_fusion",
     // q131 evaluates the ANN index against q29's exact scan — the
     // broadcast-probe inequality join IS the exact side being measured
-    "q131_ann_recall")
+    "q131_ann_recall",
+    // q132 calibrates the MinHash sketch over q26's bounded pair slice
+    // — the same deliberate broadcast all-pairs tier as q26
+    "q132_sketch_calibration")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
