@@ -15,7 +15,7 @@ object SparkEntry {
       TextRankQueries.queries ++ ExtendedOpsQueries.queries ++
       PipelineOpsQueries.queries ++ ScaleOpsQueries.queries ++
       CorpusOpsQueries.queries ++ QualityOpsQueries.queries ++
-      InsightOpsQueries.queries ++
+      InsightOpsQueries.queries ++ ModelOpsQueries.queries ++
       graft.streaming.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,6 +27,6 @@ object SparkEntry {
       TextRankQueries.oracle ++ ExtendedOpsQueries.oracle ++
       PipelineOpsQueries.oracle ++ ScaleOpsQueries.oracle ++
       CorpusOpsQueries.oracle ++ QualityOpsQueries.oracle ++
-      InsightOpsQueries.oracle ++
+      InsightOpsQueries.oracle ++ ModelOpsQueries.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

@@ -1,0 +1,402 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-modeling / incremental-ops tier: the statistics a language-model
+  * data pipeline derives FROM the corpus to steer itself —
+  *
+  *  - q133 unigram-LM familiarity: per-source mean token probability
+  *    under the corpus's own unigram distribution (the "is this source
+  *    in-distribution?" signal; log-free so it is exactly reproducible)
+  *  - q134 Markov transition matrix over per-user event sequences (the
+  *    behavioral LM: P(next event | event), integer permille)
+  *  - q135 Kneser-Ney continuation counts: distinct-left-context types
+  *    per token — the KN-smoothing numerator tokenizer/LM training needs
+  *  - q136 snapshot drift report: even/odd doc_id halves compared per
+  *    source in ONE conditional-aggregate pass (the q58 shape)
+  *  - q137 KMV join-cardinality estimation: pairwise distinct-user
+  *    intersection estimates between event types from mergeable sketches,
+  *    gated bit-for-bit against the exact intersection
+  *  - q138 incremental dedup: a fixed delta batch screened against the
+  *    established LSH index — dedup cost ∝ delta, never a re-cluster of
+  *    the whole corpus
+  *
+  * Every query is oracle-gated. Doubles appear only as a final fixed
+  * formula tree over exact BIGINT sums (q133/q137) or as 16ths of a
+  * MinHash signature (q138) — both engines produce identical bits.
+  */
+object ModelOpsQueries {
+
+  /** q134: sequence-order tiebreak is (ts_ns, event_id) — total, stable. */
+  private val transitionPermille = 1000L
+
+  /** q135: head of the continuation table; the distinct-bigram relation
+    * it aggregates is vocab²-bounded regardless of corpus size.
+    */
+  private val knTopK = 30
+
+  /** q136: drift compares the even/odd doc_id halves — a deterministic,
+    * layout-independent A/B split with no batch-boundary parameter.
+    */
+  private val meanMicro = 1000000L
+
+  /** q137: sketch size. Same k as q86 so the estimator constants match. */
+  private val kmvK = 32
+
+  /** q138: the delta batch is a FIXED doc_id window — incremental dedup
+    * screens the newest micro-batch, so its cost must be O(delta), not
+    * O(corpus); 400..500 exists at every driver SF.
+    */
+  private val deltaLo = 400L
+  private val deltaHi = 500L
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unigram-LM familiarity per source: Σ mentions(t)·corpus_count(t)
+    // / (n_tokens(source) · N) — the mean probability the corpus
+    // unigram LM assigns to this source's tokens. High = boilerplate /
+    // in-distribution text, low = novel vocabulary; pipelines use it to
+    // spot sources drifting away from (or collapsing into) the corpus
+    // distribution. Deliberately log-free: the score is ONE double
+    // division over exact BIGINT sums, so it is bit-reproducible
+    // cross-engine, where a Σ log p formulation would be neither
+    // order-independent nor engine-stable. Shape: one token explode
+    // feeding ONE (source, token) aggregate; corpus token counts derive
+    // from that same compressed relation (rows ∝ vocab × sources, not
+    // corpus), rejoined on the token key it is already partitioned by.
+    "q133_token_familiarity" -> ((s, dir) => {
+      val st = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .cache()
+      val ct = st.groupBy("t").agg(sum(col("n")).as("c"))
+      val totals = ct.agg(sum(col("c")).as("total_tokens"))
+      st.join(ct, "t")
+        .groupBy("source").agg(
+          sum(col("n")).as("n_tokens"),
+          sum(col("n") * col("c")).as("weight"))
+        .crossJoin(broadcast(totals))
+        .select(col("source"), col("n_tokens"),
+          (col("weight").cast("double") /
+            (col("n_tokens").cast("double") * col("total_tokens").cast("double")))
+            .as("familiarity"))
+        .orderBy("source")
+    }),
+
+    // Markov transition matrix over per-user event sequences: count of
+    // each (event_type → next event_type) step and its row-probability
+    // (permille, integer). One shuffle+sort per user for the lead();
+    // the matrix regroup and its row-total window run over ≤|types|²
+    // rows. The behavioral analogue of a bigram LM — funnels (q47) and
+    // CEP patterns (q117) pin specific paths, this gives the full
+    // conditional distribution.
+    "q134_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val m = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val row = Window.partitionBy("from_type")
+      m.withColumn("row_total", sum(col("n")).over(row))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr(s"n * $transitionPermille div row_total").as("p_permille"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Kneser-Ney continuation counts: for each token w, the number of
+    // DISTINCT left contexts it follows (N1+(·w)) and its continuation
+    // probability against the total distinct-bigram-type count —
+    // "how many different contexts license w", the KN-smoothing
+    // numerator that separates versatile words from ones frequent only
+    // inside a fixed phrase. One corpus shuffle builds the distinct
+    // bigram-TYPE relation (map-side distinct partials); the
+    // continuation regroup runs on rows ∝ bigram types and the head is
+    // a bounded-heap TakeOrdered, never a global sort.
+    "q135_kn_continuation" -> ((s, dir) => {
+      val bgd = docs(s, dir)
+        .select(explode(wordShingles(col("text"), 2)).as("bg"))
+        .distinct()
+      val cont = bgd
+        .select(element_at(split(col("bg"), " "), 2).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_contexts"))
+      val tot = bgd.agg(count(lit(1)).as("bigram_types"))
+      cont.crossJoin(broadcast(tot))
+        .select(col("token"), col("n_contexts"),
+          expr("n_contexts * 1000 div bigram_types").as("p_cont_permille"))
+        .orderBy(desc("n_contexts"), asc("token")).limit(knTopK)
+    }),
+
+    // Snapshot drift report: per source, two deterministic hash-halves
+    // of the docs compared on volume and mean length — the A/B
+    // self-check a stats pipeline runs before trusting a new snapshot
+    // (a healthy source has near-identical halves; a skewed one was
+    // sampled or truncated mid-ingest). The split is the q57
+    // content-hash-draw philosophy — a PARITY split degenerates here
+    // because the fixture stripes doc_ids across sources (id ≡ source
+    // mod |sources|), exactly the id-assignment coupling a hash split
+    // is immune to. ONE conditional aggregate over one scan (the q58
+    // shape): no self-join, no second pass. Integer micro/permille
+    // arithmetic throughout.
+    "q136_drift_report" -> ((s, dir) => {
+      val even = pmod(spreadHashLong(col("doc_id")), lit(2L)) === 0
+      docs(s, dir).groupBy("source").agg(
+        sum(when(even, 1L).otherwise(0L)).as("n_even"),
+        sum(when(!even, 1L).otherwise(0L)).as("n_odd"),
+        sum(when(even, col("n_chars")).otherwise(0L)).as("s_even"),
+        sum(when(!even, col("n_chars")).otherwise(0L)).as("s_odd"))
+        .select(col("source"), col("n_even"), col("n_odd"),
+          expr(s"CASE WHEN n_even > 0 THEN s_even * $meanMicro div n_even END")
+            .as("mean_chars_even_micro"),
+          expr(s"CASE WHEN n_odd > 0 THEN s_odd * $meanMicro div n_odd END")
+            .as("mean_chars_odd_micro"))
+        .withColumn("drift_permille", expr(
+          """CASE WHEN mean_chars_even_micro > 0 THEN
+            |  abs(mean_chars_even_micro - mean_chars_odd_micro) * 1000
+            |    div mean_chars_even_micro END""".stripMargin))
+        .orderBy("source")
+    }),
+
+    // KMV join-cardinality estimation: for every event-type pair, the
+    // estimated distinct-user overlap |A∩B| from the per-type KMV
+    // sketches via inclusion-exclusion — est(A) + est(B) − est(A∪B),
+    // where the union sketch is the k-min of the two sketches' union
+    // (exactly the q111 merge property). This is what a planner uses to
+    // size a join (or a pipeline to pick dedup scope) WITHOUT a second
+    // scan: one pass builds ≤|types| sketches; everything pairwise runs
+    // on k-long arrays. Gated bit-for-bit: sketches, estimator, and the
+    // exact intersection (via the q129 per-user item-set shape) all
+    // reproduce in DuckDB.
+    "q137_kmv_intersect" -> ((s, dir) => {
+      val k = kmvK
+      val h = spreadHashLong(col("user_id"))
+      def est(sk: org.apache.spark.sql.Column) =
+        when(size(sk) >= k,
+          (lit((k - 1).toDouble) * lit(P.toDouble)) /
+            element_at(sk, k).cast("double"))
+          .otherwise(size(sk).cast("double"))
+      val per = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.functions.KMinValues(h, k).as("sk"))
+      val pairs = per.as("a")
+        .join(per.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .withColumn("sku", slice(
+          array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      // exact overlap from per-user item sets: one shuffle onto user_id,
+      // pair fan-out ≤ (items per user)² in-projection (the q129 shape)
+      val exact = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("items"))
+        .select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+            |  transform(slice(items, i + 2, size(items)),
+            |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+        .agg(count(lit(1)).as("exact_common"))
+      pairs.join(exact, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          coalesce(col("exact_common"), lit(0L)).as("exact_common"),
+          est(col("ska")).as("est_a"), est(col("skb")).as("est_b"),
+          greatest(lit(0.0),
+            est(col("ska")) + est(col("skb")) - est(col("sku")))
+            .as("est_common"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Incremental dedup: the newest batch (a fixed doc_id window)
+    // screened against the established corpus LSH index. Signatures are
+    // the one-pass codegen MinHashSig map; the delta's band keys
+    // BROADCAST against the index's banded buckets, so the index side
+    // is one scan with NO shuffle and the pair work is ∝ the delta's
+    // true near-dups — the shape that lets a 100 TB corpus absorb a
+    // daily batch without re-clustering itself. Emits one row per delta
+    // doc: its best index match (highest signature estimate, min id on
+    // ties) or NULLs if novel.
+    "q138_delta_dedup" -> ((s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id"), array_distinct(
+          graft.functions.ShingleHash(tokens(col("text")), 3)).as("hs"))
+        .select(col("doc_id"),
+          graft.functions.MinHashSig(col("hs")).as("sig"))
+        .where(col("sig").isNotNull)
+      val bandStructs = (0 until minhashBands).map { b =>
+        struct(lit(b).as("band"),
+          element_at(col("sig"), b * minhashBandRows + 1).as("h1"),
+          element_at(col("sig"), b * minhashBandRows + 2).as("h2"))
+      }
+      def bands(df: DataFrame) = df
+        .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band"), col("bk.h1"), col("bk.h2"))
+      val isDelta = col("doc_id") >= deltaLo && col("doc_id") < deltaHi
+      val delta = bands(sig.where(isDelta))
+      val index = bands(sig.where(!isDelta))
+      val cand = index.as("i")
+        .join(broadcast(delta.as("d")),
+          col("i.band") === col("d.band") && col("i.h1") === col("d.h1") &&
+            col("i.h2") === col("d.h2"))
+        .select(col("d.doc_id").as("doc_id"),
+          col("i.doc_id").as("match_id"),
+          col("d.sig").as("sd"), col("i.sig").as("si"))
+        .distinct()
+        .select(col("doc_id"), col("match_id"),
+          size(filter(zip_with(col("sd"), col("si"), (x, y) => x === y),
+            b => b)).cast("long").as("m"))
+      // tie-break as ONE integer score (higher estimate, then lower id):
+      // m is 0..16 and ids stay far below the 1e7 scale, so the score is
+      // collision-free and identical in both engines — no struct-compare
+      // semantics to align
+      val best = cand
+        .withColumn("score", col("m") * lit(10000000L) - col("match_id"))
+        .groupBy("doc_id")
+        .agg(max_by(col("match_id"), col("score")).as("best_match"),
+          (max_by(col("m"), col("score")).cast("double") / minhashK)
+            .as("best_est"),
+          count(lit(1)).as("n_candidates"))
+      sig.where(isDelta).select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("best_match"), col("best_est"))
+        .orderBy("doc_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q133_token_familiarity" ->
+      s"""WITH st AS (SELECT source, unnest(${sqlTokens("text")}) AS t
+         |      FROM documents),
+         |sc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM st GROUP BY 1, 2),
+         |ct AS (SELECT t, CAST(SUM(n) AS BIGINT) AS c FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM ct)
+         |SELECT sc.source, CAST(SUM(sc.n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(sc.n * ct.c) AS DOUBLE) /
+         |    (CAST(SUM(sc.n) AS DOUBLE) * CAST(MAX(tot.total_tokens) AS DOUBLE))
+         |    AS familiarity
+         |FROM sc JOIN ct USING (t), tot
+         |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
+    "q134_markov_transitions" ->
+      s"""WITH seq AS (SELECT event_type AS from_type,
+         |        LEAD(event_type) OVER (PARTITION BY user_id
+         |          ORDER BY epoch_ns(ts), event_id) AS to_type
+         |      FROM events),
+         |m AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         |  CAST(n * $transitionPermille //
+         |    SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_permille
+         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "q135_kn_continuation" ->
+      s"""WITH bgd AS (SELECT DISTINCT
+         |        unnest(${sqlWordShingles("text", 2)}) AS bg
+         |      FROM documents),
+         |cont AS (SELECT string_split(bg, ' ')[2] AS token,
+         |        CAST(COUNT(*) AS BIGINT) AS n_contexts
+         |      FROM bgd GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigram_types FROM bgd)
+         |SELECT token, n_contexts,
+         |  CAST(n_contexts * 1000 // bigram_types AS BIGINT) AS p_cont_permille
+         |FROM cont, tot
+         |ORDER BY n_contexts DESC, token LIMIT $knTopK""".stripMargin,
+    "q136_drift_report" ->
+      s"""WITH h AS (SELECT source, n_chars,
+         |    (${sqlSpreadHashLong("doc_id")}) % 2 = 0 AS even
+         |  FROM documents),
+         |a AS (SELECT source,
+         |    CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_even,
+         |    CAST(SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_odd,
+         |    CAST(SUM(CASE WHEN even THEN n_chars ELSE 0 END)
+         |      AS BIGINT) AS s_even,
+         |    CAST(SUM(CASE WHEN NOT even THEN n_chars ELSE 0 END)
+         |      AS BIGINT) AS s_odd
+         |  FROM h GROUP BY source),
+         |b AS (SELECT source, n_even, n_odd,
+         |    CASE WHEN n_even > 0 THEN s_even * $meanMicro // n_even END
+         |      AS mean_chars_even_micro,
+         |    CASE WHEN n_odd > 0 THEN s_odd * $meanMicro // n_odd END
+         |      AS mean_chars_odd_micro
+         |  FROM a)
+         |SELECT *,
+         |  CASE WHEN mean_chars_even_micro > 0 THEN
+         |    abs(mean_chars_even_micro - mean_chars_odd_micro) * 1000
+         |      // mean_chars_even_micro END AS drift_permille
+         |FROM b ORDER BY source""".stripMargin,
+    "q137_kmv_intersect" -> {
+      val k = kmvK
+      val h = sqlSpreadHashLong("user_id")
+      def est(sk: String) =
+        s"""CASE WHEN len($sk) >= $k
+           |  THEN (${(k - 1).toDouble} * ${P.toDouble}) / CAST($sk[$k] AS DOUBLE)
+           |  ELSE CAST(len($sk) AS DOUBLE) END""".stripMargin
+      s"""WITH hs AS (SELECT event_type, $h AS h FROM events),
+         |per AS (SELECT event_type,
+         |        list_sort(list_distinct(list(h)))[:$k] AS sk
+         |      FROM hs GROUP BY event_type),
+         |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |        a.sk AS ska, b.sk AS skb,
+         |        list_sort(list_distinct(a.sk || b.sk))[:$k] AS sku
+         |      FROM per a JOIN per b ON a.event_type < b.event_type),
+         |ue AS (SELECT DISTINCT user_id, event_type FROM events),
+         |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |        CAST(COUNT(*) AS BIGINT) AS exact_common
+         |      FROM ue a JOIN ue b ON b.user_id = a.user_id
+         |        AND a.event_type < b.event_type
+         |      GROUP BY 1, 2)
+         |SELECT pr.type_a, pr.type_b,
+         |  COALESCE(ex.exact_common, 0) AS exact_common,
+         |  ${est("ska")} AS est_a, ${est("skb")} AS est_b,
+         |  greatest(0.0, ${est("ska")} + ${est("skb")} - ${est("sku")})
+         |    AS est_common
+         |FROM pr LEFT JOIN ex ON ex.type_a = pr.type_a AND ex.type_b = pr.type_b
+         |ORDER BY pr.type_a, pr.type_b""".stripMargin
+    },
+    "q138_delta_dedup" -> {
+      val sigList = (0 until minhashK).map(k => sqlMinhash("hs", k))
+        .mkString("[", ",\n    ", "]")
+      s"""WITH hashes AS (SELECT doc_id, ${sqlShingleHashes("text")} AS hs
+         |      FROM documents),
+         |sig AS (SELECT doc_id, $sigList AS sig FROM hashes
+         |        WHERE len(hs) > 0),
+         |bands AS (
+         |  SELECT doc_id, sig, CAST(i AS INT) AS band,
+         |    sig[CAST($minhashBandRows * i + 1 AS INT)] AS h1,
+         |    sig[CAST($minhashBandRows * i + 2 AS INT)] AS h2
+         |  FROM sig, range(0, $minhashBands) r(i)),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS match_id,
+         |    d.sig AS sd, i.sig AS si
+         |  FROM bands d JOIN bands i
+         |    ON i.band = d.band AND i.h1 = d.h1 AND i.h2 = d.h2
+         |    AND d.doc_id >= $deltaLo AND d.doc_id < $deltaHi
+         |    AND (i.doc_id < $deltaLo OR i.doc_id >= $deltaHi)),
+         |est AS (
+         |  SELECT doc_id, match_id,
+         |    CAST(len(list_filter(range(1, ${minhashK + 1}),
+         |      i -> sd[CAST(i AS INT)] = si[CAST(i AS INT)])) AS BIGINT) AS m
+         |  FROM cand),
+         |best AS (
+         |  SELECT doc_id,
+         |    arg_max(match_id, m * 10000000 - match_id) AS best_match,
+         |    CAST(arg_max(m, m * 10000000 - match_id) AS DOUBLE)
+         |      / $minhashK AS best_est,
+         |    CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |  FROM est GROUP BY doc_id)
+         |SELECT s.doc_id, COALESCE(b.n_candidates, 0) AS n_candidates,
+         |  b.best_match, b.best_est
+         |FROM sig s LEFT JOIN best b ON b.doc_id = s.doc_id
+         |WHERE s.doc_id >= $deltaLo AND s.doc_id < $deltaHi
+         |ORDER BY s.doc_id""".stripMargin
+    })
+}

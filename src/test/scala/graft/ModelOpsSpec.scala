@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, ModelOpsQueries, Tables}
+
+/** Independent cross-checks for the corpus-modeling / incremental-ops
+  * tier — the DuckDB oracle gates the values; these assert the
+  * SEMANTICS against brute-force formulations the queries avoid at
+  * scale, so a refactor that kept both engines wrong-in-the-same-way
+  * would still fail here.
+  */
+class ModelOpsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q133: familiarity == brute-force mean token probability") {
+    val out = ModelOpsQueries.queries("q133_token_familiarity")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpusCount = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length }
+    val n = toks.length.toDouble
+    for ((src, rows) <- toks.groupBy(_._1)) {
+      val weight = rows.map(r => corpusCount(r._2).toDouble).sum
+      val expected = weight / (rows.length.toDouble * n)
+      val (nTok, fam) = out(src)
+      assert(nTok === rows.length.toLong, s"source $src token count")
+      // brute force sums doubles in arbitrary order — compare within eps
+      assert(math.abs(fam - expected) < 1e-9, s"source $src familiarity")
+    }
+  }
+
+  test("q134: transition rows sum to n_events - n_users with events") {
+    val out = ModelOpsQueries.queries("q134_markov_transitions")(spark, dir)
+      .collect()
+    val ev = Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // every user contributes (their event count - 1) transitions
+    assert(out.map(_.getLong(2)).sum === nEvents - nUsers)
+    // per-row probability is the integer share of its from-type total
+    val totals = out.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(2)).sum }
+    for (r <- out)
+      assert(r.getLong(3) === r.getLong(2) * 1000 / totals(r.getString(0)))
+  }
+
+  test("q135: continuation counts == brute-force distinct left contexts") {
+    val out = ModelOpsQueries.queries("q135_kn_continuation")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bigrams = Tables(spark, dir, "documents")
+      .select(explode(graft.functions.TextFunctions
+        .wordShingles(col("text"), 2)).as("bg"))
+      .collect().map(_.getString(0)).distinct
+    val cont = bigrams.map(_.split(" ")).groupBy(_(1))
+      .map { case (r, xs) => r -> xs.map(_(0)).distinct.length.toLong }
+    val expected = cont.toSeq.sortBy { case (t, n) => (-n, t) }.take(30)
+    assert(out === expected)
+  }
+
+  test("q136: drift report halves partition the corpus") {
+    val out = ModelOpsQueries.queries("q136_drift_report")(spark, dir)
+      .collect()
+    val total = Tables(spark, dir, "documents").count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum === total)
+    for (r <- out) {
+      val (nE, nO) = (r.getLong(1), r.getLong(2))
+      assert(nE > 0 && nO > 0)
+      val mE = r.getLong(3)
+      val mO = r.getLong(4)
+      assert(r.getLong(5) === math.abs(mE - mO) * 1000 / mE)
+    }
+  }
+
+  test("q137: intersection estimate within 30% of exact on every pair") {
+    val out = ModelOpsQueries.queries("q137_kmv_intersect")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val exact = r.getLong(2).toDouble
+      val est = r.getDouble(5)
+      // KMV inclusion-exclusion compounds three k=32 estimators (σ ≈
+      // 1/√(k−2) ≈ 18% each); 30% of the EXACT value is the loose
+      // sanity band for the fixture's heavily-overlapping user sets
+      assert(math.abs(est - exact) <= 0.3 * exact + 1.0,
+        s"${r.getString(0)}/${r.getString(1)}: est $est vs exact $exact")
+    }
+  }
+
+  test("q138: delta screen agrees with the full LSH pair list") {
+    val out = ModelOpsQueries.queries("q138_delta_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    // q27/q64's full candidate generator (already floored at the 0.375
+    // signature estimate), restricted to (delta, index) pairs — q138
+    // keeps every bucket candidate, so it must cover all of these
+    val pairs = DedupQueries.lshCandidates(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def inDelta(id: Long) = id >= 400L && id < 500L
+    val crossPairs = pairs.filter { case (a, b, _) => inDelta(a) ^ inDelta(b) }
+    // every high-estimate cross pair from the full run must be a q138
+    // candidate for its delta side (the screen misses nothing the
+    // clustered path would act on)
+    for ((a, b, est) <- crossPairs if est >= 0.375) {
+      val (deltaId, indexId) = if (inDelta(a)) (a, b) else (b, a)
+      val (nCand, best) = out(deltaId)
+      assert(nCand > 0, s"delta doc $deltaId missed candidate $indexId")
+      assert(best.nonEmpty)
+    }
+    // and the delta set is exactly the 100-doc window with a signature
+    assert(out.keySet.forall(inDelta))
+    assert(out.size === 100)
+  }
+}
