@@ -121,8 +121,14 @@ object ModelOpsQueries {
     // continuation regroup runs on rows ∝ bigram types and the head is
     // a bounded-heap TakeOrdered, never a global sort.
     "q135_kn_continuation" -> ((s, dir) => {
+      // tokens materialized in an inner projection BEFORE shingling —
+      // an inlined tokenizer re-runs once per shingle (the q124
+      // lesson: 5.1 s -> ~1 s at sf0.1); per-doc array_distinct then
+      // thins the explode before the corpus-wide distinct shuffle
       val bgd = docs(s, dir)
-        .select(explode(wordShingles(col("text"), 2)).as("bg"))
+        .select(tokens(col("text")).as("toks"))
+        .select(explode(array_distinct(
+          wordShinglesFromTokens(col("toks"), 2))).as("bg"))
         .distinct()
       val cont = bgd
         .select(element_at(split(col("bg"), " "), 2).as("token"))
@@ -264,7 +270,7 @@ object ModelOpsQueries {
             .as("best_est"),
           count(lit(1)).as("n_candidates"))
       sig.where(isDelta).select(col("doc_id"))
-        .join(best, Seq("doc_id"), "left")
+        .join(broadcast(best), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           col("best_match"), col("best_est"))

@@ -66,7 +66,10 @@ class PlanShapeSpec extends SparkSuite {
     "q131_ann_recall",
     // q132 calibrates the MinHash sketch over q26's bounded pair slice
     // — the same deliberate broadcast all-pairs tier as q26
-    "q132_sketch_calibration")
+    "q132_sketch_calibration",
+    // q133/q135 attach a one-row broadcast total; q137's pairwise
+    // inequality self-join runs over ≤|types|-row sketch frames
+    "q133_token_familiarity", "q135_kn_continuation", "q137_kmv_intersect")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {
@@ -318,6 +321,42 @@ class PlanShapeSpec extends SparkSuite {
       assert(plans(name).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }.isEmpty, s"$name regressed to a window-based global rank")
+  }
+
+  test("corpus-modeling tier keeps its designed plan shapes") {
+    // q136: ONE aggregate scan — no join, no window, one exchange
+    val q136 = plans("q136_drift_report")
+    assert(q136.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      q136.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      q136.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "q136 must stay a single conditional-aggregate pass")
+    assert(q136.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      "q136: source regroup + result sort only")
+
+    // q134: one window pass (the lead), matrix regroup — no join
+    val q134 = plans("q134_markov_transitions")
+    assert(q134.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size === 2, "q134: the per-user lead + the row-total window")
+    assert(q134.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "q134 must stay join-free")
+
+    // q138: every join keyed on the band/doc keys BROADCASTS the
+    // delta side — the index side must stream with no shuffle below
+    // its joins (the incremental-dedup contract: index scans once)
+    val q138 = plans("q138_delta_dedup")
+    val q138bhj = q138.collect { case j: BroadcastHashJoinExec => j }
+    assert(q138bhj.nonEmpty, "q138's bucket join must broadcast the delta")
+    for (j <- q138bhj) {
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case _ => j.right
+      }
+      assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "q138's streamed (index) side picked up a shuffle below the join")
+    }
+    assert(q138.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q138 must not sort-merge anywhere")
   }
 
   test("filter pushdown reaches the parquet scan in q01") {
