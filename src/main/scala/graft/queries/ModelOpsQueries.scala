@@ -53,6 +53,27 @@ object ModelOpsQueries {
   private val deltaLo = 400L
   private val deltaHi = 500L
 
+  /** q139: sorted-neighborhood window and the Fellegi-Sunter-style
+    * integer agreement/disagreement weights (log-likelihood-ratio
+    * shaped: strong evidence counts more than weak, disagreement on a
+    * discriminative field costs more than on a noisy one).
+    */
+  private val fsWindow = 8
+  private val fsSourceW = (8L, -2L)
+  private val fsLangW = (6L, -6L)
+  private val fsLenW = (4L, -4L)
+  private val fsJacW = (20L, -2L)
+  private val fsThreshold = 20L
+
+  /** q140: tokenizer vocabulary size (top-V corpus tokens). */
+  private val vocabV = 1000
+
+  /** q141: embedding micro-quantization scale — float positions become
+    * exact BIGINTs so every sum is order-independent (the q78 k-means
+    * device), keeping the centroid math hash-gateable.
+    */
+  private val embMicro = 1000000L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -275,6 +296,99 @@ object ModelOpsQueries {
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           col("best_match"), col("best_est"))
         .orderBy("doc_id")
+    }),
+
+    // Record-linkage scoring (Fellegi-Sunter shape): sorted-neighborhood
+    // blocking on (n_chars, doc_id) — O(n·w) pairs via the two-phase
+    // GlobalIndex positional join, the q115 device — then each pair
+    // scored by integer agreement weights over source / lang / length
+    // band / token-set Jaccard, keeping pairs past the match threshold.
+    // The blocking bounds pair fan-out; the scoring is in-projection
+    // set arithmetic on the records the join already carries. All
+    // weights integer, so the score is exact cross-engine.
+    "q139_linkage_score" -> ((s, dir) => {
+      val rec = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          array_sort(array_distinct(tokens(col("text")))).as("ts"))
+      val idx = graft.ext.GlobalIndex.withGlobalIndex(rec,
+        Seq(col("n_chars").asc, col("doc_id").asc), 32, "idx")
+      def side(sfx: String) = idx.select(
+        col("doc_id").as(s"doc_$sfx"), col("source").as(s"source_$sfx"),
+        col("lang").as(s"lang_$sfx"), col("n_chars").as(s"len_$sfx"),
+        col("ts").as(s"ts_$sfx"), col("idx"))
+      val probes = side("a")
+        .select(col("*"), explode(sequence(lit(1), lit(fsWindow))).as("off"))
+        .withColumn("idx", col("idx") + col("off")).drop("off")
+      val pairs = probes.join(side("b"), "idx")
+      val inter = size(array_intersect(col("ts_a"), col("ts_b"))).cast("long")
+      val uni = size(col("ts_a")).cast("long") + size(col("ts_b")).cast("long")
+      def w(cond: org.apache.spark.sql.Column, weights: (Long, Long)) =
+        when(cond, lit(weights._1)).otherwise(lit(weights._2))
+      pairs
+        .withColumn("same_source", col("source_a") === col("source_b"))
+        .withColumn("same_lang", col("lang_a") === col("lang_b"))
+        .withColumn("len_close",
+          abs(col("len_a") - col("len_b")) * 20 <= greatest(col("len_a"), col("len_b")))
+        .withColumn("jac_high", inter * 2 >= uni - inter)
+        .withColumn("score",
+          w(col("same_source"), fsSourceW) + w(col("same_lang"), fsLangW) +
+            w(col("len_close"), fsLenW) + w(col("jac_high"), fsJacW))
+        .where(col("score") >= fsThreshold)
+        .select(col("doc_a"), col("doc_b"), col("same_source"),
+          col("same_lang"), col("len_close"), col("jac_high"), col("score"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Tokenizer vocabulary coverage: fix the vocab at the corpus's
+    // top-V tokens, then report each source's out-of-vocabulary rate —
+    // the "will the tokenizer fragment this source?" check run before
+    // training. ONE token explode feeds one (source, token) aggregate;
+    // corpus totals, the top-V cut (bounded-heap TakeOrdered, no global
+    // sort), and the OOV flags all run on the compressed vocab-sized
+    // relation, with the V-row vocab broadcast.
+    "q140_vocab_coverage" -> ((s, dir) => {
+      val st = docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+      val tot = st.groupBy("t").agg(sum(col("n")).as("c"))
+      val vocab = tot.orderBy(desc("c"), asc("t")).limit(vocabV)
+        .select(col("t"), lit(true).as("in_vocab"))
+      st.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("source").agg(
+          sum(col("n")).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+            .as("oov_mentions"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+            .as("oov_types"))
+        .withColumn("oov_permille",
+          expr("oov_mentions * 1000 div n_tokens"))
+        .orderBy("source")
+    }),
+
+    // Embedding centroid drift: per-label centroid vs the global
+    // centroid in L1 (Manhattan) distance — the "did this slice of the
+    // embedding space move?" monitor for re-clustering/re-indexing
+    // decisions. Positions are micro-quantized to BIGINT at the scan
+    // (the q78 k-means device), so all sums are exact and
+    // order-independent; the global centroid derives from the per-label
+    // sums (never a second scan) and joins back as a 64-row broadcast.
+    "q141_centroid_drift" -> ((s, dir) => {
+      val per = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          floor(col("v").cast("double") * embMicro).cast("long").as("m"))
+        .groupBy("label", "dim")
+        .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+      val glob = per.groupBy("dim")
+        .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+        .select(col("dim"), expr("gs div gn").as("g"))
+      per.select(col("label"), col("dim"), expr("s div n").as("c"),
+          col("n"))
+        .join(broadcast(glob), "dim")
+        .groupBy("label").agg(
+          max(col("n")).as("n_vecs"),
+          sum(abs(col("c") - col("g"))).as("l1_drift_micro"))
+        .orderBy("label")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -404,5 +518,66 @@ object ModelOpsQueries {
          |FROM sig s LEFT JOIN best b ON b.doc_id = s.doc_id
          |WHERE s.doc_id >= $deltaLo AND s.doc_id < $deltaHi
          |ORDER BY s.doc_id""".stripMargin
-    })
+    },
+    "q139_linkage_score" ->
+      s"""WITH rec AS (SELECT doc_id, source, lang, n_chars,
+         |        list_sort(list_distinct(${sqlTokens("text")})) AS ts,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+         |          AS BIGINT) AS idx
+         |      FROM documents),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.source = b.source AS same_source,
+         |        a.lang = b.lang AS same_lang,
+         |        abs(a.n_chars - b.n_chars) * 20
+         |          <= greatest(a.n_chars, b.n_chars) AS len_close,
+         |        CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) * 2
+         |          >= CAST(len(a.ts) + len(b.ts)
+         |               - len(list_intersect(a.ts, b.ts)) AS BIGINT)
+         |          AS jac_high
+         |      FROM rec a JOIN rec b
+         |        ON b.idx BETWEEN a.idx + 1 AND a.idx + $fsWindow),
+         |sc AS (SELECT *,
+         |    CAST(CASE WHEN same_source THEN ${fsSourceW._1} ELSE ${fsSourceW._2} END
+         |      + CASE WHEN same_lang THEN ${fsLangW._1} ELSE ${fsLangW._2} END
+         |      + CASE WHEN len_close THEN ${fsLenW._1} ELSE ${fsLenW._2} END
+         |      + CASE WHEN jac_high THEN ${fsJacW._1} ELSE ${fsJacW._2} END
+         |      AS BIGINT) AS score
+         |  FROM pr)
+         |SELECT doc_a, doc_b, same_source, same_lang, len_close, jac_high,
+         |  score
+         |FROM sc WHERE score >= $fsThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q140_vocab_coverage" ->
+      s"""WITH st AS (SELECT source, unnest(${sqlTokens("text")}) AS t
+         |      FROM documents),
+         |sc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM st GROUP BY 1, 2),
+         |tot AS (SELECT t, CAST(SUM(n) AS BIGINT) AS c FROM sc GROUP BY 1),
+         |vocab AS (SELECT t FROM tot ORDER BY c DESC, t LIMIT $vocabV)
+         |SELECT sc.source, CAST(SUM(sc.n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN vocab.t IS NULL THEN sc.n ELSE 0 END) AS BIGINT)
+         |    AS oov_mentions,
+         |  CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS oov_types,
+         |  CAST(SUM(CASE WHEN vocab.t IS NULL THEN sc.n ELSE 0 END) * 1000
+         |    // SUM(sc.n) AS BIGINT) AS oov_permille
+         |FROM sc LEFT JOIN vocab ON vocab.t = sc.t
+         |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
+    "q141_centroid_drift" ->
+      s"""WITH p0 AS (SELECT label,
+         |        unnest(list_transform(range(1, len(embedding) + 1),
+         |          i -> struct_pack(dim := CAST(i AS INT),
+         |            m := CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |              * $embMicro) AS BIGINT)))) AS p
+         |      FROM embeddings),
+         |q AS (SELECT label, (p).dim AS dim, (p).m AS m FROM p0),
+         |per AS (SELECT label, dim, CAST(SUM(m) AS BIGINT) AS s,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM q GROUP BY 1, 2),
+         |gc AS (SELECT dim, SUM(s) // SUM(n) AS g FROM per GROUP BY 1)
+         |SELECT per.label, CAST(MAX(per.n) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(abs(per.s // per.n - gc.g)) AS BIGINT)
+         |    AS l1_drift_micro
+         |FROM per JOIN gc ON gc.dim = per.dim
+         |GROUP BY per.label ORDER BY per.label""".stripMargin)
 }

@@ -91,6 +91,70 @@ class ModelOpsSpec extends SparkSuite {
     }
   }
 
+  test("q139: linkage scores == brute-force over the sorted neighborhood") {
+    val out = ModelOpsQueries.queries("q139_linkage_score")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    val recs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        array_distinct(graft.functions.TextFunctions.tokens(col("text")))
+          .as("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getSeq[String](4).toSet))
+      .sortBy(r => (r._4, r._1))
+    val expected = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (i <- recs.indices; j <- (i + 1) to math.min(i + 8, recs.size - 1)) {
+      val (a, b) = (recs(i), recs(j))
+      val inter = (a._5 & b._5).size
+      val union = a._5.size + b._5.size - inter
+      var score = 0L
+      score += (if (a._2 == b._2) 8 else -2)
+      score += (if (a._3 == b._3) 6 else -6)
+      score += (if (math.abs(a._4 - b._4) * 20 <= math.max(a._4, b._4)) 4 else -4)
+      score += (if (inter * 2 >= union) 20 else -2)
+      if (score >= 20) expected((a._1, b._1)) = score
+    }
+    assert(out === expected.toMap)
+  }
+
+  test("q140: OOV rates == brute-force top-V vocabulary") {
+    val out = ModelOpsQueries.queries("q140_vocab_coverage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(1000).map(_._1).toSet
+    for ((src, rows) <- toks.groupBy(_._1)) {
+      val oov = rows.filterNot(r => vocab(r._2))
+      assert(out(src) === ((rows.length.toLong, oov.length.toLong,
+        oov.map(_._2).distinct.length.toLong)), s"source $src")
+    }
+  }
+
+  test("q141: drift == brute-force quantized centroid distance") {
+    val out = ModelOpsQueries.queries("q141_centroid_drift")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6).toLong)))
+    val dims = vecs.head._2.size
+    def centroid(xs: Seq[Seq[Long]]): Seq[Long] =
+      (0 until dims).map(d => {
+        val s = xs.map(_(d)).sum
+        s / xs.size // exact: both engines truncate toward zero
+      })
+    val global = centroid(vecs.map(_._2).toSeq)
+    for ((label, rows) <- vecs.groupBy(_._1)) {
+      val c = centroid(rows.map(_._2).toSeq)
+      val l1 = (0 until dims).map(d => math.abs(c(d) - global(d))).sum
+      assert(out(label) === ((rows.length.toLong, l1)), s"label $label")
+    }
+  }
+
   test("q138: delta screen agrees with the full LSH pair list") {
     val out = ModelOpsQueries.queries("q138_delta_dedup")(spark, dir)
       .collect().map(r => r.getLong(0) ->
