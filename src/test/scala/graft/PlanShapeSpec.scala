@@ -78,14 +78,16 @@ class PlanShapeSpec extends SparkSuite {
       // sort-merge is the designed 100 TB plan there; q80 forces the
       // shuffled path on purpose (broadcast would bypass the runtime
       // bloom filter it demonstrates)
-      // ... and q115's positional neighbor join: both sides are the
-      // corpus (broadcast is wrong by construction) and the merge over
-      // the shared global-index order IS the sorted-neighborhood plan
+      // ... and q115's/q139's positional neighbor joins: both sides are
+      // the corpus (broadcast is wrong by construction) and the merge
+      // over the shared global-index order IS the sorted-neighborhood
+      // plan
       // ... and q126's rank fusion: the full-outer merge of the two
       // top-R rank lists (≤R rows each — full-outer equi-joins cannot
       // broadcast, and both sides are bounded by construction)
       if (!Set("q72_cdc_merge", "q80_bloom_join", "q82_incremental_agg",
-          "q115_sorted_neighborhood", "q126_rank_fusion")(name))
+          "q115_sorted_neighborhood", "q126_rank_fusion",
+          "q139_linkage_score")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
