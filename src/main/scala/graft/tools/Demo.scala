@@ -123,6 +123,17 @@ object Demo {
       show("q126_rank_fusion")
       show("q127_lang_confusion")
       show("q129_cooccurrence")
+      // corpus-modeling + data-shape tiers: self-steering statistics
+      // and distribution/layout shape
+      show("q133_token_familiarity")
+      show("q136_drift_report")
+      show("q138_delta_dedup")
+      show("q139_linkage_score")
+      show("q140_vocab_coverage")
+      show("q142_cms_estimate")
+      show("q143_pareto_frontier")
+      show("q144_gap_fill")
+      show("q145_char_collision")
       show("q107_stream_kmv")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
