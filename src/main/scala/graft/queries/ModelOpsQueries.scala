@@ -74,6 +74,14 @@ object ModelOpsQueries {
     */
   private val embMicro = 1000000L
 
+  /** q147: fixed n_chars split-threshold candidates (the doc-length
+    * domain is 48..553 at every fixture SF). Integer micro-unit Gini is
+    * exact while total corpus count stays ≤ ~3e9 (n² must fit int64);
+    * past that the same plan keeps the exact BIGINT counts and moves
+    * only the final impurity ratio to double.
+    */
+  private val giniThresholds = Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L, 500L)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -372,6 +380,54 @@ object ModelOpsQueries {
     // (the q78 k-means device), so all sums are exact and
     // order-independent; the global centroid derives from the per-label
     // sums (never a second scan) and joins back as a 64-row broadcast.
+    // Decision-stump split selection (the single CART step): every
+    // candidate split — one per source value, one per fixed n_chars
+    // threshold — scored by weighted Gini impurity of the lang label,
+    // in exact integer micro-units. The corpus compresses to
+    // (source, lang) and (n_chars, lang) count relations FIRST (one
+    // shuffle each, both value-domain-bounded), so candidate scoring is
+    // arithmetic over tiny frames; the right-branch class sums need no
+    // complement join — right_ss = T2 − 2·Σ(tot_c·c) + Σc² from the
+    // left branch's own rows plus two broadcast scalars (N, T2).
+    "q147_gini_split" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("lang"), col("n_chars"))
+      val sl = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val nl = d.groupBy("n_chars", "lang").agg(count(lit(1)).as("c"))
+      val tot = sl.groupBy("lang").agg(sum(col("c")).as("tot_c"))
+      val scal = tot.agg(sum(col("tot_c")).as("n_total"),
+        sum(col("tot_c") * col("tot_c")).as("t2"))
+      val thr = giniThresholds.map(t => s"($t)").mkString(", ")
+      val thrDf = s.sql(s"SELECT t FROM VALUES $thr AS v(t)")
+      val srcCand = sl.select(
+        concat(lit("source="), col("source")).as("split_id"),
+        col("lang"), col("c"))
+      val thrCand = nl.join(broadcast(thrDf), col("n_chars") <= col("t"))
+        .groupBy("t", "lang").agg(sum(col("c")).as("c"))
+        .select(concat(lit("n_chars<="), col("t")).as("split_id"),
+          col("lang"), col("c"))
+      srcCand.unionByName(thrCand)
+        .join(broadcast(tot), "lang")
+        .groupBy("split_id").agg(
+          sum(col("c")).as("ln"),
+          sum(col("c") * col("c")).as("lss"),
+          sum(col("tot_c") * col("c")).as("cross"))
+        .crossJoin(broadcast(scal))
+        .select(col("split_id"), col("ln").as("n_left"),
+          (col("n_total") - col("ln")).as("n_right"),
+          expr("""CASE WHEN ln > 0 THEN (ln * ln - lss) * 1000000L div (ln * ln)
+                  ELSE 0L END""").as("gl"),
+          expr("""CASE WHEN n_total - ln > 0 THEN
+                    ((n_total - ln) * (n_total - ln)
+                      - (t2 - 2 * cross + lss)) * 1000000L
+                      div ((n_total - ln) * (n_total - ln))
+                  ELSE 0L END""").as("gr"),
+          col("n_total"))
+        .select(col("split_id"), col("n_left"), col("n_right"),
+          expr("(n_left * gl + n_right * gr) div n_total")
+            .as("gini_micro"))
+        .orderBy("gini_micro", "split_id")
+    }),
+
     "q141_centroid_drift" -> ((s, dir) => {
       val per = Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -563,6 +619,41 @@ object ModelOpsQueries {
          |    // SUM(sc.n) AS BIGINT) AS oov_permille
          |FROM sc LEFT JOIN vocab ON vocab.t = sc.t
          |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
+    "q147_gini_split" -> {
+      val thr = giniThresholds.map(t => s"($t)").mkString(", ")
+      s"""WITH sl AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM documents GROUP BY 1, 2),
+         |nl AS (SELECT n_chars, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot_c
+         |      FROM sl GROUP BY 1),
+         |scal AS (SELECT CAST(SUM(tot_c) AS BIGINT) AS n_total,
+         |        CAST(SUM(tot_c * tot_c) AS BIGINT) AS t2 FROM tot),
+         |cand AS (
+         |  SELECT 'source=' || source AS split_id, lang, c FROM sl
+         |  UNION ALL
+         |  SELECT 'n_chars<=' || CAST(v.t AS VARCHAR) AS split_id, lang,
+         |    CAST(SUM(c) AS BIGINT) AS c
+         |  FROM nl JOIN (VALUES $thr) AS v(t) ON nl.n_chars <= v.t
+         |  GROUP BY v.t, lang),
+         |agg AS (SELECT split_id, CAST(SUM(cand.c) AS BIGINT) AS ln,
+         |        CAST(SUM(cand.c * cand.c) AS BIGINT) AS lss,
+         |        CAST(SUM(tot.tot_c * cand.c) AS BIGINT) AS crs
+         |      FROM cand JOIN tot USING (lang) GROUP BY 1),
+         |g AS (SELECT split_id, ln, n_total,
+         |        CASE WHEN ln > 0 THEN
+         |          (ln * ln - lss) * 1000000 // (ln * ln) ELSE 0 END AS gl,
+         |        CASE WHEN n_total - ln > 0 THEN
+         |          ((n_total - ln) * (n_total - ln) - (t2 - 2 * crs + lss))
+         |            * 1000000 // ((n_total - ln) * (n_total - ln))
+         |          ELSE 0 END AS gr
+         |      FROM agg CROSS JOIN scal)
+         |SELECT split_id, ln AS n_left,
+         |  n_total - ln AS n_right,
+         |  CAST((ln * gl + (n_total - ln) * gr) // n_total AS BIGINT)
+         |    AS gini_micro
+         |FROM g ORDER BY gini_micro, split_id""".stripMargin
+    },
     "q141_centroid_drift" ->
       s"""WITH p0 AS (SELECT label,
          |        unnest(list_transform(range(1, len(embedding) + 1),

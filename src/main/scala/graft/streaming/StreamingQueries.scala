@@ -479,6 +479,66 @@ object StreamingQueries {
       }
     }),
 
+    // Stream-stream LEFT OUTER interval join, oracle-gated: q79's
+    // attribution shape, plus the rows q79 cannot express — purchases
+    // with NO click in the preceding 30 minutes. Outer emission is the
+    // part of the semantics only the incremental engine exercises: a
+    // null-extended row appears when the unmatched left row is EVICTED
+    // from the join state, i.e. once the global watermark proves no
+    // future click can still match it (c_time <= p_time, so eviction
+    // at p_time < wm). Under AvailableNow that happens in the final
+    // no-data batch; rows younger than the watermark horizon stay in
+    // state and are (correctly) NOT emitted — the oracle mirrors the
+    // exact threshold: wm = min over both sides of floor-ms(max event
+    // time) minus the 10-minute delay.
+    "q146_stream_outer_join" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q146-src")
+      val ckpt = tmpDir("graft-q146-ckpt")
+      val sink = s"graft_q146_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        def side(evType: String, prefix: String) =
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(col("event_type") === evType)
+            .withColumn(s"${prefix}_us", expr("ts div 1000"))
+            .withColumn(s"${prefix}_time",
+              timestamp_micros(col(s"${prefix}_us")))
+            .withWatermark(s"${prefix}_time", "10 minutes")
+            .select(col("user_id").as(s"${prefix}_user"),
+              col("event_id").as(s"${prefix}_event"),
+              col(s"${prefix}_us"), col(s"${prefix}_time"))
+        val joined = side("purchase", "p").join(side("click", "c"),
+          col("p_user") === col("c_user") &&
+            col("c_time") >= col("p_time") - expr("INTERVAL 30 MINUTES") &&
+            col("c_time") <= col("p_time"),
+          "leftOuter")
+          .select(col("p_user").as("user_id"), col("p_event"), col("c_event"),
+            (col("p_us") - col("c_us")).as("delta_us"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val query =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            joined.writeStream.format("memory").queryName(sink)
+              .outputMode(OutputMode.Append)
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("user_id", "p_event", "c_event")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -621,6 +681,26 @@ object StreamingQueries {
         |SELECT p.user_id, p.p_event, c.c_event, p.p_us - c.c_us AS delta_us
         |FROM p JOIN c USING (user_id)
         |WHERE c.c_us BETWEEN p.p_us - 1800000000 AND p.p_us
+        |ORDER BY user_id, p_event, c_event""".stripMargin,
+    "q146_stream_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_event, epoch_us(ts) AS c_us
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT p.user_id, p.p_event, c.c_event,
+        |        p.p_us - c.c_us AS delta_us
+        |      FROM p JOIN c USING (user_id)
+        |      WHERE c.c_us BETWEEN p.p_us - 1800000000 AND p.p_us),
+        |wm AS (SELECT (least((SELECT max(p_us) FROM p) // 1000,
+        |                     (SELECT max(c_us) FROM c) // 1000)
+        |          - 600000) * 1000 AS thr_us)
+        |SELECT user_id, p_event, c_event, delta_us FROM m
+        |UNION ALL
+        |SELECT p.user_id, p.p_event, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT)
+        |FROM p, wm
+        |WHERE p.p_us < wm.thr_us
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_event = p.p_event)
         |ORDER BY user_id, p_event, c_event""".stripMargin,
     "q71_stream_enrich" ->
       """SELECT n.n_name, COUNT(*) AS n_events,

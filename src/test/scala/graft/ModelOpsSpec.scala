@@ -155,6 +155,35 @@ class ModelOpsSpec extends SparkSuite {
     }
   }
 
+  test("q147: gini scores == brute-force impurity over the label lists") {
+    val out = ModelOpsQueries.queries("q147_gini_split")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = d.length.toLong
+    def gini(xs: Seq[String]): Long =
+      if (xs.isEmpty) 0L
+      else {
+        val m = xs.length.toLong
+        val ss = xs.groupBy(identity).values
+          .map(g => g.length.toLong * g.length).sum
+        (m * m - ss) * 1000000L / (m * m)
+      }
+    def weighted(pred: ((String, String, Long)) => Boolean): (Long, Long, Long) = {
+      val (l, r) = d.partition(pred)
+      val w = (l.length * gini(l.map(_._2).toSeq) +
+        r.length * gini(r.map(_._2).toSeq)) / n
+      (l.length.toLong, r.length.toLong, w)
+    }
+    for (src <- d.map(_._1).distinct)
+      assert(out(s"source=$src") === weighted(_._1 == src), s"source=$src")
+    for (t <- Seq(100L, 150L, 200L, 250L, 300L, 350L, 400L, 450L, 500L))
+      assert(out(s"n_chars<=$t") === weighted(_._3 <= t), s"n_chars<=$t")
+    assert(out.size === d.map(_._1).distinct.length + 9)
+  }
+
   test("q138: delta screen agrees with the full LSH pair list") {
     val out = ModelOpsQueries.queries("q138_delta_dedup")(spark, dir)
       .collect().map(r => r.getLong(0) ->

@@ -25,7 +25,8 @@ class PlanShapeSpec extends SparkSuite {
   // micro-batch) — their incremental plans are StreamingSpec territory.
   private val streamingQueries =
     Set("q59_stream_window", "q69_stream_dedup", "q70_stream_sessions",
-      "q71_stream_enrich", "q79_stream_join", "q130_stream_alerts")
+      "q71_stream_enrich", "q79_stream_join", "q130_stream_alerts",
+      "q146_stream_outer_join")
 
   private lazy val plans: Map[String, SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -69,7 +70,10 @@ class PlanShapeSpec extends SparkSuite {
     "q132_sketch_calibration",
     // q133/q135 attach a one-row broadcast total; q137's pairwise
     // inequality self-join runs over ≤|types|-row sketch frames
-    "q133_token_familiarity", "q135_kn_continuation", "q137_kmv_intersect")
+    "q133_token_familiarity", "q135_kn_continuation", "q137_kmv_intersect",
+    // q147's candidate scoring: the threshold inequality join and the
+    // (N, T2) scalar attach both run over value-domain-bounded frames
+    "q147_gini_split")
 
   test("no query plans a sort-merge, shuffled-hash, or cartesian join") {
     for ((name, plan) <- plans) {

@@ -116,6 +116,38 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("q146 outer join == q79 inner rows + watermark-expired unmatched purchases") {
+    val dir = "/root/testdata/sf0.001"
+    val outer = graft.streaming.StreamingQueries
+      .queries("q146_stream_outer_join")(spark, dir).collect()
+    val inner = graft.streaming.StreamingQueries
+      .queries("q79_stream_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val matched = outer.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched === inner,
+      "outer join's matched rows must be exactly the inner join's")
+    // null-extended rows: purchases with no click in the window, and
+    // old enough that the final no-data batch's watermark evicted them
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("ts_ns div 1000").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val purchases = ev.filter(_._1 == "purchase")
+    val clicks = ev.filter(_._1 == "click")
+    val thr = (math.min(purchases.map(_._4).max / 1000,
+      clicks.map(_._4).max / 1000) - 600000L) * 1000L
+    val expectedNull = purchases.filter { p =>
+      p._4 < thr && !clicks.exists(c => c._3 == p._3 &&
+        c._4 >= p._4 - 1800000000L && c._4 <= p._4)
+    }.map(p => (p._3, p._2)).toSet
+    val gotNull = outer.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotNull === expectedNull)
+  }
+
   test("streamingDedup drops same-key duplicates within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
