@@ -428,6 +428,27 @@ object ModelOpsQueries {
         .orderBy("gini_micro", "split_id")
     }),
 
+    // One-pass exact normal equations: the moment matrix of the
+    // augmented vector [x_micro.., 1, label] — XᵀX, column sums, row
+    // count, Xᵀy and yᵀy in a single scan with FIXED per-partition
+    // state (d(d+1)/2 longs), via the custom Gramian
+    // TypedImperativeAggregate. The declarative posexplode² formulation
+    // would fan every row out ×2,211 before the shuffle; here the
+    // shuffle moves one 17 KB state per partition. Everything a ridge
+    // probe fit needs leaves the cluster in 2,211 exact integer rows.
+    "q148_gramian" -> ((s, dir) => {
+      val aug = Tables(s, dir, "embeddings").select(
+        concat(
+          expr(s"transform(embedding, v -> cast(floor(cast(v as double) * $embMicro) as bigint))"),
+          array(lit(1L)),
+          array(col("label").cast("long"))).as("m"))
+      aug.agg(graft.functions.Gramian(col("m")).as("g"))
+        .select(inline(col("g")))
+        .select(col("i").as("dim_i"), col("j").as("dim_j"),
+          col("v").as("s_micro"))
+        .orderBy("dim_i", "dim_j")
+    }),
+
     "q141_centroid_drift" -> ((s, dir) => {
       val per = Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -654,6 +675,21 @@ object ModelOpsQueries {
          |    AS gini_micro
          |FROM g ORDER BY gini_micro, split_id""".stripMargin
     },
+    "q148_gramian" ->
+      s"""WITH q AS (SELECT list_append(list_append(
+         |        list_transform(range(1, len(embedding) + 1),
+         |          k -> CAST(floor(CAST(embedding[CAST(k AS INT)] AS DOUBLE)
+         |            * $embMicro) AS BIGINT)),
+         |        CAST(1 AS BIGINT)), CAST(label AS BIGINT)) AS m
+         |      FROM embeddings),
+         |d AS (SELECT CAST(MAX(len(m)) AS BIGINT) AS nd FROM q),
+         |i AS (SELECT unnest(range(0, (SELECT nd FROM d))) AS di),
+         |j AS (SELECT unnest(range(0, (SELECT nd FROM d))) AS dj)
+         |SELECT CAST(i.di AS INT) AS dim_i, CAST(j.dj AS INT) AS dim_j,
+         |  CAST(SUM(q.m[CAST(i.di + 1 AS INT)]
+         |    * q.m[CAST(j.dj + 1 AS INT)]) AS BIGINT) AS s_micro
+         |FROM q, i, j WHERE j.dj >= i.di
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q141_centroid_drift" ->
       s"""WITH p0 AS (SELECT label,
          |        unnest(list_transform(range(1, len(embedding) + 1),

@@ -184,6 +184,28 @@ class ModelOpsSpec extends SparkSuite {
     assert(out.size === d.map(_._1).distinct.length + 9)
   }
 
+  test("q148: augmented moment matrix carries count, label sums and Xᵀy") {
+    val out = ModelOpsQueries.queries("q148_gramian")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rows = Tables(spark, dir, "embeddings")
+      .select(col("embedding"), col("label").cast("long")).collect()
+      .map(r => (r.getSeq[Float](0), r.getLong(1)))
+    val d = rows.head._1.length // augmented dims: d embedding + 1 + label
+    assert(out.size === (d + 2) * (d + 3) / 2)
+    // (intercept, intercept) cell is the row count
+    assert(out((d, d)) === rows.length.toLong)
+    // (intercept, label) is Σy; (label, label) is Σy²
+    assert(out((d, d + 1)) === rows.map(_._2).sum)
+    assert(out((d + 1, d + 1)) === rows.map(y => y._2 * y._2).sum)
+    // (k, intercept) is the micro-quantized column sum; (k, label) is Xᵀy
+    def q(v: Float): Long = math.floor(v.toDouble * 1000000L).toLong
+    for (k <- Seq(0, d - 1)) {
+      assert(out((k, d)) === rows.map(r => q(r._1(k))).sum, s"col-sum dim $k")
+      assert(out((k, d + 1)) === rows.map(r => q(r._1(k)) * r._2).sum,
+        s"Xᵀy dim $k")
+    }
+  }
+
   test("q138: delta screen agrees with the full LSH pair list") {
     val out = ModelOpsQueries.queries("q138_delta_dedup")(spark, dir)
       .collect().map(r => r.getLong(0) ->

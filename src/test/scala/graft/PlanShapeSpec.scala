@@ -363,6 +363,21 @@ class PlanShapeSpec extends SparkSuite {
     }
     assert(q138.collect { case j: SortMergeJoinExec => j }.isEmpty,
       "q138 must not sort-merge anywhere")
+
+    // q148: ONE object-agg pass over the scan — the whole point of the
+    // custom Gramian aggregate is that the posexplode² fan-out never
+    // exists, so no Generate/Expand may appear below the aggregate and
+    // the only exchanges are the partial->final state merge + the
+    // 2,211-row result sort
+    val q148 = plans("q148_gramian")
+    assert(q148.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }.size === 2, "q148: partial + final object aggregate")
+    assert(q148.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.size === 1, "q148: the only Generate is the 2,211-row result inline")
+    assert(q148.collect { case e: ShuffleExchangeExec => e }.size <= 2,
+      "q148: state merge + result sort only")
   }
 
   test("filter pushdown reaches the parquet scan in q01") {
