@@ -264,6 +264,30 @@ object DedupQueries {
         .orderBy("cluster_rep")
     }),
 
+    // The KEEP side of near-dup dedup: per q64 cluster, select the one
+    // document to retain — argmax by (quality, doc_id), the
+    // deterministic "best writing wins, newest id breaks ties" policy a
+    // curation pipeline actually materializes (q64 reports the
+    // clusters; this decides what survives them). The label frame is ∝
+    // docs-in-near-dup-clusters (tiny next to the corpus), so it
+    // BROADCASTS against the scored scan; the argmax is a
+    // max-over-struct — partial-aggregable, one shuffle on the cluster
+    // key with map-side combine, no window/sort over members.
+    "q150_keep_best" -> ((s, dir) => {
+      val labels = componentLabels(
+        lshCandidates(s, dir).select(col("doc_a"), col("doc_b")))
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      scored.join(broadcast(labels), scored("doc_id") === labels("node"))
+        .groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality"), col("doc_id"))).as("best"))
+        .select(col("cluster_rep"), col("n_members"),
+          col("best.doc_id").as("kept_doc"),
+          col("best.quality").as("kept_quality"))
+        .orderBy("cluster_rep")
+    }),
+
     // SimHash + pigeonhole chunk join: hamming <= 3 over 4 chunks of a
     // 62-bit fingerprint guarantees a shared 16-bit chunk, so the
     // equi-join is a complete candidate generator — never an all-pairs
@@ -491,6 +515,28 @@ object DedupQueries {
            |       JOIN c cb ON cb.doc_id = doc_b
            |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $ssjTau
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // same closure + the per-cluster argmax mirrored as a window
+      "q150_keep_best" ->
+        s"""WITH RECURSIVE $sqlLshEst,
+           |pairs AS (SELECT doc_a, doc_b FROM est
+           |          WHERE est_sim >= $minhashEstThreshold),
+           |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+           |labels AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a),
+           |q AS (SELECT doc_id, ${sqlQualityScore("text")} AS quality
+           |      FROM documents),
+           |sel AS (SELECT labels.label, q.doc_id, q.quality,
+           |        ROW_NUMBER() OVER (PARTITION BY labels.label
+           |          ORDER BY q.quality DESC, q.doc_id DESC) AS rn,
+           |        COUNT(*) OVER (PARTITION BY labels.label) AS n_members
+           |      FROM labels JOIN q ON q.doc_id = labels.node)
+           |SELECT label AS cluster_rep, CAST(n_members AS BIGINT) AS n_members,
+           |  doc_id AS kept_doc, quality AS kept_quality
+           |FROM sel WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
       // transitive closure over the same candidate pairs; label(v) =
       // min reachable doc_id == the propagation fixpoint
       "q64_dedup_clusters" ->

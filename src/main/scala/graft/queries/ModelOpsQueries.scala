@@ -449,6 +449,44 @@ object ModelOpsQueries {
         .orderBy("dim_i", "dim_j")
     }),
 
+    // Skip-gram association (PMI lift): co-occurrence statistics for
+    // embedding/word-vector training — pairs at gap 1 and gap 2 over
+    // the token stream, scored by observed/expected lift
+    // n_xy·N / (n_x·n_y). Pair construction is scan-stage array
+    // arithmetic (no self-join), both count relations are map-side-
+    // combining shuffles bounded by pair/vocab cardinality, and the
+    // unigram relation joins back BROADCAST (vocab ≪ corpus). The lift
+    // is one double formula over exact BIGINT counts (the q133
+    // log-free device) — identical trees, identical bits.
+    "q152_skipgram_pmi" -> ((s, dir) => {
+      val minPair = 5L
+      def skipPairs(tk: org.apache.spark.sql.Column) =
+        when(size(tk) > 2,
+          transform(sequence(lit(1), size(tk) - 2),
+            i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 2))))
+          .otherwise(array().cast("array<string>"))
+      val d = docs(s, dir).select(tokens(col("text")).as("tk"))
+      val grams = d.select(explode(concat(
+          wordShinglesFromTokens(col("tk"), 2),
+          skipPairs(col("tk")))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n_xy"))
+        .where(col("n_xy") >= minPair)
+      val uni = d.select(explode(col("tk")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n_t"))
+      grams
+        .select(col("pair"), col("n_xy"),
+          split(col("pair"), " ").getItem(0).as("x"),
+          split(col("pair"), " ").getItem(1).as("y"))
+        .join(broadcast(uni.select(col("t").as("x"), col("n_t").as("n_x"))), "x")
+        .join(broadcast(uni.select(col("t").as("y"), col("n_t").as("n_y"))), "y")
+        .join(broadcast(uni.agg(sum(col("n_t")).as("n_tokens"))))
+        .select(col("pair"), col("n_xy"), col("n_x"), col("n_y"),
+          (col("n_xy").cast("double") * col("n_tokens").cast("double") /
+            (col("n_x").cast("double") * col("n_y").cast("double")))
+            .as("lift"))
+        .orderBy(desc("lift"), col("pair"))
+    }),
+
     "q141_centroid_drift" -> ((s, dir) => {
       val per = Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -675,6 +713,27 @@ object ModelOpsQueries {
          |    AS gini_micro
          |FROM g ORDER BY gini_micro, split_id""".stripMargin
     },
+    "q152_skipgram_pmi" ->
+      s"""WITH d AS (SELECT ${sqlTokens("text")} AS tk FROM documents),
+         |g AS (SELECT unnest(list_concat(
+         |    CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)),
+         |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])
+         |      ELSE [] END,
+         |    CASE WHEN len(tk) > 2 THEN list_transform(range(1, len(tk) - 1),
+         |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 2 AS INT)])
+         |      ELSE [] END)) AS pair
+         |  FROM d),
+         |pc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_xy
+         |      FROM g GROUP BY 1 HAVING COUNT(*) >= 5),
+         |u AS (SELECT unnest(tk) AS t FROM d),
+         |uc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM u GROUP BY 1),
+         |n AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_tokens FROM uc)
+         |SELECT pair, n_xy, ux.n_t AS n_x, uy.n_t AS n_y,
+         |  CAST(n_xy AS DOUBLE) * CAST(n_tokens AS DOUBLE) /
+         |    (CAST(ux.n_t AS DOUBLE) * CAST(uy.n_t AS DOUBLE)) AS lift
+         |FROM pc JOIN uc ux ON ux.t = string_split(pair, ' ')[1]
+         |     JOIN uc uy ON uy.t = string_split(pair, ' ')[2], n
+         |ORDER BY lift DESC, pair""".stripMargin,
     "q148_gramian" ->
       s"""WITH q AS (SELECT list_append(list_append(
          |        list_transform(range(1, len(embedding) + 1),

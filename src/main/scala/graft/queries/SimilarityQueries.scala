@@ -216,6 +216,39 @@ object SimilarityQueries {
     }),
 
     // near-dup screen: incoming batch (2% id slice) vs corpus
+    // Int8 quantization error audit — the serving-compression op: a
+    // symmetric per-dim int8 quantizer (scale = max |value| per dim,
+    // the calibration pass every PTQ pipeline runs) applied and
+    // measured in EXACT integer micro-units — quantize, dequantize and
+    // the |error| are all integer arithmetic on the micro-quantized
+    // values, with round-toward-zero on magnitudes so floor (DuckDB)
+    // and truncate (JVM) division agree. Two scans by design —
+    // calibrate (64-row scale frame), then apply with the scales
+    // BROADCAST back; no shuffle ever carries per-value rows beyond
+    // the (dim) and (label) rollups.
+    "q151_int8_quant" -> ((s, dir) => {
+      val micro = 1000000L
+      val vals = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          floor(col("v").cast("double") * micro).cast("long").as("m"))
+      val scales = vals.groupBy("dim").agg(max(abs(col("m"))).as("s"))
+      vals.join(broadcast(scales), "dim")
+        .select(col("label"),
+          abs(col("m") -
+            (when(col("m") < 0, -1L).otherwise(1L) *
+              expr("((abs(m) * 127 div s) * s) div 127"))).as("err"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_values"),
+          max(col("err")).as("max_err_micro"),
+          sum(col("err")).as("s_err"),
+          sum(col("err") * col("err")).as("sum_sq_err"))
+        .select(col("label"), col("n_values"), col("max_err_micro"),
+          expr("s_err div n_values").as("mean_err_micro"),
+          col("sum_sq_err"))
+        .orderBy("label")
+    }),
+
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val probes = corpus.where(probeSlice(50))
@@ -232,6 +265,24 @@ object SimilarityQueries {
   def oracle: Map[String, String] = {
     def cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
     Map(
+      "q151_int8_quant" ->
+        s"""WITH p AS (SELECT label,
+           |    unnest(list_transform(range(1, len(embedding) + 1), i ->
+           |      struct_pack(dim := CAST(i AS INT),
+           |        m := CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+           |          * 1000000) AS BIGINT)))) AS u
+           |  FROM embeddings),
+           |q AS (SELECT label, (u).dim AS dim, (u).m AS m FROM p),
+           |sc AS (SELECT dim, MAX(abs(m)) AS s FROM q GROUP BY 1),
+           |e AS (SELECT label,
+           |    abs(m - (CASE WHEN m < 0 THEN -1 ELSE 1 END) *
+           |      (((abs(m) * 127 // s) * s) // 127)) AS err
+           |  FROM q JOIN sc USING (dim))
+           |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_values,
+           |  CAST(MAX(err) AS BIGINT) AS max_err_micro,
+           |  CAST(SUM(err) // COUNT(*) AS BIGINT) AS mean_err_micro,
+           |  CAST(SUM(err * err) AS BIGINT) AS sum_sq_err
+           |FROM e GROUP BY label ORDER BY label""".stripMargin,
       "q29_cosine_topk" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2

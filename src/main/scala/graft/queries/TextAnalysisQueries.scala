@@ -294,6 +294,36 @@ object TextAnalysisQueries {
         .orderBy("source")
     }),
 
+    // Epoch-mixture materialization: the upsampling q67 only PLANS.
+    // Every language is brought toward the largest language's share by
+    // integer milli-unit repetition factors (max_n*1000 div n, capped
+    // at 32× — the standard guard against overfitting a tiny slice),
+    // each doc repeated floor(r) times plus one more when its
+    // content-hash draw falls under the fractional part — the same
+    // deterministic, layout-independent draw as q66, so exact dups
+    // repeat identically and the epoch is reproducible on any cluster.
+    // The explode is scan-stage with fan-out = epoch_size/corpus_size
+    // (bounded by the 32× cap), and the only shuffles are the tiny
+    // lang-count rollup + the gate's output sort.
+    "q149_epoch_mix" -> ((s, dir) => {
+      val repCap = 32L
+      val counts = Tables(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val rm = counts.join(broadcast(counts.agg(max(col("n_docs")).as("max_n"))))
+        .select(col("lang"),
+          least(expr("max_n * 1000 div n_docs"), lit(repCap * 1000L))
+            .as("r_milli"))
+      Tables(s, dir, "documents")
+        .join(broadcast(rm), "lang")
+        .select(col("lang"), col("doc_id"),
+          (expr("r_milli div 1000") +
+            when(pmod(polyHash(col("text")), lit(1000)) < col("r_milli") % 1000,
+              1L).otherwise(0L)).as("reps"))
+        .select(col("lang"), col("doc_id"),
+          explode(sequence(lit(1L), col("reps"))).as("rep"))
+        .orderBy("doc_id", "rep")
+    }),
+
     // sequence packing: greedy sequential fill of fixed token-budget
     // bins via a running token cumsum — bin = (cum - tokens) / budget.
     // Packing needs an order, so the stream is SHARDED (doc_id % 8)
@@ -458,6 +488,18 @@ object TextAnalysisQueries {
         |SELECT source, n_docs,
         |  sqrt(CAST(max_n AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS weight
         |FROM c, m ORDER BY source""".stripMargin,
+    "q149_epoch_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |m AS (SELECT MAX(n_docs) AS max_n FROM c),
+         |r AS (SELECT lang, LEAST(max_n * 1000 // n_docs, 32000) AS r_milli
+         |      FROM c, m),
+         |d AS (SELECT d0.lang, d0.doc_id, r_milli // 1000 +
+         |      (CASE WHEN (${sqlPolyHash("text")} % 1000) < r_milli % 1000
+         |        THEN 1 ELSE 0 END) AS reps
+         |    FROM documents d0 JOIN r USING (lang))
+         |SELECT lang, doc_id,
+         |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS rep
+         |FROM d ORDER BY doc_id, rep""".stripMargin,
     "q68_seq_packing" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS toks

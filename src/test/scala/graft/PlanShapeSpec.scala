@@ -55,6 +55,9 @@ class PlanShapeSpec extends SparkSuite {
     // q95 joins the exact counting twin against two one-row broadcast
     // scalars (the Misra-Gries sketch map + the stream total)
     "q95_heavy_hitters",
+    // q149/q152 attach one-row broadcast scalars (largest-lang count /
+    // corpus token total)
+    "q149_epoch_mix", "q152_skipgram_pmi",
     // q104's corpus total is a one-row broadcast scalar under the
     // decile projection; q111 joins two one-row sketch frames; q112
     // attaches two one-row uniqueness aggregates to the rule row
