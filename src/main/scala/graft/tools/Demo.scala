@@ -145,6 +145,13 @@ object Demo {
       println(s"inertia per iteration: ${km.inertia.mkString(" -> ")}")
       km.cells.groupBy("cell").count().orderBy("cell").show(truncate = false)
       km.cells.unpersist()
+      println("-- linear probe (ext/RidgeProbe off the q148 moment matrix) --")
+      val probe = graft.ext.RidgeProbe.train(
+        graft.queries.ModelOpsQueries.queries("q148_gramian")(spark, sfDir),
+        lambda = 1e-6)
+      println(f"train mse ${probe.trainMse}%.4f vs mean-only ${probe.targetVar}%.4f" +
+        f" (intercept ${probe.intercept}%.3f, |w| ${
+          math.sqrt(probe.weights.map(w => w * w).sum)}%.3f)")
     }
     spark.stop()
   }
