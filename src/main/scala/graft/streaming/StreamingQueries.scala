@@ -214,7 +214,16 @@ object StreamingQueries {
     // unbounded by design — exact forever-dedup; a real deployment
     // with bounded keys-per-horizon uses dropDuplicatesWithinWatermark,
     // which would re-emit keys recurring beyond the watermark and so
-    // cannot be gated against a global DISTINCT.) The output is ONLY the key columns, so the result
+    // cannot be gated against a global DISTINCT. Gating the
+    // within-watermark variant's re-emission was attempted and
+    // abandoned: probed empirically with mtime-ordered multi-file
+    // staging under maxFilesPerTrigger=1, Spark 4.1's
+    // dedup-within-watermark state was never evicted before a replayed
+    // key's lookup under Trigger.AvailableNow — replays stayed
+    // suppressed even arriving two watermark-advancing batches after
+    // their state's expiry — so under the AvailableNow gate harness
+    // the operator's observable output IS the global distinct, and a
+    // within-watermark "gate" would pin nothing beyond this query.) The output is ONLY the key columns, so the result
     // is the distinct key set regardless of which physical row won the
     // race — the determinism contract a streaming dedup must offer
     // (non-key columns of "the first row" are arrival-order-dependent
