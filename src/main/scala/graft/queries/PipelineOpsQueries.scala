@@ -222,6 +222,47 @@ object PipelineOpsQueries {
         .orderBy("z_range")
     }),
 
+    // Zone-map skip audit — the MEASURED case for q75's layout: for a
+    // fixed 3×3 grid of 2-D range probes, how many files (and rows)
+    // must each layout touch? Files are key-range buckets (insertion
+    // order = l_orderkey ranges; z-order = q75's Morton ranges), zone
+    // maps their per-file min/max boxes, and a probe touches a file
+    // iff the boxes overlap — exactly the parquet row-group pruning
+    // decision a 100 TB scan lives or dies by. Zone relations are
+    // ∝ #files (corpus/512 — always ≪ rows), the probe grid is a
+    // 9-row broadcast, and everything is integer arithmetic.
+    "q153_zonemap_skip" -> ((s, dir) => {
+      val d = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qb"),
+          (col("l_partkey") % 64).as("pb"))
+        .withColumn("z", mortonCode(col("qb"), col("pb")).cast("long"))
+      val zones = d.select(lit("insertion").as("layout"),
+          expr("l_orderkey div 512").as("file_id"), col("qb"), col("pb"))
+        .unionByName(d.select(lit("zorder").as("layout"),
+          expr("z div 64").as("file_id"), col("qb"), col("pb")))
+        .groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("qb")).as("min_q"), max(col("qb")).as("max_q"),
+          min(col("pb")).as("min_p"), max(col("pb")).as("max_p"))
+      val probeRows = (for (i <- 0 until 3; j <- 0 until 3) yield
+        s"(${i * 3 + j}, ${5 + 10 * i}, ${14 + 10 * i}, ${16 * j}, ${15 + 16 * j})")
+        .mkString(", ")
+      val probes = s.sql(
+        s"SELECT pid, qlo, qhi, plo, phi FROM VALUES $probeRows AS v(pid, qlo, qhi, plo, phi)")
+      val totals = zones.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("rows_total"))
+      zones.join(broadcast(probes),
+          col("min_q") <= col("qhi") && col("max_q") >= col("qlo") &&
+            col("min_p") <= col("phi") && col("max_p") >= col("plo"))
+        .groupBy("layout", "pid")
+        .agg(count(lit(1)).as("files_touched"),
+          sum(col("n_rows")).as("rows_scanned"))
+        .join(broadcast(totals), "layout")
+        .select(col("layout"), col("pid"), col("n_files"),
+          col("files_touched"), col("rows_total"), col("rows_scanned"))
+        .orderBy("layout", "pid")
+    }),
+
     // Statistical anomaly detection: per-(event_type, minute) counts
     // flagged against the type's global mean + 2σ. The bucket counts
     // and their square sums are BIGINT (exact, order-independent); mean
@@ -557,6 +598,32 @@ object PipelineOpsQueries {
          |  MIN(qb) AS min_q, MAX(qb) AS max_q,
          |  MIN(pb) AS min_p, MAX(pb) AS max_p
          |FROM d GROUP BY z_range ORDER BY z_range""".stripMargin,
+    "q153_zonemap_skip" ->
+      s"""WITH d AS (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qb,
+         |                  l_partkey % 64 AS pb FROM lineitem),
+         |zsrc AS (SELECT 'insertion' AS layout, l_orderkey // 512 AS file_id,
+         |           qb, pb FROM d
+         |         UNION ALL
+         |         SELECT 'zorder' AS layout,
+         |           (${sqlMorton("qb", "pb")}) // 64 AS file_id, qb, pb FROM d),
+         |zones AS (SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |            MIN(qb) AS min_q, MAX(qb) AS max_q,
+         |            MIN(pb) AS min_p, MAX(pb) AS max_p
+         |          FROM zsrc GROUP BY 1, 2),
+         |probes AS (SELECT i * 3 + j AS pid, 5 + 10 * i AS qlo,
+         |             14 + 10 * i AS qhi, 16 * j AS plo, 15 + 16 * j AS phi
+         |           FROM range(0, 3) a(i), range(0, 3) b(j)),
+         |tot AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |          CAST(SUM(n_rows) AS BIGINT) AS rows_total
+         |        FROM zones GROUP BY 1)
+         |SELECT zones.layout AS layout, CAST(pid AS INT) AS pid, n_files,
+         |  CAST(COUNT(*) AS BIGINT) AS files_touched,
+         |  rows_total, CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+         |FROM zones JOIN probes
+         |  ON min_q <= qhi AND max_q >= qlo AND min_p <= phi AND max_p >= plo
+         |JOIN tot ON tot.layout = zones.layout
+         |GROUP BY zones.layout, pid, n_files, rows_total
+         |ORDER BY zones.layout, pid""".stripMargin,
     "q76_anomaly_buckets" ->
       s"""WITH b AS (
          |  SELECT event_type, epoch_us(ts) // $bucketUs AS bucket,

@@ -100,6 +100,41 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("q153 pruning is sound: every matching row lives in a touched-file count") {
+    val out = run("q153_zonemap_skip").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val rows = graft.queries.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long"),
+        col("l_partkey") % 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def morton(a: Long, b: Long): Long =
+      (0 until 6).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val probes = for (i <- 0 until 3; j <- 0 until 3) yield
+      (i * 3 + j, 5L + 10 * i, 14L + 10 * i, 16L * j, 15L + 16 * j)
+    for ((pid, qlo, qhi, plo, phi) <- probes;
+         (layout, fileOf) <- Seq(
+           "insertion" -> ((r: (Long, Long, Long)) => r._1 / 512),
+           "zorder" -> ((r: (Long, Long, Long)) => morton(r._2, r._3) / 64))) {
+      val matching = rows.filter(r =>
+        r._2 >= qlo && r._2 <= qhi && r._3 >= plo && r._3 <= phi)
+      val neededFiles = matching.map(fileOf).distinct
+      val (nFiles, touched, rowsTotal, scanned) = out((layout, pid))
+      // soundness: the touched set must cover every file holding a match
+      assert(touched >= neededFiles.length.toLong, s"$layout probe $pid")
+      // scanned rows bound the true matches and never exceed the corpus
+      assert(scanned >= matching.length.toLong && scanned <= rowsTotal,
+        s"$layout probe $pid rows")
+      assert(nFiles === rows.map(fileOf).distinct.length.toLong,
+        s"$layout file count")
+    }
+    // the audit's point: z-order prunes, insertion order cannot
+    val zTouched = probes.map(p => out(("zorder", p._1))._2).max
+    val zFiles = out(("zorder", 0))._1
+    assert(zTouched < zFiles, "z-order must skip files for 2-D probes")
+  }
+
   test("q77 BM25 ranks at most 3 terms per doc, scores positive and ordered") {
     val out = run("q77_bm25").collect()
       .map(r => (r.getLong(0), r.getDouble(4), r.getInt(5)))

@@ -58,6 +58,9 @@ class PlanShapeSpec extends SparkSuite {
     // q149/q152 attach one-row broadcast scalars (largest-lang count /
     // corpus token total)
     "q149_epoch_mix", "q152_skipgram_pmi",
+    // q153's box-overlap probe join: the 9-row probe grid broadcasts
+    // against the #files-bounded zone relation (inequality condition)
+    "q153_zonemap_skip",
     // q104's corpus total is a one-row broadcast scalar under the
     // decile projection; q111 joins two one-row sketch frames; q112
     // attaches two one-row uniqueness aggregates to the rule row
