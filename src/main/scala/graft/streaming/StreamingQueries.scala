@@ -548,6 +548,58 @@ object StreamingQueries {
       }
     }),
 
+    // Built-in session_window streaming aggregate, oracle-gated — a
+    // DIFFERENT stateful operator from q70's flatMapGroupsWithState
+    // sessions: the engine's session-MERGING machinery
+    // (MergingSessionsExec: per-event [t, t+gap) windows coalesced on
+    // overlap inside the state store), not custom state code. Append
+    // emission: a merged session leaves the store once the watermark
+    // passes its end (= last event + gap), which under AvailableNow is
+    // the final no-data batch; trailing sessions younger than the
+    // horizon correctly stay in state and are NOT emitted. The oracle
+    // rebuilds the same sessions via gaps-and-islands and mirrors the
+    // exact emission predicate (end + gap <= floor-ms(max event time)
+    // - delay).
+    "q154_stream_session_window" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q154-src")
+      val ckpt = tmpDir("graft-q154-ckpt")
+      val sink = s"graft_q154_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val agg = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val query =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            agg.writeStream.format("memory").queryName(sink)
+              .outputMode(OutputMode.Append)
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("user_id", "start_us")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -691,6 +743,31 @@ object StreamingQueries {
         |FROM p JOIN c USING (user_id)
         |WHERE c.c_us BETWEEN p.p_us - 1800000000 AND p.p_us
         |ORDER BY user_id, p_event, c_event""".stripMargin,
+    // q70's gaps-and-islands sessions + the session_window emission
+    // predicate: emitted iff merged end (last + gap) <= watermark
+    "q154_stream_session_window" ->
+      s"""WITH t AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS prev_us
+         |  FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |      OR ts_us - prev_us > $gapUs THEN 1 ELSE 0 END AS ns
+         |  FROM t),
+         |sess AS (
+         |  SELECT *, SUM(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m),
+         |agg AS (
+         |  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    MIN(ts_us) AS start_us, MAX(ts_us) + $gapUs AS end_us
+         |  FROM sess GROUP BY user_id, sid),
+         |wm AS (SELECT MAX(epoch_ms(ts)) * 1000 - $delayUs AS w FROM events)
+         |SELECT user_id, start_us, end_us, n_events
+         |FROM agg, wm WHERE end_us <= w
+         |ORDER BY user_id, start_us""".stripMargin,
     "q146_stream_outer_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),

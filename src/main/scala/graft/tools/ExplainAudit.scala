@@ -24,6 +24,7 @@ object ExplainAudit {
     val streaming = Set("q59_stream_window", "q69_stream_dedup",
       "q70_stream_sessions", "q71_stream_enrich", "q79_stream_join",
       "q107_stream_kmv", "q130_stream_alerts", "q146_stream_outer_join",
+      "q154_stream_session_window",
       "q64_dedup_clusters", "q150_keep_best", "q80_bloom_join")
     val (flags, qs) = args.partition(_.startsWith("--"))
     if (flags.contains("--summary")) {

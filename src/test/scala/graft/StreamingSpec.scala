@@ -116,6 +116,29 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("q154 built-in session windows == q70's custom-state sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 3600L * 1000000L
+    // q154: (user, start, end=last+gap, n) from MergingSessionsExec
+    val builtin = graft.streaming.StreamingQueries
+      .queries("q154_stream_session_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // q70: (user, sid, n, start, end=last) from flatMapGroupsWithState
+    val custom = graft.streaming.StreamingQueries
+      .queries("q70_stream_sessions")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(4) + gapUs, r.getLong(2))).toMap
+    // both emit exactly the watermark-closed sessions; the operators
+    // share no code (engine session-merge state vs custom GroupState),
+    // so agreement pins the session semantics themselves. Emission
+    // boundary differs by ms-flooring of the session end (q70 compares
+    // floor-ms(end), the built-in compares raw micros) — identical on
+    // this fixture; a boundary-straddling session would surface here.
+    assert(builtin === custom)
+    assert(builtin.nonEmpty)
+  }
+
   test("q146 outer join == q79 inner rows + watermark-expired unmatched purchases") {
     val dir = "/root/testdata/sf0.001"
     val outer = graft.streaming.StreamingQueries
