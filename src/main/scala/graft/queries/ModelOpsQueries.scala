@@ -74,6 +74,12 @@ object ModelOpsQueries {
     */
   private val embMicro = 1000000L
 
+  /** q155: milli-units, not micro — the diversity identity squares the
+    * per-dim SUM (s_d ≤ n·quant), so micro at n = 5e4 rows/label would
+    * push s_d² past int64; milli keeps exactness to ~1e7 rows/label.
+    */
+  private val embMilli = 1000L
+
   /** q147: fixed n_chars split-threshold candidates (the doc-length
     * domain is 48..553 at every fixture SF). Integer micro-unit Gini is
     * exact while total corpus count stays ≤ ~3e9 (n² must fit int64);
@@ -487,6 +493,34 @@ object ModelOpsQueries {
         .orderBy(desc("lift"), col("pair"))
     }),
 
+    // Embedding diversity / mode-collapse metric: mean pairwise squared
+    // distance within each label — computed WITHOUT any pair join via
+    // the moment identity  Σᵢⱼ‖xᵢ−xⱼ‖² = 2n·Σ‖x‖² − 2‖Σx‖², so one
+    // posexplode → (label, dim) aggregate carries everything (per-dim
+    // sums and square-sums) and the per-label rollup is over 64 rows.
+    // Milli-unit quantization (not micro) keeps s_d² inside int64 —
+    // the quantization IS the tolerance, explicit and engine-exact,
+    // never a float summation. The n² pair space exists in neither
+    // engine.
+    "q155_embedding_diversity" -> ((s, dir) => {
+      val perDim = Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          floor(col("v").cast("double") * embMilli).cast("long").as("m"))
+        .groupBy("label", "dim")
+        .agg(sum(col("m")).as("s"), sum(col("m") * col("m")).as("s2"),
+          count(lit(1)).as("n"))
+      perDim.groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          sum(col("s2")).as("trace_s2"),
+          sum(col("s") * col("s")).as("q"))
+        .select(col("label"), col("n_vecs"),
+          expr("(2 * n_vecs * trace_s2 - 2 * q) div (n_vecs * n_vecs)")
+            .as("mean_pair_dist2_milli2"),
+          expr("trace_s2 div n_vecs").as("mean_norm2_milli2"))
+        .orderBy("label")
+    }),
+
     "q141_centroid_drift" -> ((s, dir) => {
       val per = Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -749,6 +783,27 @@ object ModelOpsQueries {
          |    * q.m[CAST(j.dj + 1 AS INT)]) AS BIGINT) AS s_micro
          |FROM q, i, j WHERE j.dj >= i.di
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q155_embedding_diversity" ->
+      s"""WITH p0 AS (SELECT label,
+         |        unnest(list_transform(range(1, len(embedding) + 1),
+         |          i -> struct_pack(dim := CAST(i AS INT),
+         |            m := CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+         |              * $embMilli) AS BIGINT)))) AS p
+         |      FROM embeddings),
+         |q0 AS (SELECT label, (p).dim AS dim, (p).m AS m FROM p0),
+         |per AS (SELECT label, dim, CAST(SUM(m) AS BIGINT) AS s,
+         |        CAST(SUM(m * m) AS BIGINT) AS s2,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM q0 GROUP BY 1, 2),
+         |r AS (SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+         |        CAST(SUM(s2) AS BIGINT) AS trace_s2,
+         |        CAST(SUM(s * s) AS BIGINT) AS q
+         |      FROM per GROUP BY 1)
+         |SELECT label, n_vecs,
+         |  (2 * n_vecs * trace_s2 - 2 * q) // (n_vecs * n_vecs)
+         |    AS mean_pair_dist2_milli2,
+         |  trace_s2 // n_vecs AS mean_norm2_milli2
+         |FROM r ORDER BY label""".stripMargin,
     "q141_centroid_drift" ->
       s"""WITH p0 AS (SELECT label,
          |        unnest(list_transform(range(1, len(embedding) + 1),

@@ -206,6 +206,30 @@ class ModelOpsSpec extends SparkSuite {
     }
   }
 
+  test("q155: moment identity == brute-force O(n²) pairwise distances") {
+    val out = ModelOpsQueries.queries("q155_embedding_diversity")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val rows = Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1000L).toLong).toArray))
+    for ((label, group) <- rows.groupBy(_._1)) {
+      val vs = group.map(_._2)
+      val n = vs.length.toLong
+      // the O(n²) loop the query replaces with one aggregate pass
+      var total = BigInt(0)
+      for (a <- vs; b <- vs)
+        total += a.zip(b).map { case (x, y) => BigInt(x - y) * (x - y) }.sum
+      val meanPair = (total / BigInt(n * n)).toLong
+      val meanNorm = vs.map(v => v.map(x => x * x).sum).sum / n
+      val (gn, gPair, gNorm) = out(label)
+      assert(gn === n, s"label $label n")
+      assert(gPair === meanPair, s"label $label pairwise")
+      assert(gNorm === meanNorm, s"label $label norm")
+    }
+  }
+
   test("q138: delta screen agrees with the full LSH pair list") {
     val out = ModelOpsQueries.queries("q138_delta_dedup")(spark, dir)
       .collect().map(r => r.getLong(0) ->
