@@ -145,6 +145,12 @@ object Demo {
       println(s"inertia per iteration: ${km.inertia.mkString(" -> ")}")
       km.cells.groupBy("cell").count().orderBy("cell").show(truncate = false)
       km.cells.unpersist()
+      println("-- BPE trainer (ext/BpeTrainer: 1 corpus scan + histogram merges) --")
+      val bpe = graft.ext.BpeTrainer.train(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", 8)
+      println(s"vocab words ${bpe.wordCount}; first merges: " +
+        bpe.merges.map { case (a, b) => s"$a+$b" }.mkString(", "))
+      println(s"encode('training') = ${bpe.encode("training").mkString("|")}")
       println("-- linear probe (ext/RidgeProbe off the q148 moment matrix) --")
       val probe = graft.ext.RidgeProbe.train(
         graft.queries.ModelOpsQueries.queries("q148_gramian")(spark, sfDir),
