@@ -75,6 +75,21 @@ object PipelineOpsQueries {
       s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  // ---------------------------------------------------------------- q156
+  /** Per-file bloom geometry: m bits, k=2 hashes — 2 KB/file, the
+    * parquet-bloom ballpark, sized for the ~2,000 distinct keys an
+    * orderkey-range file holds (fill ≈ 22%, FP ≈ 5%). LCG-drawn odd
+    * multipliers, mod-P-mod-m.
+    */
+  private val bloomM = 16384L
+  private val bloomRaw = graft.functions.TextFunctions.lcg(4, seed = 4242L)
+  private val bloomA1 = bloomRaw(0) | 1L
+  private val bloomB1 = bloomRaw(1)
+  private val bloomA2 = bloomRaw(2) | 1L
+  private val bloomB2 = bloomRaw(3)
+  /** Probe keys exist at every driver SF (partkey domain starts at 1). */
+  private val bloomProbeKeys: Seq[Long] = (0 until 9).map(i => 1L + 23L * i)
+
   // ---------------------------------------------------------------- q76
   /** 1-hour buckets: the fixture's events run ~1/minute over a month,
     * so minute buckets are all-count-1 (σ=0, nothing flaggable) —
@@ -261,6 +276,58 @@ object PipelineOpsQueries {
         .select(col("layout"), col("pid"), col("n_files"),
           col("files_touched"), col("rows_total"), col("rows_scanned"))
         .orderBy("layout", "pid")
+    }),
+
+    // Bloom-filter skip audit — q153's companion for POINT lookups on
+    // an UNCLUSTERED high-cardinality key, where zone maps cannot
+    // prune (every insertion-range file spans nearly the full partkey
+    // domain): a per-file k=2/m=16384 bloom (the parquet bloom-filter
+    // shape, 2 KB/file) answers "might this file contain partkey v?"
+    // The audit counts, per probe key: files a zone map must touch,
+    // files the bloom admits (true hits + its measured false-positive
+    // overhead), and the files that truly contain the key — all from
+    // one (file, bit) distinct relation bounded by files×m, with the
+    // 9-key probe set broadcast. Bloom bits are the repo's
+    // deterministic LCG-mod-P arithmetic, identical literals both
+    // engines.
+    "q156_bloom_skip" -> ((s, dir) => {
+      val d = Tables(s, dir, "lineitem")
+        .select(expr("l_orderkey div 512").as("file_id"),
+          col("l_partkey").as("pk"))
+      def h(a: Long, b: Long, v: Column) =
+        pmod(pmod(lit(a) * v + lit(b), lit(graft.functions.TextFunctions.P)),
+          lit(bloomM))
+      val bits = d.select(col("file_id"),
+          explode(array(h(bloomA1, bloomB1, col("pk")),
+            h(bloomA2, bloomB2, col("pk")))).as("bit"))
+        .distinct()
+      val zones = d.groupBy("file_id")
+        .agg(min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+      val probeRows = bloomProbeKeys.map { v =>
+        def hh(a: Long, b: Long) = ((a * v + b) % graft.functions.TextFunctions.P) % bloomM
+        s"($v, ${hh(bloomA1, bloomB1)}, ${hh(bloomA2, bloomB2)})"
+      }.mkString(", ")
+      val probes = s.sql(
+        s"SELECT pkv, b1, b2 FROM VALUES $probeRows AS v(pkv, b1, b2)")
+      val zoneTouch = zones.join(broadcast(probes),
+          col("min_pk") <= col("pkv") && col("max_pk") >= col("pkv"))
+        .groupBy("pkv").agg(count(lit(1)).as("zone_touched"))
+      val hit1 = bits.join(broadcast(probes), col("bit") === col("b1"))
+        .select(col("file_id"), col("pkv"))
+      val hit2 = bits.join(broadcast(probes), col("bit") === col("b2"))
+        .select(col("file_id"), col("pkv"))
+      val bloomTouch = hit1.join(hit2, Seq("file_id", "pkv"))
+        .distinct()
+        .groupBy("pkv").agg(count(lit(1)).as("bloom_touched"))
+      val trueFiles = d.join(broadcast(probes), col("pk") === col("pkv"))
+        .select(col("file_id"), col("pkv")).distinct()
+        .groupBy("pkv").agg(count(lit(1)).as("true_files"))
+      val total = zones.agg(count(lit(1)).as("n_files"))
+      zoneTouch.join(bloomTouch, "pkv").join(trueFiles, "pkv")
+        .join(broadcast(total))
+        .select(col("pkv"), col("n_files"), col("zone_touched"),
+          col("bloom_touched"), col("true_files"))
+        .orderBy("pkv")
     }),
 
     // Statistical anomaly detection: per-(event_type, minute) counts
@@ -624,6 +691,37 @@ object PipelineOpsQueries {
          |JOIN tot ON tot.layout = zones.layout
          |GROUP BY zones.layout, pid, n_files, rows_total
          |ORDER BY zones.layout, pid""".stripMargin,
+    "q156_bloom_skip" -> {
+      val p = graft.functions.TextFunctions.P
+      val probeRows = bloomProbeKeys.map { v =>
+        def hh(a: Long, b: Long) = ((a * v + b) % p) % bloomM
+        s"($v, ${hh(bloomA1, bloomB1)}, ${hh(bloomA2, bloomB2)})"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT l_orderkey // 512 AS file_id, l_partkey AS pk
+         |           FROM lineitem),
+         |bits AS (SELECT DISTINCT file_id, bit FROM (
+         |    SELECT file_id, (($bloomA1 * pk + $bloomB1) % $p) % $bloomM AS bit
+         |    FROM d
+         |    UNION ALL
+         |    SELECT file_id, (($bloomA2 * pk + $bloomB2) % $p) % $bloomM AS bit
+         |    FROM d)),
+         |zones AS (SELECT file_id, MIN(pk) AS min_pk, MAX(pk) AS max_pk
+         |          FROM d GROUP BY 1),
+         |probes AS (SELECT * FROM (VALUES $probeRows) AS v(pkv, b1, b2)),
+         |zt AS (SELECT pkv, CAST(COUNT(*) AS BIGINT) AS zone_touched
+         |       FROM zones JOIN probes ON min_pk <= pkv AND max_pk >= pkv
+         |       GROUP BY 1),
+         |h1 AS (SELECT DISTINCT file_id, pkv FROM bits JOIN probes ON bit = b1),
+         |h2 AS (SELECT DISTINCT file_id, pkv FROM bits JOIN probes ON bit = b2),
+         |bt AS (SELECT pkv, CAST(COUNT(*) AS BIGINT) AS bloom_touched
+         |       FROM h1 JOIN h2 USING (file_id, pkv) GROUP BY 1),
+         |tf AS (SELECT pkv, CAST(COUNT(DISTINCT file_id) AS BIGINT) AS true_files
+         |       FROM d JOIN probes ON pk = pkv GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM zones)
+         |SELECT pkv, n_files, zone_touched, bloom_touched, true_files
+         |FROM zt JOIN bt USING (pkv) JOIN tf USING (pkv), tot
+         |ORDER BY pkv""".stripMargin
+    },
     "q76_anomaly_buckets" ->
       s"""WITH b AS (
          |  SELECT event_type, epoch_us(ts) // $bucketUs AS bucket,
