@@ -148,8 +148,14 @@ case class Gramian(
     new GenericArrayData(out)
   }
 
+  // d is serialized verbatim — including 0 — so a buffer that has
+  // locked dimension 0 (a zero-length vector was seen) stays distinct
+  // from the uninitialized sentinel -1; otherwise a later merge with a
+  // nonzero-dim partial would silently pass the ragged-input check.
   override def serialize(buf: GramianBuffer): Array[Byte] = {
-    if (buf.d < 0) return Array(0, 0, 0, 0).map(_.toByte)
+    if (buf.d < 0) {
+      val bb = ByteBuffer.allocate(4); bb.putInt(-1); return bb.array()
+    }
     val bb = ByteBuffer.allocate(4 + 8 * buf.s.length)
     bb.putInt(buf.d)
     var i = 0
@@ -161,7 +167,7 @@ case class Gramian(
     val bb = ByteBuffer.wrap(bytes)
     val d = bb.getInt
     val buf = new GramianBuffer
-    if (d > 0) {
+    if (d >= 0) {
       buf.d = d
       buf.s = new Array[Long](d * (d + 1) / 2)
       var i = 0

@@ -136,7 +136,12 @@ object CorpusOpsQueries {
         .withColumn("shard", expr(s"doc_id div $shardSize"))
         .groupBy("term", "shard")
         .agg(count(lit(1)).as("df_shard"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          // the list is serialized to a scalar for the output contract:
+          // the gate harness sorts/hashes columns, and a list column
+          // isn't hashable there — the CSV string carries the same
+          // pinned order (sort_array fixes what parallel collect loses)
+          array_join(sort_array(collect_list(col("doc_id"))), ",")
+            .as("postings"))
         .orderBy("term", "shard")
     }),
 
@@ -350,7 +355,7 @@ object CorpusOpsQueries {
            |            FROM documents))
            |SELECT term, doc_id // $shardSize AS shard,
            |  CAST(COUNT(*) AS BIGINT) AS df_shard,
-           |  list_sort(list(doc_id)) AS postings
+           |  array_to_string(list_sort(list(doc_id)), ',') AS postings
            |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin,
       "q99_compaction_plan" ->
         s"""WITH f AS (SELECT source, doc_id // $fileGranule AS file_id,

@@ -61,6 +61,10 @@ class PlanShapeSpec extends SparkSuite {
     // q153's box-overlap probe join: the 9-row probe grid broadcasts
     // against the #files-bounded zone relation (inequality condition)
     "q153_zonemap_skip",
+    // q156's bloom probe join: same shape as q153 — the 9-row probe
+    // grid broadcasts against the #files-bounded zone relation
+    // (inequality condition) plus a one-row total attach
+    "q156_bloom_skip",
     // q104's corpus total is a one-row broadcast scalar under the
     // decile projection; q111 joins two one-row sketch frames; q112
     // attaches two one-row uniqueness aggregates to the rule row
