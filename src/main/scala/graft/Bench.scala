@@ -42,29 +42,46 @@ object Bench {
         spark.catalog.clearCache() // per-query cache()s must not accumulate
       }
     }
-    // two timed iterations, report the per-query MIN: single-shot
-    // numbers carry ±10-15% scheduler/GC noise at these sub-second
-    // scales, and the min is the standard low-variance steady-state
-    // estimator
-    val results = SparkEntry.queries.filter(q => included(q._1))
-      .map { case (name, fn) =>
-      // min over SUCCESSFUL iterations only — a failed-fast run must
-      // not beat a valid timing; all-failed reports -1
-      val dts = (0 until 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { run(fn(spark, sfDir)); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        if (ok) Some(dt) else None
+    // Timed phase: 3 FULL PASSES over the suite, per-query MIN across
+    // passes (min over successful runs is the standard low-variance
+    // steady-state estimator at these sub-second scales). A query's
+    // repetitions are deliberately NOT back-to-back: BENCH_r07 showed a
+    // ~2-minute transient (host contention / background JVM event)
+    // crushing 8 CONSECUTIVE queries 10-50× — with back-to-back
+    // repetitions both samples of a query sit inside any window longer
+    // than its own runtime, so the min cannot escape it, while
+    // pass-interleaving puts ~a full suite length between samples and a
+    // transient must recur over the same region of EVERY pass to
+    // corrupt a min. All-failed reports -1.
+    val names = SparkEntry.queries.keys.toSeq.filter(included)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val passTotals = (1 to 3).map { _ =>
+      val p0 = System.nanoTime()
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (included(name)) {
+          val t0 = System.nanoTime()
+          val ok =
+            try { run(fn(spark, sfDir)); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          if (ok) samples(name) = dt :: samples(name)
+        }
       }
+      (System.nanoTime() - p0) / 1e9
+    }
+    val results = names.map { name =>
+      val dts = samples(name)
       name -> (if (dts.nonEmpty) dts.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // pass_sec: wall-clock per pass — a pass total far above the others
+    // localizes a transient to that pass without re-running anything
+    val passJson = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_sec":$passJson}""")
     spark.stop()
   }
 }

@@ -108,50 +108,75 @@ object DedupQueries {
   }
 
   /** Connected-component labels over an undirected pair list
-    * (`doc_a`, `doc_b`) by Pregel-style min-label propagation: every
-    * node's label converges to the min node id of its component in
-    * diameter-many rounds. Each round is one hash-partitioned
-    * shuffle-agg plus one join; labels only decrease, so the fixpoint
-    * check (one count per round) is exact. Isolated nodes (absent from
-    * the pair list) are not emitted.
+    * (`doc_a`, `doc_b`) by LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public): each round hooks whole subtrees directly
+    * under smaller ids, so the round count is O(log²) in component
+    * size and INDEPENDENT of the graph diameter — where min-label
+    * propagation needs diameter-many rounds (a 10⁶-node chain-shaped
+    * dup cluster would take 10⁶ shuffles; this takes ~20). Each round
+    * is two groupBy-join phases, hash-partitioned on the node id;
+    * nothing ever materializes a component on one executor. Isolated
+    * nodes (absent from the pair list) are not emitted.
+    *
+    * Every round's edge set is `localCheckpoint`ed (eager): the loop
+    * re-references each generation for the fixpoint compare, and
+    * without lineage truncation the logical plan doubles per round —
+    * 2^rounds tree nodes (a ~10-round run OOMed building the explain
+    * string under plain cache()). The per-round blocks are freed by
+    * the ContextCleaner once the loop drops its reference.
     *
     * @return (node, label) — label = min doc_id of the component
     */
-  def componentLabels(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    // Each round references `labels` TWICE (the neighbor-min join and
-    // the fixpoint compare), so under plain cache() the LOGICAL plan
-    // doubles every round — 2^rounds tree nodes. Execution stays fine
-    // (the cache cuts the physical recompute) but analysis/optimizer
-    // time and the plan string grow exponentially with the graph
-    // diameter: a ~10-round chain OOMed building the explain string.
-    // localCheckpoint (eager) truncates the lineage to a LogicalRDD
-    // each round — O(1) plan size per round at any diameter; the tiny
-    // per-round blocks are freed by the ContextCleaner once the loop
-    // drops its reference.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+  def componentLabels(pairs: DataFrame): DataFrame =
+    componentLabelsWithRounds(pairs)._1
+
+  /** [[componentLabels]] plus the number of large+small-star rounds it
+    * took to converge — the spec surface for the log-bound guarantee.
+    */
+  def componentLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical DESCENDING edges (a > b); self-pairs dropped
+    var e = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      // LARGE-STAR: per center u over the undirected neighborhood,
+      // connect every strictly larger neighbor to m = min(N(u) ∪ {u}).
+      // Every edge is seen from its smaller endpoint's center, so no
+      // edge's connectivity is lost; output edges all descend (v > m).
+      val nb = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = nb.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = nb.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+      // SMALL-STAR on the descending edges: per center a with smaller
+      // neighbors N = {b…}, m = min(N); connect N ∪ {a} minus m to m.
+      val sMins = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = ls.join(sMins, "a")
+        .select(col("b").as("x"), col("m"))
+        .union(sMins.select(col("a").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b"))
+        .distinct()
         .localCheckpoint()
-      changed = next.select(col("node"), col("label").as("new_label"))
-        .join(labels, "node")
-        .where(col("new_label") =!= col("label")).count()
-      labels = next
+      rounds += 1
+      // exact fixpoint: equal counts + empty one-sided difference
+      done = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
     }
-    edges.unpersist()
-    labels
+    // converged: a star forest rooted at component minima — labels are
+    // the edges themselves plus one self-label per root
+    val labels = e.select(col("a").as("node"), col("b").as("label"))
+      .union(e.select(col("b").as("node"), col("b").as("label")).distinct())
+    (labels, rounds)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,6 +103,61 @@ object StreamingQueries {
   private def releaseStreamingState(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
+  /** q154's engine run: built-in `session_window` aggregate (1 h gap)
+    * over the staged event stream, Append mode, `AvailableNow` — the
+    * memory sink receives exactly the watermark-closed sessions. `gate`
+    * shapes what the caller materializes from the sink (the oracle gate
+    * rolls up per user; the spec reads the raw session list), and runs
+    * while sink/state are still live; the result is returned as a local
+    * DataFrame so cleanup can tear everything down eagerly.
+    */
+  private def sessionWindowRun(s: SparkSession, dir: String)(
+      gate: DataFrame => DataFrame): DataFrame = {
+    val src = Paths.get(s"$dir/events.parquet")
+    val stage = tmpDir("graft-q154-src")
+    val ckpt = tmpDir("graft-q154-ckpt")
+    val sink = s"graft_q154_sink_${runSeq.incrementAndGet()}"
+    try {
+      Files.copy(src, stage.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val schema = s.read.parquet(src.toString).schema
+      val agg = s.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val query =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          agg.writeStream.format("memory").queryName(sink)
+            .outputMode(OutputMode.Append)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      query.awaitTermination()
+      val out = gate(s.table(sink))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      s.catalog.dropTempView(sink)
+      releaseStreamingState()
+      deleteRecursively(ckpt)
+      deleteRecursively(stage)
+    }
+  }
+
+  /** Raw emitted session list (user_id, start_us, end_us, n_events) —
+    * the StreamingSpec cross-check surface; gates use the rollup.
+    */
+  def sessionWindowSessions(s: SparkSession, dir: String): DataFrame =
+    sessionWindowRun(s, dir)(_.orderBy("user_id", "start_us"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E20 oracle-gated: per-(5-min window, event_type) counts + decimal
     // value sums, emitted by Append-mode watermark eviction.
@@ -560,45 +615,28 @@ object StreamingQueries {
     // rebuilds the same sessions via gaps-and-islands and mirrors the
     // exact emission predicate (end + gap <= floor-ms(max event time)
     // - delay).
-    "q154_stream_session_window" -> ((s, dir) => {
-      val src = Paths.get(s"$dir/events.parquet")
-      val stage = tmpDir("graft-q154-src")
-      val ckpt = tmpDir("graft-q154-ckpt")
-      val sink = s"graft_q154_sink_${runSeq.incrementAndGet()}"
-      try {
-        Files.copy(src, stage.resolve("events.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-        val schema = s.read.parquet(src.toString).schema
-        val agg = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-          .withWatermark("event_time", "10 minutes")
-          .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(col("user_id"),
-            unix_micros(col("session_window.start")).as("start_us"),
-            unix_micros(col("session_window.end")).as("end_us"),
-            col("n_events"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val query =
-          try {
-            s.conf.set("spark.sql.shuffle.partitions", "8")
-            agg.writeStream.format("memory").queryName(sink)
-              .outputMode(OutputMode.Append)
-              .option("checkpointLocation", ckpt.toString)
-              .trigger(Trigger.AvailableNow())
-              .start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        query.awaitTermination()
-        val out = s.table(sink).orderBy("user_id", "start_us")
-        val rows = out.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      } finally {
-        s.catalog.dropTempView(sink)
-        releaseStreamingState()
-        deleteRecursively(ckpt)
-        deleteRecursively(stage)
-      }
-    }),
+    // The GATE is a per-user rollup of the emitted sessions, not the
+    // session list itself: the memory sink holds every emitted session,
+    // and collecting them all made the gate's cost scale with emission
+    // volume (6.6× at the 10× fixture — pure gate cost, not data path).
+    // The rollup still proves the Append emission predicate exactly — a
+    // session wrongly emitted or wrongly held back changes n_sessions
+    // and the order-independent arithmetic fingerprint — while the
+    // collect is bounded by |users|. The raw session list stays
+    // reachable via [[sessionWindowSessions]] for the q70 cross-spec.
+    "q154_stream_session_window" -> ((s, dir) =>
+      sessionWindowRun(s, dir) { sinkTable =>
+        sinkTable
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            sum(col("end_us") - col("start_us")).as("dur_us"),
+            min(col("start_us")).as("first_start_us"),
+            max(col("end_us")).as("last_end_us"),
+            sum((col("start_us") % 999983L) * 1000000L +
+              (col("end_us") % 999983L) + col("n_events")).as("sess_fp"))
+          .orderBy("user_id")
+      }),
 
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
@@ -764,10 +802,18 @@ object StreamingQueries {
          |  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
          |    MIN(ts_us) AS start_us, MAX(ts_us) + $gapUs AS end_us
          |  FROM sess GROUP BY user_id, sid),
-         |wm AS (SELECT MAX(epoch_ms(ts)) * 1000 - $delayUs AS w FROM events)
-         |SELECT user_id, start_us, end_us, n_events
-         |FROM agg, wm WHERE end_us <= w
-         |ORDER BY user_id, start_us""".stripMargin,
+         |wm AS (SELECT MAX(epoch_ms(ts)) * 1000 - $delayUs AS w FROM events),
+         |emitted AS (
+         |  SELECT user_id, start_us, end_us, n_events
+         |  FROM agg, wm WHERE end_us <= w)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+         |  CAST(SUM(end_us - start_us) AS BIGINT) AS dur_us,
+         |  MIN(start_us) AS first_start_us, MAX(end_us) AS last_end_us,
+         |  CAST(SUM((start_us % 999983) * 1000000 + (end_us % 999983)
+         |    + n_events) AS BIGINT) AS sess_fp
+         |FROM emitted GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
     "q146_stream_outer_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),

@@ -56,6 +56,19 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("round count is log-bounded, not diameter-bounded") {
+    // a 64-node chain has diameter 63: min-label propagation needs ~63
+    // rounds, large-star/small-star hooks subtrees and must converge in
+    // O(log²) — single digits here. This pins the 100 TB property: a
+    // chain-shaped dup cluster must not cost diameter-many shuffles.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val (labels, rounds) = DedupQueries.componentLabelsWithRounds(
+      chain.toDF("doc_a", "doc_b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 63L).map(_ -> 0L).toMap)
+    assert(rounds <= 10, s"expected O(log) rounds on a 64-chain, got $rounds")
+  }
+
   test("labels are component minima and cluster sizes add up") {
     val edges = Seq((5L, 3L), (3L, 8L), (20L, 21L), (7L, 5L))
     val labels = sparkLabels(edges)

@@ -119,9 +119,10 @@ class StreamingSpec extends SparkSuite {
   test("q154 built-in session windows == q70's custom-state sessions") {
     val dir = "/root/testdata/sf0.001"
     val gapUs = 3600L * 1000000L
-    // q154: (user, start, end=last+gap, n) from MergingSessionsExec
+    // q154's raw session surface: (user, start, end=last+gap, n) from
+    // MergingSessionsExec (the gated query rolls these up per user)
     val builtin = graft.streaming.StreamingQueries
-      .queries("q154_stream_session_window")(spark, dir)
+      .sessionWindowSessions(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
     // q70: (user, sid, n, start, end=last) from flatMapGroupsWithState
