@@ -142,6 +142,16 @@ object DedupQueries {
       .where(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // One-action edge-set fingerprint (count + three independent sums):
+    // the per-round convergence PROBE. Equal fingerprints only gate the
+    // exact set-equality confirm (count + one-sided except), so a
+    // fingerprint collision costs one extra comparison, never a wrong
+    // answer — and all non-final rounds pay a single aggregate action
+    // instead of a count plus a set-difference shuffle.
+    def fingerprint(df: DataFrame): org.apache.spark.sql.Row =
+      df.agg(count(lit(1)), sum(col("a")), sum(col("b")),
+        sum(col("a") * 1000003L + col("b"))).head()
+    var fpPrev = fingerprint(e)
     var rounds = 0
     var done = e.isEmpty
     while (!done) {
@@ -168,8 +178,10 @@ object DedupQueries {
         .distinct()
         .localCheckpoint()
       rounds += 1
-      // exact fixpoint: equal counts + empty one-sided difference
-      done = ss.count() == e.count() && ss.except(e).isEmpty
+      // probe with the fingerprint; confirm equality exactly
+      val fpNext = fingerprint(ss)
+      done = fpNext == fpPrev && ss.except(e).isEmpty
+      fpPrev = fpNext
       e = ss
     }
     // converged: a star forest rooted at component minima — labels are
