@@ -460,10 +460,18 @@ object ModelOpsQueries {
     // the token stream, scored by observed/expected lift
     // n_xy·N / (n_x·n_y). Pair construction is scan-stage array
     // arithmetic (no self-join), both count relations are map-side-
-    // combining shuffles bounded by pair/vocab cardinality, and the
-    // unigram relation joins back BROADCAST (vocab ≪ corpus). The lift
-    // is one double formula over exact BIGINT counts (the q133
-    // log-free device) — identical trees, identical bits.
+    // combining shuffles bounded by pair/vocab cardinality. The unigram
+    // rejoins are deliberately UNHINTED: at gate scale the vocab is a
+    // few thousand rows and the size-stats planner (or AQE at runtime)
+    // picks broadcast on its own; at production vocab (~1e7 tokens ×
+    // string keys, past the broadcast threshold) the same plan flips to
+    // a shuffle equi-join on the token key — an explicit broadcast()
+    // hint would pin the driver-materializing plan at ANY vocab size
+    // (Spark honors hints unconditionally). Both regimes are pinned in
+    // PlanShapeSpec. Only the one-row corpus-total attach keeps its
+    // hint (a scalar is broadcast-safe by construction). The lift is
+    // one double formula over exact BIGINT counts (the q133 log-free
+    // device) — identical trees, identical bits.
     "q152_skipgram_pmi" -> ((s, dir) => {
       val minPair = 5L
       def skipPairs(tk: org.apache.spark.sql.Column) =
@@ -483,8 +491,8 @@ object ModelOpsQueries {
         .select(col("pair"), col("n_xy"),
           split(col("pair"), " ").getItem(0).as("x"),
           split(col("pair"), " ").getItem(1).as("y"))
-        .join(broadcast(uni.select(col("t").as("x"), col("n_t").as("n_x"))), "x")
-        .join(broadcast(uni.select(col("t").as("y"), col("n_t").as("n_y"))), "y")
+        .join(uni.select(col("t").as("x"), col("n_t").as("n_x")), "x")
+        .join(uni.select(col("t").as("y"), col("n_t").as("n_y")), "y")
         .join(broadcast(uni.agg(sum(col("n_t")).as("n_tokens"))))
         .select(col("pair"), col("n_xy"), col("n_x"), col("n_y"),
           (col("n_xy").cast("double") * col("n_tokens").cast("double") /

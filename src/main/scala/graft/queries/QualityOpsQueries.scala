@@ -92,10 +92,15 @@ object QualityOpsQueries {
     // is each doc's word sequence under the corpus's own bigram
     // statistics? Per-bigram score = add-one-free conditional count
     // ratio in fixed-point, summed per doc (integer — a log-prob sum
-    // would be order-sensitive float). Both count tables are
-    // vocab-bounded (≤ |V|² rows) and BROADCAST; the corpus never
-    // shuffles — at 100 TB this is two stats scans plus one scoring
-    // scan, the same decoupling as TF-IDF/BM25.
+    // would be order-sensitive float). The bigram count rides a
+    // `count(*) over (partition by bg)` window on the occurrence stream
+    // itself (the q97 device): one gram-keyed shuffle, NO bigram stats
+    // table — a distinct-bigram relation is corpus-scaled (unlike a
+    // unigram vocab it is not meaningfully bounded; ~billions of rows
+    // at 100 TB), so broadcasting it would materialize the corpus's
+    // bigram set on the driver. The unigram table IS vocab-bounded and
+    // stays broadcast. Net plan: one bg-keyed shuffle + one broadcast
+    // join + one doc_id agg.
     "q114_bigram_coherence" -> ((s, dir) => {
       val toked = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -103,16 +108,11 @@ object QualityOpsQueries {
         explode(wordShinglesFromTokens(col("toks"), 2)).as("bg"))
         .select(col("doc_id"), col("bg"),
           substring_index(col("bg"), " ", 1).as("w1"))
-        // consumed twice (count build + scoring join): cached so the
-        // corpus is tokenized once, not per consumer (6.6× → ~3× at
-        // the 10× fixture); retired by the harness's per-query
-        // clearCache, same contract as q28/q90
-        .cache()
-      val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
       val uniCounts = toked
         .select(explode(col("toks")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c_w1"))
-      bi.join(broadcast(biCounts), "bg")
+      bi.withColumn("c_bg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bg")))
         .join(broadcast(uniCounts), "w1")
         .select(col("doc_id"),
           expr(s"(c_bg * $cohScale) div c_w1").as("sc"))

@@ -390,6 +390,51 @@ class PlanShapeSpec extends SparkSuite {
       "q148: state merge + result sort only")
   }
 
+  test("q114 counts bigrams with a window on the occurrence stream, not a stats table") {
+    // the round-9 fix: a distinct-bigram relation is corpus-scaled, so
+    // it must never exist as a broadcast build side — the count rides a
+    // bg-partitioned window (the q97 device); the only broadcast join
+    // left is the vocab-bounded unigram table
+    val p = plans("q114_bigram_coherence")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size === 1, "q114 must count bigram frequency in one window pass")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size === 1,
+      "q114: only the vocab-bounded unigram table may broadcast")
+  }
+
+  test("q152's vocab rejoin strategy is stats-chosen per regime, not hint-pinned") {
+    // the scale contract: at gate scale the unigram side broadcasts by
+    // SIZE STATS; past the broadcast threshold (the production-vocab
+    // regime, simulated here by disabling the threshold) the same plan
+    // must flip to shuffle joins. An explicit broadcast() hint would
+    // pass the first assertion and fail the second — hints are honored
+    // unconditionally, which is exactly the 100 TB driver-OOM bug this
+    // test pins against reintroduction.
+    val build = () => SparkEntry.queries("q152_skipgram_pmi")(spark, dir)
+      .queryExecution.executedPlan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val gate = build()
+      assert(gate.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+        "gate-scale regime: the two unigram rejoins should broadcast by size stats")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val prod = build()
+        assert(prod.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.size >= 2,
+          "production-vocab regime: the unigram rejoins must flip to shuffle " +
+            "equi-joins — a broadcast() hint would pin the broadcast plan")
+        // the one-row corpus-total attach keeps its deliberate hint in
+        // both regimes (scalar broadcast is safe by construction)
+        assert(prod.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+          "q152's one-row corpus-total attach lost its scalar broadcast")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("filter pushdown reaches the parquet scan in q01") {
     val scans = plans("q01_pushdown_agg").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
