@@ -4,20 +4,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table access for the driver-contract queries (`TESTDATA.md`). */
 object Tables {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types._
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column (read as epoch-nanos long
-    * under `spark.sql.legacy.parquet.nanosAsLong`) normalized: `ts` is a
-    * proper TimestampType (µs, floor-truncated — same bucketing as
-    * DuckDB's ns timestamps for any ≥µs granularity), `ts_ns` keeps the
-    * exact nanos. Integer division on purpose: ~1.7e18 ns exceeds double
-    * precision.
+  /** Epoch-µs Column from an `events.ts` of either fixture vintage:
+    * TIMESTAMP(NANOS) read as epoch-nanos long (under
+    * `spark.sql.legacy.parquet.nanosAsLong`), or TIMESTAMP[_NTZ] (µs).
+    * The NTZ→TZ cast is exact under the suite's UTC session timezone —
+    * same instant DuckDB's `epoch_us(ts)` computes on the naive value.
+    * Integer division on purpose: ~1.7e18 ns exceeds double precision.
+    */
+  def tsUs(tsType: DataType): Column = {
+    import org.apache.spark.sql.functions._
+    tsType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts").cast(TimestampType))
+    }
+  }
+
+  /** `events` normalized to a fixed shape regardless of the fixture's
+    * timestamp encoding: `ts` is a proper TimestampType (µs — same
+    * bucketing as DuckDB for any ≥µs granularity) and `ts_ns` is
+    * epoch-nanos long (exact nanos when the fixture carries them,
+    * µs·1000 otherwise — matching DuckDB's `epoch_ns(ts)` either way).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(spark, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case t =>
+        raw.withColumn("ts_ns", tsUs(t) * lit(1000L))
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }

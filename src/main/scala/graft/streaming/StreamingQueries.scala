@@ -40,6 +40,14 @@ import org.apache.spark.sql.types.DecimalType
 object StreamingQueries {
 
   private val dec2 = DecimalType(18, 2)
+
+  /** Epoch-µs from the staged fixture's `ts`, tolerant of both fixture
+    * encodings (TIMESTAMP(NANOS)-as-long vs TIMESTAMP[_NTZ] µs) — the
+    * streaming twin of `Tables.tsUs`, resolved against the schema the
+    * batch pre-read produced (readStream needs it explicitly anyway).
+    */
+  private def tsUs(schema: org.apache.spark.sql.types.StructType) =
+    graft.queries.Tables.tsUs(schema("ts").dataType)
   private val windowUs = 300000000L // 5 minutes
   private val delayUs = 600000000L // 10-minute watermark delay
   /** q107 KMV size: smaller than q86's 32 so busy windows overflow k
@@ -122,7 +130,7 @@ object StreamingQueries {
         StandardCopyOption.REPLACE_EXISTING)
       val schema = s.read.parquet(src.toString).schema
       val agg = s.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time", timestamp_micros(tsUs(schema)))
         .withWatermark("event_time", "10 minutes")
         .groupBy(col("user_id"), session_window(col("event_time"), "1 hour"))
         .agg(count(lit(1)).as("n_events"))
@@ -177,7 +185,7 @@ object StreamingQueries {
         // nanosAsLong); readStream requires it explicitly
         val schema = s.read.parquet(src.toString).schema
         val agg = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", timestamp_micros(tsUs(schema)))
           .withWatermark("event_time", "10 minutes")
           .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
@@ -233,7 +241,7 @@ object StreamingQueries {
           col("user_id").cast("string"))
         val p = graft.functions.TextFunctions.P
         val agg = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", timestamp_micros(tsUs(schema)))
           .withWatermark("event_time", "10 minutes")
           .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
           .agg(graft.functions.KMinValues(h, k).as("sketch"))
@@ -293,7 +301,7 @@ object StreamingQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val schema = s.read.parquet(src.toString).schema
         val dedup = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withColumn("event_time", timestamp_micros(tsUs(schema)))
           .withWatermark("event_time", "10 minutes")
           .dropDuplicates("user_id", "event_type")
           .select(col("user_id"), col("event_type"))
@@ -334,7 +342,7 @@ object StreamingQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val schema = s.read.parquet(src.toString).schema
         val sessions = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", tsUs(schema))
           .withColumn("event_time", timestamp_micros(col("ts_us")))
           .withWatermark("event_time", "10 minutes")
           // the watermarked column must survive into the stateful op's
@@ -414,7 +422,7 @@ object StreamingQueries {
           StandardCopyOption.REPLACE_EXISTING)
         val schema = s.read.parquet(src.toString).schema
         val alerts = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_us", tsUs(schema))
           .withColumn("event_time", timestamp_micros(col("ts_us")))
           .withWatermark("event_time", "10 minutes")
           .select(col("event_type").as[String], col("ts_us").as[Long],
@@ -502,7 +510,7 @@ object StreamingQueries {
         def side(evType: String, prefix: String) =
           s.readStream.schema(schema).parquet(stage.toString)
             .where(col("event_type") === evType)
-            .withColumn(s"${prefix}_us", expr("ts div 1000"))
+            .withColumn(s"${prefix}_us", tsUs(schema))
             .withColumn(s"${prefix}_time",
               timestamp_micros(col(s"${prefix}_us")))
             .withWatermark(s"${prefix}_time", "10 minutes")
@@ -567,7 +575,7 @@ object StreamingQueries {
         def side(evType: String, prefix: String) =
           s.readStream.schema(schema).parquet(stage.toString)
             .where(col("event_type") === evType)
-            .withColumn(s"${prefix}_us", expr("ts div 1000"))
+            .withColumn(s"${prefix}_us", tsUs(schema))
             .withColumn(s"${prefix}_time",
               timestamp_micros(col(s"${prefix}_us")))
             .withWatermark(s"${prefix}_time", "10 minutes")

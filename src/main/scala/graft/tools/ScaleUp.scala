@@ -62,12 +62,12 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     if (preexisting) {
-      // builder configs were silently ignored on a reused session —
-      // require the one that changes read semantics instead of
-      // mutating the caller's log level / assuming the rest applied
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "reused SparkSession must set spark.sql.legacy.parquet.nanosAsLong=true " +
-          "(events.parquet is TIMESTAMP(NANOS))")
+      // builder configs were silently ignored on a reused session — the
+      // one that changes read semantics is nanosAsLong, and it only
+      // matters for legacy TIMESTAMP(NANOS) fixtures (current fixtures
+      // are TIMESTAMP µs, which every session reads identically). If the
+      // fixture IS nanos and the flag is absent, the read below throws
+      // Spark's own clear error; no pre-check needed.
     } else spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(dest))
 

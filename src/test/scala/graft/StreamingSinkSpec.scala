@@ -33,7 +33,8 @@ class StreamingSinkSpec extends SparkSuite {
         StandardCopyOption.REPLACE_EXISTING)
       val schema = spark.read.parquet(src.toString).schema
       def agg = spark.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time",
+          timestamp_micros(graft.queries.Tables.tsUs(schema("ts").dataType)))
         .withWatermark("event_time", "10 minutes")
         .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
