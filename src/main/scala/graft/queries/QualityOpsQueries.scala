@@ -92,15 +92,22 @@ object QualityOpsQueries {
     // is each doc's word sequence under the corpus's own bigram
     // statistics? Per-bigram score = add-one-free conditional count
     // ratio in fixed-point, summed per doc (integer — a log-prob sum
-    // would be order-sensitive float). The bigram count rides a
-    // `count(*) over (partition by bg)` window on the occurrence stream
-    // itself (the q97 device): one gram-keyed shuffle, NO bigram stats
-    // table — a distinct-bigram relation is corpus-scaled (unlike a
-    // unigram vocab it is not meaningfully bounded; ~billions of rows
-    // at 100 TB), so broadcasting it would materialize the corpus's
-    // bigram set on the driver. The unigram table IS vocab-bounded and
-    // stays broadcast. Net plan: one bg-keyed shuffle + one broadcast
-    // join + one doc_id agg.
+    // would be order-sensitive float). The bigram count is a map-side-
+    // combined aggregate rejoined on bg with NO strategy hint. Why not
+    // the two prior shapes: a broadcast(biCounts) materializes a
+    // corpus-scaled relation (distinct bigrams are not meaningfully
+    // bounded — billions at 100 TB) on the driver; a
+    // `count(*) over (partition by bg)` window buffers each bg group
+    // WHOLE per task, so a Zipf-hot bigram ("of the" — billions of
+    // occurrence rows) becomes one spill-heavy straggler. The
+    // aggregate+equi-join pays the same one bg-keyed shuffle but (a)
+    // partial aggregation collapses the hot key to one row per map
+    // task before it travels, and (b) the join streams duplicate probe
+    // keys instead of buffering them (AQE skew-split applies at
+    // runtime). Strategy is stats-chosen per regime — broadcast while
+    // biCounts estimates small, shuffle equi-join past the threshold
+    // (PlanShapeSpec pins both regimes). The unigram table IS
+    // vocab-bounded and keeps its deliberate broadcast hint.
     "q114_bigram_coherence" -> ((s, dir) => {
       val toked = docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -111,8 +118,8 @@ object QualityOpsQueries {
       val uniCounts = toked
         .select(explode(col("toks")).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c_w1"))
-      bi.withColumn("c_bg", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("bg")))
+      val biCounts = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      bi.join(biCounts, "bg")
         .join(broadcast(uniCounts), "w1")
         .select(col("doc_id"),
           expr(s"(c_bg * $cohScale) div c_w1").as("sc"))
