@@ -67,19 +67,14 @@ object DedupQueries {
     * later timings. The cache must outlive this method (the returned
     * DF is lazy — the consumer executes it later), so each call
     * unpersists the PREVIOUS invocation's entry instead: at most one
-    * generation is ever live.
+    * generation is ever live (`CacheSlot`).
     */
-  private val lastSig = new java.util.concurrent.atomic.AtomicReference[DataFrame]
-
-  private def swapCached(ref: java.util.concurrent.atomic.AtomicReference[DataFrame],
-      next: DataFrame): DataFrame = {
-    Option(ref.getAndSet(next)).foreach(_.unpersist(blocking = false))
-    next
-  }
+  private val lastSig = new graft.util.CacheSlot
+  private val lastSh = new graft.util.CacheSlot
 
   /** Public: the CurationPipeline reuses the candidate generator. */
   def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = swapCached(lastSig, hashArrays(s, dir)
+    val sig = lastSig.swap(hashArrays(s, dir)
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("hs")).as("sig"))
       .where(col("sig").isNotNull)
@@ -334,11 +329,11 @@ object DedupQueries {
       // per-bit majority packed by ONE codegen'd map pass (SimHashPack)
       // — no explode, no groupBy shuffle. Cached: one long per doc,
       // shared by both join sides.
-      val sh = hashArrays(s, dir)
+      val sh = lastSh.swap(hashArrays(s, dir)
         .select(col("doc_id"),
           graft.functions.SimHashPack(col("hs")).as("sh"))
         .where(col("sh").isNotNull)
-        .cache()
+        .cache())
       val chunkStructs = (0 until simhashChunks).map { c =>
         struct(lit(c).as("ci"), simhashChunk(col("sh"), c).as("cv"))
       }

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.DecimalType
   *    (Spark) == `quantile_cont` (DuckDB) bit-for-bit.
   */
 object ExtendedOpsQueries {
+  // one-generation cache handles (see CacheSlot)
+  private val lastV = new graft.util.CacheSlot
+  private val lastC = new graft.util.CacheSlot
 
   private val dec2 = DecimalType(18, 2)
   private val tsUs = "(ts_ns div 1000)"
@@ -163,11 +166,11 @@ object ExtendedOpsQueries {
       // v and c are cached: each feeds BOTH the next stage's join and
       // its own count — uncached, the three count branches would
       // re-derive the chain and rescan events 6 times
-      val v = e.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("t")).as("vt")).cache()
-      val c = e.where(col("event_type") === "click")
+      val v = lastV.swap(e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("vt")).cache())
+      val c = lastC.swap(e.where(col("event_type") === "click")
         .join(broadcast(v), "user_id").where(col("t") > col("vt"))
-        .groupBy("user_id").agg(min(col("t")).as("ct")).cache()
+        .groupBy("user_id").agg(min(col("t")).as("ct")).cache())
       val p = e.where(col("event_type") === "purchase")
         .join(broadcast(c), "user_id").where(col("t") > col("ct"))
         .groupBy("user_id").agg(min(col("t")).as("pt"))

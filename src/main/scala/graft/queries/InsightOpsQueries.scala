@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   * ties are pinned by id so rankings agree wherever scores do.
   */
 object InsightOpsQueries {
+  // one-generation cache handles (see CacheSlot): repeated builder
+  // invocations in a long-lived session must not accumulate entries
+  private val lastBg = new graft.util.CacheSlot
+  private val lastSets = new graft.util.CacheSlot
 
   /** q122: outlier rule |x - median| > madK * MAD (madK=3 is the
     * textbook robust cut at ~4.5 sigma for normal data).
@@ -148,13 +152,13 @@ object InsightOpsQueries {
       // once per shingle — measured 5.8 s vs 0.9 s at sf0.1), and the
       // stream cached: it's consumed twice (mention counts +
       // first-occurrence build)
-      val bg = docs(s, dir)
+      val bg = lastBg.swap(docs(s, dir)
         .select(expr(s"doc_id div $growthBatchDocs").as("batch"),
           tokens(col("text")).as("toks"))
         .select(col("batch"),
           explode(array_distinct(wordShinglesFromTokens(col("toks"), 2)))
             .as("bg"))
-        .cache()
+        .cache())
       val mentions = bg.groupBy("batch").agg(count(lit(1)).as("n_mentions"))
       val firsts = bg.groupBy("bg").agg(min(col("batch")).as("batch"))
         .groupBy("batch").agg(count(lit(1)).as("new_bigrams"))
@@ -290,10 +294,10 @@ object InsightOpsQueries {
     // relational mirror.
     "q129_cooccurrence" -> ((s, dir) => {
       // per-user sorted item sets — consumed by totals AND pairs
-      val sets = Tables.events(s, dir)
+      val sets = lastSets.swap(Tables.events(s, dir)
         .groupBy("user_id")
         .agg(array_sort(collect_set(col("event_type"))).as("items"))
-        .cache()
+        .cache())
       val totals = sets.select(explode(col("items")).as("event_type"))
         .groupBy("event_type").agg(count(lit(1)).as("n_users"))
       val co = sets.select(explode(expr(

@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   * MinHash signature (q138) — both engines produce identical bits.
   */
 object ModelOpsQueries {
+  // one-generation cache handle (see CacheSlot)
+  private val lastSt = new graft.util.CacheSlot
 
   /** q134: sequence-order tiebreak is (ts_ns, event_id) — total, stable. */
   private val transitionPermille = 1000L
@@ -105,10 +107,10 @@ object ModelOpsQueries {
     // from that same compressed relation (rows ∝ vocab × sources, not
     // corpus), rejoined on the token key it is already partitioned by.
     "q133_token_familiarity" -> ((s, dir) => {
-      val st = docs(s, dir)
+      val st = lastSt.swap(docs(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("t"))
         .groupBy("source", "t").agg(count(lit(1)).as("n"))
-        .cache()
+        .cache())
       val ct = st.groupBy("t").agg(sum(col("n")).as("c"))
       val totals = ct.agg(sum(col("c")).as("total_tokens"))
       st.join(ct, "t")

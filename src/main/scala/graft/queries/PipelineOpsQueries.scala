@@ -100,7 +100,7 @@ object PipelineOpsQueries {
     * and rationale as DedupQueries.lastSig — repeated builder calls in
     * one session must not accumulate storage-memory entries).
     */
-  private val lastBuckets = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+  private val lastBuckets = new graft.util.CacheSlot
   private val sigmas = 2.0
 
   // ---------------------------------------------------------------- q77
@@ -342,13 +342,12 @@ object PipelineOpsQueries {
       // feeds BOTH the stats agg and the flag join; uncached, each
       // branch re-runs the full events scan — the dominant cost at
       // scale — twice
-      val buckets = Tables.events(s, dir)
+      val buckets = lastBuckets.swap(Tables.events(s, dir)
         .select(col("event_type"),
           expr(s"(ts_ns div 1000) div ${bucketUs}L").as("bucket"))
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("cnt"))
-        .cache()
-      Option(lastBuckets.getAndSet(buckets)).foreach(_.unpersist(blocking = false))
+        .cache())
       val stats = buckets.groupBy("event_type")
         .agg(count(lit(1)).as("n_buckets"),
           sum(col("cnt")).as("sx"),

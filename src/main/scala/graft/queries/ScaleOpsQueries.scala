@@ -53,6 +53,10 @@ object ScaleOpsQueries {
     * rows) is CACHED so graph algorithms iterate without rescanning the
     * corpus — the standard extract-once/iterate-on-the-graph decoupling.
     */
+  // one-generation cache handles (see CacheSlot)
+  private val lastEdges = new graft.util.CacheSlot
+  private val lastUnd = new graft.util.CacheSlot
+
   private def domainEdges(s: SparkSession, dir: String): DataFrame = {
     val doms = Tables(s, dir, "documents")
       .select(col("doc_id"),
@@ -62,12 +66,12 @@ object ScaleOpsQueries {
         regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
     val byDoc = doms.groupBy("doc_id")
       .agg(sort_array(collect_set(col("domain"))).as("ds"))
-    byDoc
+    lastEdges.swap(byDoc
       .select(explode(col("ds")).as("src"), col("ds"))
       .select(col("src"), explode(col("ds")).as("dst"))
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      .cache() // the aggregated graph — iterations must not rescan the corpus
+      .cache()) // the aggregated graph — iterations must not rescan the corpus
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -272,7 +276,7 @@ object ScaleOpsQueries {
         .select(col("source"),
           regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
         .distinct()
-      val und = sd
+      val und = lastUnd.swap(sd
         .join(broadcast(sd.select(col("source").as("b_src"),
           col("domain").as("b_dom"))),
           col("domain") === col("b_dom") && col("source") < col("b_src"))
@@ -280,7 +284,7 @@ object ScaleOpsQueries {
         .agg(count(lit(1)).as("nshared"))
         .where(col("nshared") >= triMinShared)
         .select("a", "b")
-        .cache() // the projected graph — three self-joins must not re-derive it
+        .cache()) // the projected graph — three self-joins must not re-derive it
       und.as("e1")
         .join(broadcast(und.select(col("a").as("b2"), col("b").as("c"))),
           col("b") === col("b2"))
