@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` — the four standard shapes of a
@@ -186,6 +186,31 @@ object DedupQueries {
     (labels, rounds)
   }
 
+  /** Incremental connected components — the daily-batch refresh that
+    * closes the gap q138 leaves: q138 absorbs a delta's PAIRS against
+    * the banded index, but re-deriving cluster labels from scratch
+    * (q64) re-walks the whole corpus graph. Instead, seed the
+    * star-alternation with yesterday's LABELS — a star forest is
+    * depth-1 by construction, so prior components contribute edges
+    * that are already converged, and the rounds the loop actually
+    * runs are bounded by the merge depth the DELTA induces (how many
+    * prior components a delta chain stitches together), never by the
+    * prior corpus's size or shape. A delta that touches nothing
+    * terminates in one confirm round; a delta merging k prior
+    * components costs O(log² k). Labels are component minima, so the
+    * incremental fixpoint is bit-identical to a from-scratch run over
+    * (old edges ∪ delta edges) — which is exactly what the q157 oracle
+    * checks with its recursive-CTE closure.
+    *
+    * @param priorLabels (node, label) — the persisted star forest
+    * @param deltaPairs  (doc_a, doc_b) — the new batch's edges
+    */
+  def incrementalComponentLabelsWithRounds(priorLabels: DataFrame,
+      deltaPairs: DataFrame): (DataFrame, Int) =
+    componentLabelsWithRounds(
+      priorLabels.select(col("node").as("doc_a"), col("label").as("doc_b"))
+        .union(deltaPairs.select(col("doc_a"), col("doc_b"))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup on the canonical token-set form: single hash shuffle,
     // map-side partial agg; representative = min doc_id
@@ -293,6 +318,38 @@ object DedupQueries {
       componentLabels(pairs)
         .groupBy(col("label").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_doc"))
+        .orderBy("cluster_rep")
+    }),
+
+    // Incremental CC over the q138 batch convention: the established
+    // corpus's pairs (both endpoints outside the [deltaLo, deltaHi)
+    // window) are clustered into yesterday's star forest, then the
+    // delta's pairs (≥1 endpoint inside the window) merge into it via
+    // the SEEDED star-alternation — rounds ∝ the merge depth the delta
+    // induces, not the corpus (see incrementalComponentLabelsWithRounds;
+    // IncrementalCCSpec pins the round bound). Output: the clusters the
+    // delta TOUCHED (the rows a daily refresh job rewrites — refresh ∝
+    // delta, the q138/q82 philosophy). The oracle's recursive-CTE
+    // closure over ALL pairs proves the incremental path is
+    // bit-identical to from-scratch.
+    "q157_delta_cc" -> ((s, dir) => {
+      val pairs = lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))
+      def inDelta(c: Column) =
+        c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
+      val oldPairs = pairs
+        .where(!inDelta(col("doc_a")) && !inDelta(col("doc_b")))
+      val deltaPairs = pairs
+        .where(inDelta(col("doc_a")) || inDelta(col("doc_b")))
+      val prior = componentLabels(oldPairs)
+      val (labels, _) =
+        incrementalComponentLabelsWithRounds(prior, deltaPairs)
+      labels
+        .groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(inDelta(col("node")), 1L).otherwise(0L))
+            .as("n_delta_members"),
+          max(col("node")).as("max_doc"))
+        .where(col("n_delta_members") > 0)
         .orderBy("cluster_rep")
     }),
 
@@ -574,6 +631,28 @@ object DedupQueries {
            |SELECT label AS cluster_rep, CAST(n_members AS BIGINT) AS n_members,
            |  doc_id AS kept_doc, quality AS kept_quality
            |FROM sel WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
+      // the from-scratch closure over ALL pairs (old ∪ delta IS the
+      // full candidate graph) + the delta-touched rollup: matching it
+      // exactly is the incremental-equals-from-scratch proof
+      "q157_delta_cc" ->
+        s"""WITH RECURSIVE $sqlLshEst,
+           |pairs AS (SELECT doc_a, doc_b FROM est
+           |          WHERE est_sim >= $minhashEstThreshold),
+           |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+           |labels AS (SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a)
+           |SELECT label AS cluster_rep, COUNT(*) AS n_members,
+           |  CAST(SUM(CASE WHEN node >= ${ModelOpsQueries.deltaLo}
+           |    AND node < ${ModelOpsQueries.deltaHi} THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_delta_members,
+           |  MAX(node) AS max_doc
+           |FROM labels GROUP BY label
+           |HAVING n_delta_members > 0
+           |ORDER BY cluster_rep""".stripMargin,
       // transitive closure over the same candidate pairs; label(v) =
       // min reachable doc_id == the propagation fixpoint
       "q64_dedup_clusters" ->

@@ -52,8 +52,9 @@ object ModelOpsQueries {
     * screens the newest micro-batch, so its cost must be O(delta), not
     * O(corpus); 400..500 exists at every driver SF.
     */
-  private val deltaLo = 400L
-  private val deltaHi = 500L
+  // shared with DedupQueries' q157 (incremental CC over the same batch)
+  private[queries] val deltaLo = 400L
+  private[queries] val deltaHi = 500L
 
   /** q139: sorted-neighborhood window and the Fellegi-Sunter-style
     * integer agreement/disagreement weights (log-likelihood-ratio
