@@ -75,13 +75,19 @@ object Bench {
       val dts = samples(name)
       name -> (if (dts.nonEmpty) dts.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full-precision doubles made the one-line JSON long
+    // enough to overflow the driver's stdout-tail capture window with
+    // 157 queries (BENCH_r09 recorded parsed:null) — 3 decimals is
+    // ample for sub-second steady-state timings and ~35% shorter
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // pass_sec: wall-clock per pass — a pass total far above the others
     // localizes a transient to that pass without re-running anything
     val passJson = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_sec":$passJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_sec":$passJson}""")
     spark.stop()
   }
 }
