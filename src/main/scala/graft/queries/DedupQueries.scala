@@ -333,7 +333,11 @@ object DedupQueries {
     // closure over ALL pairs proves the incremental path is
     // bit-identical to from-scratch.
     "q157_delta_cc" -> ((s, dir) => {
+      // materialized once (eager, like the fixpoint's own per-round
+      // checkpoints): both fixpoint inputs filter this list, and
+      // without it each side re-runs the banded candidate join
       val pairs = lshCandidates(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
       def inDelta(c: Column) =
         c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
       val oldPairs = pairs
