@@ -52,9 +52,11 @@ object ModelOpsQueries {
     * screens the newest micro-batch, so its cost must be O(delta), not
     * O(corpus); 400..500 exists at every driver SF.
     */
-  // shared with DedupQueries' q157 (incremental CC over the same batch)
-  private[queries] val deltaLo = 400L
-  private[queries] val deltaHi = 500L
+  // shared with DedupQueries' q157 (incremental CC over the same
+  // batch) and StreamingQueries' q158 (the same screen through the
+  // incremental engine)
+  private[graft] val deltaLo = 400L
+  private[graft] val deltaHi = 500L
 
   /** q139: sorted-neighborhood window and the Fellegi-Sunter-style
     * integer agreement/disagreement weights (log-likelihood-ratio

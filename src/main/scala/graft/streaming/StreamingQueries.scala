@@ -646,6 +646,98 @@ object StreamingQueries {
           .orderBy("user_id")
       }),
 
+    // E143 oracle-gated: continuous-ingest near-dup screening — the
+    // STREAMING face of q138. New documents arrive as a stream; their
+    // MinHash signatures and LSH band keys are computed IN the
+    // micro-batch (the custom codegen Expressions run inside the
+    // incremental engine), and each band key probes the established
+    // corpus's banded index via a stream-static broadcast join —
+    // stateless, Append-mode, no watermark needed (an equi-join
+    // against a static side holds no stream state). The gated result
+    // is q138's exact per-delta-doc best-match report, assembled
+    // post-sink from the emitted candidate rows, so the DuckDB twin
+    // (identical SQL to q138's) proves the screen's STREAMING
+    // execution is bit-identical to its batch execution. At 100 TB:
+    // per-micro-batch work ∝ new docs × bands; the index side is the
+    // deployment's persisted artifact (here re-derived from the
+    // fixture because the gate must be self-contained).
+    "q158_stream_delta_dedup" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{tokens, minhashK, minhashBands, minhashBandRows}
+      val src = Paths.get(s"$dir/documents.parquet")
+      val stage = tmpDir("graft-q158-src")
+      val ckpt = tmpDir("graft-q158-ckpt")
+      val sink = s"graft_q158_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("documents.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        def sigOf(df: DataFrame) = df
+          .select(col("doc_id"), array_distinct(
+            graft.functions.ShingleHash(tokens(col("text")), 3)).as("hs"))
+          .select(col("doc_id"),
+            graft.functions.MinHashSig(col("hs")).as("sig"))
+          .where(col("sig").isNotNull)
+        val bandStructs = (0 until minhashBands).map { b =>
+          struct(lit(b).as("band"),
+            element_at(col("sig"), b * minhashBandRows + 1).as("h1"),
+            element_at(col("sig"), b * minhashBandRows + 2).as("h2"))
+        }
+        def bands(df: DataFrame) = df
+          .select(col("doc_id"), col("sig"),
+            explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("sig"),
+            col("bk.band").as("band"), col("bk.h1").as("h1"),
+            col("bk.h2").as("h2"))
+        val lo = graft.queries.ModelOpsQueries.deltaLo
+        val hi = graft.queries.ModelOpsQueries.deltaHi
+        val index = bands(sigOf(s.read.parquet(src.toString))
+          .where(col("doc_id") < lo || col("doc_id") >= hi))
+          .select(col("doc_id").as("match_id"), col("sig").as("si"),
+            col("band"), col("h1"), col("h2"))
+        val matches = bands(sigOf(
+            s.readStream.schema(schema).parquet(stage.toString)
+              .where(col("doc_id") >= lo && col("doc_id") < hi)))
+          .join(broadcast(index), Seq("band", "h1", "h2"))
+          .select(col("doc_id"), col("match_id"),
+            col("sig").as("sd"), col("si"))
+        val query = matches.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // post-sink: q138's exact scoring over the emitted candidates
+        // (distinct across bands, signature-estimate argmax, novel docs
+        // NULL-extended from the delta's signature list)
+        val cand = s.table(sink).distinct()
+          .select(col("doc_id"), col("match_id"),
+            size(filter(zip_with(col("sd"), col("si"), (x, y) => x === y),
+              b => b)).cast("long").as("m"))
+        val best = cand
+          .withColumn("score", col("m") * lit(10000000L) - col("match_id"))
+          .groupBy("doc_id")
+          .agg(max_by(col("match_id"), col("score")).as("best_match"),
+            (max_by(col("m"), col("score")).cast("double") / minhashK)
+              .as("best_est"),
+            count(lit(1)).as("n_candidates"))
+        val out = sigOf(s.read.parquet(src.toString))
+          .where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id"))
+          .join(broadcast(best), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            col("best_match"), col("best_est"))
+          .orderBy("doc_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -704,6 +796,48 @@ object StreamingQueries {
     "q69_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // identical to q138's twin on purpose: streaming execution of the
+    // delta screen must be bit-identical to the batch execution
+    "q158_stream_delta_dedup" -> {
+      import graft.functions.TextFunctions.{sqlShingleHashes, sqlMinhash, minhashK, minhashBands, minhashBandRows}
+      val lo = graft.queries.ModelOpsQueries.deltaLo
+      val hi = graft.queries.ModelOpsQueries.deltaHi
+      val sigList = (0 until minhashK).map(k => sqlMinhash("hs", k))
+        .mkString("[", ",\n    ", "]")
+      s"""WITH hashes AS (SELECT doc_id, ${sqlShingleHashes("text")} AS hs
+         |      FROM documents),
+         |sig AS (SELECT doc_id, $sigList AS sig FROM hashes
+         |        WHERE len(hs) > 0),
+         |bands AS (
+         |  SELECT doc_id, sig, CAST(i AS INT) AS band,
+         |    sig[CAST($minhashBandRows * i + 1 AS INT)] AS h1,
+         |    sig[CAST($minhashBandRows * i + 2 AS INT)] AS h2
+         |  FROM sig, range(0, $minhashBands) r(i)),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS doc_id, i.doc_id AS match_id,
+         |    d.sig AS sd, i.sig AS si
+         |  FROM bands d JOIN bands i
+         |    ON i.band = d.band AND i.h1 = d.h1 AND i.h2 = d.h2
+         |    AND d.doc_id >= $lo AND d.doc_id < $hi
+         |    AND (i.doc_id < $lo OR i.doc_id >= $hi)),
+         |est AS (
+         |  SELECT doc_id, match_id,
+         |    CAST(len(list_filter(range(1, ${minhashK + 1}),
+         |      i -> sd[CAST(i AS INT)] = si[CAST(i AS INT)])) AS BIGINT) AS m
+         |  FROM cand),
+         |best AS (
+         |  SELECT doc_id,
+         |    arg_max(match_id, m * 10000000 - match_id) AS best_match,
+         |    CAST(arg_max(m, m * 10000000 - match_id) AS DOUBLE)
+         |      / $minhashK AS best_est,
+         |    CAST(COUNT(*) AS BIGINT) AS n_candidates
+         |  FROM est GROUP BY doc_id)
+         |SELECT s.doc_id, COALESCE(b.n_candidates, 0) AS n_candidates,
+         |  b.best_match, b.best_est
+         |FROM sig s LEFT JOIN best b ON b.doc_id = s.doc_id
+         |WHERE s.doc_id >= $lo AND s.doc_id < $hi
+         |ORDER BY s.doc_id""".stripMargin
+    },
     // q59's emission predicate + q86's sketch construction per window
     "q107_stream_kmv" -> {
       val k = streamKmvK

@@ -26,7 +26,8 @@ class PlanShapeSpec extends SparkSuite {
   private val streamingQueries =
     Set("q59_stream_window", "q69_stream_dedup", "q70_stream_sessions",
       "q71_stream_enrich", "q79_stream_join", "q130_stream_alerts",
-      "q146_stream_outer_join", "q154_stream_session_window")
+      "q146_stream_outer_join", "q154_stream_session_window",
+      "q158_stream_delta_dedup")
 
   private lazy val plans: Map[String, SparkPlan] = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
