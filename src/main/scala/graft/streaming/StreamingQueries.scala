@@ -651,7 +651,7 @@ object StreamingQueries {
     // MinHash signatures and LSH band keys are computed IN the
     // micro-batch (the custom codegen Expressions run inside the
     // incremental engine), and each band key probes the established
-    // corpus's banded index via a stream-static broadcast join —
+    // corpus's banded index via a stream-static equi-join —
     // stateless, Append-mode, no watermark needed (an equi-join
     // against a static side holds no stream state). The gated result
     // is q138's exact per-delta-doc best-match report, assembled
@@ -694,10 +694,15 @@ object StreamingQueries {
           .where(col("doc_id") < lo || col("doc_id") >= hi))
           .select(col("doc_id").as("match_id"), col("sig").as("si"),
             col("band"), col("h1"), col("h2"))
+        // UNHINTED join (the q114/q152 rule): the index side is
+        // corpus-scaled, so a pinned broadcast() would OOM the driver
+        // at 100 TB — size stats broadcast it at gate scale, and a
+        // deployment stores the index bucketed on the band key so the
+        // per-micro-batch join shuffles only the arriving delta
         val matches = bands(sigOf(
             s.readStream.schema(schema).parquet(stage.toString)
               .where(col("doc_id") >= lo && col("doc_id") < hi)))
-          .join(broadcast(index), Seq("band", "h1", "h2"))
+          .join(index, Seq("band", "h1", "h2"))
           .select(col("doc_id"), col("match_id"),
             col("sig").as("sd"), col("si"))
         val query = matches.writeStream.format("memory").queryName(sink)
