@@ -93,9 +93,16 @@ object DedupQueries {
           col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // signature rejoins UNHINTED (the q114/q152 rule): the signature
+    // table is one row per doc — corpus-scaled — so a pinned
+    // broadcast() would OOM the driver at 100 TB. Size stats (or AQE
+    // at runtime) broadcast it at gate scale; at production the
+    // rejoin is a doc_id-keyed shuffle equi-join with volume ∝
+    // candidates + one signature pass — which is what the narrow-band
+    // design already assumed
     pairs
-      .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
-      .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           b => b)).cast("double") / minhashK).as("est_sim"))
@@ -422,16 +429,19 @@ object DedupQueries {
     // ⇒ low Jaccard, high containment). Candidate volume ∝ true
     // near-dups (inherited from the banded LSH); the exact verify is the
     // same SortedIntersectCount merge kernel as q26, one codegen'd pass
-    // per pair. The broadcast hash rejoin mirrors q27's signature rejoin
-    // (at cluster scale both become shuffle equi-joins keyed on doc_id,
-    // volume ∝ candidates).
+    // per pair. The hash-array rejoin mirrors q27's signature rejoin
+    // and is UNHINTED for the same reason: the per-doc gram-hash table
+    // is corpus-scaled, so stats broadcast it at gate scale and at
+    // cluster scale both genuinely become doc_id-keyed shuffle
+    // equi-joins with volume ∝ candidates (a pinned hint would never
+    // flip).
     "q102_containment" -> ((s, dir) => {
       val cands = lshCandidates(s, dir).select("doc_a", "doc_b")
       val hs = hashArrays(s, dir)
         .select(col("doc_id"), array_sort(col("hs")).as("hs"))
       val j = cands
-        .join(broadcast(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
-        .join(broadcast(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+        .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+        .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       val i = graft.functions.SortedIntersectCount(col("ha"), col("hb"))
       j.select(col("doc_a"), col("doc_b"), i.cast("long").as("inter"),
           size(col("ha")).cast("long").as("na"), size(col("hb")).cast("long").as("nb"))
