@@ -79,14 +79,20 @@ object Bench {
     // enough to overflow the driver's stdout-tail capture window with
     // 157 queries (BENCH_r09 recorded parsed:null) — 3 decimals is
     // ample for sub-second steady-state timings and ~35% shorter
+    // Locale.ROOT explicitly: the f-interpolator uses the JVM default
+    // locale, and a comma-decimal locale (de_DE, ...) would emit "1,234"
+    // and make the one-line JSON unparseable
     def fmt(v: Double): String =
-      if (v < 0) "-1" else f"$v%.3f"
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // pass_sec: wall-clock per pass — a pass total far above the others
     // localizes a transient to that pass without re-running anything
-    val passJson = passTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
+    val passJson = passTotals
+      .map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t)))
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_sec":$passJson}""")
     spark.stop()
   }

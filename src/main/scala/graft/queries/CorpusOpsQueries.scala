@@ -87,7 +87,7 @@ object CorpusOpsQueries {
       val weights = hist.select(col("b"),
         expr(s"((tgt + 1) * $dsirScale) div (src + 1)").as("wb"))
       tok.where(!isEval)
-        .join(broadcast(weights), "b")
+        .join(broadcast(weights), "b")  // hint audit: dimension-bounded (64 DSIR buckets)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum(col("wb")).as("score"))
         .orderBy("doc_id")
@@ -214,7 +214,7 @@ object CorpusOpsQueries {
       val idx = graft.ext.GlobalIndex.withGlobalIndex(d,
         Seq(col("n_chars").asc, col("doc_id").asc), 32, "idx")
       val tot = d.groupBy().agg(count(lit(1)).as("n"))
-      idx.crossJoin(broadcast(tot))
+      idx.crossJoin(broadcast(tot))  // hint audit: scalar (one-row corpus total)
         .select(col("n_chars"), expr("(idx * 10) div n").as("decile"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("lo"),
@@ -277,7 +277,7 @@ object CorpusOpsQueries {
         .select(col("lang"), col("n_chars"),
           expr("(cum * 1000) div n").as("pct_permille"))
       docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
-        .join(broadcast(cdf), Seq("lang", "n_chars"))
+        .join(broadcast(cdf), Seq("lang", "n_chars"))  // hint audit: value-domain-bounded (compressed (lang, n_chars) CDF histogram)
         .orderBy("doc_id")
     }),
 
@@ -314,7 +314,7 @@ object CorpusOpsQueries {
         .select(col("shard"), col("postings").as("pa"))
       val b = post.where(col("term") === qTermB)
         .select(col("shard").as("shard_b"), col("postings").as("pb"))
-      a.join(broadcast(b), col("shard") === col("shard_b"))
+      a.join(broadcast(b), col("shard") === col("shard_b"))  // hint audit: query-bounded (one probe term's sharded postings, ~ df(qTermB); a stopword-grade term would drop the hint -> shard-keyed shuffle)
         .select(explode(array_intersect(col("pa"), col("pb"))).as("doc_id"))
         .orderBy("doc_id")
     }))

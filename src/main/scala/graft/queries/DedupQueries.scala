@@ -260,7 +260,7 @@ object DedupQueries {
       // onto a single task
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val pairs = docs.repartition(nPart, col("doc_id")).as("a")
-        .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
+        .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))  // hint audit: gate-scale pair tier, bounded 500-doc slice by construction (production path = q27 LSH)
       val i = graft.functions.SortedIntersectCount(col("a.hs"), col("b.hs"))
       pairs
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -289,7 +289,7 @@ object DedupQueries {
           graft.functions.MinHashSig(col("hs")).as("sig"))
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val pairs = d.repartition(nPart, col("doc_id")).as("a")
-        .join(broadcast(d.as("b")), col("a.doc_id") < col("b.doc_id"))
+        .join(broadcast(d.as("b")), col("a.doc_id") < col("b.doc_id"))  // hint audit: gate-scale pair tier, q26's bounded slice (calibration samples at any scale)
       val inter = graft.functions.SortedIntersectCount(col("a.hs"), col("b.hs"))
       val nMatch = size(filter(
         zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), b => b))
@@ -311,10 +311,10 @@ object DedupQueries {
       lshCandidates(s, dir).orderBy("doc_a", "doc_b")),
 
     // near-dup CLUSTERS: connected components over the q27 candidate
-    // graph via Pregel-style min-label propagation — label(v) converges
-    // to the min doc_id of v's component in diameter-many rounds (one
-    // shuffle-agg + one join per round; near-dup components are tiny,
-    // so 2-3 rounds in practice). This is the step between "candidate
+    // graph via large-star/small-star alternation (componentLabels —
+    // see its scaladoc): each round hooks whole subtrees directly
+    // under smaller ids, so convergence is O(log²) in component size
+    // regardless of graph shape. This is the step between "candidate
     // pairs" and "keep one representative per dup group": at 100 TB the
     // edge list is ∝ near-dups, every round is hash-partitioned on the
     // node id, and nothing ever materializes a component on one
@@ -369,16 +369,20 @@ object DedupQueries {
     // deterministic "best writing wins, newest id breaks ties" policy a
     // curation pipeline actually materializes (q64 reports the
     // clusters; this decides what survives them). The label frame is ∝
-    // docs-in-near-dup-clusters (tiny next to the corpus), so it
-    // BROADCASTS against the scored scan; the argmax is a
-    // max-over-struct — partial-aggregable, one shuffle on the cluster
-    // key with map-side combine, no window/sort over members.
+    // docs-in-near-dup-clusters — in web-crawl corpora dup-cluster
+    // membership is routinely 30-50% of documents, a corpus FRACTION,
+    // not a bounded dimension — so the label join is UNHINTED (the
+    // q114/q152 rule: a pinned hint never flips): stats/AQE broadcast
+    // it at gate scale, and at production it is a doc_id-keyed shuffle
+    // equi-join. The argmax is a max-over-struct — partial-aggregable,
+    // one shuffle on the cluster key with map-side combine, no
+    // window/sort over members.
     "q150_keep_best" -> ((s, dir) => {
       val labels = componentLabels(
         lshCandidates(s, dir).select(col("doc_a"), col("doc_b")))
       val scored = Tables(s, dir, "documents")
         .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      scored.join(broadcast(labels), scored("doc_id") === labels("node"))
+      scored.join(labels, scored("doc_id") === labels("node"))
         .groupBy(col("label").as("cluster_rep"))
         .agg(count(lit(1)).as("n_members"),
           max(struct(col("quality"), col("doc_id"))).as("best"))
@@ -480,7 +484,7 @@ object DedupQueries {
       // per-doc tokens re-sorted rare-first under the global (df, t)
       // order; the prefix is a dynamic-length slice of that order
       val ordered = base.select(col("doc_id"), explode(col("ts")).as("t"))
-        .join(broadcast(dfTable), "t")
+        .join(broadcast(dfTable), "t")  // hint audit: dimension-bounded (token df table, ~ vocab)
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ots"),
           count(lit(1)).as("sz"))
@@ -498,9 +502,16 @@ object DedupQueries {
       val hs = base.select(col("doc_id"),
         array_sort(col("ts")).as("hs"))
       val i = graft.functions.SortedIntersectCount(col("ha"), col("hb"))
+      // exact-verify rejoins UNHINTED (the q27/q102/q114/q152 rule): the
+      // per-doc sorted-token-array relation is corpus-scaled (here a
+      // constant 20% corpus fraction), so a pinned broadcast() would
+      // materialize a corpus fraction on the driver at 100 TB. Size
+      // stats broadcast it at gate scale; at production both rejoins
+      // are doc_id-keyed shuffle equi-joins with volume ∝ candidates —
+      // PlanShapeSpec pins both regimes.
       cands
-        .join(broadcast(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
-        .join(broadcast(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+        .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+        .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
         .select(col("doc_a"), col("doc_b"), i.cast("long").as("inter"),
           (i.cast("double") / (col("na") + col("nb") - i).cast("double"))
             .as("jaccard"))

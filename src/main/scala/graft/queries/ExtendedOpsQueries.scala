@@ -158,8 +158,13 @@ object ExtendedOpsQueries {
 
     // staged funnel: users who viewed, then clicked AFTER their first
     // view, then purchased AFTER that first qualifying click. Each
-    // stage is a groupBy + broadcast join on the (tiny) qualified-user
-    // set — event rows stream past once per stage, never pairwise.
+    // stage is a groupBy + join on the qualified-user set — event rows
+    // stream past once per stage, never pairwise. The user-stage joins
+    // are UNHINTED (hint audit: the qualified-user relation is ∝
+    // distinct users — a corpus fraction of an event stream, not a
+    // bounded dimension): the cache gives the planner the REAL size, so
+    // stats broadcast it at gate scale and a user-keyed shuffle
+    // equi-join takes over at production scale.
     "q47_funnel" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), expr(tsUs).as("t"), col("event_type"))
@@ -169,10 +174,10 @@ object ExtendedOpsQueries {
       val v = lastV.swap(e.where(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("t")).as("vt")).cache())
       val c = lastC.swap(e.where(col("event_type") === "click")
-        .join(broadcast(v), "user_id").where(col("t") > col("vt"))
+        .join(v, "user_id").where(col("t") > col("vt"))
         .groupBy("user_id").agg(min(col("t")).as("ct")).cache())
       val p = e.where(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id").where(col("t") > col("ct"))
+        .join(c, "user_id").where(col("t") > col("ct"))
         .groupBy("user_id").agg(min(col("t")).as("pt"))
       v.agg(count(lit(1)).as("n_view_users"))
         .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
@@ -413,7 +418,7 @@ object ExtendedOpsQueries {
         .agg(graft.functions.KMinValues(col("v"), k).as("msk"))
       val direct = Tables.events(s, dir)
         .agg(graft.functions.KMinValues(h, k).as("dsk"))
-      merged.join(broadcast(direct))
+      merged.join(broadcast(direct))  // hint audit: scalar (one-row sketch frame)
         .select(str(col("msk")).as("merged_str"),
           str(col("dsk")).as("direct_str"),
           (col("msk") === col("dsk")).as("sketches_equal"))

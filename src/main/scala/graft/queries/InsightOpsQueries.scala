@@ -214,8 +214,8 @@ object InsightOpsQueries {
         + lit(0.5)) / (col("doc_freq").cast("double") + lit(0.5))
       val score = (tfd * (k1 + lit(1.0)) /
         (tfd + k1 * (lit(1.0) - b + b * (col("dl").cast("double") / avgdl)))) * idf
-      val kw = tf.join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(stats))
+      val kw = tf.join(broadcast(dfreq), "term")  // hint audit: dimension-bounded (slice-vocab df table)
+        .crossJoin(broadcast(stats))  // hint audit: scalar (one-row collection stats)
         .withColumn("s", score)
         .groupBy("doc_id").agg(sum(col("s")).as("kw_score"))
         .orderBy(desc("kw_score"), asc("doc_id")).limit(fuseR)
@@ -225,7 +225,7 @@ object InsightOpsQueries {
       val probe = corpus.where(col("vec_id") === 0)
         .select(col("embedding").as("pe"), col("n2").as("pn2"))
       val vec = corpus.where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
+        .crossJoin(broadcast(probe))  // hint audit: scalar (one-row probe)
         .select(col("vec_id").as("doc_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
             .as("cos"))
@@ -306,9 +306,9 @@ object InsightOpsQueries {
             |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
         .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
         .agg(count(lit(1)).as("n_co_users"))
-      co.join(broadcast(totals.select(col("event_type").as("type_a"),
+      co.join(broadcast(totals.select(col("event_type").as("type_a"),  // hint audit: dimension-bounded (per-event-type totals)
           col("n_users").as("n_a"))), "type_a")
-        .join(broadcast(totals.select(col("event_type").as("type_b"),
+        .join(broadcast(totals.select(col("event_type").as("type_b"),  // hint audit: dimension-bounded (per-event-type totals)
           col("n_users").as("n_b"))), "type_b")
         .select(col("type_a"), col("type_b"), col("n_co_users"),
           expr("n_co_users * 1000 div (n_a + n_b - n_co_users)")

@@ -120,7 +120,7 @@ object ModelOpsQueries {
         .groupBy("source").agg(
           sum(col("n")).as("n_tokens"),
           sum(col("n") * col("c")).as("weight"))
-        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(totals))  // hint audit: scalar (one-row totals)
         .select(col("source"), col("n_tokens"),
           (col("weight").cast("double") /
             (col("n_tokens").cast("double") * col("total_tokens").cast("double")))
@@ -174,7 +174,7 @@ object ModelOpsQueries {
         .select(element_at(split(col("bg"), " "), 2).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n_contexts"))
       val tot = bgd.agg(count(lit(1)).as("bigram_types"))
-      cont.crossJoin(broadcast(tot))
+      cont.crossJoin(broadcast(tot))  // hint audit: scalar (one-row total)
         .select(col("token"), col("n_contexts"),
           expr("n_contexts * 1000 div bigram_types").as("p_cont_permille"))
         .orderBy(desc("n_contexts"), asc("token")).limit(knTopK)
@@ -288,7 +288,7 @@ object ModelOpsQueries {
       val delta = bands(sig.where(isDelta))
       val index = bands(sig.where(!isDelta))
       val cand = index.as("i")
-        .join(broadcast(delta.as("d")),
+        .join(broadcast(delta.as("d")),  // hint audit: delta-bounded (the arriving batch, ~ delta x bands)
           col("i.band") === col("d.band") && col("i.h1") === col("d.h1") &&
             col("i.h2") === col("d.h2"))
         .select(col("d.doc_id").as("doc_id"),
@@ -310,7 +310,7 @@ object ModelOpsQueries {
             .as("best_est"),
           count(lit(1)).as("n_candidates"))
       sig.where(isDelta).select(col("doc_id"))
-        .join(broadcast(best), Seq("doc_id"), "left")
+        .join(broadcast(best), Seq("doc_id"), "left")  // hint audit: delta-bounded (per-delta-doc best match)
         .select(col("doc_id"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           col("best_match"), col("best_est"))
@@ -372,7 +372,7 @@ object ModelOpsQueries {
       val tot = st.groupBy("t").agg(sum(col("n")).as("c"))
       val vocab = tot.orderBy(desc("c"), asc("t")).limit(vocabV)
         .select(col("t"), lit(true).as("in_vocab"))
-      st.join(broadcast(vocab), Seq("t"), "left")
+      st.join(broadcast(vocab), Seq("t"), "left")  // hint audit: dimension-bounded (top-V vocab)
         .groupBy("source").agg(
           sum(col("n")).as("n_tokens"),
           sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
@@ -412,17 +412,17 @@ object ModelOpsQueries {
       val srcCand = sl.select(
         concat(lit("source="), col("source")).as("split_id"),
         col("lang"), col("c"))
-      val thrCand = nl.join(broadcast(thrDf), col("n_chars") <= col("t"))
+      val thrCand = nl.join(broadcast(thrDf), col("n_chars") <= col("t"))  // hint audit: scalar (literal threshold VALUES)
         .groupBy("t", "lang").agg(sum(col("c")).as("c"))
         .select(concat(lit("n_chars<="), col("t")).as("split_id"),
           col("lang"), col("c"))
       srcCand.unionByName(thrCand)
-        .join(broadcast(tot), "lang")
+        .join(broadcast(tot), "lang")  // hint audit: dimension-bounded (per-lang totals)
         .groupBy("split_id").agg(
           sum(col("c")).as("ln"),
           sum(col("c") * col("c")).as("lss"),
           sum(col("tot_c") * col("c")).as("cross"))
-        .crossJoin(broadcast(scal))
+        .crossJoin(broadcast(scal))  // hint audit: scalar (one-row (N, T2))
         .select(col("split_id"), col("ln").as("n_left"),
           (col("n_total") - col("ln")).as("n_right"),
           expr("""CASE WHEN ln > 0 THEN (ln * ln - lss) * 1000000L div (ln * ln)
@@ -498,7 +498,7 @@ object ModelOpsQueries {
           split(col("pair"), " ").getItem(1).as("y"))
         .join(uni.select(col("t").as("x"), col("n_t").as("n_x")), "x")
         .join(uni.select(col("t").as("y"), col("n_t").as("n_y")), "y")
-        .join(broadcast(uni.agg(sum(col("n_t")).as("n_tokens"))))
+        .join(broadcast(uni.agg(sum(col("n_t")).as("n_tokens"))))  // hint audit: scalar (one-row corpus token total)
         .select(col("pair"), col("n_xy"), col("n_x"), col("n_y"),
           (col("n_xy").cast("double") * col("n_tokens").cast("double") /
             (col("n_x").cast("double") * col("n_y").cast("double")))
@@ -546,7 +546,7 @@ object ModelOpsQueries {
         .select(col("dim"), expr("gs div gn").as("g"))
       per.select(col("label"), col("dim"), expr("s div n").as("c"),
           col("n"))
-        .join(broadcast(glob), "dim")
+        .join(broadcast(glob), "dim")  // hint audit: dimension-bounded (per-dim calibration frame, 64 rows)
         .groupBy("label").agg(
           max(col("n")).as("n_vecs"),
           sum(abs(col("c") - col("g"))).as("l1_drift_micro"))

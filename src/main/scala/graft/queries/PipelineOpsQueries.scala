@@ -178,7 +178,7 @@ object PipelineOpsQueries {
       val train = grams(docs.where(!isTestDoc(col("doc_id"))))
       val test = grams(docs.where(isTestDoc(col("doc_id"))))
         .select(col("doc_id").as("test_doc"), col("h"))
-      val pairs = train.join(broadcast(test), "h")
+      val pairs = train.join(broadcast(test), "h")  // hint audit: dimension-bounded (eval-horizon shingle set - the benchmark suite, not the corpus)
         .groupBy(col("doc_id").as("train_doc"), col("test_doc"))
         .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct per doc
         .where(col("n_shared") >= minSharedShingles)
@@ -266,13 +266,13 @@ object PipelineOpsQueries {
         s"SELECT pid, qlo, qhi, plo, phi FROM VALUES $probeRows AS v(pid, qlo, qhi, plo, phi)")
       val totals = zones.groupBy("layout")
         .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("rows_total"))
-      zones.join(broadcast(probes),
+      zones.join(broadcast(probes),  // hint audit: scalar (9-row probe grid)
           col("min_q") <= col("qhi") && col("max_q") >= col("qlo") &&
             col("min_p") <= col("phi") && col("max_p") >= col("plo"))
         .groupBy("layout", "pid")
         .agg(count(lit(1)).as("files_touched"),
           sum(col("n_rows")).as("rows_scanned"))
-        .join(broadcast(totals), "layout")
+        .join(broadcast(totals), "layout")  // hint audit: dimension-bounded (per-layout totals)
         .select(col("layout"), col("pid"), col("n_files"),
           col("files_touched"), col("rows_total"), col("rows_scanned"))
         .orderBy("layout", "pid")
@@ -309,22 +309,22 @@ object PipelineOpsQueries {
       }.mkString(", ")
       val probes = s.sql(
         s"SELECT pkv, b1, b2 FROM VALUES $probeRows AS v(pkv, b1, b2)")
-      val zoneTouch = zones.join(broadcast(probes),
+      val zoneTouch = zones.join(broadcast(probes),  // hint audit: scalar (9-row probe grid)
           col("min_pk") <= col("pkv") && col("max_pk") >= col("pkv"))
         .groupBy("pkv").agg(count(lit(1)).as("zone_touched"))
-      val hit1 = bits.join(broadcast(probes), col("bit") === col("b1"))
+      val hit1 = bits.join(broadcast(probes), col("bit") === col("b1"))  // hint audit: scalar (9-row probe grid)
         .select(col("file_id"), col("pkv"))
-      val hit2 = bits.join(broadcast(probes), col("bit") === col("b2"))
+      val hit2 = bits.join(broadcast(probes), col("bit") === col("b2"))  // hint audit: scalar (9-row probe grid)
         .select(col("file_id"), col("pkv"))
       val bloomTouch = hit1.join(hit2, Seq("file_id", "pkv"))
         .distinct()
         .groupBy("pkv").agg(count(lit(1)).as("bloom_touched"))
-      val trueFiles = d.join(broadcast(probes), col("pk") === col("pkv"))
+      val trueFiles = d.join(broadcast(probes), col("pk") === col("pkv"))  // hint audit: scalar (9-row probe grid)
         .select(col("file_id"), col("pkv")).distinct()
         .groupBy("pkv").agg(count(lit(1)).as("true_files"))
       val total = zones.agg(count(lit(1)).as("n_files"))
       zoneTouch.join(bloomTouch, "pkv").join(trueFiles, "pkv")
-        .join(broadcast(total))
+        .join(broadcast(total))  // hint audit: scalar (one-row total)
         .select(col("pkv"), col("n_files"), col("zone_touched"),
           col("bloom_touched"), col("true_files"))
         .orderBy("pkv")
@@ -356,7 +356,7 @@ object PipelineOpsQueries {
       val mean = col("sx").cast("double") / nd
       val sigma = sqrt(nd * col("sxx").cast("double") -
         col("sx").cast("double") * col("sx").cast("double")) / nd
-      buckets.join(broadcast(stats), "event_type")
+      buckets.join(broadcast(stats), "event_type")  // hint audit: dimension-bounded (per-event-type stats)
         .withColumn("mean_cnt", mean)
         .withColumn("sigma_cnt", sigma)
         .where(col("cnt").cast("double") >
@@ -396,9 +396,9 @@ object PipelineOpsQueries {
       // the full per-document dl would ship one row per corpus doc;
       // `stats` above already consumed the full dl for avgdl
       val dlSlice = dl.where(col("doc_id") % bm25DocModulus === 0)
-      tf.join(broadcast(df), "term")
-        .join(broadcast(dlSlice), "doc_id")
-        .crossJoin(broadcast(stats))
+      tf.join(broadcast(df), "term")  // hint audit: dimension-bounded (slice-vocab df table)
+        .join(broadcast(dlSlice), "doc_id")  // hint audit: query-bounded (doc lengths of the scored slice)
+        .crossJoin(broadcast(stats))  // hint audit: scalar (one-row collection stats)
         .withColumn("score", score)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= bm25TopN)
@@ -433,7 +433,7 @@ object PipelineOpsQueries {
         .agg(count(lit(1)).as("df"))
         .where(col("df") >= boilerplateDf)
         .select(col("h"), lit(1).as("is_template"))
-      shingled.join(broadcast(template), Seq("h"), "left")
+      shingled.join(broadcast(template), Seq("h"), "left")  // hint audit: dimension-bounded (df>=tau template set - boilerplate vocabulary, heavy-tail-truncated)
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_shingles"),
           sum(coalesce(col("is_template"), lit(0))).as("n_template"))

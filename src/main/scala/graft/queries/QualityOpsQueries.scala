@@ -65,7 +65,7 @@ object QualityOpsQueries {
         .groupBy("ck").agg(count(lit(1)).as("c"))
         .agg(sum(when(col("c") > 1, col("c") - 1)).as("x"))
         .select(coalesce(col("x"), lit(0L)).as("dup_text_rows"))
-      base.join(broadcast(dupIds)).join(broadcast(dupText))
+      base.join(broadcast(dupIds)).join(broadcast(dupText))  // hint audit: scalar x2 (one-row dup totals)
     }),
 
     // OHLC-style metric downsampling: per (event_type, hour) the

@@ -47,7 +47,7 @@ object RelationalQueries {
     "q02_join_broadcast" -> ((s, dir) => {
       val orders = Tables(s, dir, "orders")
       val customer = Tables(s, dir, "customer")
-      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))  // hint audit: dimension table (TPC-H customer - the broadcast-join operator demo; stats/AQE take over at extreme SF)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(dec2)).cast("double").as("revenue"))
@@ -64,9 +64,9 @@ object RelationalQueries {
       val nation = Tables(s, dir, "nation")
       val region = Tables(s, dir, "region").where(col("r_name") === "ASIA")
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
-        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
-        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))  // hint audit: dimension table
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))  // hint audit: dimension table
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))  // hint audit: dimension table
         .groupBy("n_name")
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec4))
           .cast("double").as("revenue"),

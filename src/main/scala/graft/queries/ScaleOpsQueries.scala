@@ -95,7 +95,7 @@ object ScaleOpsQueries {
       val exact = items.groupBy("item").agg(count(lit(1)).as("n_true"))
       val total = exact.agg(sum(col("n_true")).as("n"))
       def est = coalesce(element_at(col("sketch"), col("item")), lit(0L))
-      exact.join(broadcast(sketch)).join(broadcast(total))
+      exact.join(broadcast(sketch)).join(broadcast(total))  // hint audit: scalar x2 (one-row sketch + one-row total)
         .where(col("n_true") * (hhK + 1) > col("n"))
         .select(col("item"), col("n_true"),
           element_at(col("sketch"), col("item")).isNotNull.as("in_sketch"),
@@ -277,7 +277,7 @@ object ScaleOpsQueries {
           regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
         .distinct()
       val und = lastUnd.swap(sd
-        .join(broadcast(sd.select(col("source").as("b_src"),
+        .join(broadcast(sd.select(col("source").as("b_src"),  // hint audit: gate-scale, named production alternative (SURVEY E89: degree-ordered compact-forward, shuffled)
           col("domain").as("b_dom"))),
           col("domain") === col("b_dom") && col("source") < col("b_src"))
         .groupBy(col("source").as("a"), col("b_src").as("b"))
@@ -286,9 +286,9 @@ object ScaleOpsQueries {
         .select("a", "b")
         .cache()) // the projected graph — three self-joins must not re-derive it
       und.as("e1")
-        .join(broadcast(und.select(col("a").as("b2"), col("b").as("c"))),
+        .join(broadcast(und.select(col("a").as("b2"), col("b").as("c"))),  // hint audit: gate-scale (E89 production alternative: shuffled compact-forward)
           col("b") === col("b2"))
-        .join(broadcast(und.select(col("a").as("a3"), col("b").as("c3"))),
+        .join(broadcast(und.select(col("a").as("a3"), col("b").as("c3"))),  // hint audit: gate-scale (E89 production alternative: shuffled compact-forward)
           col("a") === col("a3") && col("c") === col("c3"), "left_semi")
         .select(explode(array(col("a"), col("b"), col("c"))).as("source"))
         .groupBy("source").agg(count(lit(1)).as("n_triangles"))

@@ -86,7 +86,7 @@ object ShapeOpsQueries {
           col("h.bucket").as("bucket"))
       val sketch = bk.groupBy("j", "bucket").agg(sum(col("n")).as("bs"))
       bk.where(col("user_id") < cmsTrack)
-        .join(broadcast(sketch), Seq("j", "bucket"))
+        .join(broadcast(sketch), Seq("j", "bucket"))  // hint audit: dimension-bounded (d x w CMS array)
         .groupBy("user_id")
         .agg(max(col("n")).as("n_exact"), min(col("bs")).as("cms_est"))
         .withColumn("overcount", col("cms_est") - col("n_exact"))
@@ -108,7 +108,7 @@ object ShapeOpsQueries {
       val prev = Window.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, -1)
       val thr = comp.withColumn("prev_mt", max(col("mt")).over(prev))
-      d.join(broadcast(thr), "n_chars")
+      d.join(broadcast(thr), "n_chars")  // hint audit: value-domain-bounded (per-distinct-n_chars thresholds)
         .where(col("n_tokens") === col("mt") &&
           (col("prev_mt").isNull || col("n_tokens") > col("prev_mt")))
         .select(col("doc_id"), col("n_chars"), col("n_tokens"))

@@ -72,7 +72,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
       val scored = corpus
-        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
         .select(col("probe_id"), col("vec_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
             .as("cosine"))
@@ -96,7 +96,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
       val scored = corpus
-        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
         .select(col("probe_id"), col("vec_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
             .as("cosine"))
@@ -115,7 +115,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"), col("bucket").as("pbucket"))
       val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
-      bucketed.join(broadcast(probes),
+      bucketed.join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
         col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("bucket"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
@@ -157,7 +157,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"), col("cell").as("pcell"))
       val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
-      cells.join(broadcast(probes),
+      cells.join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"), col("cell"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
@@ -183,7 +183,7 @@ object SimilarityQueries {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"), col("bucket").as("pbucket"))
       val exactScored = corpus
-        .join(broadcast(probes.drop("pbucket")),
+        .join(broadcast(probes.drop("pbucket")),  // hint audit: probe-batch-bounded (9-row probe slice)
           col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
@@ -191,7 +191,7 @@ object SimilarityQueries {
       val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
         Seq("cosine" -> true, "vec_id" -> false), annK)
       val wAnn = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
-      val ann = bucketed.join(broadcast(probes),
+      val ann = bucketed.join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
           col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
@@ -202,7 +202,7 @@ object SimilarityQueries {
       val all = Window.partitionBy()
       // both rank lists are ≤ k·|probes| rows; the ANN side broadcasts
       // so the comparison join never sorts or shuffles the lists
-      exact.join(broadcast(ann), Seq("probe_id", "vec_id"), "left")
+      exact.join(broadcast(ann), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (ANN hits, <= probes x k rows)
         .groupBy("probe_id")
         .agg(count(lit(1)).as("k_exact"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
@@ -233,7 +233,7 @@ object SimilarityQueries {
         .select(col("label"), col("dim"),
           floor(col("v").cast("double") * micro).cast("long").as("m"))
       val scales = vals.groupBy("dim").agg(max(abs(col("m"))).as("s"))
-      vals.join(broadcast(scales), "dim")
+      vals.join(broadcast(scales), "dim")  // hint audit: dimension-bounded (per-dim scale frame, 64 rows)
         .select(col("label"),
           abs(col("m") -
             (when(col("m") < 0, -1L).otherwise(1L) *
@@ -254,7 +254,7 @@ object SimilarityQueries {
       val probes = corpus.where(probeSlice(50))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
           col("n2").as("pn2"))
-      corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
         .select(col("probe_id"), col("vec_id"),
           cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
             .as("cosine"))

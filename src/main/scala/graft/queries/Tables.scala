@@ -21,7 +21,14 @@ object Tables {
     import org.apache.spark.sql.functions._
     tsType match {
       case LongType => expr("ts div 1000")
-      case _        => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("ts").cast(TimestampType))
+      // fail fast on an unexpected future fixture encoding (int32
+      // seconds, StringType, ...) — a silent cast would propagate nulls
+      // or wrong instants through every events query
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected " +
+          "TIMESTAMP[_NTZ] or epoch-nanos long (TsEncodingSpec pins both)")
     }
   }
 

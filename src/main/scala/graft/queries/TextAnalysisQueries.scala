@@ -219,7 +219,7 @@ object TextAnalysisQueries {
       val docs = Tables(s, dir, "documents")
       val thr = docs.agg(
         expr("percentile(n_chars, 0.75D)").as("p75"))
-      docs.join(broadcast(thr))
+      docs.join(broadcast(thr))  // hint audit: scalar (one-row percentile threshold)
         .where(col("n_chars").cast("double") >= col("p75"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -248,7 +248,7 @@ object TextAnalysisQueries {
         expr("percentile_approx(n_chars, 0.75D, 10000)")
           .cast("double").as("p75_sketch"))
       val nc = col("n_chars").cast("double")
-      docs.join(broadcast(thr))
+      docs.join(broadcast(thr))  // hint audit: scalar (one-row threshold pair)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           count(when(nc >= col("p75_exact"), 1)).as("n_kept"),
@@ -287,7 +287,7 @@ object TextAnalysisQueries {
       val counts = Tables(s, dir, "documents")
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
       val maxN = counts.agg(max(col("n_docs")).as("max_n"))
-      counts.join(broadcast(maxN))
+      counts.join(broadcast(maxN))  // hint audit: scalar (one-row max)
         .select(col("source"), col("n_docs"),
           sqrt(col("max_n").cast("double") / col("n_docs").cast("double"))
             .as("weight"))
@@ -309,12 +309,12 @@ object TextAnalysisQueries {
       val repCap = 32L
       val counts = Tables(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val rm = counts.join(broadcast(counts.agg(max(col("n_docs")).as("max_n"))))
+      val rm = counts.join(broadcast(counts.agg(max(col("n_docs")).as("max_n"))))  // hint audit: scalar (one-row max)
         .select(col("lang"),
           least(expr("max_n * 1000 div n_docs"), lit(repCap * 1000L))
             .as("r_milli"))
       Tables(s, dir, "documents")
-        .join(broadcast(rm), "lang")
+        .join(broadcast(rm), "lang")  // hint audit: dimension-bounded (per-lang rep factors)
         .select(col("lang"), col("doc_id"),
           (expr("r_milli div 1000") +
             when(pmod(polyHash(col("text")), lit(1000)) < col("r_milli") % 1000,

@@ -37,8 +37,8 @@ object TextRankQueries {
         .groupBy("term").agg(count(lit(1)).as("doc_freq"))
       val w = Window.partitionBy("source")
         .orderBy(desc("weight"), asc("term"))
-      tf.join(broadcast(df), "term")
-        .crossJoin(broadcast(n))
+      tf.join(broadcast(df), "term")  // hint audit: dimension-bounded (slice-vocab df table)
+        .crossJoin(broadcast(n))  // hint audit: scalar (one-row count)
         .withColumn("weight",
           col("tf").cast("double") *
             (col("n_docs").cast("double") / col("doc_freq").cast("double")))
