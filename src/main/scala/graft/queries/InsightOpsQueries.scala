@@ -314,6 +314,35 @@ object InsightOpsQueries {
           expr("n_co_users * 1000 div (n_a + n_b - n_co_users)")
             .as("jaccard_permille"))
         .orderBy("type_a", "type_b")
+    }),
+
+    // BPE ENCODE — the other half of the q125 trainer: apply the
+    // ranked merge table to every document's token stream and emit
+    // token ids — the corpus-scale tokenization pass every training
+    // pipeline runs. ONE codegen'd scan-stage Expression per doc
+    // (BpeEncodeIds: chars → greedy ranked merges → ids; the merge
+    // table is executor-side state inside the Expression, the
+    // broadcast-a-small-model shape), NO shuffle besides the
+    // oracle-mandated sort — at 100 TB this is an embarrassingly
+    // parallel map over the corpus. Gate: per-doc id count, merged-id
+    // count, and a polynomial fingerprint of the full id sequence —
+    // sequence-exact, not just count-exact. The oracle replays the
+    // SAME ranked rules (BpeCodec — one constant set, both engines)
+    // as an unrolled per-distinct-word CTE chain, then rejoins words
+    // positionally: the production trick (encode the vocab once, join
+    // back) twinned against the scan-stage path.
+    "q159_bpe_encode" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          graft.functions.BpeEncodeIds(col("toks")).as("ids"))
+        .select(col("doc_id"), col("n_tok"),
+          size(col("ids")).cast("long").as("n_ids"),
+          size(filter(col("ids"), x => x >= graft.functions.BpeCodec.idBase))
+            .cast("long").as("n_merged"),
+          aggregate(col("ids"), lit(0L), (h, c) => (h * 31 + c) % P)
+            .as("id_fp"))
+        .orderBy("doc_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -456,5 +485,51 @@ object InsightOpsQueries {
         |    AS jaccard_permille
         |FROM co JOIN t ta ON ta.event_type = co.type_a
         |  JOIN t tb ON tb.event_type = co.type_b
-        |ORDER BY co.type_a, co.type_b""".stripMargin)
+        |ORDER BY co.type_a, co.type_b""".stripMargin,
+    // the ranked merge rules unrolled as one CTE stage per rule over
+    // the DISTINCT words (vocab-bounded), then rejoined positionally.
+    // Correctness of the per-stage local rule: every rule has a != b
+    // (BpeCodec requires it), so match positions are never adjacent
+    // and "merge where (s[i], s[i+1]) = (a, b), drop the consumed
+    // successor" IS the greedy left-to-right pass.
+    "q159_bpe_encode" -> {
+      import graft.functions.BpeCodec
+      val passes = BpeCodec.merges.zipWithIndex.map { case ((a, b), r) =>
+        s"""e${r + 1} AS (SELECT w, list_filter(list_transform(
+           |    range(1, len(s) + 1), i -> CASE
+           |      WHEN i < len(s) AND s[CAST(i AS INT)] = '$a'
+           |        AND s[CAST(i + 1 AS INT)] = '$b' THEN '${a + b}'
+           |      WHEN i > 1 AND s[CAST(i - 1 AS INT)] = '$a'
+           |        AND s[CAST(i AS INT)] = '$b' THEN NULL
+           |      ELSE s[CAST(i AS INT)] END),
+           |    x -> x IS NOT NULL) AS s FROM e$r)""".stripMargin
+      }.mkString(",\n")
+      val idCase = BpeCodec.merges.zipWithIndex.map { case ((a, b), r) =>
+        s"WHEN x = '${a + b}' THEN ${BpeCodec.idBase + r}"
+      }.mkString(" ")
+      s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |      FROM documents),
+         |w0 AS (SELECT DISTINCT unnest(toks) AS w FROM d),
+         |e0 AS (SELECT w, string_split(w, '') AS s FROM w0),
+         |$passes,
+         |enc AS (SELECT w, list_transform(s, x -> CAST(CASE $idCase
+         |    ELSE ascii(x) END AS BIGINT)) AS ids
+         |  FROM e${BpeCodec.merges.size}),
+         |tok AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS w
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) + 1)) AS i FROM d)),
+         |je AS (SELECT doc_id, i, ids FROM tok JOIN enc USING (w)),
+         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |    flatten(list(ids ORDER BY i)) AS all_ids
+         |  FROM je GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(per.n_tok, 0) AS n_tok,
+         |  CAST(COALESCE(len(per.all_ids), 0) AS BIGINT) AS n_ids,
+         |  CAST(COALESCE(len(list_filter(per.all_ids,
+         |    x -> x >= ${BpeCodec.idBase})), 0) AS BIGINT) AS n_merged,
+         |  COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), per.all_ids),
+         |    (h, c) -> (h * 31 + c) % $P), CAST(0 AS BIGINT)) AS id_fp
+         |FROM d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }

@@ -193,6 +193,7 @@ class PlanShapeSpec extends SparkSuite {
       "q11_parse_extract" -> 1, // scan-stage regex + oracle-mandated sort
       "q22_quality_score" -> 1, // map-only scoring + sort
       "q24_fingerprint" -> 1, // rolling hash is scan-stage
+      "q159_bpe_encode" -> 1, // BPE encode is scan-stage; sort only
       "q25_dedup_exact" -> 2, // canonical-key agg + sort
       "q26_ngram_jaccard" -> 2, // pair-scan spread + result sort
       "q27_minhash_lsh" -> 3, // band explode agg + pair distinct + sort
