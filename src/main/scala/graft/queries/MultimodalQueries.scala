@@ -20,6 +20,19 @@ object MultimodalQueries {
   private val frameBytes = 256
   private val frameSigBytes = 128
 
+  /** q160 verify band. The 4×16-bit pigeonhole chunk join is COMPLETE
+    * for hamming ≤ 3 (the aligned-raster near-dup band — AHashSpec
+    * pins a few-pixel brightening there); beyond 3 it is deliberate
+    * multi-probe best-effort recall (a pair surfaces iff some chunk
+    * survives untouched), which is where the fixture's text payloads
+    * land: byte INSERTIONS shift every later cell boundary, so a
+    * rewrite pair reads hamming ~8-13 even when the raster analog
+    * would be ≤3. The oracle mirrors the chunk join itself, so the
+    * gate is bit-identical including the recall behavior — the q27
+    * banded-LSH convention (candidates probabilistic, gate exact).
+    */
+  private val phashMaxHamming = 12
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_multimodal_features" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -60,6 +73,44 @@ object MultimodalQueries {
           length(substring_index_frame(col("text"), col("frame_idx"))).as("frame_len"),
           polyHash(substring_index_frame(col("text"), col("frame_idx"))).as("frame_hash"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Perceptual-hash near-dup over the BINARY payload column — the
+    // dedup story for the one fixture column text dedup (q25-q28,
+    // q116) and embedding dedup (q91) don't cover. AHash62 computes
+    // the classic average-hash over the payload's byte grid in one
+    // codegen'd scan pass (for real media these are the decoded
+    // raster bytes — PpmDecoder's P6 output drops straight in, pinned
+    // by AHashSpec); candidates come from the q28 pigeonhole chunk
+    // join on the 62-bit fingerprint (4×16-bit chunk keys — COMPLETE
+    // for hamming ≤ 3, never an all-pairs scan; bucket keys spread
+    // over 65k values so candidates stay ∝ true near-dups at cluster
+    // scale). The oracle recomputes the hash from the same integer
+    // byte arithmetic via ascii() (payload = UTF-8 text bytes, ASCII
+    // by the q56 convention).
+    "q160_phash_neardup" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{simhashChunk, simhashChunks}
+      val ph = Tables(s, dir, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          graft.functions.AHash62(encode(col("text"), "UTF-8")).as("ph"))
+      val chunkStructs = (0 until simhashChunks).map { c =>
+        struct(lit(c).as("ci"), simhashChunk(col("ph"), c).as("cv"))
+      }
+      val chunks = ph.select(col("doc_id"), col("ph"),
+        explode(array(chunkStructs: _*)).as("ck"))
+        .select(col("doc_id"), col("ph"), col("ck.ci"), col("ck.cv"))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.ph").as("pha"), col("b.ph").as("phb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("pha").bitwiseXOR(col("phb"))).as("hamming"))
+        .where(col("hamming") <= phashMaxHamming)
+        .orderBy("doc_a", "doc_b")
     }))
 
   /** Frame `i` of a text payload: chars [i*frameBytes, +frameBytes). */
@@ -89,5 +140,42 @@ object MultimodalQueries {
          |      AS frame_idx
          |  FROM documents WHERE doc_id % 7 = 0)
          |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+    "q160_phash_neardup" -> {
+      import graft.functions.AHash62.cells
+      import graft.functions.TextFunctions.{simhashChunks, sqlSimhashChunk}
+      // bit c of the average hash: cell mean >= global mean as the
+      // division-free integer comparison cellSum*n >= total*cellLen,
+      // cell bounds floor(c*n/62) — the exact arithmetic of
+      // AHash62.hash, one generated term per bit (the sqlSimhash
+      // convention)
+      val bits = (0 until cells).map { c =>
+        val lo = s"($c * n) // $cells"
+        val hi = s"(${c + 1} * n) // $cells"
+        s"CASE WHEN $hi > $lo AND COALESCE(list_sum(" +
+          s"cs[CAST($lo + 1 AS INT):CAST($hi AS INT)]), 0) * n >= " +
+          s"tot * ($hi - $lo) THEN ${1L << c} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      val chunkArms = (0 until simhashChunks)
+        .map(c => s"SELECT doc_id, ph, $c AS ci, ${sqlSimhashChunk("ph", c)} AS cv FROM ph")
+        .mkString("\nUNION ALL\n")
+      s"""WITH codes AS (SELECT doc_id,
+         |    list_transform(string_split(text, ''),
+         |      c -> CAST(ascii(c) AS BIGINT)) AS cs
+         |  FROM documents WHERE length(text) > 0),
+         |st AS (SELECT doc_id, cs, len(cs) AS n,
+         |    COALESCE(list_sum(cs), 0) AS tot FROM codes),
+         |ph AS (SELECT doc_id, $bits AS ph FROM st),
+         |chunks AS (
+         |$chunkArms),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.ph AS pha, b.ph AS phb
+         |  FROM chunks a JOIN chunks b
+         |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b, bit_count(xor(pha, phb)) AS hamming FROM cand)
+         |WHERE hamming <= $phashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
     })
 }
