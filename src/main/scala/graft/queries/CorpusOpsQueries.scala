@@ -123,6 +123,47 @@ object CorpusOpsQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplicated-span REMOVAL — acting on the q97 signal (the Lee et
+    // al. 2022 exact-substring-dedup step q97 only measures): drop
+    // every token covered by a 5-gram that also appears in some OTHER
+    // document, emit the cleaned text's fingerprint + removal counts.
+    // Same scale shape as q97: occurrences compress to one
+    // (doc, gram) row (map-side combine) BEFORE the gram-keyed window
+    // counts containing docs — never a gram self-join; covered
+    // positions then regroup on doc_id and the kept-token reassembly
+    // is ONE doc-keyed join (UNHINTED — the covered relation is ∝
+    // docs-with-removals, a corpus fraction) plus an in-projection
+    // index filter. Nothing is ever ∝ pairs. The gate hashes the full
+    // cleaned token sequence, not just counts.
+    "q161_dup_span_removal" -> ((s, dir) => {
+      val toked = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val occ = toked.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHash(col("toks"), dupN)))
+        .select(col("doc_id"), col("pos"), col("col").as("h"))
+      val perDoc = occ.groupBy("doc_id", "h")
+        .agg(collect_list(col("pos")).as("ps"))
+      val byGram = Window.partitionBy("h")
+      val covered = perDoc.withColumn("nd", count(lit(1)).over(byGram))
+        .where(col("nd") >= 2)
+        .select(col("doc_id"), explode(col("ps")).as("p"))
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + (dupN - 1))).as("cp"))
+        .groupBy("doc_id").agg(collect_set(col("cp")).as("cov"))
+      toked.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("toks"),
+          coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          filter(transform(col("toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+            s => !array_contains(col("cov"), s("i"))).as("kept"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+          polyHash(array_join(transform(col("kept"), s => s("t")), " "))
+            .as("cleaned_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Sharded inverted index: term → sorted doc-id posting list, with
     // the doc space pre-sharded so a posting list NEVER exceeds
     // shardSize entries — a stopword-grade term becomes many bounded
@@ -349,6 +390,37 @@ object CorpusOpsQueries {
            |    // COUNT(*) AS BIGINT) AS dup_permille
            |FROM g LEFT JOIN c ON c.h = g.h
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // the same dup-gram definition as q97 (>= 2 DISTINCT docs), with
+      // 1-based gram positions; covered token = any position inside a
+      // dup gram's 5-token span; the cleaned fingerprint re-folds the
+      // kept tokens in order
+      "q161_dup_span_removal" -> {
+        val gram =
+          s"array_to_string(toks[CAST(i AS INT):CAST(i + ${dupN - 1} AS INT)], ' ')"
+        s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+           |g AS (SELECT doc_id, i, ${sqlPolyHash(gram)} AS h
+           |      FROM (SELECT doc_id, toks,
+           |              unnest(range(1, len(toks) - ${dupN - 2})) AS i FROM d)),
+           |dd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+           |       GROUP BY h HAVING COUNT(*) >= 2),
+           |cov AS (SELECT DISTINCT g.doc_id, g.i + k.k AS cp
+           |        FROM g JOIN dd USING (h)
+           |        CROSS JOIN (SELECT unnest(range(0, $dupN)) AS k) k),
+           |tok AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS w
+           |        FROM (SELECT doc_id, toks,
+           |                unnest(range(1, len(toks) + 1)) AS i FROM d)),
+           |kept AS (SELECT t.doc_id, t.i, t.w FROM tok t
+           |         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.cp = t.i
+           |         WHERE cov.cp IS NULL),
+           |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |          string_agg(w, ' ' ORDER BY i) AS ctext
+           |        FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tok,
+           |  CAST(len(d.toks) - COALESCE(per.n_kept, 0) AS BIGINT) AS n_removed,
+           |  ${sqlPolyHash("COALESCE(per.ctext, '')")} AS cleaned_fp
+           |FROM d LEFT JOIN per USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
       "q98_inverted_index" ->
         s"""WITH t AS (SELECT DISTINCT doc_id, term
            |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term

@@ -364,6 +364,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(q97.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
       "q97 must not join the gram stream against itself")
 
+    // q161 (the acting twin of q97): same single gram-keyed window —
+    // no gram self-join — and exactly ONE join anywhere, the doc-keyed
+    // kept-token reassembly
+    val q161 = plans("q161_dup_span_removal")
+    assert(q161.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.size === 1,
+      "q161 must count containing docs in one gram-keyed window pass")
+    val q161joins = q161.collect {
+      case j: BroadcastHashJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: SortMergeJoinExec => j.leftKeys
+    }
+    assert(q161joins.size === 1 && q161joins.head.exists(
+        _.references.exists(_.name == "doc_id")),
+      "q161's only join must be the doc-keyed reassembly")
+
     // q104/q105: ranks come from the two-phase GlobalIndex, never a
     // single-partition window
     for (name <- Seq("q104_equidepth_deciles", "q105_curriculum_shards"))
