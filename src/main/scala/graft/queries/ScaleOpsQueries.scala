@@ -262,12 +262,19 @@ object ScaleOpsQueries {
     // domain co-occurrence graph is BIPARTITE here (site ↔ cdn, no
     // triangles by construction), so the graph is the bipartite
     // PROJECTION: an edge joins two sources sharing ≥ triMinShared
-    // distinct domains. Orientation a<b<c makes each triangle appear
-    // EXACTLY once in the two-hop join — no post-hoc dedup. Edge list =
-    // aggregated entity-level metadata (broadcastable by construction);
-    // the web-scale variant orders vertices by degree (compact-forward,
-    // Latapy 2008) and shuffles on the join key — same plan, hints
-    // dropped.
+    // distinct domains. This IS the compact-forward plan (Latapy 2008,
+    // public): edges orient from the LOWER (degree, id) endpoint to
+    // the higher, so every triangle {x≺y≺z} appears EXACTLY once as
+    // the wedge of x's two out-edges closed by the y→z edge, and
+    // wedge fan-out per vertex is bounded by its OUT-degree —
+    // Σ out-deg² = O(m^1.5) on any graph, where an id-ordering lets
+    // one hub contribute deg² wedges. Every join is UNHINTED (hint
+    // audit: the projection and its edge list are entity-scaled —
+    // sources × domains, a corpus-fraction relation at web scale):
+    // stats/AQE broadcast the cached frames at gate scale, shuffle on
+    // the join keys at production. Triangle counts are orientation-
+    // invariant, so the oracle's id-ordered enumeration gates this
+    // degree-ordered plan unchanged.
     "q103_triangle_count" -> ((s, dir) => {
       val sd = Tables(s, dir, "documents")
         .select(col("source"),
@@ -277,21 +284,36 @@ object ScaleOpsQueries {
           regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
         .distinct()
       val und = lastUnd.swap(sd
-        .join(broadcast(sd.select(col("source").as("b_src"),  // hint audit: gate-scale, named production alternative (SURVEY E89: degree-ordered compact-forward, shuffled)
-          col("domain").as("b_dom"))),
+        .join(sd.select(col("source").as("b_src"),
+          col("domain").as("b_dom")),
           col("domain") === col("b_dom") && col("source") < col("b_src"))
         .groupBy(col("source").as("a"), col("b_src").as("b"))
         .agg(count(lit(1)).as("nshared"))
         .where(col("nshared") >= triMinShared)
         .select("a", "b")
-        .cache()) // the projected graph — three self-joins must not re-derive it
-      und.as("e1")
-        .join(broadcast(und.select(col("a").as("b2"), col("b").as("c"))),  // hint audit: gate-scale (E89 production alternative: shuffled compact-forward)
-          col("b") === col("b2"))
-        .join(broadcast(und.select(col("a").as("a3"), col("b").as("c3"))),  // hint audit: gate-scale (E89 production alternative: shuffled compact-forward)
-          col("a") === col("a3") && col("c") === col("c3"), "left_semi")
-        .select(explode(array(col("a"), col("b"), col("c"))).as("source"))
-        .groupBy("source").agg(count(lit(1)).as("n_triangles"))
+        .cache()) // the projected graph — keying/wedge joins must not re-derive it
+      // total order ≺ = (projected degree, id) as one sortable
+      // zero-padded string key; '|' cannot appear in a source label
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keyed = deg.select(col("v"),
+        format_string("%010d|%s", col("d"), col("v")).as("k"))
+      val dirEdges = und
+        .join(keyed.select(col("v").as("a"), col("k").as("ka")), "a")
+        .join(keyed.select(col("v").as("b"), col("k").as("kb")), "b")
+        .select(least(col("ka"), col("kb")).as("u"),
+          greatest(col("ka"), col("kb")).as("w"))
+      dirEdges.as("e1")
+        .join(dirEdges.select(col("u").as("u2"), col("w").as("w2")),
+          col("u") === col("u2") && col("w") < col("w2"))
+        .select(col("u").as("x"), col("w").as("y"), col("w2").as("z"))
+        .join(dirEdges.select(col("u").as("y2"), col("w").as("z2")),
+          col("y") === col("y2") && col("z") === col("z2"), "left_semi")
+        .select(explode(array(col("x"), col("y"), col("z"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_triangles"))
+        .select(substring_index(col("k"), "|", -1).as("source"),
+          col("n_triangles"))
         .orderBy("source")
     }))
 

@@ -129,15 +129,21 @@ class PlanShapeSpec extends SparkSuite {
       // stats-driven flip to SMJ/SHJ here is the intended production
       // regime, not a regression; their dedicated two-regime tests
       // below carry the real contract
+      // ... and q103's compact-forward wedge/close joins (round 11):
+      // unhinted by the same rule (the edge list is entity-scaled);
+      // the static size-only estimate of a join-over-join product is
+      // pessimistic, so the static pass plans the production shuffle
+      // joins — at runtime AQE promotes them to broadcast at gate
+      // scale from the cached edge frame's real size
       if (!Set("q72_cdc_merge", "q80_bloom_join", "q82_incremental_agg",
-          "q114_bigram_coherence", "q115_sorted_neighborhood",
-          "q126_rank_fusion", "q139_linkage_score",
-          "q152_skipgram_pmi")(name))
+          "q103_triangle_count", "q114_bigram_coherence",
+          "q115_sorted_neighborhood", "q126_rank_fusion",
+          "q139_linkage_score", "q152_skipgram_pmi")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
-      if (!Set("q60_skew_join", "q114_bigram_coherence",
-          "q152_skipgram_pmi")(name))
+      if (!Set("q60_skew_join", "q103_triangle_count",
+          "q114_bigram_coherence", "q152_skipgram_pmi")(name))
         assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
           s"$name plans a ShuffledHashJoin — a dim side stopped broadcasting")
       assert(plan.collect { case j: CartesianProductExec => j }.isEmpty,
