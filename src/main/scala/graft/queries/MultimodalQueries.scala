@@ -111,6 +111,41 @@ object MultimodalQueries {
           bit_count(col("pha").bitwiseXOR(col("phb"))).as("hamming"))
         .where(col("hamming") <= phashMaxHamming)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Frame-level containment dedup — the VIDEO near-dup shape (two
+    // payloads sharing whole frames are cuts/re-encodes of the same
+    // material even when their overall fingerprints differ): distinct
+    // frame hashes per doc (fixed-width payload slices, the q56 frame
+    // convention), one equi self-join on the frame hash, per-pair
+    // shared-frame count + containment vs the smaller side. Frame
+    // hashes are near-unique (unlike tokens), so the inverted-index
+    // join volume is ∝ truly-shared frames — never Σ df² blowup; all
+    // joins UNHINTED (frame and count relations are corpus-scaled —
+    // the hint-audit rule). Complements q160: aHash catches globally-
+    // similar payloads, this catches exact shared segments inside
+    // otherwise-different ones.
+    "q162_frame_containment" -> ((s, dir) => {
+      import graft.functions.TextFunctions.polyHash
+      val nFrames = expr(
+        s"(length(text) + ${frameBytes - 1}) div $frameBytes").cast("int")
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), explode(
+          when(nFrames >= 1, sequence(lit(0), nFrames - 1))).as("fi"))
+        .select(col("doc_id"),
+          polyHash(substring_index_frame(col("text"), col("fi"))).as("fh"))
+        .distinct()
+      val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      f.as("a")
+        .join(f.as("b"),
+          col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(cnt.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          expr("n_shared * 1000 div least(na, nb)").as("containment_permille"))
+        .orderBy("doc_a", "doc_b")
     }))
 
   /** Frame `i` of a text payload: chars [i*frameBytes, +frameBytes). */
@@ -176,6 +211,26 @@ object MultimodalQueries {
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT doc_a, doc_b, bit_count(xor(pha, phb)) AS hamming FROM cand)
          |WHERE hamming <= $phashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q162_frame_containment" -> {
+      import graft.functions.TextFunctions.sqlPolyHash
+      val frame = s"substring(text, CAST(fi * $frameBytes + 1 AS INT), $frameBytes)"
+      s"""WITH f AS (SELECT DISTINCT doc_id, ${sqlPolyHash(frame)} AS fh
+         |  FROM (SELECT doc_id, text,
+         |      unnest(range(0, (length(text) + ${frameBytes - 1}) // $frameBytes))
+         |        AS fi
+         |    FROM documents)),
+         |c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM f GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(COUNT(*) AS BIGINT) AS n_shared
+         |      FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  CAST(n_shared * 1000 // least(ca.nf, cb.nf) AS BIGINT)
+         |    AS containment_permille
+         |FROM p JOIN c ca ON ca.doc_id = doc_a
+         |       JOIN c cb ON cb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
     })
 }

@@ -135,6 +135,11 @@ object Demo {
       show("q144_gap_fill")
       show("q145_char_collision")
       show("q107_stream_kmv")
+      // round-11 tier: tokenization pass + multimodal/span dedup
+      show("q159_bpe_encode")
+      show("q160_phash_neardup")
+      show("q161_dup_span_removal")
+      show("q162_frame_containment")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
