@@ -186,6 +186,38 @@ object CorpusOpsQueries {
         .orderBy("term", "shard")
     }),
 
+    // Incremental inverted-index refresh — q98's index under the
+    // q138/q157 delta convention: the established corpus's index is a
+    // persisted artifact, the delta batch contributes only ITS OWN
+    // postings (one scan of delta text — old text is never re-read),
+    // and the refresh is ONE co-keyed (term, shard) regroup over the
+    // two index relations (a deployment buckets both on (term, shard)
+    // so only the delta index shuffles). Delta doc_ids are disjoint
+    // from old ones, so the merged index equals the from-scratch
+    // index EXACTLY — and the oracle IS q98's from-scratch twin, the
+    // q157 incremental-equals-from-scratch proof applied to the
+    // retrieval tier.
+    "q163_delta_index" -> ((s, dir) => {
+      def inDelta(c: Column) =
+        c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
+      def idx(part: DataFrame): DataFrame = part
+        .select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+        .withColumn("shard", expr(s"doc_id div $shardSize"))
+        .groupBy("term", "shard")
+        .agg(count(lit(1)).as("df_shard"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+      val d = docs(s, dir)
+      val oldIdx = idx(d.where(!inDelta(col("doc_id"))))
+      val deltaIdx = idx(d.where(inDelta(col("doc_id"))))
+      oldIdx.union(deltaIdx)
+        .groupBy("term", "shard")
+        .agg(sum(col("df_shard")).as("df_shard"),
+          array_join(array_sort(flatten(collect_list(col("postings")))), ",")
+            .as("postings"))
+        .orderBy("term", "shard")
+    }),
+
     // Compaction bin-packing planner: group the doc inventory into
     // input-file granules, then assign consecutive files to
     // target-sized output bins via the running-sum rule (a file starts
@@ -422,6 +454,17 @@ object CorpusOpsQueries {
            |ORDER BY d.doc_id""".stripMargin
       },
       "q98_inverted_index" ->
+        s"""WITH t AS (SELECT DISTINCT doc_id, term
+           |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+           |            FROM documents))
+           |SELECT term, doc_id // $shardSize AS shard,
+           |  CAST(COUNT(*) AS BIGINT) AS df_shard,
+           |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+           |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin,
+      // q98's from-scratch twin VERBATIM: matching it exactly is the
+      // incremental-equals-from-scratch proof (delta doc_ids are
+      // disjoint, so the merged postings are the full index's)
+      "q163_delta_index" ->
         s"""WITH t AS (SELECT DISTINCT doc_id, term
            |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
            |            FROM documents))

@@ -79,6 +79,31 @@ class BpeEncodeSpec extends SparkSuite {
     }
   }
 
+  test("the expression encodes with CORPUS-TRAINED merges too (trainer → encoder loop)") {
+    // BpeEncodeIds takes any ranked merge table — the production loop
+    // is train once (vocab-bounded) then encode the corpus with the
+    // learned rules; ids here are idBase + trained-rule rank
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = BpeTrainer.train(docs, "text", numMerges = 8)
+    assert(model.merges.nonEmpty)
+    val trainedRank = model.merges.zipWithIndex
+      .map { case ((a, b), r) => (a + b) -> (BpeCodec.idBase + r).toLong }.toMap
+    val got = docs.limit(50)
+      .select(col("doc_id"), ColumnBridge.column(graft.functions.BpeEncodeIds(
+        ColumnBridge.expression(TextFunctions.tokens(col("text"))),
+        model.merges)).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val texts = docs.limit(50).select(col("doc_id"), col("text")).collect()
+    for (r <- texts) {
+      val toks = r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val expected = toks.toSeq.flatMap(w => model.encode(w)).map { s =>
+        if (s.length == 1) s.charAt(0).toLong else trainedRank(s)
+      }
+      assert(got(r.getLong(0)) === expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = Seq("the thinking ostrich and a stone undergo turning").toDF("text")
