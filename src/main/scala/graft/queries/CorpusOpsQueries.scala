@@ -33,7 +33,7 @@ object CorpusOpsQueries {
     * most this many doc ids, so no term — however hot — ever builds an
     * unbounded list on one reducer.
     */
-  private val shardSize = 2500L
+  val shardSize = 2500L
 
   /** q99 compaction planner: docs-per-input-file granule and the target
     * compacted output size (scaled to the fixture; the ratio is what

@@ -743,6 +743,69 @@ object StreamingQueries {
       }
     }),
 
+    // E148 oracle-gated: STREAMING index ingest — the streaming face
+    // of q163, and the suite's only Complete-mode stateful
+    // aggregation (every other gate emits Append): the delta batch's
+    // (term, shard) postings aggregate INSIDE the incremental engine
+    // (state-store-backed collect_list — Complete emission needs no
+    // watermark), then merge post-sink with the persisted old-corpus
+    // index exactly as q163 does. Delta doc_ids are disjoint from old
+    // ones, so the merged index ≡ the from-scratch index — the oracle
+    // is q98's twin verbatim, proving the STREAMING build path
+    // bit-identical to both the batch and the incremental-batch
+    // paths. At 100 TB: in-stream state ∝ the delta's (term, shard)
+    // cardinality, the old index is never re-derived from text.
+    "q164_stream_index" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      import graft.queries.CorpusOpsQueries.shardSize
+      val src = Paths.get(s"$dir/documents.parquet")
+      val stage = tmpDir("graft-q164-src")
+      val ckpt = tmpDir("graft-q164-ckpt")
+      val sink = s"graft_q164_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("documents.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val lo = graft.queries.ModelOpsQueries.deltaLo
+        val hi = graft.queries.ModelOpsQueries.deltaHi
+        val deltaIdx = s.readStream.schema(schema).parquet(stage.toString)
+          .where(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("term"))
+          .withColumn("shard", expr(s"doc_id div $shardSize"))
+          .groupBy("term", "shard")
+          .agg(count(lit(1)).as("df_shard"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+        val query = deltaIdx.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val oldIdx = s.read.parquet(src.toString)
+          .where(col("doc_id") < lo || col("doc_id") >= hi)
+          .select(col("doc_id"),
+            explode(array_distinct(tokens(col("text")))).as("term"))
+          .withColumn("shard", expr(s"doc_id div $shardSize"))
+          .groupBy("term", "shard")
+          .agg(count(lit(1)).as("df_shard"),
+            sort_array(collect_list(col("doc_id"))).as("postings"))
+        val out = oldIdx.union(s.table(sink))
+          .groupBy("term", "shard")
+          .agg(sum(col("df_shard")).as("df_shard"),
+            array_join(array_sort(flatten(collect_list(col("postings")))), ",")
+              .as("postings"))
+          .orderBy("term", "shard")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -842,6 +905,20 @@ object StreamingQueries {
          |FROM sig s LEFT JOIN best b ON b.doc_id = s.doc_id
          |WHERE s.doc_id >= $lo AND s.doc_id < $hi
          |ORDER BY s.doc_id""".stripMargin
+    },
+    // q98's from-scratch twin verbatim: the streaming-built delta
+    // index merged with the old index must equal the full index
+    // bit-for-bit (delta doc_ids are disjoint)
+    "q164_stream_index" -> {
+      import graft.functions.TextFunctions.sqlTokens
+      val shardSize = graft.queries.CorpusOpsQueries.shardSize
+      s"""WITH t AS (SELECT DISTINCT doc_id, term
+         |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |            FROM documents))
+         |SELECT term, doc_id // $shardSize AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS df_shard,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+         |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin
     },
     // q59's emission predicate + q86's sketch construction per window
     "q107_stream_kmv" -> {

@@ -141,6 +141,7 @@ object Demo {
       show("q161_dup_span_removal")
       show("q162_frame_containment")
       show("q163_delta_index")
+      show("q164_stream_index")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)

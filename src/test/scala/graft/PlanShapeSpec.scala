@@ -27,7 +27,7 @@ class PlanShapeSpec extends SparkSuite {
     Set("q59_stream_window", "q69_stream_dedup", "q70_stream_sessions",
       "q71_stream_enrich", "q79_stream_join", "q130_stream_alerts",
       "q146_stream_outer_join", "q154_stream_session_window",
-      "q158_stream_delta_dedup")
+      "q158_stream_delta_dedup", "q164_stream_index")
 
   /** Run `body` with AQE off, restoring the PRIOR value (not a literal)
     * so a future suite default can't be leaked over (judge r10 advice).
