@@ -65,6 +65,34 @@ object CorpusOpsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** The (term, shard) sharded-postings aggregation — ONE definition
+    * shared by q98 (batch build), q163 (incremental merge), and the
+    * streaming q164, so the index contract (shard width, df_shard
+    * definition, postings order) cannot drift between the three build
+    * paths. Postings stay a sorted LIST here; gated outputs serialize
+    * to CSV (the gate harness hashes scalars, not list columns).
+    */
+  def shardedIndex(part: DataFrame): DataFrame = part
+    .select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+    .withColumn("shard", expr(s"doc_id div $shardSize"))
+    .groupBy("term", "shard")
+    .agg(count(lit(1)).as("df_shard"),
+      sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** q98's from-scratch DuckDB twin — also the q163/q164 oracle: the
+    * incremental and streaming builds must match it EXACTLY (delta
+    * doc_ids are disjoint, so merged ≡ from-scratch).
+    */
+  val fromScratchIndexSql: String =
+    s"""WITH t AS (SELECT DISTINCT doc_id, term
+       |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+       |            FROM documents))
+       |SELECT term, doc_id // $shardSize AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS df_shard,
+       |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+       |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169
     // — public): score every train doc by how target-like its hashed
@@ -171,18 +199,9 @@ object CorpusOpsQueries {
     // conjunctive query is a per-shard merge, shards in parallel).
     // sort_array pins the in-list order the parallel collect loses.
     "q98_inverted_index" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("term"))
-        .withColumn("shard", expr(s"doc_id div $shardSize"))
-        .groupBy("term", "shard")
-        .agg(count(lit(1)).as("df_shard"),
-          // the list is serialized to a scalar for the output contract:
-          // the gate harness sorts/hashes columns, and a list column
-          // isn't hashable there — the CSV string carries the same
-          // pinned order (sort_array fixes what parallel collect loses)
-          array_join(sort_array(collect_list(col("doc_id"))), ",")
-            .as("postings"))
+      shardedIndex(docs(s, dir))
+        .select(col("term"), col("shard"), col("df_shard"),
+          array_join(col("postings"), ",").as("postings"))
         .orderBy("term", "shard")
     }),
 
@@ -200,16 +219,9 @@ object CorpusOpsQueries {
     "q163_delta_index" -> ((s, dir) => {
       def inDelta(c: Column) =
         c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
-      def idx(part: DataFrame): DataFrame = part
-        .select(col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("term"))
-        .withColumn("shard", expr(s"doc_id div $shardSize"))
-        .groupBy("term", "shard")
-        .agg(count(lit(1)).as("df_shard"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
       val d = docs(s, dir)
-      val oldIdx = idx(d.where(!inDelta(col("doc_id"))))
-      val deltaIdx = idx(d.where(inDelta(col("doc_id"))))
+      val oldIdx = shardedIndex(d.where(!inDelta(col("doc_id"))))
+      val deltaIdx = shardedIndex(d.where(inDelta(col("doc_id"))))
       oldIdx.union(deltaIdx)
         .groupBy("term", "shard")
         .agg(sum(col("df_shard")).as("df_shard"),
@@ -453,25 +465,11 @@ object CorpusOpsQueries {
            |FROM d LEFT JOIN per USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
       },
-      "q98_inverted_index" ->
-        s"""WITH t AS (SELECT DISTINCT doc_id, term
-           |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
-           |            FROM documents))
-           |SELECT term, doc_id // $shardSize AS shard,
-           |  CAST(COUNT(*) AS BIGINT) AS df_shard,
-           |  array_to_string(list_sort(list(doc_id)), ',') AS postings
-           |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin,
-      // q98's from-scratch twin VERBATIM: matching it exactly is the
+      "q98_inverted_index" -> fromScratchIndexSql,
+      // the from-scratch twin VERBATIM: matching it exactly is the
       // incremental-equals-from-scratch proof (delta doc_ids are
       // disjoint, so the merged postings are the full index's)
-      "q163_delta_index" ->
-        s"""WITH t AS (SELECT DISTINCT doc_id, term
-           |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
-           |            FROM documents))
-           |SELECT term, doc_id // $shardSize AS shard,
-           |  CAST(COUNT(*) AS BIGINT) AS df_shard,
-           |  array_to_string(list_sort(list(doc_id)), ',') AS postings
-           |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin,
+      "q163_delta_index" -> fromScratchIndexSql,
       "q99_compaction_plan" ->
         s"""WITH f AS (SELECT source, doc_id // $fileGranule AS file_id,
            |        CAST(COUNT(*) AS BIGINT) AS n_docs,

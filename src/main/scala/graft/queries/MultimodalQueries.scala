@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   * expression surface.
   */
 object MultimodalQueries {
+  // one-generation cache handle (see CacheSlot)
+  private val lastFrames = new graft.util.CacheSlot
 
   private val frameBytes = 256
   private val frameSigBytes = 128
@@ -129,12 +131,15 @@ object MultimodalQueries {
       import graft.functions.TextFunctions.polyHash
       val nFrames = expr(
         s"(length(text) + ${frameBytes - 1}) div $frameBytes").cast("int")
-      val f = Tables(s, dir, "documents")
+      // cached: consumed by the per-doc count AND both self-join sides
+      // — uncached, each derivation re-hashes every frame of the corpus
+      val f = lastFrames.swap(Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"), explode(
           when(nFrames >= 1, sequence(lit(0), nFrames - 1))).as("fi"))
         .select(col("doc_id"),
           polyHash(substring_index_frame(col("text"), col("fi"))).as("fh"))
         .distinct()
+        .cache())
       val cnt = f.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       f.as("a")
         .join(f.as("b"),

@@ -56,6 +56,7 @@ object ScaleOpsQueries {
   // one-generation cache handles (see CacheSlot)
   private val lastEdges = new graft.util.CacheSlot
   private val lastUnd = new graft.util.CacheSlot
+  private val lastDir = new graft.util.CacheSlot
 
   private def domainEdges(s: SparkSession, dir: String): DataFrame = {
     val doms = Tables(s, dir, "documents")
@@ -299,11 +300,15 @@ object ScaleOpsQueries {
         .groupBy("v").agg(count(lit(1)).as("d"))
       val keyed = deg.select(col("v"),
         format_string("%010d|%s", col("d"), col("v")).as("k"))
-      val dirEdges = und
+      // cached like `und`: the wedge and close joins consume the
+      // directed list three times — without this each use re-runs the
+      // two keying joins
+      val dirEdges = lastDir.swap(und
         .join(keyed.select(col("v").as("a"), col("k").as("ka")), "a")
         .join(keyed.select(col("v").as("b"), col("k").as("kb")), "b")
         .select(least(col("ka"), col("kb")).as("u"),
           greatest(col("ka"), col("kb")).as("w"))
+        .cache())
       dirEdges.as("e1")
         .join(dirEdges.select(col("u").as("u2"), col("w").as("w2")),
           col("u") === col("u2") && col("w") < col("w2"))

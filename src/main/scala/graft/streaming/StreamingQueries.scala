@@ -756,8 +756,6 @@ object StreamingQueries {
     // paths. At 100 TB: in-stream state ∝ the delta's (term, shard)
     // cardinality, the old index is never re-derived from text.
     "q164_stream_index" -> ((s, dir) => {
-      import graft.functions.TextFunctions.tokens
-      import graft.queries.CorpusOpsQueries.shardSize
       val src = Paths.get(s"$dir/documents.parquet")
       val stage = tmpDir("graft-q164-src")
       val ckpt = tmpDir("graft-q164-ckpt")
@@ -768,28 +766,21 @@ object StreamingQueries {
         val schema = s.read.parquet(src.toString).schema
         val lo = graft.queries.ModelOpsQueries.deltaLo
         val hi = graft.queries.ModelOpsQueries.deltaHi
-        val deltaIdx = s.readStream.schema(schema).parquet(stage.toString)
-          .where(col("doc_id") >= lo && col("doc_id") < hi)
-          .select(col("doc_id"),
-            explode(array_distinct(tokens(col("text")))).as("term"))
-          .withColumn("shard", expr(s"doc_id div $shardSize"))
-          .groupBy("term", "shard")
-          .agg(count(lit(1)).as("df_shard"),
-            sort_array(collect_list(col("doc_id"))).as("postings"))
+        // the SHARED index aggregation (CorpusOpsQueries.shardedIndex)
+        // applied to the streaming frame — one contract, three build
+        // paths
+        val deltaIdx = graft.queries.CorpusOpsQueries.shardedIndex(
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(col("doc_id") >= lo && col("doc_id") < hi))
         val query = deltaIdx.writeStream.format("memory").queryName(sink)
           .outputMode(OutputMode.Complete)
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        val oldIdx = s.read.parquet(src.toString)
-          .where(col("doc_id") < lo || col("doc_id") >= hi)
-          .select(col("doc_id"),
-            explode(array_distinct(tokens(col("text")))).as("term"))
-          .withColumn("shard", expr(s"doc_id div $shardSize"))
-          .groupBy("term", "shard")
-          .agg(count(lit(1)).as("df_shard"),
-            sort_array(collect_list(col("doc_id"))).as("postings"))
+        val oldIdx = graft.queries.CorpusOpsQueries.shardedIndex(
+          s.read.parquet(src.toString)
+            .where(col("doc_id") < lo || col("doc_id") >= hi))
         val out = oldIdx.union(s.table(sink))
           .groupBy("term", "shard")
           .agg(sum(col("df_shard")).as("df_shard"),
@@ -906,20 +897,11 @@ object StreamingQueries {
          |WHERE s.doc_id >= $lo AND s.doc_id < $hi
          |ORDER BY s.doc_id""".stripMargin
     },
-    // q98's from-scratch twin verbatim: the streaming-built delta
-    // index merged with the old index must equal the full index
+    // the from-scratch twin (shared constant): the streaming-built
+    // delta index merged with the old index must equal the full index
     // bit-for-bit (delta doc_ids are disjoint)
-    "q164_stream_index" -> {
-      import graft.functions.TextFunctions.sqlTokens
-      val shardSize = graft.queries.CorpusOpsQueries.shardSize
-      s"""WITH t AS (SELECT DISTINCT doc_id, term
-         |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
-         |            FROM documents))
-         |SELECT term, doc_id // $shardSize AS shard,
-         |  CAST(COUNT(*) AS BIGINT) AS df_shard,
-         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
-         |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin
-    },
+    "q164_stream_index" ->
+      graft.queries.CorpusOpsQueries.fromScratchIndexSql,
     // q59's emission predicate + q86's sketch construction per window
     "q107_stream_kmv" -> {
       val k = streamKmvK

@@ -44,12 +44,18 @@ class PlanShapeSpec extends SparkSuite {
 
   /** Simulate the production regime: every non-hinted join past the
     * broadcast threshold (hints are honored unconditionally — which is
-    * exactly what the two-regime tests pin against).
+    * exactly what the two-regime tests pin against). Restores the
+    * PRIOR value, like [[withAdaptiveOff]], so an explicit suite
+    * threshold can't be silently reset to the Spark default.
     */
   private def withNoAutoBroadcast[A](body: => A): A = {
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try body
-    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   private lazy val plans: Map[String, SparkPlan] = withAdaptiveOff {
