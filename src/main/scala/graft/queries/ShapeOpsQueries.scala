@@ -172,6 +172,52 @@ object ShapeOpsQueries {
           expr("sum(ppm) div count(1)").as("avg_collision_ppm"),
           max(col("ppm")).as("max_collision_ppm"))
         .orderBy("source")
+    }),
+
+    // Schema-evolution read — the years-of-vintages reality a 100 TB
+    // lake scan must absorb: files written in different eras carry
+    // DIFFERENT column sets, and the reader must union them by name
+    // with null back-fill (`mergeSchema`), never a rewrite of old
+    // data. The gate stages two deterministic vintages of `documents`
+    // (an old one carrying `lang`, a new one carrying
+    // `source`/`n_chars`), reads them through one mergeSchema scan,
+    // and rolls up null-aware per-lang stats; the oracle rebuilds the
+    // same vintage split with CASE projections over the one canonical
+    // table. The result is collected (bounded: one row per lang + the
+    // null bucket) so the staging directory can be cleaned up before
+    // the frame is consumed. At 100 TB mergeSchema's footer-union
+    // planning is metadata-scale; the data path stays one scan.
+    "q165_schema_evolution" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q165-vintages")
+      try {
+        val d = docs(s, dir)
+        d.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .write.mode("overwrite").parquet(s"$stage/v2019")
+        d.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$stage/v2024")
+        val merged = s.read.option("mergeSchema", "true")
+          .parquet(s"$stage/v2019", s"$stage/v2024")
+        val out = merged
+          .groupBy(coalesce(col("lang"), lit("?")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_chars").cast("long"), lit(0L)))
+              .as("sum_chars_new"),
+            sum(when(col("source").isNotNull, 1L).otherwise(0L))
+              .as("n_new_vintage"))
+          .orderBy("lang")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(stage)
+      }
     }))
 
   def oracle: Map[String, String] = Map(
@@ -241,5 +287,20 @@ object ShapeOpsQueries {
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS avg_collision_ppm,
          |  CAST(MAX(ppm) AS BIGINT) AS max_collision_ppm
-         |FROM ppm GROUP BY source ORDER BY source""".stripMargin)
+         |FROM ppm GROUP BY source ORDER BY source""".stripMargin,
+    // the vintage split rebuilt with CASE projections over the one
+    // canonical table — the mergeSchema union-by-name + null
+    // back-fill must be exactly this
+    "q165_schema_evolution" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+        |    CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |    CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT COALESCE(lang, '?') AS lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars_new,
+        |  CAST(SUM(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new_vintage
+        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin)
 }

@@ -142,6 +142,7 @@ object Demo {
       show("q162_frame_containment")
       show("q163_delta_index")
       show("q164_stream_index")
+      show("q165_schema_evolution")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
