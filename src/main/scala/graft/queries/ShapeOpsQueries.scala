@@ -210,15 +210,68 @@ object ShapeOpsQueries {
           .orderBy("lang")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // Idempotent partition backfill — the WRITER-side lake semantics
+    // (q165 is the reader side): a corrupted ingest leaves ONE source
+    // partition short, and the repair job rewrites ONLY that
+    // partition (dynamic partition overwrite) — never a full-table
+    // truncate-and-reload. The gate stages a source-partitioned copy
+    // of `documents` with one source deliberately half-dropped, runs
+    // the backfill as an `overwrite` write of just that source's
+    // recomputed rows under partitionOverwriteMode=dynamic, and
+    // rolls up the read-back table per source. Matching the
+    // canonical per-source stats proves BOTH repairs: the bad
+    // partition was replaced AND every other partition survived the
+    // overwrite (a static overwrite would have truncated them — the
+    // gate would read back one source). At 100 TB the backfill cost
+    // is ∝ the repaired partition, never the table.
+    "q166_partition_backfill" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q166-table")
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("n_chars"), col("source"))
+        val badSource = "src3"
+        // corrupted initial load: src3 lost its odd doc_ids
+        d.where(col("source") =!= badSource ||
+            col("doc_id") % 2 === 0)
+          .write.partitionBy("source").mode("overwrite")
+          .parquet(stage.toString)
+        // the backfill: recompute ONLY the bad partition's rows and
+        // overwrite — dynamic mode replaces just the partitions the
+        // write produces
+        d.where(col("source") === badSource)
+          .write.partitionBy("source").mode("overwrite")
+          .parquet(stage.toString)
+        val out = s.read.parquet(stage.toString)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("source")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p))
-            java.nio.file.Files.list(p).forEach(rm(_))
-          java.nio.file.Files.deleteIfExists(p)
+        saved match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
-        rm(stage)
+        rmTree(stage)
       }
     }))
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(rmTree(_))
+    java.nio.file.Files.deleteIfExists(p)
+  }
 
   def oracle: Map[String, String] = Map(
     "q142_cms_estimate" -> {
@@ -302,5 +355,13 @@ object ShapeOpsQueries {
         |  CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars_new,
         |  CAST(SUM(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_new_vintage
-        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin)
+        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin,
+    // the canonical per-source stats: matching them after the staged
+    // corrupt-load + single-partition backfill proves the dynamic
+    // overwrite repaired src3 AND left every other partition intact
+    "q166_partition_backfill" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -143,6 +143,7 @@ object Demo {
       show("q163_delta_index")
       show("q164_stream_index")
       show("q165_schema_evolution")
+      show("q166_partition_backfill")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
