@@ -60,4 +60,50 @@ class ExpressionPropertySpec extends SparkSuite {
       assert(shares, s"no shared chunk for $a / $b")
     }
   }
+
+  test("AHash62 is brightness-shift invariant on random payloads") {
+    // the defining aHash property: adding a constant c to every pixel
+    // shifts cell means and the global mean equally, so every
+    // comparison cellSum·n >= total·len is unchanged —
+    // (cellSum + c·len)·n − (total + c·n)·len = cellSum·n − total·len
+    val payloadGen = for {
+      len <- Gen.choose(0, 300)
+      bytes <- Gen.listOfN(len, Gen.choose(0, 200))
+      shift <- Gen.choose(0, 55) // stays within 0..255, no wraparound
+    } yield (bytes.map(_.toByte).toArray,
+      bytes.map(b => (b + shift).toByte).toArray)
+    sample(payloadGen, 300).foreach { case (p, shifted) =>
+      assert(graft.functions.AHash62.hash(p) ===
+        graft.functions.AHash62.hash(shifted))
+    }
+  }
+
+  test("BpeEncodeIds == Model.encode under RANDOM merge tables (incl. a == b)") {
+    // stronger than the corpus-vocab pin: arbitrary rule tables,
+    // including the a == b self-merge case the fixed codec forbids —
+    // the expression implements the true sequential greedy scan, so it
+    // must agree with the driver-side reference on any ruleset
+    import graft.ext.BpeTrainer
+    val symGen = Gen.oneOf("a", "b", "c", "ab", "bc", "aa")
+    val mergesGen = Gen.listOfN(4, Gen.zip(symGen, symGen))
+      // distinct outputs keep the id mapping well-defined
+      .map(_.distinctBy { case (a, b) => a + b })
+    val wordGen = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    sample(Gen.zip(mergesGen, Gen.listOfN(20, wordGen)), 60)
+      .foreach { case (merges, words) =>
+        val model = BpeTrainer.Model(merges, 0)
+        val rank = merges.zipWithIndex
+          .map { case ((a, b), r) => (a + b) -> (128 + r).toLong }.toMap
+        import org.apache.spark.sql.graft.ColumnBridge
+        import spark.implicits._
+        val got = words.toDF("w")
+          .select(ColumnBridge.column(graft.functions.BpeEncodeIds(
+            ColumnBridge.expression(array(col("w"))), merges)))
+          .collect().map(_.getSeq[Long](0).toSeq)
+        val want = words.map(w => model.encode(w).map(s =>
+          if (s.length == 1) s.charAt(0).toLong else rank(s)))
+        assert(got.toSeq === want, s"merges=$merges")
+      }
+  }
 }
