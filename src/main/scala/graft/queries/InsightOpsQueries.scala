@@ -343,6 +343,40 @@ object InsightOpsQueries {
           aggregate(col("ids"), lit(0L), (h, c) => (h * 31 + c) % P)
             .as("id_fp"))
         .orderBy("doc_id")
+    }),
+
+    // PACKED TRAINING BATCHES with real token ids — the q68 × q159
+    // composition and the pipeline's tensor-ready terminal: greedy
+    // sequential fill of fixed id-budget bins (q68's sharded
+    // prefix-sum device — each shard's cumsum windows independently,
+    // never one global partition), where the packed WEIGHT is the
+    // doc's actual BPE id count and each bin carries a SEQUENCE
+    // fingerprint (fold of per-doc id-fingerprints in doc order) — so
+    // the gate pins the exact id content of every training sequence,
+    // not just its fill statistics. Scan-stage encode + one window +
+    // one (shard, bin) regroup; nothing ∝ pairs.
+    "q167_packed_ids" -> ((s, dir) => {
+      val budget = 2048
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          graft.functions.BpeEncodeIds(tokens(col("text"))).as("ids"))
+        .select(col("doc_id"), col("shard"),
+          size(col("ids")).cast("long").as("n_ids"),
+          aggregate(col("ids"), lit(0L), (h, c) => (h * 31 + c) % P)
+            .as("fp"))
+        .withColumn("cum", sum(col("n_ids")).over(w))
+        .select(col("shard"), expr(s"(cum - n_ids) div $budget").as("bin"),
+          col("doc_id"), col("n_ids"), col("fp"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_ids")).as("sum_ids"),
+          sort_array(collect_list(struct(col("doc_id"), col("fp"))))
+            .as("seq"))
+        .select(col("shard"), col("bin"), col("n_docs"), col("sum_ids"),
+          aggregate(expr("transform(seq, s -> s.fp)"), lit(0L),
+            (h, c) => (h * 31 + c) % P).as("bin_fp"))
+        .orderBy("shard", "bin")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -492,44 +526,75 @@ object InsightOpsQueries {
     // (BpeCodec requires it), so match positions are never adjacent
     // and "merge where (s[i], s[i+1]) = (a, b), drop the consumed
     // successor" IS the greedy left-to-right pass.
-    "q159_bpe_encode" -> {
-      import graft.functions.BpeCodec
-      val passes = BpeCodec.merges.zipWithIndex.map { case ((a, b), r) =>
-        s"""e${r + 1} AS (SELECT w, list_filter(list_transform(
-           |    range(1, len(s) + 1), i -> CASE
-           |      WHEN i < len(s) AND s[CAST(i AS INT)] = '$a'
-           |        AND s[CAST(i + 1 AS INT)] = '$b' THEN '${a + b}'
-           |      WHEN i > 1 AND s[CAST(i - 1 AS INT)] = '$a'
-           |        AND s[CAST(i AS INT)] = '$b' THEN NULL
-           |      ELSE s[CAST(i AS INT)] END),
-           |    x -> x IS NOT NULL) AS s FROM e$r)""".stripMargin
-      }.mkString(",\n")
-      val idCase = BpeCodec.merges.zipWithIndex.map { case ((a, b), r) =>
-        s"WHEN x = '${a + b}' THEN ${BpeCodec.idBase + r}"
-      }.mkString(" ")
-      s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks
-         |      FROM documents),
-         |w0 AS (SELECT DISTINCT unnest(toks) AS w FROM d),
-         |e0 AS (SELECT w, string_split(w, '') AS s FROM w0),
-         |$passes,
-         |enc AS (SELECT w, list_transform(s, x -> CAST(CASE $idCase
-         |    ELSE ascii(x) END AS BIGINT)) AS ids
-         |  FROM e${BpeCodec.merges.size}),
-         |tok AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS w
-         |  FROM (SELECT doc_id, toks,
-         |          unnest(range(1, len(toks) + 1)) AS i FROM d)),
-         |je AS (SELECT doc_id, i, ids FROM tok JOIN enc USING (w)),
-         |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-         |    flatten(list(ids ORDER BY i)) AS all_ids
-         |  FROM je GROUP BY doc_id)
+    "q159_bpe_encode" ->
+      s"""WITH $bpeIdsCtes
          |SELECT d.doc_id,
          |  COALESCE(per.n_tok, 0) AS n_tok,
          |  CAST(COALESCE(len(per.all_ids), 0) AS BIGINT) AS n_ids,
          |  CAST(COALESCE(len(list_filter(per.all_ids,
-         |    x -> x >= ${BpeCodec.idBase})), 0) AS BIGINT) AS n_merged,
+         |    x -> x >= ${graft.functions.BpeCodec.idBase})), 0) AS BIGINT)
+         |    AS n_merged,
          |  COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT), per.all_ids),
          |    (h, c) -> (h * 31 + c) % $P), CAST(0 AS BIGINT)) AS id_fp
          |FROM d LEFT JOIN per USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    })
+         |ORDER BY d.doc_id""".stripMargin,
+    // the same encode CTEs + q68's prefix-sum packing + an ordered
+    // fold of the per-doc fingerprints per bin
+    "q167_packed_ids" ->
+      s"""WITH $bpeIdsCtes,
+         |f AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+         |    CAST(COALESCE(len(per.all_ids), 0) AS BIGINT) AS n_ids,
+         |    COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      per.all_ids), (h, c) -> (h * 31 + c) % $P),
+         |      CAST(0 AS BIGINT)) AS fp
+         |  FROM d LEFT JOIN per USING (doc_id)),
+         |c AS (SELECT shard, doc_id, n_ids, fp,
+         |    SUM(n_ids) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f),
+         |b AS (SELECT shard, CAST((cum - n_ids) // 2048 AS BIGINT) AS bin,
+         |    doc_id, n_ids, fp FROM c)
+         |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_ids) AS BIGINT) AS sum_ids,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list(fp ORDER BY doc_id)), (h, c) -> (h * 31 + c) % $P)
+         |    AS bin_fp
+         |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)
+
+  /** The q159 BPE-encode machinery as a reusable DuckDB CTE chain
+    * (through `d` = doc/tokens and `per` = doc/ordered id list) —
+    * shared with the q167 packed-batches oracle so the two gates
+    * cannot drift on the encode semantics.
+    */
+  private lazy val bpeIdsCtes: String = {
+    import graft.functions.BpeCodec
+    val passes = BpeCodec.merges.zipWithIndex.map { case ((a, b), r) =>
+      s"""e${r + 1} AS (SELECT w, list_filter(list_transform(
+         |    range(1, len(s) + 1), i -> CASE
+         |      WHEN i < len(s) AND s[CAST(i AS INT)] = '$a'
+         |        AND s[CAST(i + 1 AS INT)] = '$b' THEN '${a + b}'
+         |      WHEN i > 1 AND s[CAST(i - 1 AS INT)] = '$a'
+         |        AND s[CAST(i AS INT)] = '$b' THEN NULL
+         |      ELSE s[CAST(i AS INT)] END),
+         |    x -> x IS NOT NULL) AS s FROM e$r)""".stripMargin
+    }.mkString(",\n")
+    val idCase = BpeCodec.merges.zipWithIndex.map { case ((a, b), r) =>
+      s"WHEN x = '${a + b}' THEN ${BpeCodec.idBase + r}"
+    }.mkString(" ")
+    s"""d AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+       |      FROM documents),
+       |w0 AS (SELECT DISTINCT unnest(toks) AS w FROM d),
+       |e0 AS (SELECT w, string_split(w, '') AS s FROM w0),
+       |$passes,
+       |enc AS (SELECT w, list_transform(s, x -> CAST(CASE $idCase
+       |    ELSE ascii(x) END AS BIGINT)) AS ids
+       |  FROM e${BpeCodec.merges.size}),
+       |tok AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, len(toks) + 1)) AS i FROM d)),
+       |je AS (SELECT doc_id, i, ids FROM tok JOIN enc USING (w)),
+       |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |    flatten(list(ids ORDER BY i)) AS all_ids
+       |  FROM je GROUP BY doc_id)""".stripMargin
+  }
 }

@@ -144,6 +144,7 @@ object Demo {
       show("q164_stream_index")
       show("q165_schema_evolution")
       show("q166_partition_backfill")
+      show("q167_packed_ids")
       println("-- approx tier --")
       graft.ext.ApproxStats.dedupCardinality(
         spark.read.parquet(s"$sfDir/documents.parquet")).show(5, truncate = false)
