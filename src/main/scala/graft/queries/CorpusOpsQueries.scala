@@ -402,6 +402,69 @@ object CorpusOpsQueries {
       a.join(broadcast(b), col("shard") === col("shard_b"))  // hint audit: query-bounded (one probe term's sharded postings, ~ df(qTermB); a stopword-grade term would drop the hint -> shard-keyed shuffle)
         .select(explode(array_intersect(col("pa"), col("pb"))).as("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // Cross-source contamination matrix: for every source pair, how
+    // many EXACT-duplicate texts (q25's canonical token-set key — one
+    // shared definition) they have in common, plus the pairwise key
+    // Jaccard. This is the "is corpus B a re-crawl of corpus A?"
+    // screen a mixing decision needs before weighting sources
+    // independently. Shape: one (key, source) distinct shuffle, then a
+    // key-keyed equi self-join whose per-key fanout is bounded by the
+    // SOURCE count (a bounded dimension, not the corpus) — candidates
+    // ∝ cross-source duplicate keys, never all-pairs of docs. The
+    // per-source key counts are a sources-bounded dim table.
+    "q170_source_overlap" -> ((s, dir) => {
+      val keys = docs(s, dir)
+        .select(canonicalKey(col("text")).as("k"), col("source"))
+        .distinct()
+      val perSrc = keys.groupBy("source").agg(count(lit(1)).as("n_keys"))
+      keys.as("a")
+        .join(keys.as("b"),
+          col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(perSrc.select(col("source").as("src_a"),  // hint audit: source-bounded (per-source key counts, ~ #sources rows)
+          col("n_keys").as("keys_a"))), "src_a")
+        .join(broadcast(perSrc.select(col("source").as("src_b"),  // hint audit: source-bounded (per-source key counts, ~ #sources rows)
+          col("n_keys").as("keys_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("keys_a"), col("keys_b"),
+          expr("n_shared * 1000 div (keys_a + keys_b - n_shared)")
+            .as("jaccard_permille"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Sampling-weight allocation for multi-source training mixes:
+    // sqrt-temperature reweighting (the classic multilingual/multi-
+    // corpus smoothing — weight ∝ √tokens, so small sources are
+    // upsampled relative to their natural share). All arithmetic is
+    // exact integer: isqrt(n) = floor(√n) computed as the
+    // double-sqrt seed ±1 correction (exact for any BIGINT either
+    // engine rounds differently), then permille shares by integer
+    // division. Shape: one scan-stage token count + a source-keyed agg
+    // (map-side partials into ~#sources keys); the totals window runs
+    // over the sources-bounded aggregate, never the corpus.
+    "q171_mixture_weights" -> ((s, dir) => {
+      val perSrc = docs(s, dir)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val seed = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+      val isq = when((seed + 1) * (seed + 1) <= col("n_tokens"), seed + 1)
+        .when(seed * seed > col("n_tokens"), seed - 1)
+        .otherwise(seed)
+      val all = Window.partitionBy()
+      perSrc.withColumn("isqrt_tokens", isq)
+        .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
+        .withColumn("tot_isqrt", sum(col("isqrt_tokens")).over(all))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("isqrt_tokens"),
+          expr("n_tokens * 1000 div tot_tokens").as("natural_permille"),
+          expr("isqrt_tokens * 1000 div tot_isqrt").as("weight_permille"),
+          expr("(isqrt_tokens * 1000 div tot_isqrt) * 1000 div " +
+            "(n_tokens * 1000 div tot_tokens)").as("upsample_permille"))
+        .orderBy("source")
     }))
 
   def oracle: Map[String, String] = {
@@ -561,6 +624,41 @@ object CorpusOpsQueries {
         s"""SELECT doc_id FROM documents
            |WHERE list_contains(${sqlTokens("text")}, '$qTermA')
            |  AND list_contains(${sqlTokens("text")}, '$qTermB')
-           |ORDER BY doc_id""".stripMargin)
+           |ORDER BY doc_id""".stripMargin,
+      "q170_source_overlap" ->
+        s"""WITH k AS (SELECT DISTINCT ${sqlCanonicalKey("text")} AS k, source
+           |      FROM documents),
+           |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_keys
+           |      FROM k GROUP BY 1),
+           |p AS (SELECT a.source AS src_a, b.source AS src_b,
+           |        CAST(COUNT(*) AS BIGINT) AS n_shared
+           |      FROM k a JOIN k b ON a.k = b.k AND a.source < b.source
+           |      GROUP BY 1, 2)
+           |SELECT p.src_a, p.src_b, p.n_shared,
+           |  ca.n_keys AS keys_a, cb.n_keys AS keys_b,
+           |  p.n_shared * 1000 // (ca.n_keys + cb.n_keys - p.n_shared)
+           |    AS jaccard_permille
+           |FROM p JOIN c ca ON ca.source = p.src_a
+           |       JOIN c cb ON cb.source = p.src_b
+           |ORDER BY src_a, src_b""".stripMargin,
+      "q171_mixture_weights" ->
+        s"""WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |        CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+           |      FROM documents GROUP BY 1),
+           |i AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+           |        AS seed FROM a),
+           |s AS (SELECT source, n_docs, n_tokens,
+           |        CASE WHEN (seed + 1) * (seed + 1) <= n_tokens THEN seed + 1
+           |             WHEN seed * seed > n_tokens THEN seed - 1
+           |             ELSE seed END AS isqrt_tokens
+           |      FROM i),
+           |t AS (SELECT *, SUM(n_tokens) OVER () AS tot_tokens,
+           |        SUM(isqrt_tokens) OVER () AS tot_isqrt FROM s)
+           |SELECT source, n_docs, n_tokens, isqrt_tokens,
+           |  CAST(n_tokens * 1000 // tot_tokens AS BIGINT) AS natural_permille,
+           |  CAST(isqrt_tokens * 1000 // tot_isqrt AS BIGINT) AS weight_permille,
+           |  CAST((isqrt_tokens * 1000 // tot_isqrt) * 1000
+           |    // (n_tokens * 1000 // tot_tokens) AS BIGINT) AS upsample_permille
+           |FROM t ORDER BY source""".stripMargin)
   }
 }
