@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,6 +50,79 @@ object SimilarityQueries {
     * cosine, probes scanning one cell — is what's being exercised.
     */
   private[queries] val centroidIds = Seq(1L, 3L, 8L, 21L, 55L, 144L, 233L, 377L)
+
+  /** Product quantization (Jégou et al., TPAMI 2011 — public): M=8
+    * subspaces of 8 dims, K=4 codewords per subspace. The codebook is a
+    * fixed id-drawn set like `centroidIds` (the INDEX STRUCTURE —
+    * nearest-codeword encode, ADC table lookup — is what's exercised; a
+    * deployment k-means-refreshes the codewords with `ext/KMeans`).
+    * All distances are exact integers over milli-quantized components
+    * (the q151 fixed-point convention), so both engines agree
+    * bit-for-bit. Codeword index = rank of the drawn vec_id ascending.
+    */
+  private[queries] val pqCodebookIds = Seq(1L, 3L, 8L, 21L)
+  private val pqM = 8
+  private val pqSub = 8
+  private val pqK = 4
+  private val pqTopK = 5
+
+  /** Milli-quantized integer components (floor(v·1000) — exact across
+    * engines: float→double is exact, ·1000 and floor are IEEE).
+    */
+  private def milliQ(e: Column): Column =
+    transform(e, v => floor(v.cast("double") * 1000).cast("long"))
+
+  /** The codebook is the index's model artifact: K=4 rows fetched once
+    * to the driver and folded into projections as literals (the q37
+    * convention) — encode is then a pure map over the corpus.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Long]] =
+    Tables(s, dir, "embeddings")
+      .where(col("vec_id").isin(pqCodebookIds: _*))
+      .orderBy("vec_id")
+      .select(milliQ(col("embedding")).as("mq"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+
+  /** Squared L2 distance of subspace m's components to codeword cw
+    * (milli² integers; ≤ 8·(4·10⁶)² per subspace — fits long).
+    */
+  private def pqSubDist(mq: Column, cw: Array[Long], m: Int): Column =
+    (0 until pqSub).map { d =>
+      val diff = element_at(mq, m * pqSub + d + 1) - lit(cw(m * pqSub + d))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** argmin codeword for subspace m as struct(d, c) — lexicographic
+    * array_min gives the (dist ASC, c ASC) tiebreak in one evaluation.
+    */
+  private def pqBest(mq: Column, cb: Array[Array[Long]], m: Int): Column =
+    array_min(array(cb.indices.map(c =>
+      struct(pqSubDist(mq, cb(c), m).as("d"), lit(c).as("c"))): _*))
+
+  /** Shared oracle CTEs: milli components, codebook (c = vec_id rank),
+    * per-(vec, subspace, codeword) distances, argmin codes. One string,
+    * both PQ gates — the code assignment cannot drift between them.
+    */
+  private val sqlPqCodes: String = {
+    val ids = pqCodebookIds.mkString(",")
+    s"""me AS (SELECT vec_id,
+       |    list_transform(embedding, v ->
+       |      CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS mq
+       |  FROM embeddings),
+       |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, mq AS cw
+       |  FROM me WHERE vec_id IN ($ids)),
+       |pd AS (SELECT me.vec_id, t.m, cb.c,
+       |    CAST(list_sum(list_transform(range(1, ${pqSub + 1}), i ->
+       |      (me.mq[CAST(t.m * $pqSub + i AS INT)]
+       |        - cb.cw[CAST(t.m * $pqSub + i AS INT)]) *
+       |      (me.mq[CAST(t.m * $pqSub + i AS INT)]
+       |        - cb.cw[CAST(t.m * $pqSub + i AS INT)]))) AS BIGINT) AS dist
+       |  FROM me, range(0, $pqM) t(m), cb),
+       |cod AS (SELECT vec_id, m, c AS code, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, c) AS rn FROM pd) WHERE rn = 1)""".stripMargin
+  }
 
   /** vectors + squared norms; probe sets are deterministic id slices. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
@@ -249,6 +322,64 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // PQ encode: every vector compressed to 8 2-bit codewords (packed
+    // into one integer) plus its exact quantization error — the 32×
+    // embedding-compression pass an ANN serving tier runs over the
+    // full corpus. Pure map: the codebook is literal-folded, argmin
+    // per subspace is one lexicographic array_min, NO shuffle beyond
+    // the result sort. At 100 TB this is scan-stage codegen over the
+    // embedding column; the qerr rollup is the compression-quality
+    // audit that decides codebook refresh.
+    "q168_pq_encode" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), milliQ(col("embedding")).as("mq"))
+      val bests = (0 until pqM).map(m => pqBest(col("mq"), cb, m).as(s"b$m"))
+      base.select(col("vec_id") +: bests: _*)
+        .select(col("vec_id"),
+          (0 until pqM).map(m =>
+            col(s"b$m").getField("c").cast("long") * lit(1L << (2 * m)))
+            .reduce(_ + _).as("packed_code"),
+          (0 until pqM).map(m => col(s"b$m").getField("d"))
+            .reduce(_ + _).as("qerr"))
+        .orderBy("vec_id")
+    }),
+
+    // PQ ADC top-k: probes score the WHOLE corpus through its codes —
+    // per probe, a 32-entry distance table (subspace × codeword,
+    // computed once per probe) and per candidate just 8 table lookups
+    // + adds, never a 64-dim float dot product. The asymmetric-
+    // distance formulation means the corpus side stays compressed
+    // end-to-end; composed with q37's IVF cells this is IVF-PQ, the
+    // standard billion-scale ANN layout. Gate = exact integer ADC
+    // distances, ranked per probe through the bounded-heap TopK
+    // operator (only k rows per probe per partition cross the
+    // shuffle).
+    "q169_pq_adc_topk" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), milliQ(col("embedding")).as("mq"))
+      val codes = base.select(col("vec_id"),
+        array((0 until pqM).map(m =>
+          pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
+      val probes = base.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"),
+          array((0 until pqM).flatMap(m => cb.indices.map(c =>
+            pqSubDist(col("mq"), cb(c), m))): _*).as("pd"))
+      val adc = (0 until pqM).map(m =>
+        element_at(col("pd"),
+          lit(m * pqK + 1) + element_at(col("codes"), m + 1)))
+        .reduce(_ + _)
+      val scored = codes
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice carrying 32-long ADC tables)
+        .select(col("probe_id"), col("vec_id"), adc.as("adc_dist"))
+      val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq("adc_dist" -> false, "vec_id" -> false), pqTopK)
+      val w = Window.partitionBy("probe_id").orderBy(asc("adc_dist"), asc("vec_id"))
+      top.withColumn("rn", row_number().over(w))
+        .orderBy("probe_id", "rn")
+    }),
+
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val probes = corpus.where(probeSlice(50))
@@ -372,6 +503,26 @@ object SimilarityQueries {
            |    AS overall_recall_permille
            |FROM h ORDER BY probe_id""".stripMargin
       },
+      "q168_pq_encode" ->
+        s"""WITH $sqlPqCodes
+           |SELECT vec_id,
+           |  CAST(SUM(code * (CAST(1 AS BIGINT) << CAST(2 * m AS INT)))
+           |    AS BIGINT) AS packed_code,
+           |  CAST(SUM(dist) AS BIGINT) AS qerr
+           |FROM cod GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      "q169_pq_adc_topk" ->
+        s"""WITH $sqlPqCodes,
+           |pr AS (SELECT vec_id AS probe_id, m, c, dist FROM pd
+           |  WHERE ${sqlProbeSlice(61)}),
+           |adc AS (SELECT pr.probe_id, cod.vec_id,
+           |    CAST(SUM(pr.dist) AS BIGINT) AS adc_dist
+           |  FROM cod JOIN pr ON pr.m = cod.m AND pr.c = cod.code
+           |  WHERE cod.vec_id <> pr.probe_id
+           |  GROUP BY 1, 2)
+           |SELECT probe_id, vec_id, adc_dist, rn FROM (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
