@@ -34,6 +34,12 @@ object DedupQueries {
     */
   private val ssjTau = 0.8
 
+  /** q172 chunk width (tokens): the keep-first dedup granule — wide
+    * enough that a repeat is copied text, small enough that partial
+    * overlap still dedups chunk-aligned regions.
+    */
+  private val chunkDedupW = 8
+
   /** doc_id → distinct word-3-shingle hash set (shared by q27/q28). */
   private def docHashes(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -230,6 +236,49 @@ object DedupQueries {
           max(col("doc_id")).as("last_doc"))
         .where(col("n_docs") > 1)
         .orderBy("canon_key")
+    }),
+
+    // C4-style keep-first chunk dedup: the corpus is cut into
+    // non-overlapping token chunks, and every chunk that already
+    // occurred EARLIER in the global (doc_id, chunk_no) order is
+    // dropped — first occurrence wins, later copies vanish (the
+    // line-dedup acting step of C4/RefinedWeb, at chunk granularity;
+    // q161 is the complementary drop-ALL-copies rule for n-gram
+    // spans). Shape: one chunk-hash shuffle; per-hash state is the
+    // occurrence list of THAT chunk (∝ its duplication, never pairs);
+    // the min-struct keeper needs no per-key sort; reassembly regroups
+    // on doc_id. The (doc_id, chunk_no) total order makes the result
+    // layout-independent — identical on any cluster.
+    "q172_chunk_dedup_keepfirst" -> ((s, dir) => {
+      val w = chunkDedupW
+      val nChunks = expr(s"(size(toks) + ${w - 1}) div $w")
+      val toked = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val chunks = toked.select(col("doc_id"),
+        posexplode(when(size(col("toks")) > 0, transform(
+          sequence(lit(0), nChunks.cast("int") - 1),
+          c => concat_ws(" ", slice(col("toks"), c * w + 1, lit(w)))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("cno", "ctext")))
+      val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val kept = chunks
+        .select(col("doc_id"), col("cno"), col("ctext"),
+          polyHash(col("ctext")).as("h"))
+        .withColumn("keeper",
+          min(struct(col("doc_id"), col("cno"))).over(byH))
+        .where(col("keeper") === struct(col("doc_id"), col("cno")))
+      val perDoc = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("cno"), col("ctext")))),
+            st => st("ctext")), " ").as("cleaned"))
+      toked
+        .select(col("doc_id"), nChunks.cast("long").as("n_chunks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          polyHash(coalesce(col("cleaned"), lit(""))).as("cleaned_fp"))
+        .orderBy("doc_id")
     }),
 
     // exact character-4-gram Jaccard >= 0.40 over the doc_id % 5 slice
@@ -569,6 +618,31 @@ object DedupQueries {
            |      FROM documents)
            |GROUP BY canon_key HAVING COUNT(*) > 1
            |ORDER BY canon_key""".stripMargin,
+      "q172_chunk_dedup_keepfirst" -> {
+        val w = chunkDedupW
+        s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+           |c AS (SELECT doc_id, c AS cno,
+           |        array_to_string(toks[CAST(c * $w + 1 AS INT):
+           |          CAST(c * $w + $w AS INT)], ' ') AS ctext
+           |      FROM (SELECT doc_id, toks,
+           |              unnest(range(0, (len(toks) + ${w - 1}) // $w)) AS c
+           |            FROM d)),
+           |h AS (SELECT doc_id, cno, ctext, ${sqlPolyHash("ctext")} AS h FROM c),
+           |kept AS (SELECT doc_id, cno, ctext FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+           |      ORDER BY doc_id, cno) AS rn FROM h) WHERE rn = 1),
+           |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |          string_agg(ctext, ' ' ORDER BY cno) AS cleaned
+           |        FROM kept GROUP BY doc_id),
+           |b AS (SELECT doc_id,
+           |        CAST((len(toks) + ${w - 1}) // $w AS BIGINT) AS n_chunks
+           |      FROM d)
+           |SELECT b.doc_id, b.n_chunks,
+           |  CAST(COALESCE(per.n_kept, 0) AS BIGINT) AS n_kept,
+           |  ${sqlPolyHash("COALESCE(per.cleaned, '')")} AS cleaned_fp
+           |FROM b LEFT JOIN per USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
       "q26_ngram_jaccard" ->
         s"""WITH pos AS (
            |  SELECT doc_id, lower(text) AS lt,
