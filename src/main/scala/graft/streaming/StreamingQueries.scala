@@ -797,6 +797,87 @@ object StreamingQueries {
       }
     }),
 
+    // Update-mode gate — completes the engine's emission-mode triangle
+    // (ten Append gates, one Complete gate, and now Update): the
+    // events fixture is staged as TWO files processed as TWO
+    // micro-batches (maxFilesPerTrigger=1, mtime-ordered halves), so
+    // keys present in both halves are emitted TWICE — batch 1 with
+    // partial values, batch 2 with the state-accumulated totals.
+    // foreachBatch records (batchId, row); the gate pins BOTH facets
+    // of Update semantics: the last emission per key must equal the
+    // batch aggregate over ALL data (state accumulation across
+    // batches), and the emission count per key must equal the number
+    // of halves containing the key (re-emission on update, silence
+    // otherwise). The oracle derives both from the fixture alone. At
+    // 100 TB this is the live-dashboard upsert path: per-batch output
+    // ∝ keys touched by the batch, state ∝ distinct keys (a
+    // deployment bounds it with a watermark or TTL).
+    "q173_stream_update_mode" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q173-src")
+      val ckpt = tmpDir("graft-q173-ckpt")
+      try {
+        val batch = s.read.parquet(src.toString)
+        val schema = batch.schema
+        def stageHalf(rem: Int, name: String, mtimeMs: Long): Unit = {
+          val tmp = tmpDir("graft-q173-w")
+          try {
+            batch.where(col("user_id") % 2 === rem).coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val part = Files.list(tmp)
+              .filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            Files.move(part, stage.resolve(name),
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(stage.resolve(name),
+              java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+          } finally deleteRecursively(tmp)
+        }
+        val now = System.currentTimeMillis()
+        stageHalf(0, "half0.parquet", now - 120000)
+        stageHalf(1, "half1.parquet", now - 60000)
+        val agg = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(dec2)).as("sv"))
+        val emitted =
+          scala.collection.mutable.ArrayBuffer[(Long, String, Long, java.math.BigDecimal)]()
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val query =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            agg.writeStream
+              .outputMode(OutputMode.Update)
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch { (df: DataFrame, id: Long) =>
+                val rs = df.collect()
+                emitted.synchronized {
+                  emitted ++= rs.map(r =>
+                    (id, r.getString(0), r.getLong(1), r.getDecimal(2)))
+                }
+                ()
+              }
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        query.awaitTermination()
+        val fin = emitted.synchronized {
+          emitted.groupBy(_._2).toSeq.map { case (et, rows) =>
+            val last = rows.maxBy(_._1)
+            (et, last._3, last._4.doubleValue(), rows.size.toLong)
+          }.sortBy(_._1)
+        }
+        import s.implicits._
+        fin.toDF("event_type", "n_events", "sum_value", "n_emissions")
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -1044,5 +1125,14 @@ object StreamingQueries {
       """SELECT n.n_name, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    // last-emission values = the full-data aggregate (state
+    // accumulates across batches); n_emissions = how many of the two
+    // user_id-parity halves contain the key (Update re-emits exactly
+    // the updated keys, once per updating batch)
+    "q173_stream_update_mode" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(DISTINCT user_id % 2) AS BIGINT) AS n_emissions
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
