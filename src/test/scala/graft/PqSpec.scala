@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Round-11 operator cross-checks, independent of the DuckDB twins:
+  *
+  *  - q168/q169 product quantization: a from-scratch Scala
+  *    re-implementation of the milli-quantized encode (argmin codeword
+  *    per subspace, dist-then-index tiebreak) and of the ADC distance
+  *    must reproduce the Spark results row-for-row — so the gate's SQL
+  *    twin and the Spark expression tree cannot share a common bug.
+  *  - q172 keep-first chunk dedup: exactly one keeper per distinct
+  *    chunk hash, and per-doc kept counts never exceed chunk counts.
+  *  - q170/q171 corpus-mix screens: structural invariants (pair
+  *    ordering, permille bounds, isqrt exactness on the emitted rows).
+  */
+class PqSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val M = 8
+  private val Sub = 8
+  private val codebookIds = Seq(1L, 3L, 8L, 21L)
+
+  private def milli(v: Float): Long = math.floor(v.toDouble * 1000).toLong
+
+  /** (vec_id → milli components) for the whole fixture. */
+  private lazy val vecs: Map[Long, Array[Long]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(milli).toArray)
+      .toMap
+
+  private lazy val codebook: Array[Array[Long]] =
+    codebookIds.sorted.map(vecs(_)).toArray
+
+  private def subDist(x: Array[Long], cw: Array[Long], m: Int): Long = {
+    var d = 0L
+    var i = m * Sub
+    while (i < (m + 1) * Sub) {
+      val t = x(i) - cw(i); d += t * t; i += 1
+    }
+    d
+  }
+
+  /** (codes, qerr) by direct argmin — the independent encode oracle. */
+  private def encode(x: Array[Long]): (Array[Int], Long) = {
+    var qerr = 0L
+    val codes = Array.tabulate(M) { m =>
+      var bc = 0
+      var bd = subDist(x, codebook(0), m)
+      var c = 1
+      while (c < codebook.length) {
+        val d = subDist(x, codebook(c), m)
+        if (d < bd) { bd = d; bc = c }
+        c += 1
+      }
+      qerr += bd
+      bc
+    }
+    (codes, qerr)
+  }
+
+  test("q168: Spark PQ encode matches the from-scratch Scala argmin") {
+    val got = SparkEntry.queries("q168_pq_encode")(spark, dir).collect()
+    assert(got.length === vecs.size)
+    for (r <- got) {
+      val id = r.getLong(0)
+      val (codes, qerr) = encode(vecs(id))
+      val packed = codes.zipWithIndex.map { case (c, m) => c.toLong << (2 * m) }.sum
+      assert(r.getLong(1) === packed, s"packed code drifted for vec $id")
+      assert(r.getLong(2) === qerr, s"qerr drifted for vec $id")
+    }
+  }
+
+  test("q169: ADC top-k matches brute-force over the Scala codes") {
+    val probes = vecs.keys.filter(id => id % 61 == 0 && id < 2000L).toSeq.sorted
+    val codes = vecs.map { case (id, x) => id -> encode(x)._1 }
+    val expected = probes.flatMap { p =>
+      val px = vecs(p)
+      val scored = vecs.keys.filter(_ != p).toSeq.map { v =>
+        val adc = (0 until M).map(m => subDist(px, codebook(codes(v)(m)), m)).sum
+        (v, adc)
+      }.sortBy { case (v, adc) => (adc, v) }.take(5)
+      scored.zipWithIndex.map { case ((v, adc), i) => Row(p, v, adc, i + 1) }
+    }
+    val got = SparkEntry.queries("q169_pq_adc_topk")(spark, dir).collect()
+    assert(got.length === expected.length)
+    for ((g, e) <- got.zip(expected))
+      assert(g === e, s"ADC row drifted: got $g expected $e")
+  }
+
+  test("q172: exactly one keeper per distinct chunk hash") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val out = SparkEntry.queries("q172_chunk_dedup_keepfirst")(spark, dir)
+      .collect()
+    val totalKept = out.map(_.getLong(2)).sum
+    // distinct chunk hashes, recomputed independently of the query
+    val w = 8
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nDistinct = docs
+      .select(explode(transform(
+        sequence(lit(0), expr(s"(size(toks) + ${w - 1}) div $w").cast("int") - 1),
+        c => concat_ws(" ", slice(col("toks"), c * w + 1, lit(w))))).as("c"))
+      .select(polyHash(col("c")).as("h")).distinct().count()
+    assert(totalKept === nDistinct,
+      "keep-first must keep exactly one occurrence per distinct chunk")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)),
+      "kept count exceeded chunk count")
+  }
+
+  test("q170/q171: pair ordering and permille bounds hold; isqrt is exact") {
+    val ov = SparkEntry.queries("q170_source_overlap")(spark, dir).collect()
+    assert(ov.nonEmpty, "fixture must contain cross-source duplicates")
+    for (r <- ov) {
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered src_a < src_b")
+      assert(r.getLong(2) >= 1L && r.getLong(5) <= 1000L)
+    }
+    val mw = SparkEntry.queries("q171_mixture_weights")(spark, dir).collect()
+    val wSum = mw.map(_.getLong(5)).sum
+    assert(wSum <= 1000L && wSum > 1000L - mw.length,
+      s"floor-permille weights must sum to 1000 minus rounding: $wSum")
+    for (r <- mw) {
+      val n = r.getLong(2); val s = r.getLong(3)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s is not exact")
+    }
+  }
+}
