@@ -65,4 +65,53 @@ object GlobalIndex {
     }
     ColumnBridge.ofInternalRows(spark, outSchema, indexed)
   }
+
+  /** Global INCLUSIVE running sum of `weightCol` (a LongType column)
+    * under the total order `keys` — the weighted generalization of
+    * [[withGlobalIndex]], and the distributed replacement for
+    * `sum(w).over(Window.orderBy(keys))` (which, like row_number, moves
+    * the whole input to one partition). Same two-phase design: range
+    * shuffle + local sort, one counting job collecting a per-partition
+    * WEIGHT total, scanLeft offsets, then a per-partition imperative
+    * pass attaching `offset + running local sum`. Output column
+    * `cumCol` is non-nullable LongType; a row's value depends only on
+    * the total order, so the result is identical on any cluster
+    * layout. `keys` must include a unique tiebreaker.
+    */
+  def withGlobalPrefixSum(df: DataFrame, keys: Seq[Column],
+      weightCol: String, numParts: Int,
+      cumCol: String = "global_cum"): DataFrame = {
+    require(numParts >= 1, "numParts must be >= 1")
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(numParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = ranged.schema
+    require(!schema.fieldNames.contains(cumCol),
+      s"column $cumCol already exists")
+    val wIdx = schema.fieldIndex(weightCol)
+    require(schema.fields(wIdx).dataType == LongType,
+      s"weight column $weightCol must be LongType, " +
+        s"got ${schema.fields(wIdx).dataType}")
+    val rdd = ranged.queryExecution.toRdd
+    val partSums: Array[Long] = spark.sparkContext.runJob(rdd,
+      (it: Iterator[InternalRow]) => {
+        var s = 0L; while (it.hasNext) { s += it.next().getLong(wIdx) }; s
+      })
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val outSchema = StructType(
+      schema.fields :+ StructField(cumCol, LongType, nullable = false))
+    val fieldTypes = outSchema.fields.map(_.dataType)
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(fieldTypes)
+      val joined = new JoinedRow
+      val cum = new SpecificInternalRow(Seq(LongType))
+      var s = offsets(pid)
+      it.map { row =>
+        s += row.getLong(wIdx)
+        cum.setLong(0, s)
+        proj(joined(row, cum)): InternalRow
+      }
+    }
+    ColumnBridge.ofInternalRows(spark, outSchema, summed)
+  }
 }

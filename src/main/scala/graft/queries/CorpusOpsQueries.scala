@@ -465,6 +465,45 @@ object CorpusOpsQueries {
           expr("(isqrt_tokens * 1000 div tot_isqrt) * 1000 div " +
             "(n_tokens * 1000 div tot_tokens)").as("upsample_permille"))
         .orderBy("source")
+    }),
+
+    // Token-budget corpus selection: keep the best documents (quality
+    // permille desc, doc_id tiebreak) until the running token total
+    // exceeds 40% of the corpus — the data-selection step between
+    // scoring (q22/q105) and training: "we can afford B tokens; which
+    // docs make the cut?". The running total is the DISTRIBUTED
+    // weighted prefix sum (GlobalIndex.withGlobalPrefixSum — range
+    // shuffle + per-partition offsets), never a single-partition
+    // window: the one formulation of take-while-under-budget that
+    // survives 100 TB. Budget is corpus-proportional (SF-invariant
+    // semantics); the inclusive-prefix rule (select iff cum ≤ B) makes
+    // the cut deterministic on any layout. Output: per-source
+    // selection rates — what the budget does to the mix.
+    "q175_token_budget" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("nt"),
+          floor(graft.functions.TextFunctions
+            .qualityScoreFromTokens(col("toks"), col("text")) * 1000)
+            .cast("long").as("qp"))
+      val cum = graft.ext.GlobalIndex.withGlobalPrefixSum(scored,
+        Seq(col("qp").desc, col("doc_id").asc), "nt", 32, "cum_tokens")
+      val budget = scored.agg(expr("sum(nt) * 2 div 5").as("budget"))
+      cum.join(broadcast(budget))  // hint audit: scalar (one-row budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cum_tokens") <= col("budget"), 1L).otherwise(0L))
+            .as("n_selected"),
+          sum(when(col("cum_tokens") <= col("budget"), col("nt"))
+            .otherwise(0L)).as("sel_tokens"),
+          min(when(col("cum_tokens") <= col("budget"), col("qp")))
+            .as("min_sel_qp"))
+        .select(col("source"), col("n_docs"), col("n_selected"),
+          col("sel_tokens"), col("min_sel_qp"),
+          expr("n_selected * 1000 div n_docs").as("sel_rate_permille"))
+        .orderBy("source")
     }))
 
   def oracle: Map[String, String] = {
@@ -659,6 +698,30 @@ object CorpusOpsQueries {
            |  CAST(isqrt_tokens * 1000 // tot_isqrt AS BIGINT) AS weight_permille,
            |  CAST((isqrt_tokens * 1000 // tot_isqrt) * 1000
            |    // (n_tokens * 1000 // tot_tokens) AS BIGINT) AS upsample_permille
-           |FROM t ORDER BY source""".stripMargin)
+           |FROM t ORDER BY source""".stripMargin,
+
+      "q175_token_budget" -> {
+        val toks = sqlTokens("text")
+        val q = graft.functions.TextFunctions.sqlQualityScore("text")
+        s"""WITH d AS (SELECT doc_id, source,
+           |        CAST(len($toks) AS BIGINT) AS nt,
+           |        CAST(floor(($q) * 1000) AS BIGINT) AS qp
+           |      FROM documents),
+           |c AS (SELECT *, CAST(SUM(nt) OVER (ORDER BY qp DESC, doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |        AS BIGINT) AS cum_tokens,
+           |      CAST(SUM(nt) OVER () * 2 // 5 AS BIGINT) AS budget
+           |      FROM d)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_selected,
+           |  CAST(SUM(CASE WHEN cum_tokens <= budget THEN nt ELSE 0 END)
+           |    AS BIGINT) AS sel_tokens,
+           |  CAST(MIN(CASE WHEN cum_tokens <= budget THEN qp END)
+           |    AS BIGINT) AS min_sel_qp,
+           |  CAST(SUM(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END)
+           |    * 1000 // COUNT(*) AS BIGINT) AS sel_rate_permille
+           |FROM c GROUP BY source ORDER BY source""".stripMargin
+      })
   }
 }

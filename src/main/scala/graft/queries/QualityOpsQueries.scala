@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -153,6 +154,46 @@ object QualityOpsQueries {
         .select(col("doc_a"), col("doc_b"),
           (col("ck_a") === col("ck_b")).as("exact_dup"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Quality-filter threshold calibration: the full precision/recall/F1
+    // sweep of the q22 quality score as a classifier for English text
+    // (the score's stopword component IS an English signal — this
+    // measures how much). One corpus scan buckets docs into permille
+    // score bins with per-bin positive counts (≤ 1001 bins — a bounded
+    // value-domain histogram, the q121 device); the sweep itself is a
+    // cumulative window DESCENDING over that bounded relation, never
+    // the corpus: predict-positive-at-threshold-t counts are suffix
+    // sums of the bins. Thresholds = observed bins, so every division
+    // is over a nonzero predicted-positive count; all ratios are exact
+    // integer permille. This is the "pick the filter threshold"
+    // calibration table a curation pipeline reads before q58's funnel
+    // applies the floor.
+    "q174_quality_sweep" -> ((s, dir) => {
+      val bins = docs(s, dir)
+        .select(col("lang"), col("text"), tokens(col("text")).as("toks"))
+        .select(floor(graft.functions.TextFunctions
+            .qualityScoreFromTokens(col("toks"), col("text")) * 1000)
+            .cast("long").as("qp"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("qp")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      // bounded relation from here down: ≤ 1001 rows
+      val wSuffix = Window.orderBy(desc("qp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      bins
+        .withColumn("pred_pos", sum(col("n")).over(wSuffix))
+        .withColumn("tp", sum(col("np")).over(wSuffix))
+        .withColumn("all_pos", sum(col("np")).over(wAll))
+        .select(col("qp").as("thr_permille"), col("pred_pos"), col("tp"),
+          (col("pred_pos") - col("tp")).as("fp"),
+          (col("all_pos") - col("tp")).as("fn"),
+          expr("tp * 1000 div pred_pos").as("precision_permille"),
+          expr("CASE WHEN all_pos > 0 THEN tp * 1000 div all_pos " +
+            "ELSE 0 END").as("recall_permille"),
+          expr("2 * tp * 1000 div (pred_pos + all_pos)").as("f1_permille"))
+        .orderBy(desc("thr_permille"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -215,5 +256,31 @@ object QualityOpsQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  a.ck = b.ck AS exact_dup
          |FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + $snWindow
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q174_quality_sweep" ->
+      s"""WITH bins AS (
+         |  SELECT CAST(floor(${sqlQualityScore("text")} * 1000) AS BIGINT)
+         |      AS qp,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np
+         |  FROM documents GROUP BY 1),
+         |sw AS (
+         |  SELECT qp,
+         |    CAST(SUM(n) OVER (ORDER BY qp DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS pred_pos,
+         |    CAST(SUM(np) OVER (ORDER BY qp DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS tp,
+         |    CAST(SUM(np) OVER () AS BIGINT) AS all_pos
+         |  FROM bins)
+         |SELECT qp AS thr_permille, pred_pos, tp,
+         |  pred_pos - tp AS fp, all_pos - tp AS fn,
+         |  tp * 1000 // pred_pos AS precision_permille,
+         |  CASE WHEN all_pos > 0 THEN tp * 1000 // all_pos
+         |    ELSE 0 END AS recall_permille,
+         |  2 * tp * 1000 // (pred_pos + all_pos) AS f1_permille
+         |FROM sw ORDER BY thr_permille DESC""".stripMargin)
 }

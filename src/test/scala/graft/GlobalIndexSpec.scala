@@ -46,6 +46,38 @@ class GlobalIndexSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("prefix sum matches the single-partition window sum exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val got = ext.GlobalIndex.withGlobalPrefixSum(docs,
+      Seq(col("n_chars").desc, col("doc_id").asc), "n_chars", 8)
+      .select(col("doc_id"), col("global_cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = docs
+      .withColumn("global_cum",
+        sum(col("n_chars")).over(Window
+          .orderBy(desc("n_chars"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("prefix sum is layout-independent and rejects non-long weights") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ext.GlobalIndex.withGlobalPrefixSum(df,
+        Seq(col("n_chars").desc, col("doc_id").asc), "n_chars", 8)
+        .select("doc_id", "global_cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+    intercept[IllegalArgumentException] {
+      ext.GlobalIndex.withGlobalPrefixSum(
+        docs.withColumn("w", col("n_chars").cast("int")),
+        Seq(col("doc_id").asc), "w", 4)
+    }
+  }
+
   test("empty input and index-column collision") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id")).where(lit(false))
