@@ -39,8 +39,8 @@ object CorpusOpsQueries {
     * compacted output size (scaled to the fixture; the ratio is what
     * matters).
     */
-  private val fileGranule = 50L
-  private val targetBytes = 64000L
+  private[queries] val fileGranule = 50L
+  private[queries] val targetBytes = 64000L
 
   /** q100 weighted sample: draws per stratum and the fixed-point scale
     * of the priority key.

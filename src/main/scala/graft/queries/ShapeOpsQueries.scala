@@ -265,6 +265,55 @@ object ShapeOpsQueries {
         }
         rmTree(stage)
       }
+    }),
+
+    // Compaction EXECUTED — the acting half of q99's bin-packing plan
+    // (q165/q166 complete the lake trio: read evolution, backfill,
+    // now the small-file rewrite). Docs are assigned to q99's
+    // target-sized output bins (same granule/running-sum rule, shared
+    // constants), hash-repartitioned on the bin key so each bin's rows
+    // land in ONE task, and rewritten `partitionBy(source, bin)` —
+    // exactly one file per bin directory. The read-back gate rolls up
+    // every bin from the COMPACTED table (row preservation, doc-id
+    // span, byte size) and pins n_files = 1 per bin via
+    // input_file_name() — the compaction property itself, not just the
+    // plan. At 100 TB the rewrite cost is the data volume (one
+    // shuffle on the bin key, write bandwidth); the planning join is
+    // the metadata-scale (source, file_id) relation, stats-chosen.
+    "q176_compaction_rewrite" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q176-compact")
+      try {
+        val gran = CorpusOpsQueries.fileGranule
+        val tgt = CorpusOpsQueries.targetBytes
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val files = d
+          .groupBy(col("source"), expr(s"doc_id div $gran").as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes"))
+        val w = Window.partitionBy("source").orderBy("file_id")
+        val plan = files.withColumn("cum", sum(col("bytes")).over(w))
+          .select(col("source"), col("file_id"),
+            expr(s"(cum - bytes) div $tgt").as("bin"))
+        d.withColumn("file_id", expr(s"doc_id div $gran"))
+          .join(plan, Seq("source", "file_id"))
+          .repartition(col("source"), col("bin"))
+          .write.partitionBy("source", "bin").mode("overwrite")
+          .parquet(stage.toString)
+        val out = s.read.parquet(stage.toString)
+          // input_file_name is per-row nondeterministic to the
+          // optimizer: materialize it in a projection before the agg
+          .withColumn("fname", input_file_name())
+          .groupBy(col("source"), col("bin").cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"),
+            countDistinct(col("fname")).as("n_files"))
+          .orderBy("source", "bin")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
 
   private def rmTree(p: java.nio.file.Path): Unit = {
@@ -363,5 +412,27 @@ object ShapeOpsQueries {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // q99's bin rule replayed over the canonical table; n_files = 1
+    // is the compaction guarantee the rewrite must deliver per bin
+    "q176_compaction_rewrite" ->
+      s"""WITH f AS (SELECT source,
+         |        doc_id // ${CorpusOpsQueries.fileGranule} AS file_id,
+         |        CAST(SUM(n_chars) AS BIGINT) AS bytes
+         |      FROM documents GROUP BY 1, 2),
+         |p AS (SELECT source, file_id,
+         |        CAST((SUM(bytes) OVER (PARTITION BY source
+         |            ORDER BY file_id) - bytes)
+         |          // ${CorpusOpsQueries.targetBytes} AS BIGINT) AS bin
+         |      FROM f),
+         |d AS (SELECT doc_id, d.source, n_chars, bin
+         |      FROM documents d JOIN p
+         |        ON p.source = d.source
+         |        AND p.file_id = doc_id // ${CorpusOpsQueries.fileGranule})
+         |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         |  CAST(1 AS BIGINT) AS n_files
+         |FROM d GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)
 }

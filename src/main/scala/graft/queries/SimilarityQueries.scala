@@ -127,6 +127,9 @@ object SimilarityQueries {
   /** q169's codes cache — at most one generation live (CacheSlot). */
   private val lastPqCodes = new graft.util.CacheSlot
 
+  /** q177's cell+codes cache — at most one generation live. */
+  private val lastIvfPqCodes = new graft.util.CacheSlot
+
   /** vectors + squared norms; probe sets are deterministic id slices. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -392,6 +395,54 @@ object SimilarityQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // IVF-PQ: the two index structures COMPOSED — q37's cell routing
+    // (a probe scans exactly one cell) over q169's compressed codes
+    // (8 table lookups per candidate, corpus never decompressed).
+    // This is the standard billion-scale ANN layout (Jégou et al.
+    // TPAMI 2011): at 100 TB the cell is the partition key, the codes
+    // table is ~2 bytes/vector, and per-probe work is
+    // |cell|/|corpus| × the q169 ADC scan. Cell assignment and code
+    // assignment are the SAME expressions as q37/q168 (shared
+    // helpers), so neither index can drift from its gated single-tier
+    // twin; the cell+codes frame is materialized once (CacheSlot —
+    // also the q169 codegen barrier, see that query's note).
+    "q177_ivf_pq_topk" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val corpus = emb(s, dir)
+      val cents: Array[(Long, Array[Float], Double)] = corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val best = bestCell(col("embedding"), col("n2"),
+        cents.toSeq.map { case (id, ce, n2) => (id, ce.map(_.toDouble), n2) })
+      val assigned = corpus.select(col("vec_id"),
+        milliQ(col("embedding")).as("mq"), (-best.getField("nid")).as("cell"))
+      val codes = lastIvfPqCodes.swap(assigned
+        .select(col("vec_id"), col("cell"),
+          array((0 until pqM).map(m =>
+            pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
+        .cache())
+      val probes = assigned.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
+          array((0 until pqM).flatMap(m => cb.indices.map(c =>
+            pqSubDist(col("mq"), cb(c), m))): _*).as("pd"))
+      val adc = (0 until pqM).map(m =>
+        element_at(col("pd"),
+          lit(m * pqK + 1) + element_at(col("codes"), m + 1)))
+        .reduce(_ + _)
+      val scored = codes
+        .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice carrying 32-long ADC tables)
+          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("cell"),
+          adc.as("adc_dist"))
+      val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq("adc_dist" -> false, "vec_id" -> false), pqTopK)
+      val w = Window.partitionBy("probe_id").orderBy(asc("adc_dist"), asc("vec_id"))
+      top.withColumn("rn", row_number().over(w))
+        .orderBy("probe_id", "rn")
+    }),
+
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val probes = corpus.where(probeSlice(50))
@@ -535,6 +586,33 @@ object SimilarityQueries {
            |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q177_ivf_pq_topk" -> {
+        val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+        s"""WITH $sqlEmb,
+           |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+           |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+           |cells AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.c_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cCos DESC, c.c_id) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |$sqlPqCodes,
+           |pr AS (SELECT pd.vec_id AS probe_id, pd.m, pd.c, pd.dist,
+           |        cl.cell AS pcell
+           |      FROM pd JOIN cells cl ON cl.vec_id = pd.vec_id
+           |      WHERE pd.vec_id % 61 = 0 AND pd.vec_id < $probeHorizon),
+           |adc AS (SELECT pr.probe_id, cod.vec_id, cc.cell,
+           |    CAST(SUM(pr.dist) AS BIGINT) AS adc_dist
+           |  FROM cod JOIN pr ON pr.m = cod.m AND pr.c = cod.code
+           |  JOIN cells cc ON cc.vec_id = cod.vec_id
+           |  WHERE cod.vec_id <> pr.probe_id AND cc.cell = pr.pcell
+           |  GROUP BY 1, 2, 3)
+           |SELECT probe_id, vec_id, cell, adc_dist, rn FROM (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin
+      },
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
