@@ -57,6 +57,12 @@ object StreamingQueries {
   private val streamKmvK = 16
   private val gapUs = 3600L * 1000000L // q33's 1-hour session gap
   private val gapMs = gapUs / 1000L
+  /** q178 TTL-dedup state lifetime: 2 days against the fixture's
+    * ~10-day thirds, so a nontrivial subset of third-1 keys expires
+    * before batch 3 (those first seen ≤ maxT1 − 2·delay) and the rest
+    * stays suppressed — both semantics arms carry gated rows.
+    */
+  private val ttlDelayUs = 2L * 86400L * 1000000L
 
   /** q70's custom state: the open session plus how many sessions this
     * user has already closed (so the timeout flush can number it).
@@ -878,6 +884,87 @@ object StreamingQueries {
       }
     }),
 
+    // TTL-bounded streaming dedup: `dropDuplicatesWithinWatermark` —
+    // the state-BOUNDED variant of q69's key-only dedup (whose state
+    // grows with distinct keys forever; this one's is evicted at
+    // first_seen + delay, the bound every 100 TB deployment actually
+    // configures). The fixture is staged as THREE time-ordered thirds
+    // (maxFilesPerTrigger=1) so the gate pins the full semantics
+    // StreamDedupTtlSpec discovered on synthetic data: eviction runs
+    // at END of batch with that batch's own watermark (floor-ms max −
+    // delay) and `expiry <= wm`; lookups are presence-only (an
+    // expired-but-not-yet-cleaned key still suppresses); suppressed
+    // duplicates do NOT refresh expiry. A key therefore re-emits in
+    // batch 3 iff its first third-1 time + delay <= the watermark in
+    // effect during batch 2. The oracle derives every emission count
+    // from the fixture alone via exactly that rule — valid because
+    // the fixture is ts-sorted with distinct timestamps (per-key
+    // arrival order = ts order, so state's "first" = min ts) and each
+    // staged third is one file → one scan task at gate scale. Per-key
+    // state is one (key, expiry) row ∝ keys live inside the delay
+    // horizon — the production memory bound.
+    "q178_stream_dedup_ttl" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q178-src")
+      val ckpt = tmpDir("graft-q178-ckpt")
+      val sink = s"graft_q178_sink_${runSeq.incrementAndGet()}"
+      try {
+        val batch = s.read.parquet(src.toString)
+        val schema = batch.schema
+        val withUs = batch.withColumn("us", tsUs(schema))
+        val mm = withUs.agg(min(col("us")), max(col("us"))).head()
+        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+        val t1 = tmin + (tmax - tmin) / 3
+        val t2 = tmin + (tmax - tmin) * 2 / 3
+        def stageThird(pred: org.apache.spark.sql.Column, name: String,
+            mtimeMs: Long): Unit = {
+          val tmp = tmpDir("graft-q178-w")
+          try {
+            withUs.where(pred)
+              .select(schema.fieldNames.map(col).toSeq: _*)
+              .coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val part = Files.list(tmp)
+              .filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            Files.move(part, stage.resolve(name),
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(stage.resolve(name),
+              java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+          } finally deleteRecursively(tmp)
+        }
+        val now = System.currentTimeMillis()
+        stageThird(col("us") < t1, "t0.parquet", now - 180000)
+        stageThird(col("us") >= t1 && col("us") < t2, "t1.parquet",
+          now - 120000)
+        stageThird(col("us") >= t2, "t2.parquet", now - 60000)
+        val dedup = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .withColumn("event_time", timestamp_micros(tsUs(schema)))
+          .withWatermark("event_time", s"${ttlDelayUs / 1000000L} seconds")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+        val query = dedup.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n_emissions"))
+          .orderBy("user_id", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -1134,5 +1221,35 @@ object StreamingQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  CAST(COUNT(DISTINCT user_id % 2) AS BIGINT) AS n_emissions
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the StreamDedupTtlSpec-pinned rule replayed from the fixture:
+    // batch-2 watermark = floor-ms(max third-1 time) − delay; a key
+    // re-emits in batch 3 iff first seen in third 1 with
+    // first + delay <= that watermark (end-of-batch-2 cleanup), else
+    // its only extra emission is a third-2 first occurrence
+    "q178_stream_dedup_ttl" ->
+      s"""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS us
+         |      FROM events),
+         |b AS (SELECT MIN(us) AS tmin, MAX(us) AS tmax FROM t),
+         |s AS (SELECT user_id, event_type, us,
+         |        CASE WHEN us < tmin + (tmax - tmin) // 3 THEN 0
+         |             WHEN us < tmin + (tmax - tmin) * 2 // 3 THEN 1
+         |             ELSE 2 END AS third
+         |      FROM t, b),
+         |wm AS (SELECT MAX(us // 1000) * 1000 - $ttlDelayUs AS w2
+         |      FROM s WHERE third = 0),
+         |k AS (SELECT user_id, event_type,
+         |        MAX(CASE WHEN third = 0 THEN 1 ELSE 0 END) AS in1,
+         |        MAX(CASE WHEN third = 1 THEN 1 ELSE 0 END) AS in2,
+         |        MAX(CASE WHEN third = 2 THEN 1 ELSE 0 END) AS in3,
+         |        MIN(CASE WHEN third = 0 THEN us END) AS first1
+         |      FROM s GROUP BY 1, 2)
+         |SELECT user_id, event_type,
+         |  CAST(in1
+         |    + CASE WHEN in2 = 1 AND in1 = 0 THEN 1 ELSE 0 END
+         |    + CASE WHEN in3 = 1 AND ((in1 = 0 AND in2 = 0)
+         |        OR (in1 = 1 AND first1 + $ttlDelayUs <= (SELECT w2 FROM wm)))
+         |      THEN 1 ELSE 0 END AS BIGINT) AS n_emissions
+         |FROM k ORDER BY user_id, event_type""".stripMargin)
 }

@@ -85,8 +85,8 @@ class PlanShapeSpec extends SparkSuite {
     // scalars (the Misra-Gries sketch map + the stream total)
     "q95_heavy_hitters",
     // q149/q152 attach one-row broadcast scalars (largest-lang count /
-    // corpus token total)
-    "q149_epoch_mix", "q152_skipgram_pmi",
+    // corpus token total); q175 attaches the one-row token budget
+    "q149_epoch_mix", "q152_skipgram_pmi", "q175_token_budget",
     // q153's box-overlap probe join: the 9-row probe grid broadcasts
     // against the #files-bounded zone relation (inequality condition)
     "q153_zonemap_skip",
