@@ -560,6 +560,40 @@ class PlanShapeSpec extends SparkSuite {
     } }
   }
 
+  test("round-11 operators keep their designed plan shapes") {
+    // q174: one corpus scan into the bounded permille histogram; the
+    // sweep's suffix/total windows run over that <=1001-row relation —
+    // no join may ever touch the corpus
+    val q174 = plans("q174_quality_sweep")
+    assert(q174.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size === 2, "q174: the suffix-sum + all-positives windows only")
+    assert(q174.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+      q174.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      q174.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      "q174 must stay join-free")
+
+    // q175: the running total is the two-phase GlobalPrefixSum — a
+    // window formulation (single-partition corpus sort) must never
+    // come back; the only join is the one-row budget BNLJ
+    val q175 = plans("q175_token_budget")
+    assert(q175.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "q175 regressed to a window-based global running sum")
+    assert(q175.collect { case j: BroadcastNestedLoopJoinExec => j }.size === 1,
+      "q175: exactly the scalar budget attach")
+
+    // q177: the probe join broadcasts the probe batch (9 rows of ADC
+    // tables), candidates rank through the two-phase bounded-heap
+    // TopK, and the rn window runs over <= k rows per probe
+    val q177 = plans("q177_ivf_pq_topk")
+    assert(q177.collect { case j: BroadcastHashJoinExec => j }.size === 1,
+      "q177's cell-routed probe join must broadcast-hash on the cell key")
+    assert(q177.collect { case t: graft.plans.TopKPartialExec => t }.size === 1
+      && q177.collect { case t: graft.plans.TopKFinalExec => t }.size === 1,
+      "q177 must rank through the two-phase TopKPerGroup operator")
+  }
+
   test("filter pushdown reaches the parquet scan in q01") {
     val scans = plans("q01_pushdown_agg").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
