@@ -62,6 +62,9 @@ object CorpusOpsQueries {
   private val qTermA = "dup"
   private val qTermB = "spark"
 
+  /** q179: negative-sampling table head size. */
+  private val negSampleV = 32
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -467,6 +470,46 @@ object CorpusOpsQueries {
         .orderBy("source")
     }),
 
+    // Negative-sampling table (word2vec's unigram^(3/4) smoothing —
+    // Mikolov et al. 2013, public): per-token corpus counts smoothed
+    // by weight = floor((n³)^(1/4)) = isqrt(isqrt(n³)) — EXACT in
+    // integers via the q171 double-sqrt-seed ±1 correction applied
+    // twice, so both engines agree bit-for-bit where a pow(n, 0.75)
+    // double would not. Counts saturate at 2^20 before cubing (keeps
+    // n³ inside int64 at any corpus size — and frequent-word
+    // saturation is itself standard word2vec practice). The table is
+    // the top-V head by (count desc, token asc) via
+    // TakeOrderedAndProject (bounded, no full sort); share/cumulative
+    // permille run over the V-row result — the alias-style sampler
+    // boundaries a contrastive trainer draws negatives from. One
+    // vocab-bounded shuffle; everything after is V rows.
+    "q179_negative_sampling" -> ((s, dir) => {
+      val cap = 1L << 20
+      val counts = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+      def isq(x: Column): Column = {
+        val seed = floor(sqrt(x.cast("double"))).cast("long")
+        when((seed + 1) * (seed + 1) <= x, seed + 1)
+          .when(seed * seed > x, seed - 1)
+          .otherwise(seed)
+      }
+      val nc = least(col("n"), lit(cap))
+      val headV = counts
+        .select(col("token"), col("n"), isq(isq(nc * nc * nc)).as("w"))
+        .orderBy(desc("n"), asc("token")).limit(negSampleV)
+      val win = Window.partitionBy()
+      val cumW = Window.orderBy(desc("n"), asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      headV
+        .withColumn("tot_w", sum(col("w")).over(win))
+        .withColumn("cum_w", sum(col("w")).over(cumW))
+        .select(col("token"), col("n"), col("w"),
+          expr("w * 1000 div tot_w").as("w_permille"),
+          expr("cum_w * 1000 div tot_w").as("cum_permille"))
+        .orderBy(desc("n"), asc("token"))
+    }),
+
     // Token-budget corpus selection: keep the best documents (quality
     // permille desc, doc_id tiebreak) until the running token total
     // exceeds 40% of the corpus — the data-selection step between
@@ -700,6 +743,33 @@ object CorpusOpsQueries {
            |    // (n_tokens * 1000 // tot_tokens) AS BIGINT) AS upsample_permille
            |FROM t ORDER BY source""".stripMargin,
 
+      "q179_negative_sampling" -> {
+        def sqlIsq(x: String, seed: String) =
+          s"""CASE WHEN ($seed + 1) * ($seed + 1) <= $x THEN $seed + 1
+             |     WHEN $seed * $seed > $x THEN $seed - 1
+             |     ELSE $seed END""".stripMargin
+        s"""WITH t AS (SELECT unnest(${sqlTokens("text")}) AS token
+           |      FROM documents),
+           |u AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM t
+           |      GROUP BY 1),
+           |h AS (SELECT token, n, least(n, ${1L << 20}) AS nc FROM u
+           |      ORDER BY n DESC, token LIMIT 32),
+           |a AS (SELECT token, n, nc * nc * nc AS x,
+           |        CAST(floor(sqrt(CAST(nc * nc * nc AS DOUBLE))) AS BIGINT)
+           |          AS s1
+           |      FROM h),
+           |b AS (SELECT token, n, ${sqlIsq("x", "s1")} AS y FROM a),
+           |c AS (SELECT token, n, y,
+           |        CAST(floor(sqrt(CAST(y AS DOUBLE))) AS BIGINT) AS s2
+           |      FROM b),
+           |d AS (SELECT token, n, ${sqlIsq("y", "s2")} AS w FROM c)
+           |SELECT token, n, w,
+           |  CAST(w * 1000 // SUM(w) OVER () AS BIGINT) AS w_permille,
+           |  CAST(SUM(w) OVER (ORDER BY n DESC, token
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000
+           |    // SUM(w) OVER () AS BIGINT) AS cum_permille
+           |FROM d ORDER BY n DESC, token""".stripMargin
+      },
       "q175_token_budget" -> {
         val toks = sqlTokens("text")
         val q = graft.functions.TextFunctions.sqlQualityScore("text")

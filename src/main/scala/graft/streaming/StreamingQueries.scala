@@ -916,28 +916,30 @@ object StreamingQueries {
         val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
         val t1 = tmin + (tmax - tmin) / 3
         val t2 = tmin + (tmax - tmin) * 2 / 3
-        def stageThird(pred: org.apache.spark.sql.Column, name: String,
-            mtimeMs: Long): Unit = {
-          val tmp = tmpDir("graft-q178-w")
-          try {
-            withUs.where(pred)
-              .select(schema.fieldNames.map(col).toSeq: _*)
-              .coalesce(1)
-              .write.mode("overwrite").parquet(tmp.toString)
-            val part = Files.list(tmp)
+        // one scan, one partitioned write (coalesce(1): a single task
+        // writes the three directories, preserving row order per
+        // third), then the part files move into mtime-ordered place
+        val tmp = tmpDir("graft-q178-w")
+        val now = System.currentTimeMillis()
+        try {
+          withUs
+            .withColumn("third",
+              when(col("us") < t1, 0).when(col("us") < t2, 1).otherwise(2))
+            .select((schema.fieldNames.map(col) :+ col("third")).toSeq: _*)
+            .coalesce(1)
+            .write.partitionBy("third").mode("overwrite")
+            .parquet(tmp.toString)
+          for (i <- 0 to 2) {
+            val part = Files.list(tmp.resolve(s"third=$i"))
               .filter(p => p.getFileName.toString.endsWith(".parquet"))
               .findFirst().get()
-            Files.move(part, stage.resolve(name),
+            Files.move(part, stage.resolve(s"t$i.parquet"),
               StandardCopyOption.REPLACE_EXISTING)
-            Files.setLastModifiedTime(stage.resolve(name),
-              java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-          } finally deleteRecursively(tmp)
-        }
-        val now = System.currentTimeMillis()
-        stageThird(col("us") < t1, "t0.parquet", now - 180000)
-        stageThird(col("us") >= t1 && col("us") < t2, "t1.parquet",
-          now - 120000)
-        stageThird(col("us") >= t2, "t2.parquet", now - 60000)
+            Files.setLastModifiedTime(stage.resolve(s"t$i.parquet"),
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - i) * 60000L))
+          }
+        } finally deleteRecursively(tmp)
         val dedup = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(stage.toString)
