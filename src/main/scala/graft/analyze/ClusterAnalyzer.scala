@@ -127,7 +127,7 @@ object ClusterAnalyzer {
     val rulesDf = rules.zipWithIndex.map { case ((key, thr, rec), i) =>
       (i, key, thr, rec.severity, rec.issue, rec.recommendation)
     }.toDF("rule_order", "issue_type", "threshold", "severity", "issue", "recommendation")
-    histogram.join(broadcast(rulesDf), "issue_type")
+    histogram.join(broadcast(rulesDf), "issue_type")  // hint audit: scalar (5 fixed recommendation rules)
       .where(col("occurrences") > col("threshold"))
       .orderBy("rule_order")
       .select("severity", "issue", "recommendation")

@@ -121,7 +121,7 @@ object QualityOpsQueries {
         .groupBy("w1").agg(count(lit(1)).as("c_w1"))
       val biCounts = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
       bi.join(biCounts, "bg")
-        .join(broadcast(uniCounts), "w1")
+        .join(broadcast(uniCounts), "w1")  // hint audit: dimension-bounded (unigram vocab counts)
         .select(col("doc_id"),
           expr(s"(c_bg * $cohScale) div c_w1").as("sc"))
         .groupBy("doc_id")

@@ -168,7 +168,7 @@ object LogStreams {
     * reference data to a hot stream.
     */
   def enriched(lines: DataFrame, nodeDim: DataFrame): DataFrame =
-    parsed(lines).join(broadcast(nodeDim), Seq("node"), "left")
+    parsed(lines).join(broadcast(nodeDim), Seq("node"), "left")  // hint audit: dimension-bounded (per-node metadata, ~ cluster size)
 
   /** Exactly-once-per-key streaming dedup within the watermark horizon —
     * the streaming face of the dedup family (q25): new documents keyed

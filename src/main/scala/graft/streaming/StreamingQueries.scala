@@ -734,7 +734,7 @@ object StreamingQueries {
         val out = sigOf(s.read.parquet(src.toString))
           .where(col("doc_id") >= lo && col("doc_id") < hi)
           .select(col("doc_id"))
-          .join(broadcast(best), Seq("doc_id"), "left")
+          .join(broadcast(best), Seq("doc_id"), "left")  // hint audit: delta-bounded (per-delta-doc best match)
           .select(col("doc_id"),
             coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
             col("best_match"), col("best_est"))
@@ -985,7 +985,7 @@ object StreamingQueries {
           .select(col("n_nationkey"), col("n_name"))
         val enriched = s.readStream.schema(schema).parquet(stage.toString)
           .withColumn("n_nationkey", col("user_id") % 25)
-          .join(broadcast(dim), "n_nationkey")
+          .join(broadcast(dim), "n_nationkey")  // hint audit: dimension table (25-row nation)
           .select(col("event_id"), col("n_name"),
             col("value").cast(dec2).as("v"))
         val query = enriched.writeStream.format("memory").queryName(sink)

@@ -88,7 +88,11 @@ object CurationPipeline {
     val nonReps = DedupQueries.componentLabels(survivingPairs)
       .where(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
-    val nearDf = exactDf.join(broadcast(nonReps), Seq("doc_id"), "left_anti")
+    // UNHINTED (the q150 rule): non-representative members are a
+    // corpus FRACTION in web data, so the anti-join strategy is
+    // stats-chosen — broadcast at gate scale, doc_id-keyed shuffle at
+    // production
+    val nearDf = exactDf.join(nonReps, Seq("doc_id"), "left_anti")
       .cache()
     val nearDupKept = nearDf.count()
 
@@ -103,12 +107,14 @@ object CurationPipeline {
     val evalGrams = grams(docs.where(isEval))
       .select(col("doc_id").as("eval_doc"), col("h"))
     val contaminated = grams(nearDf.where(!isEval))
-      .join(broadcast(evalGrams), "h")
+      .join(broadcast(evalGrams), "h")  // hint audit: eval-horizon-bounded (capped id slice)
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= contamShingles)
       .select("doc_id")
+    // UNHINTED: contaminated-doc volume is not provably bounded (it
+    // scales with eval-shingle overlap in the corpus) — stats choose
     val cleanDf = nearDf.where(!isEval)
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
 
     // 6: deterministic split on the canonical-form hash (dup-leak-free:
     // any surviving near-identical docs share a bucket), 80/10/10
