@@ -127,8 +127,77 @@ object SimilarityQueries {
   /** q169's codes cache — at most one generation live (CacheSlot). */
   private val lastPqCodes = new graft.util.CacheSlot
 
+  /** The IVF-PQ candidate CTE chain (through `adc`) — ONE definition
+    * shared by the q177 and q180 oracles, mirroring [[ivfPqTop]].
+    */
+  private lazy val sqlIvfPqAdc: String = {
+    val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+    s"""$sqlEmb,
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+       |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cCos DESC, c.c_id) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |$sqlPqCodes,
+       |pr AS (SELECT pd.vec_id AS probe_id, pd.m, pd.c, pd.dist,
+       |        cl.cell AS pcell
+       |      FROM pd JOIN cells cl ON cl.vec_id = pd.vec_id
+       |      WHERE pd.vec_id % 61 = 0 AND pd.vec_id < $probeHorizon),
+       |adc AS (SELECT pr.probe_id, cod.vec_id, cc.cell,
+       |    CAST(SUM(pr.dist) AS BIGINT) AS adc_dist
+       |  FROM cod JOIN pr ON pr.m = cod.m AND pr.c = cod.code
+       |  JOIN cells cc ON cc.vec_id = cod.vec_id
+       |  WHERE cod.vec_id <> pr.probe_id AND cc.cell = pr.pcell
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
   /** q177's cell+codes cache — at most one generation live. */
   private val lastIvfPqCodes = new graft.util.CacheSlot
+
+  /** The IVF-PQ ranked frame (probe_id, vec_id, cell, adc_dist, rn) —
+    * ONE definition shared by the q177 gate and q180's recall eval, so
+    * the measured index is exactly the gated one. See q177's scaladoc
+    * for the shape rationale.
+    */
+  private def ivfPqTop(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val corpus = emb(s, dir)
+    val cents: Array[(Long, Array[Float], Double)] = corpus
+      .where(col("vec_id").isin(centroidIds: _*))
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val best = bestCell(col("embedding"), col("n2"),
+      cents.toSeq.map { case (id, ce, n2) => (id, ce.map(_.toDouble), n2) })
+    val assigned = corpus.select(col("vec_id"),
+      milliQ(col("embedding")).as("mq"), (-best.getField("nid")).as("cell"))
+    val codes = lastIvfPqCodes.swap(assigned
+      .select(col("vec_id"), col("cell"),
+        array((0 until pqM).map(m =>
+          pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
+      .cache())
+    val probes = assigned.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
+        array((0 until pqM).flatMap(m => cb.indices.map(c =>
+          pqSubDist(col("mq"), cb(c), m))): _*).as("pd"))
+    val adc = (0 until pqM).map(m =>
+      element_at(col("pd"),
+        lit(m * pqK + 1) + element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val scored = codes
+      .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice carrying 32-long ADC tables)
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        adc.as("adc_dist"))
+    val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq("adc_dist" -> false, "vec_id" -> false), pqTopK)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+    top.withColumn("rn", row_number().over(w))
+  }
 
   /** vectors + squared norms; probe sets are deterministic id slices. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
@@ -405,42 +474,47 @@ object SimilarityQueries {
     // assignment are the SAME expressions as q37/q168 (shared
     // helpers), so neither index can drift from its gated single-tier
     // twin; the cell+codes frame is materialized once (CacheSlot —
-    // also the q169 codegen barrier, see that query's note).
-    "q177_ivf_pq_topk" -> ((s, dir) => {
-      val cb = pqCodebook(s, dir)
+    // also the q169 codegen barrier, see that query's note). The
+    // ranked frame is ONE definition (ivfPqTop) shared with q180's
+    // recall gate.
+    "q177_ivf_pq_topk" -> ((s, dir) =>
+      ivfPqTop(s, dir).orderBy("probe_id", "rn")),
+
+    // The q131 "measure, don't guess" applied to the COMPRESSED tier:
+    // recall@k of q177's IVF-PQ ranking against the exact full-scan
+    // cosine top-k. This is the number that prices the 32× compression
+    // + cell routing in lost neighbors — what decides nprobe/codebook
+    // budget before anyone trusts the layout at scale. Both lists are
+    // ≤ k·|probes| rows (exact via the bounded-heap TopK, compressed
+    // via the shared ivfPqTop frame); the comparison join and recall
+    // arithmetic never touch the corpus again.
+    "q180_pq_recall" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val cents: Array[(Long, Array[Float], Double)] = corpus
-        .where(col("vec_id").isin(centroidIds: _*))
-        .orderBy("vec_id")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-      val best = bestCell(col("embedding"), col("n2"),
-        cents.toSeq.map { case (id, ce, n2) => (id, ce.map(_.toDouble), n2) })
-      val assigned = corpus.select(col("vec_id"),
-        milliQ(col("embedding")).as("mq"), (-best.getField("nid")).as("cell"))
-      val codes = lastIvfPqCodes.swap(assigned
-        .select(col("vec_id"), col("cell"),
-          array((0 until pqM).map(m =>
-            pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
-        .cache())
-      val probes = assigned.where(probeSlice(61))
-        .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
-          array((0 until pqM).flatMap(m => cb.indices.map(c =>
-            pqSubDist(col("mq"), cb(c), m))): _*).as("pd"))
-      val adc = (0 until pqM).map(m =>
-        element_at(col("pd"),
-          lit(m * pqK + 1) + element_at(col("codes"), m + 1)))
-        .reduce(_ + _)
-      val scored = codes
-        .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice carrying 32-long ADC tables)
-          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"), col("cell"),
-          adc.as("adc_dist"))
-      val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq("adc_dist" -> false, "vec_id" -> false), pqTopK)
-      val w = Window.partitionBy("probe_id").orderBy(asc("adc_dist"), asc("vec_id"))
-      top.withColumn("rn", row_number().over(w))
-        .orderBy("probe_id", "rn")
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val pq = ivfPqTop(s, dir)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      val all = Window.partitionBy()
+      exact.join(broadcast(pq), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (PQ hits, <= probes x k rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr(s"n_hits * 1000 div $pqTopK"))
+        .withColumn("total_hits", sum(col("n_hits")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_recall_permille",
+          expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
+        .drop("total_hits", "n_probes")
+        .orderBy("probe_id")
     }),
 
     "q31_embedding_neardup" -> ((s, dir) => {
@@ -586,33 +660,40 @@ object SimilarityQueries {
            |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
-      "q177_ivf_pq_topk" -> {
-        val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
-        s"""WITH $sqlEmb,
-           |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
-           |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
-           |cells AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e.vec_id, c.c_id AS cell,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-           |        ORDER BY $cCos DESC, c.c_id) AS rn
-           |    FROM e, c) WHERE rn = 1),
-           |$sqlPqCodes,
-           |pr AS (SELECT pd.vec_id AS probe_id, pd.m, pd.c, pd.dist,
-           |        cl.cell AS pcell
-           |      FROM pd JOIN cells cl ON cl.vec_id = pd.vec_id
-           |      WHERE pd.vec_id % 61 = 0 AND pd.vec_id < $probeHorizon),
-           |adc AS (SELECT pr.probe_id, cod.vec_id, cc.cell,
-           |    CAST(SUM(pr.dist) AS BIGINT) AS adc_dist
-           |  FROM cod JOIN pr ON pr.m = cod.m AND pr.c = cod.code
-           |  JOIN cells cc ON cc.vec_id = cod.vec_id
-           |  WHERE cod.vec_id <> pr.probe_id AND cc.cell = pr.pcell
-           |  GROUP BY 1, 2, 3)
+      "q177_ivf_pq_topk" ->
+        s"""WITH $sqlIvfPqAdc
            |SELECT probe_id, vec_id, cell, adc_dist, rn FROM (
            |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
-           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin
-      },
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q180_pq_recall" ->
+        s"""WITH $sqlIvfPqAdc,
+           |pqtop AS (SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |        ORDER BY adc_dist, vec_id) AS rn
+           |    FROM adc) WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN pqtop.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |      FROM ex LEFT JOIN pqtop
+           |        ON pqtop.probe_id = ex.probe_id
+           |        AND pqtop.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits,
+           |  n_hits * 1000 // $pqTopK AS recall_permille,
+           |  CAST(SUM(n_hits) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin,
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
