@@ -517,6 +517,37 @@ object SimilarityQueries {
         .orderBy("probe_id")
     }),
 
+    // PQ codebook refresh — the Lloyd step (q78) applied per SUBSPACE:
+    // each vector's subvectors assign to their nearest codeword (the
+    // SAME pqBest expression as the q168 encode, so the assignment
+    // being refreshed is exactly the gated one), then every
+    // (subspace, codeword, dim) recomputes its mean component in
+    // integer milli-units. Closes the PQ loop: train (this) → encode
+    // (q168) → search (q169/q177) → eval (q180). One scan with a
+    // 64-row/vector expand, map-side partials into 256 (m, c, d)
+    // keys — the codebook-refresh job a deployment runs when q168's
+    // qerr audit or q180's recall says the codewords went stale.
+    "q181_pq_refresh" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val withCodes = Tables(s, dir, "embeddings")
+        .select(milliQ(col("embedding")).as("mq"))
+        .select(col("mq"),
+          array((0 until pqM).map(m =>
+            pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
+      withCodes
+        .select(col("codes"), posexplode(col("mq")).as(Seq("pos", "v")))
+        .select(expr(s"pos div $pqSub").cast("long").as("m"),
+          expr(s"pos % $pqSub").cast("long").as("d"), col("v"),
+          col("codes"))
+        .select(col("m"), element_at(col("codes"), (col("m") + 1).cast("int"))
+          .cast("long").as("c"), col("d"), col("v"))
+        .groupBy("m", "c", "d")
+        .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sv"))
+        .select(col("m"), col("c"), col("d"), col("n_members"),
+          expr("sv div n_members").as("new_milli"))
+        .orderBy("m", "c", "d")
+    }),
+
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val probes = corpus.where(probeSlice(50))
@@ -666,6 +697,15 @@ object SimilarityQueries {
            |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q181_pq_refresh" ->
+        s"""WITH $sqlPqCodes
+           |SELECT cod.m, cod.code AS c, t.d,
+           |  CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  CAST(SUM(me.mq[CAST(cod.m * $pqSub + t.d + 1 AS INT)]) AS BIGINT)
+           |    // COUNT(*) AS new_milli
+           |FROM cod JOIN me USING (vec_id)
+           |CROSS JOIN (SELECT unnest(range(0, $pqSub)) AS d) t
+           |GROUP BY 1, 2, 3 ORDER BY m, c, d""".stripMargin,
       "q180_pq_recall" ->
         s"""WITH $sqlIvfPqAdc,
            |pqtop AS (SELECT probe_id, vec_id FROM (
