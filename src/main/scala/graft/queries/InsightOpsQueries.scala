@@ -355,20 +355,8 @@ object InsightOpsQueries {
     // the gate pins the exact id content of every training sequence,
     // not just its fill statistics. Scan-stage encode + one window +
     // one (shard, bin) regroup; nothing ∝ pairs.
-    "q167_packed_ids" -> ((s, dir) => {
-      val budget = 2048
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-          graft.functions.BpeEncodeIds(tokens(col("text"))).as("ids"))
-        .select(col("doc_id"), col("shard"),
-          size(col("ids")).cast("long").as("n_ids"),
-          aggregate(col("ids"), lit(0L), (h, c) => (h * 31 + c) % P)
-            .as("fp"))
-        .withColumn("cum", sum(col("n_ids")).over(w))
-        .select(col("shard"), expr(s"(cum - n_ids) div $budget").as("bin"),
-          col("doc_id"), col("n_ids"), col("fp"))
+    "q167_packed_ids" -> ((s, dir) =>
+      packedBinned(s, dir)
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_ids")).as("sum_ids"),
           sort_array(collect_list(struct(col("doc_id"), col("fp"))))
@@ -376,8 +364,58 @@ object InsightOpsQueries {
         .select(col("shard"), col("bin"), col("n_docs"), col("sum_ids"),
           aggregate(expr("transform(seq, s -> s.fp)"), lit(0L),
             (h, c) => (h * 31 + c) % P).as("bin_fp"))
+        .orderBy("shard", "bin")),
+
+    // Training-batch LINEAGE: for every q167 bin (the SAME binned
+    // frame — packedBinned is one definition, so the provenance
+    // describes exactly the gated batches), which sources fed it: doc
+    // and token counts per bin, distinct source count, and the
+    // majority source with its permille share. The provenance rollup
+    // a data-governance review asks for per shipped training
+    // sequence ("what is batch 17 made of?"). All windows run over
+    // (bin × source) rows ∝ bins — never the corpus.
+    "q182_batch_lineage" -> ((s, dir) => {
+      val binned = packedBinned(s, dir)
+        .select(col("shard"), col("bin"), col("doc_id"), col("n_ids"))
+      val perSrc = binned
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("shard", "bin", "source")
+        .agg(count(lit(1)).as("c"), sum(col("n_ids")).as("src_ids"))
+      val byBin = Window.partitionBy("shard", "bin")
+      val rank = Window.partitionBy("shard", "bin")
+        .orderBy(desc("c"), asc("source"))
+      perSrc
+        .withColumn("n_docs", sum(col("c")).over(byBin))
+        .withColumn("n_sources", count(lit(1)).over(byBin))
+        .withColumn("rn", row_number().over(rank))
+        .where(col("rn") === 1)
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_sources"),
+          col("source").as("top_source"), col("c").as("top_n"),
+          col("src_ids").as("top_ids"),
+          expr("c * 1000 div n_docs").as("top_permille"))
         .orderBy("shard", "bin")
     }))
+
+  /** q167's sharded token-budget binning — ONE definition shared by
+    * the q167 gate and q182's lineage rollup, so the provenance
+    * describes exactly the gated batches. Columns:
+    * (shard, bin, doc_id, n_ids, fp).
+    */
+  private def packedBinned(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        graft.functions.BpeEncodeIds(tokens(col("text"))).as("ids"))
+      .select(col("doc_id"), col("shard"),
+        size(col("ids")).cast("long").as("n_ids"),
+        aggregate(col("ids"), lit(0L), (h, c) => (h * 31 + c) % P)
+          .as("fp"))
+      .withColumn("cum", sum(col("n_ids")).over(w))
+      .select(col("shard"), expr(s"(cum - n_ids) div $budget").as("bin"),
+        col("doc_id"), col("n_ids"), col("fp"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q122_mad_outliers" ->
@@ -559,7 +597,37 @@ object InsightOpsQueries {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list(fp ORDER BY doc_id)), (h, c) -> (h * 31 + c) % $P)
          |    AS bin_fp
-         |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)
+         |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+
+    // q167's binning CTEs verbatim, then the per-source rollup — the
+    // SQL face of the shared packedBinned definition
+    "q182_batch_lineage" ->
+      s"""WITH $bpeIdsCtes,
+         |f AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+         |    CAST(COALESCE(len(per.all_ids), 0) AS BIGINT) AS n_ids
+         |  FROM d LEFT JOIN per USING (doc_id)),
+         |c AS (SELECT shard, doc_id, n_ids,
+         |    SUM(n_ids) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f),
+         |b AS (SELECT shard, CAST((cum - n_ids) // 2048 AS BIGINT) AS bin,
+         |    doc_id, n_ids FROM c),
+         |ps AS (SELECT b.shard, b.bin, dd.source,
+         |    CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(SUM(b.n_ids) AS BIGINT) AS src_ids
+         |  FROM b JOIN documents dd USING (doc_id)
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT *,
+         |    SUM(c) OVER (PARTITION BY shard, bin) AS n_docs,
+         |    COUNT(*) OVER (PARTITION BY shard, bin) AS n_sources,
+         |    ROW_NUMBER() OVER (PARTITION BY shard, bin
+         |      ORDER BY c DESC, source) AS rn
+         |  FROM ps)
+         |SELECT shard, bin, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_sources AS BIGINT) AS n_sources,
+         |  source AS top_source, c AS top_n, src_ids AS top_ids,
+         |  CAST(c * 1000 // n_docs AS BIGINT) AS top_permille
+         |FROM r WHERE rn = 1 ORDER BY shard, bin""".stripMargin)
 
   /** The q159 BPE-encode machinery as a reusable DuckDB CTE chain
     * (through `d` = doc/tokens and `per` = doc/ordered id list) —
