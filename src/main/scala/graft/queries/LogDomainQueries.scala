@@ -161,6 +161,31 @@ object LogDomainQueries {
           col("event_id"))
         .orderBy("node", "event_id")
         .limit(50)
+    }),
+
+    // Log TEMPLATE MINING — the standard first step of log analytics
+    // (Drain/Spell family, public): every digit run in a line masks to
+    // <N>, collapsing the corpus's thousands of concrete lines
+    // (epoch timestamps, thread ids, source line numbers, message
+    // parameters all vary) into the few dozen structural templates,
+    // each with its volume, node spread, parameter-slot count, and
+    // first occurrence. Template extraction is a scan-stage
+    // regexp_replace; the rollup shuffles onto template-count keys (a
+    // bounded set by construction — log formats are finite), so at
+    // 100 TB this is one scan + a tiny agg: the operator that turns
+    // raw log volume into a navigable schema.
+    "q183_log_templates" -> ((s, dir) => {
+      logs(s, dir)
+        .select(col("node"), col("event_id"),
+          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
+          size(expr("regexp_extract_all(line, '[0-9]+', 0)"))
+            .cast("long").as("n_params"))
+        .groupBy("template")
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("node")).as("n_nodes"),
+          max(col("n_params")).as("n_params"),
+          min(col("event_id")).as("first_event"))
+        .orderBy(desc("n_lines"), asc("template"))
     }))
 
   def oracle: Map[String, String] = {
@@ -234,6 +259,17 @@ object LogDomainQueries {
         s"""$sqlCte
            |SELECT node, ts_str AS timestamp, message, event_id
            |FROM ev WHERE $sqlIsError
-           |ORDER BY node, event_id LIMIT 50""".stripMargin)
+           |ORDER BY node, event_id LIMIT 50""".stripMargin,
+
+      "q183_log_templates" ->
+        s"""$sqlCte
+           |SELECT regexp_replace(line, '[0-9]+', '<N>', 'g') AS template,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+           |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+           |  CAST(MAX(len(regexp_extract_all(line, '[0-9]+'))) AS BIGINT)
+           |    AS n_params,
+           |  MIN(event_id) AS first_event
+           |FROM ev_lines
+           |GROUP BY 1 ORDER BY n_lines DESC, template""".stripMargin)
   }
 }
