@@ -542,9 +542,19 @@ object DedupQueries {
       val pre = ordered.select(col("doc_id"), col("sz"),
         explode(slice(col("ots"), lit(1), prefLen)).as("p"))
         .select(col("doc_id"), col("sz"), col("p.t").as("t"))
+      // LENGTH FILTER (SSJoin's standard companion prune): J >= τ
+      // forces |b|/|a| ∈ [τ, 1/τ], so size-incompatible prefix
+      // collisions never reach the distinct/verify stages. The bound
+      // uses integer milli arithmetic loosened by 1‰ — provably never
+      // prunes a pair the (double) final threshold would keep, however
+      // τ rounds. This matters most exactly when the prefix filter is
+      // weakest (small vocabularies make every prefix token common).
+      val tauLoMilli = (ssjTau * 1000).toLong - 1
       val cands = pre.as("a")
         .join(pre.as("b"),
-          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.sz") * 1000 >= col("a.sz") * tauLoMilli &&
+            col("a.sz") * 1000 >= col("b.sz") * tauLoMilli)
         .select(col("a.doc_id").as("doc_a"), col("a.sz").as("na"),
           col("b.doc_id").as("doc_b"), col("b.sz").as("nb"))
         .distinct()
