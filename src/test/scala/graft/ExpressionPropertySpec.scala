@@ -106,4 +106,40 @@ class ExpressionPropertySpec extends SparkSuite {
         assert(got.toSeq === want, s"merges=$merges")
       }
   }
+
+  test("q179's isqrt∘isqrt(n³) == floor(n^(3/4)) up to the 2^20 saturation cap") {
+    // the double-sqrt-seed ±1 correction must stay exact even where
+    // n³ (up to 2^60) loses bits in the double cast — the gate only
+    // exercises small counts, so the boundary is pinned here against
+    // BigInt arithmetic
+    import spark.implicits._
+    def isq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val seed = floor(sqrt(x.cast("double"))).cast("long")
+      when((seed + 1) * (seed + 1) <= x, seed + 1)
+        .when(seed * seed > x, seed - 1)
+        .otherwise(seed)
+    }
+    def bigIsqrt(x: BigInt): BigInt = {
+      if (x < 2) x
+      else {
+        var lo = BigInt(1); var hi = x
+        while (lo < hi) {
+          val mid = (lo + hi + 1) / 2
+          if (mid * mid <= x) lo = mid else hi = mid - 1
+        }
+        lo
+      }
+    }
+    val cap = 1L << 20
+    val ns = (Seq(1L, 2L, 3L, 7L, 100L, 1023L, 1024L, 65535L, 65536L,
+      cap - 1, cap) ++
+      (1 to 200).map(i => (i.toLong * 2654435761L) % cap + 1)).distinct
+    val got = ns.toDF("n")
+      .select(col("n"), isq(isq(col("n") * col("n") * col("n"))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- ns) {
+      val want = bigIsqrt(bigIsqrt(BigInt(n) * n * n)).toLong
+      assert(got(n) == want, s"n=$n: got ${got(n)}, want $want")
+    }
+  }
 }
