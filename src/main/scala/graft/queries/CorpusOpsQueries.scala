@@ -65,6 +65,21 @@ object CorpusOpsQueries {
   /** q179: negative-sampling table head size. */
   private val negSampleV = 32
 
+  /** Exact integer isqrt: floor(√x) for any non-negative BIGINT, as the
+    * double-sqrt seed with a ±1 correction — exact even where the
+    * double cast of x loses low bits (x up to 2^60 in q179's n³), so
+    * both engines agree bit-for-bit. ONE definition shared by q171's
+    * sqrt-temperature weights, q179's n^(3/4) smoothing (isq∘isq), and
+    * the ExpressionPropertySpec saturation-boundary property — the
+    * production expression IS the property-tested one.
+    */
+  private[graft] def isqrtExact(x: Column): Column = {
+    val seed = floor(sqrt(x.cast("double"))).cast("long")
+    when((seed + 1) * (seed + 1) <= x, seed + 1)
+      .when(seed * seed > x, seed - 1)
+      .otherwise(seed)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -453,12 +468,8 @@ object CorpusOpsQueries {
         .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-      val seed = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
-      val isq = when((seed + 1) * (seed + 1) <= col("n_tokens"), seed + 1)
-        .when(seed * seed > col("n_tokens"), seed - 1)
-        .otherwise(seed)
       val all = Window.partitionBy()
-      perSrc.withColumn("isqrt_tokens", isq)
+      perSrc.withColumn("isqrt_tokens", isqrtExact(col("n_tokens")))
         .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
         .withColumn("tot_isqrt", sum(col("isqrt_tokens")).over(all))
         .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -488,15 +499,10 @@ object CorpusOpsQueries {
       val counts = docs(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
-      def isq(x: Column): Column = {
-        val seed = floor(sqrt(x.cast("double"))).cast("long")
-        when((seed + 1) * (seed + 1) <= x, seed + 1)
-          .when(seed * seed > x, seed - 1)
-          .otherwise(seed)
-      }
       val nc = least(col("n"), lit(cap))
       val headV = counts
-        .select(col("token"), col("n"), isq(isq(nc * nc * nc)).as("w"))
+        .select(col("token"), col("n"),
+          isqrtExact(isqrtExact(nc * nc * nc)).as("w"))
         .orderBy(desc("n"), asc("token")).limit(negSampleV)
       val win = Window.partitionBy()
       val cumW = Window.orderBy(desc("n"), asc("token"))

@@ -65,6 +65,14 @@ object SimilarityQueries {
   private val pqSub = 8
   private val pqK = 4
   private val pqTopK = 5
+  /** q184/q185: how many nearest cells a probe scans (Jégou et al.
+    * TPAMI 2011 §V — the first knob any IVF deployment turns when
+    * recall is too low; q180 measured nprobe=1 at ~2% on the
+    * random-embedding fixture, and this is the engine acting on its
+    * own number). Per-probe work scales linearly in nprobe; recall is
+    * monotone in it (PqSpec pins this through the shared definition).
+    */
+  private val ivfNprobe = 4
 
   /** Milli-quantized integer components (floor(v·1000) — exact across
     * engines: float→double is exact, ·1000 and floor are IEEE).
@@ -127,10 +135,15 @@ object SimilarityQueries {
   /** q169's codes cache — at most one generation live (CacheSlot). */
   private val lastPqCodes = new graft.util.CacheSlot
 
-  /** The IVF-PQ candidate CTE chain (through `adc`) — ONE definition
-    * shared by the q177 and q180 oracles, mirroring [[ivfPqTop]].
+  /** The IVF-PQ candidate CTE chain (through `adc`) for a given
+    * `nprobe` — ONE definition shared by the q177/q180 (nprobe=1) and
+    * q184/q185 (nprobe=[[ivfNprobe]]) oracles, mirroring
+    * [[ivfPqTopN]]: `pcells` keeps each probe's top-nprobe cells by
+    * the same (cosine DESC, c_id ASC) ranking that assigns corpus
+    * cells, and a candidate contributes iff its ONE home cell is among
+    * them (so no per-candidate dedup is ever needed).
     */
-  private lazy val sqlIvfPqAdc: String = {
+  private def sqlIvfPqAdcN(nprobe: Int): String = {
     val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
     s"""$sqlEmb,
        |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
@@ -141,11 +154,17 @@ object SimilarityQueries {
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY $cCos DESC, c.c_id) AS rn
        |    FROM e, c) WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cCos DESC, c.c_id) AS rn
+       |    FROM e, c WHERE ${sqlProbeSlice(61).replace("vec_id", "e.vec_id")})
+       |  WHERE rn <= $nprobe),
        |$sqlPqCodes,
        |pr AS (SELECT pd.vec_id AS probe_id, pd.m, pd.c, pd.dist,
-       |        cl.cell AS pcell
-       |      FROM pd JOIN cells cl ON cl.vec_id = pd.vec_id
-       |      WHERE pd.vec_id % 61 = 0 AND pd.vec_id < $probeHorizon),
+       |        pc.cell AS pcell
+       |      FROM pd JOIN pcells pc ON pc.vec_id = pd.vec_id),
        |adc AS (SELECT pr.probe_id, cod.vec_id, cc.cell,
        |    CAST(SUM(pr.dist) AS BIGINT) AS adc_dist
        |  FROM cod JOIN pr ON pr.m = cod.m AND pr.c = cod.code
@@ -154,15 +173,75 @@ object SimilarityQueries {
        |  GROUP BY 1, 2, 3)""".stripMargin
   }
 
+  private lazy val sqlIvfPqAdc: String = sqlIvfPqAdcN(1)
+
+  /** The recall-eval twin for a given nprobe — mirrors
+    * [[pqRecallFrame]]; ONE parametric string keeps the q180 and q185
+    * gates on the same eval arithmetic.
+    */
+  private def sqlPqRecall(nprobe: Int): String = {
+    val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+    s"""WITH ${sqlIvfPqAdcN(nprobe)},
+       |pqtop AS (SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc) WHERE rn <= $pqTopK),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+       |      FROM e WHERE ${sqlProbeSlice(61)}),
+       |ex AS (SELECT probe_id, vec_id FROM (
+       |  SELECT p.probe_id, e.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |      ORDER BY $cos DESC, e.vec_id) AS rn
+       |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+       |  WHERE rn <= $pqTopK),
+       |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+       |        CAST(SUM(CASE WHEN pqtop.vec_id IS NOT NULL
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |      FROM ex LEFT JOIN pqtop
+       |        ON pqtop.probe_id = ex.probe_id
+       |        AND pqtop.vec_id = ex.vec_id
+       |      GROUP BY ex.probe_id)
+       |SELECT probe_id, k_exact, n_hits,
+       |  n_hits * 1000 // $pqTopK AS recall_permille,
+       |  CAST(SUM(n_hits) OVER () * 1000
+       |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+       |    AS overall_recall_permille
+       |FROM h ORDER BY probe_id""".stripMargin
+  }
+
   /** q177's cell+codes cache — at most one generation live. */
   private val lastIvfPqCodes = new graft.util.CacheSlot
 
-  /** The IVF-PQ ranked frame (probe_id, vec_id, cell, adc_dist, rn) —
-    * ONE definition shared by the q177 gate and q180's recall eval, so
-    * the measured index is exactly the gated one. See q177's scaladoc
+  /** A probe's top-`n` cells by (cosine DESC, c_id ASC) as a sorted
+    * array of the SAME struct(c, nid) terms [[bestCell]] maximizes —
+    * `array_sort` ascending then `reverse` gives exactly that ranking
+    * (struct order: c ASC, -cId ASC ⇒ reversed: c DESC, cId ASC), so
+    * nprobe=1 reproduces the bestCell winner bit-for-bit. One
+    * projection over the bounded probe batch; each centroid cosine
+    * evaluates once per probe.
+    */
+  private def topCellsArr(embC: Column, n2C: Column,
+      cents: Seq[(Long, Array[Double], Double)], n: Int): Column =
+    slice(reverse(array_sort(array(cents.map { case (cId, ce, cn2) =>
+      struct(
+        cosineFrom(dot(embC, array(ce.map(lit(_)): _*)), n2C, lit(cn2)).as("c"),
+        lit(-cId).as("nid"))
+    }: _*))), 1, n)
+
+  /** The IVF-PQ ranked frame (probe_id, vec_id, cell, adc_dist, rn)
+    * for a given `nprobe` — ONE definition shared by the q177 gate and
+    * q180's recall eval (nprobe=1) and by q184/q185 (nprobe=
+    * [[ivfNprobe]]), so the measured index is exactly the gated one.
+    * Each probe explodes into its `nprobe` nearest cells (a bounded
+    * per-probe explode — the probe batch stays broadcast-sized, cells
+    * stay the candidate-side partition key); a candidate belongs to
+    * exactly ONE cell, so the routed join yields each (probe,
+    * candidate) at most once and needs no dedup. See q177's scaladoc
     * for the shape rationale.
     */
-  private def ivfPqTop(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfPqTopN(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val cb = pqCodebook(s, dir)
     val corpus = emb(s, dir)
     val cents: Array[(Long, Array[Float], Double)] = corpus
@@ -170,8 +249,10 @@ object SimilarityQueries {
       .orderBy("vec_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    val best = bestCell(col("embedding"), col("n2"),
-      cents.toSeq.map { case (id, ce, n2) => (id, ce.map(_.toDouble), n2) })
+    val centsD = cents.toSeq.map { case (id, ce, n2) =>
+      (id, ce.map(_.toDouble), n2)
+    }
+    val best = bestCell(col("embedding"), col("n2"), centsD)
     val assigned = corpus.select(col("vec_id"),
       milliQ(col("embedding")).as("mq"), (-best.getField("nid")).as("cell"))
     val codes = lastIvfPqCodes.swap(assigned
@@ -179,8 +260,12 @@ object SimilarityQueries {
         array((0 until pqM).map(m =>
           pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
       .cache())
-    val probes = assigned.where(probeSlice(61))
-      .select(col("vec_id").as("probe_id"), col("cell").as("pcell"),
+    val probes = corpus.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"),
+        milliQ(col("embedding")).as("mq"),
+        explode(topCellsArr(col("embedding"), col("n2"), centsD, nprobe))
+          .as("pc"))
+      .select(col("probe_id"), (-col("pc.nid")).as("pcell"),
         array((0 until pqM).flatMap(m => cb.indices.map(c =>
           pqSubDist(col("mq"), cb(c), m))): _*).as("pd"))
     val adc = (0 until pqM).map(m =>
@@ -188,7 +273,7 @@ object SimilarityQueries {
         lit(m * pqK + 1) + element_at(col("codes"), m + 1)))
       .reduce(_ + _)
     val scored = codes
-      .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice carrying 32-long ADC tables)
+      .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice x nprobe<=8 cells carrying 32-long ADC tables)
         col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("cell"),
         adc.as("adc_dist"))
@@ -197,6 +282,46 @@ object SimilarityQueries {
     val w = Window.partitionBy("probe_id")
       .orderBy(asc("adc_dist"), asc("vec_id"))
     top.withColumn("rn", row_number().over(w))
+  }
+
+  private def ivfPqTop(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopN(s, dir, 1)
+
+  /** recall@k of the nprobe-routed IVF-PQ ranking against the exact
+    * full-scan cosine top-k — ONE definition shared by q180 (nprobe=1)
+    * and q185 (nprobe=[[ivfNprobe]]), and the surface PqSpec's
+    * recall-monotonicity gate compares, so the measured curve is
+    * exactly the gated index at both endpoints. Both lists are
+    * ≤ k·|probes| rows; the comparison never re-touches the corpus.
+    */
+  private[graft] def pqRecallFrame(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val corpus = emb(s, dir)
+    val probes = corpus.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val exactScored = corpus
+      .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
+        col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+          .as("cosine"))
+    val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+      Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+    val pq = ivfPqTopN(s, dir, nprobe)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+    val all = Window.partitionBy()
+    exact.join(broadcast(pq), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (PQ hits, <= probes x k rows)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_permille", expr(s"n_hits * 1000 div $pqTopK"))
+      .withColumn("total_hits", sum(col("n_hits")).over(all))
+      .withColumn("n_probes", count(lit(1)).over(all))
+      .withColumn("overall_recall_permille",
+        expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
+      .drop("total_hits", "n_probes")
+      .orderBy("probe_id")
   }
 
   /** vectors + squared norms; probe sets are deterministic id slices. */
@@ -488,34 +613,23 @@ object SimilarityQueries {
     // ≤ k·|probes| rows (exact via the bounded-heap TopK, compressed
     // via the shared ivfPqTop frame); the comparison join and recall
     // arithmetic never touch the corpus again.
-    "q180_pq_recall" -> ((s, dir) => {
-      val corpus = emb(s, dir)
-      val probes = corpus.where(probeSlice(61))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("n2").as("pn2"))
-      val exactScored = corpus
-        .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
-          col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
-            .as("cosine"))
-      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
-        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
-      val pq = ivfPqTop(s, dir)
-        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
-      val all = Window.partitionBy()
-      exact.join(broadcast(pq), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (PQ hits, <= probes x k rows)
-        .groupBy("probe_id")
-        .agg(count(lit(1)).as("k_exact"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .withColumn("recall_permille", expr(s"n_hits * 1000 div $pqTopK"))
-        .withColumn("total_hits", sum(col("n_hits")).over(all))
-        .withColumn("n_probes", count(lit(1)).over(all))
-        .withColumn("overall_recall_permille",
-          expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
-        .drop("total_hits", "n_probes")
-        .orderBy("probe_id")
-    }),
+    "q180_pq_recall" -> ((s, dir) => pqRecallFrame(s, dir, 1)),
+
+    // The nprobe routing knob ACTING on q180's number: identical
+    // IVF-PQ layout, but each probe scans its ivfNprobe nearest cells
+    // (the shared ivfPqTopN definition — same codes, same ADC tables,
+    // same ranking; per-probe cost × nprobe, recall monotone in it,
+    // pinned by PqSpec). At 100 TB a probe touches nprobe partitions
+    // instead of one — still O(1) in corpus size.
+    "q184_ivf_pq_nprobe" -> ((s, dir) =>
+      ivfPqTopN(s, dir, ivfNprobe).orderBy("probe_id", "rn")),
+
+    // q180's recall eval re-run at nprobe=ivfNprobe — the go/no-go
+    // number AFTER turning the knob, through the same shared frame, so
+    // the gated pair (q180, q185) is the engine's own measured
+    // recall-vs-cost curve endpoints.
+    "q185_pq_recall_nprobe" -> ((s, dir) =>
+      pqRecallFrame(s, dir, ivfNprobe)),
 
     // PQ codebook refresh — the Lloyd step (q78) applied per SUBSPACE:
     // each vector's subvectors assign to their nearest codeword (the
@@ -697,6 +811,13 @@ object SimilarityQueries {
            |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q184_ivf_pq_nprobe" ->
+        s"""WITH ${sqlIvfPqAdcN(ivfNprobe)}
+           |SELECT probe_id, vec_id, cell, adc_dist, rn FROM (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q185_pq_recall_nprobe" -> sqlPqRecall(ivfNprobe),
       "q181_pq_refresh" ->
         s"""WITH $sqlPqCodes
            |SELECT cod.m, cod.code AS c, t.d,
@@ -706,34 +827,7 @@ object SimilarityQueries {
            |FROM cod JOIN me USING (vec_id)
            |CROSS JOIN (SELECT unnest(range(0, $pqSub)) AS d) t
            |GROUP BY 1, 2, 3 ORDER BY m, c, d""".stripMargin,
-      "q180_pq_recall" ->
-        s"""WITH $sqlIvfPqAdc,
-           |pqtop AS (SELECT probe_id, vec_id FROM (
-           |    SELECT probe_id, vec_id,
-           |      ROW_NUMBER() OVER (PARTITION BY probe_id
-           |        ORDER BY adc_dist, vec_id) AS rn
-           |    FROM adc) WHERE rn <= $pqTopK),
-           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
-           |      FROM e WHERE ${sqlProbeSlice(61)}),
-           |ex AS (SELECT probe_id, vec_id FROM (
-           |  SELECT p.probe_id, e.vec_id,
-           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
-           |      ORDER BY $cos DESC, e.vec_id) AS rn
-           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
-           |  WHERE rn <= $pqTopK),
-           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
-           |        CAST(SUM(CASE WHEN pqtop.vec_id IS NOT NULL
-           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-           |      FROM ex LEFT JOIN pqtop
-           |        ON pqtop.probe_id = ex.probe_id
-           |        AND pqtop.vec_id = ex.vec_id
-           |      GROUP BY ex.probe_id)
-           |SELECT probe_id, k_exact, n_hits,
-           |  n_hits * 1000 // $pqTopK AS recall_permille,
-           |  CAST(SUM(n_hits) OVER () * 1000
-           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
-           |    AS overall_recall_permille
-           |FROM h ORDER BY probe_id""".stripMargin,
+      "q180_pq_recall" -> sqlPqRecall(1),
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2

@@ -925,8 +925,18 @@ object StreamingQueries {
           withUs
             .withColumn("third",
               when(col("us") < t1, 0).when(col("us") < t2, 1).otherwise(2))
-            .select((schema.fieldNames.map(col) :+ col("third")).toSeq: _*)
+            .select((schema.fieldNames.map(col) :+ col("third") :+ col("us")).toSeq: _*)
             .coalesce(1)
+            // explicit (third, us) sort: the oracle derives per-key
+            // first-seen as MIN(us), which requires each staged third
+            // to be ts-ordered — previously true only because the
+            // writer's required partition-column sort happened to be a
+            // stable no-op on the globally ts-sorted fixture; this
+            // makes the invariant a contract, not an accident (its
+            // outputOrdering also satisfies the writer's `third`
+            // requirement, so no second sort is inserted)
+            .sortWithinPartitions(col("third"), col("us"))
+            .drop("us")
             .write.partitionBy("third").mode("overwrite")
             .parquet(tmp.toString)
           for (i <- 0 to 2) {

@@ -113,12 +113,10 @@ class ExpressionPropertySpec extends SparkSuite {
     // exercises small counts, so the boundary is pinned here against
     // BigInt arithmetic
     import spark.implicits._
-    def isq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val seed = floor(sqrt(x.cast("double"))).cast("long")
-      when((seed + 1) * (seed + 1) <= x, seed + 1)
-        .when(seed * seed > x, seed - 1)
-        .otherwise(seed)
-    }
+    // the PRODUCTION expression (shared helper) — a q179 edit cannot
+    // silently unpin this property
+    def isq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.queries.CorpusOpsQueries.isqrtExact(x)
     def bigIsqrt(x: BigInt): BigInt = {
       if (x < 2) x
       else {
