@@ -287,6 +287,41 @@ object SimilarityQueries {
   private def ivfPqTop(s: SparkSession, dir: String): DataFrame =
     ivfPqTopN(s, dir, 1)
 
+  /** (vec_id, cell, packed_code, qerr) for any embeddings frame,
+    * through the SAME frozen artifacts and expressions as the gated
+    * q37 cell assignment and q168 encode — the one encode contract all
+    * build paths (batch q168, delta q186) share, so an incrementally
+    * maintained index cannot drift from its from-scratch twin.
+    */
+  private def pqCellCodeRows(frame: DataFrame, cb: Array[Array[Long]],
+      centsD: Seq[(Long, Array[Double], Double)]): DataFrame = {
+    val best = bestCell(col("embedding"), col("n2"), centsD)
+    val bests = (0 until pqM).map(m => pqBest(col("mq"), cb, m).as(s"b$m"))
+    frame
+      .select(col("vec_id"), milliQ(col("embedding")).as("mq"),
+        (-best.getField("nid")).as("cell"))
+      .select(col("vec_id") +: col("cell") +: bests: _*)
+      .select(col("vec_id"), col("cell"),
+        (0 until pqM).map(m =>
+          col(s"b$m").getField("c").cast("long") * lit(1L << (2 * m)))
+          .reduce(_ + _).as("packed_code"),
+        (0 until pqM).map(m => col(s"b$m").getField("d"))
+          .reduce(_ + _).as("qerr"))
+  }
+
+  /** The per-cell IVF-PQ index rollup — member count, total
+    * quantization error (the codebook-staleness audit), a
+    * member-weighted code fingerprint, and the sorted member posting
+    * list. ONE definition for the old-corpus, delta, and merged
+    * builds (the q163 contract applied to the vector tier).
+    */
+  private def pqCellIndex(codeRows: DataFrame): DataFrame = codeRows
+    .groupBy("cell")
+    .agg(count(lit(1)).as("n_members"),
+      sum(col("qerr")).as("sum_qerr"),
+      sum(col("packed_code") * (col("vec_id") % 997L + 1L)).as("code_fp"),
+      sort_array(collect_list(col("vec_id"))).as("postings"))
+
   /** recall@k of the nprobe-routed IVF-PQ ranking against the exact
     * full-scan cosine top-k — ONE definition shared by q180 (nprobe=1)
     * and q185 (nprobe=[[ivfNprobe]]), and the surface PqSpec's
@@ -631,6 +666,49 @@ object SimilarityQueries {
     "q185_pq_recall_nprobe" -> ((s, dir) =>
       pqRecallFrame(s, dir, ivfNprobe)),
 
+    // Incremental PQ-index maintenance — the q163 delta convention
+    // applied to the VECTOR tier (previously its one missing face: a
+    // daily embedding batch implied re-encoding the corpus). The
+    // established corpus's per-cell index (codes + postings + qerr) is
+    // a persisted artifact; the delta batch encodes + cell-assigns
+    // with the SAME pqCellCodeRows expressions as q168/q37 (one scan
+    // of delta vectors — old vectors are never re-read), and the
+    // refresh is ONE cell-keyed regroup over the two index relations
+    // (a deployment stores the index bucketed by cell, so only the
+    // delta shuffles). Delta vec_ids are disjoint from old ones, so
+    // merged ≡ from-scratch EXACTLY — and the oracle IS the
+    // from-scratch twin, the q157/q163 incremental-equals-from-scratch
+    // proof for IVF-PQ. (Here the old index is re-derived from the
+    // fixture because the gate must be self-contained — the q158/q164
+    // premise.)
+    "q186_pq_delta_index" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val corpus = emb(s, dir)
+      val cents: Array[(Long, Array[Float], Double)] = corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val centsD = cents.toSeq.map { case (id, ce, n2) =>
+        (id, ce.map(_.toDouble), n2)
+      }
+      val lo = ModelOpsQueries.deltaLo
+      val hi = ModelOpsQueries.deltaHi
+      def inDelta(c: Column) = c >= lo && c < hi
+      val oldIdx = pqCellIndex(pqCellCodeRows(
+        corpus.where(!inDelta(col("vec_id"))), cb, centsD))
+      val deltaIdx = pqCellIndex(pqCellCodeRows(
+        corpus.where(inDelta(col("vec_id"))), cb, centsD))
+      oldIdx.union(deltaIdx)
+        .groupBy("cell")
+        .agg(sum(col("n_members")).as("n_members"),
+          sum(col("sum_qerr")).as("sum_qerr"),
+          sum(col("code_fp")).as("code_fp"),
+          array_join(array_sort(flatten(collect_list(col("postings")))), ",")
+            .as("postings"))
+        .orderBy("cell")
+    }),
+
     // PQ codebook refresh — the Lloyd step (q78) applied per SUBSPACE:
     // each vector's subvectors assign to their nearest codeword (the
     // SAME pqBest expression as the q168 encode, so the assignment
@@ -818,6 +896,34 @@ object SimilarityQueries {
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
       "q185_pq_recall_nprobe" -> sqlPqRecall(ivfNprobe),
+      // the from-scratch twin: the delta-merged index must equal the
+      // index built over the whole corpus bit-for-bit (delta vec_ids
+      // are disjoint)
+      "q186_pq_delta_index" -> {
+        val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+        s"""WITH $sqlEmb,
+           |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+           |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+           |cells AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.c_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cCos DESC, c.c_id) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |$sqlPqCodes,
+           |pc AS (SELECT vec_id,
+           |    CAST(SUM(code * (CAST(1 AS BIGINT) << CAST(2 * m AS INT)))
+           |      AS BIGINT) AS packed_code,
+           |    CAST(SUM(dist) AS BIGINT) AS qerr
+           |  FROM cod GROUP BY vec_id)
+           |SELECT cl.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  CAST(SUM(pc.qerr) AS BIGINT) AS sum_qerr,
+           |  CAST(SUM(pc.packed_code * (pc.vec_id % 997 + 1)) AS BIGINT)
+           |    AS code_fp,
+           |  array_to_string(list_sort(list(pc.vec_id)), ',') AS postings
+           |FROM pc JOIN cells cl USING (vec_id)
+           |GROUP BY cl.cell ORDER BY cl.cell""".stripMargin
+      },
       "q181_pq_refresh" ->
         s"""WITH $sqlPqCodes
            |SELECT cod.m, cod.code AS c, t.d,
