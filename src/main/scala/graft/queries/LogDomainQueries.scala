@@ -186,6 +186,35 @@ object LogDomainQueries {
           max(col("n_params")).as("n_params"),
           min(col("event_id")).as("first_event"))
         .orderBy(desc("n_lines"), asc("template"))
+    }),
+
+    // Per-template PARAMETER extraction — the other half of
+    // Drain/Spell-style mining: q183 collapses lines to templates but
+    // discards the masked `<N>` values; this recovers them. Per
+    // (template, slot), the stats a log user reaches for right after
+    // the template list — how many values, how many distinct (a
+    // constant? an id space? a free numeric?), and the range (latency
+    // slots show their spread, timestamp slots their window). One scan:
+    // the digit runs are already extracted by the SAME
+    // regexp_extract_all as q183's n_params, posexplode is bounded by
+    // params-per-line, and the rollup shuffles onto (template, slot)
+    // keys — templates × slots is bounded by construction (log formats
+    // are finite), so at 100 TB this is one scan + a tiny agg, exactly
+    // q183's shape with a per-line constant-factor expand.
+    "q187_template_params" -> ((s, dir) => {
+      logs(s, dir)
+        .select(
+          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
+          posexplode(expr("regexp_extract_all(line, '[0-9]+', 0)"))
+            .as(Seq("slot", "v")))
+        .select(col("template"), col("slot").cast("long").as("slot"),
+          col("v").cast("long").as("v"))
+        .groupBy("template", "slot")
+        .agg(count(lit(1)).as("n_values"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_val"),
+          max(col("v")).as("max_val"))
+        .orderBy("template", "slot")
     }))
 
   def oracle: Map[String, String] = {
@@ -270,6 +299,25 @@ object LogDomainQueries {
            |    AS n_params,
            |  MIN(event_id) AS first_event
            |FROM ev_lines
-           |GROUP BY 1 ORDER BY n_lines DESC, template""".stripMargin)
+           |GROUP BY 1 ORDER BY n_lines DESC, template""".stripMargin,
+
+      // the q151 struct_pack-unnest device gives the 0-based slot
+      // position the Spark side's posexplode produces
+      "q187_template_params" ->
+        s"""$sqlCte,
+           |tl AS (SELECT regexp_replace(line, '[0-9]+', '<N>', 'g') AS template,
+           |         regexp_extract_all(line, '[0-9]+') AS vals
+           |       FROM ev_lines),
+           |tv AS (SELECT template,
+           |         unnest(list_transform(range(1, len(vals) + 1), i ->
+           |           struct_pack(slot := CAST(i - 1 AS BIGINT),
+           |             v := CAST(vals[CAST(i AS INT)] AS BIGINT)))) AS u
+           |       FROM tl)
+           |SELECT template, (u).slot AS slot,
+           |  CAST(COUNT(*) AS BIGINT) AS n_values,
+           |  CAST(COUNT(DISTINCT (u).v) AS BIGINT) AS n_distinct,
+           |  CAST(MIN((u).v) AS BIGINT) AS min_val,
+           |  CAST(MAX((u).v) AS BIGINT) AS max_val
+           |FROM tv GROUP BY 1, 2 ORDER BY template, slot""".stripMargin)
   }
 }
