@@ -45,7 +45,14 @@ object LogDomainQueries {
 
     /** events + node/level/ts_str/message/line columns. */
     def logs(spark: SparkSession, dir: String): DataFrame =
-      Tables.events(spark, dir)
+      logsOf(Tables.events(spark, dir))
+
+    /** The same derivation over ANY frame carrying (event_id, user_id,
+      * event_type, ts_ns) — lets the streaming tier (q188) render
+      * lines inside a micro-batch with the exact batch expressions.
+      */
+    def logsOf(events: DataFrame): DataFrame =
+      events
         .withColumn("node", concat(lit("node"), (col("user_id") % 4).cast("string")))
         .withColumn("level", levelExpr)
         .withColumn("ts_str", expr("ts_ns div 1000000").cast("string"))

@@ -977,6 +977,89 @@ object StreamingQueries {
       }
     }),
 
+    // Streaming template EMERGENCE — the reference's "Automated
+    // alerting" roadmap item (README.md:254) in its most log-native
+    // form, composed from gated parts: q183's template extraction runs
+    // INSIDE the micro-batch (scan-stage regexp_replace through the
+    // incremental engine), and each arriving line's template is
+    // stream-static ANTI-joined against the known-template catalog —
+    // templates mined from the history window (the first two
+    // time-thirds) with >= 1% line support, the min-support rule every
+    // Drain-style catalog applies (low-support masks are noise, not
+    // schema). Unknown templates pass the screen and emit Append-mode
+    // (stateless — an anti-join against a static side holds no stream
+    // state, no watermark needed); the gate rolls up the emitted lines
+    // per emergent template. At 100 TB: per-micro-batch work is one
+    // scan-stage regex + a broadcast-hash anti-probe against the
+    // template-bounded catalog (log formats are finite); the catalog
+    // is the deployment's persisted artifact, here re-derived from the
+    // fixture because the gate must be self-contained (q158's
+    // premise).
+    "q188_stream_template_emergence" -> ((s, dir) => {
+      import graft.queries.{LogDomainQueries, Tables}
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q188-src")
+      val ckpt = tmpDir("graft-q188-ckpt")
+      val sink = s"graft_q188_sink_${runSeq.incrementAndGet()}"
+      try {
+        val schema = s.read.parquet(src.toString).schema
+        val lines = LogDomainQueries.Corpus.logsOf(Tables.events(s, dir))
+          .withColumn("us", expr("ts_ns div 1000"))
+        val mm = lines.agg(min(col("us")), max(col("us"))).head()
+        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+        val cut = tmin + (tmax - tmin) * 2 / 3
+        // the catalog: history-window templates with >= 1% support
+        val histT = lines.where(col("us") < cut)
+          .select(regexp_replace(col("line"), "[0-9]+", "<N>").as("template"))
+          .groupBy("template").agg(count(lit(1)).as("n_lines"))
+        val totalHist = histT.agg(sum(col("n_lines"))).head().getLong(0)
+        val catalog = histT.where(col("n_lines") * 100L >= totalHist)
+          .select("template")
+        // stage the screened slice (the most recent third) as ONE file
+        val tmp = tmpDir("graft-q188-w")
+        try {
+          s.read.parquet(src.toString)
+            .withColumn("us", tsUs(schema)).where(col("us") >= cut)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, stage.resolve("t2.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally deleteRecursively(tmp)
+        val streamRaw = s.readStream.schema(schema).parquet(stage.toString)
+        val streamNorm = schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            streamRaw.withColumn("ts_ns", col("ts"))
+          case t => streamRaw.withColumn("ts_ns", Tables.tsUs(t) * lit(1000L))
+        }
+        val emergent = LogDomainQueries.Corpus.logsOf(streamNorm)
+          .select(col("node"), col("event_id"),
+            regexp_replace(col("line"), "[0-9]+", "<N>").as("template"))
+          .join(broadcast(catalog), Seq("template"), "left_anti")  // hint audit: template-catalog-bounded (log formats are finite)
+        val query = emergent.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink)
+          .groupBy("template")
+          .agg(count(lit(1)).as("n_lines"),
+            countDistinct(col("node")).as("n_nodes"),
+            min(col("event_id")).as("first_event"))
+          .orderBy("template")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -1240,6 +1323,31 @@ object StreamingQueries {
     // re-emits in batch 3 iff first seen in third 1 with
     // first + delay <= that watermark (end-of-batch-2 cleanup), else
     // its only extra emission is a third-2 first occurrence
+    // the emergence rule replayed relationally: templates over the
+    // whole fixture, history = the first two time-thirds, catalog =
+    // history templates with >= 1% line support, emergent = screened-
+    // slice templates outside the catalog (the event_id join recovers
+    // exact-µs time, which sqlCte's ms-string ts_str cannot)
+    "q188_stream_template_emergence" -> {
+      s"""${graft.queries.LogDomainQueries.Corpus.sqlCte},
+         |tl AS (SELECT l.node, l.event_id,
+         |         regexp_replace(l.line, '[0-9]+', '<N>', 'g') AS template,
+         |         epoch_us(e.ts) AS us
+         |       FROM ev_lines l JOIN events e USING (event_id)),
+         |b AS (SELECT MIN(us) + (MAX(us) - MIN(us)) * 2 // 3 AS cut FROM tl),
+         |hist AS (SELECT template, COUNT(*) AS n FROM tl
+         |         WHERE us < (SELECT cut FROM b) GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS t FROM hist),
+         |cat AS (SELECT template FROM hist
+         |        WHERE n * 100 >= (SELECT t FROM tot))
+         |SELECT template, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+         |  MIN(event_id) AS first_event
+         |FROM tl WHERE us >= (SELECT cut FROM b)
+         |  AND template NOT IN (SELECT template FROM cat)
+         |GROUP BY 1 ORDER BY template""".stripMargin
+    },
+
     "q178_stream_dedup_ttl" ->
       s"""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS us
          |      FROM events),
