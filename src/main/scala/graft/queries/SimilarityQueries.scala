@@ -83,8 +83,9 @@ object SimilarityQueries {
   /** The codebook is the index's model artifact: K=4 rows fetched once
     * to the driver and folded into projections as literals (the q37
     * convention) — encode is then a pure map over the corpus.
+    * `private[graft]`: tools/IndexPipeline seeds its train loop here.
     */
-  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Long]] =
+  private[graft] def pqCodebook(s: SparkSession, dir: String): Array[Array[Long]] =
     Tables(s, dir, "embeddings")
       .where(col("vec_id").isin(pqCodebookIds: _*))
       .orderBy("vec_id")
@@ -241,17 +242,19 @@ object SimilarityQueries {
     * for the shape rationale.
     */
   private[graft] def ivfPqTopN(
-      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val cb = pqCodebook(s, dir)
+      s: SparkSession, dir: String, nprobe: Int,
+      cbOpt: Option[Array[Array[Long]]] = None,
+      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
+    val cb = cbOpt.getOrElse(pqCodebook(s, dir))
     val corpus = emb(s, dir)
-    val cents: Array[(Long, Array[Float], Double)] = corpus
-      .where(col("vec_id").isin(centroidIds: _*))
-      .orderBy("vec_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    val centsD = cents.toSeq.map { case (id, ce, n2) =>
-      (id, ce.map(_.toDouble), n2)
-    }
+    val centsD: Seq[(Long, Array[Double], Double)] = centsOpt.getOrElse(
+      corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+          r.getDouble(2))).toSeq)
     val best = bestCell(col("embedding"), col("n2"), centsD)
     val assigned = corpus.select(col("vec_id"),
       milliQ(col("embedding")).as("mq"), (-best.getField("nid")).as("cell"))
@@ -286,6 +289,67 @@ object SimilarityQueries {
 
   private def ivfPqTop(s: SparkSession, dir: String): DataFrame =
     ivfPqTopN(s, dir, 1)
+
+  /** q168's encode as a parametric frame (vec_id, packed_code, qerr):
+    * the codebook is literal-folded, argmin per subspace is one
+    * lexicographic array_min, NO shuffle — pure scan-stage map. ONE
+    * definition for the q168 gate (id-drawn codebook) and
+    * tools/IndexPipeline (refreshed codebooks), so the pipeline's
+    * encode stage IS the gated one.
+    */
+  private[graft] def pqEncodeFrame(
+      s: SparkSession, dir: String, cb: Array[Array[Long]]): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), milliQ(col("embedding")).as("mq"))
+    val bests = (0 until pqM).map(m => pqBest(col("mq"), cb, m).as(s"b$m"))
+    base.select(col("vec_id") +: bests: _*)
+      .select(col("vec_id"),
+        (0 until pqM).map(m =>
+          col(s"b$m").getField("c").cast("long") * lit(1L << (2 * m)))
+          .reduce(_ + _).as("packed_code"),
+        (0 until pqM).map(m => col(s"b$m").getField("d"))
+          .reduce(_ + _).as("qerr"))
+  }
+
+  /** q181's Lloyd refresh step as a parametric frame
+    * (m, c, d, n_members, new_milli) — same sharing contract as
+    * [[pqEncodeFrame]]; see q181's scaladoc for the shape.
+    */
+  private[graft] def pqRefreshFrame(
+      s: SparkSession, dir: String, cb: Array[Array[Long]]): DataFrame = {
+    val withCodes = Tables(s, dir, "embeddings")
+      .select(milliQ(col("embedding")).as("mq"))
+      .select(col("mq"),
+        array((0 until pqM).map(m =>
+          pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
+    withCodes
+      .select(col("codes"), posexplode(col("mq")).as(Seq("pos", "v")))
+      .select(expr(s"pos div $pqSub").cast("long").as("m"),
+        expr(s"pos % $pqSub").cast("long").as("d"), col("v"),
+        col("codes"))
+      .select(col("m"), element_at(col("codes"), (col("m") + 1).cast("int"))
+        .cast("long").as("c"), col("d"), col("v"))
+      .groupBy("m", "c", "d")
+      .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sv"))
+      .select(col("m"), col("c"), col("d"), col("n_members"),
+        expr("sv div n_members").as("new_milli"))
+  }
+
+  /** One codebook-refresh round: the q181 frame folded back into the
+    * K×64 milli array (a ≤ M·K·pqSub = 256-row collect — the model
+    * artifact, not data). Codewords with no members keep their old
+    * components, the standard empty-cluster rule.
+    */
+  private[graft] def refreshedCodebook(s: SparkSession, dir: String,
+      cb: Array[Array[Long]]): Array[Array[Long]] = {
+    val next = cb.map(_.clone())
+    pqRefreshFrame(s, dir, cb)
+      .select("m", "c", "d", "new_milli").collect().foreach { r =>
+        next(r.getLong(1).toInt)(
+          r.getLong(0).toInt * pqSub + r.getLong(2).toInt) = r.getLong(3)
+      }
+    next
+  }
 
   /** (vec_id, cell, packed_code, qerr) for any embeddings frame,
     * through the SAME frozen artifacts and expressions as the gated
@@ -330,7 +394,10 @@ object SimilarityQueries {
     * ≤ k·|probes| rows; the comparison never re-touches the corpus.
     */
   private[graft] def pqRecallFrame(
-      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+      s: SparkSession, dir: String, nprobe: Int,
+      cbOpt: Option[Array[Array[Long]]] = None,
+      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
     val corpus = emb(s, dir)
     val probes = corpus.where(probeSlice(61))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -343,7 +410,7 @@ object SimilarityQueries {
           .as("cosine"))
     val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
       Seq("cosine" -> true, "vec_id" -> false), pqTopK)
-    val pq = ivfPqTopN(s, dir, nprobe)
+    val pq = ivfPqTopN(s, dir, nprobe, cbOpt, centsOpt)
       .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
     val all = Window.partitionBy()
     exact.join(broadcast(pq), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (PQ hits, <= probes x k rows)
@@ -565,20 +632,8 @@ object SimilarityQueries {
     // the result sort. At 100 TB this is scan-stage codegen over the
     // embedding column; the qerr rollup is the compression-quality
     // audit that decides codebook refresh.
-    "q168_pq_encode" -> ((s, dir) => {
-      val cb = pqCodebook(s, dir)
-      val base = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), milliQ(col("embedding")).as("mq"))
-      val bests = (0 until pqM).map(m => pqBest(col("mq"), cb, m).as(s"b$m"))
-      base.select(col("vec_id") +: bests: _*)
-        .select(col("vec_id"),
-          (0 until pqM).map(m =>
-            col(s"b$m").getField("c").cast("long") * lit(1L << (2 * m)))
-            .reduce(_ + _).as("packed_code"),
-          (0 until pqM).map(m => col(s"b$m").getField("d"))
-            .reduce(_ + _).as("qerr"))
-        .orderBy("vec_id")
-    }),
+    "q168_pq_encode" -> ((s, dir) =>
+      pqEncodeFrame(s, dir, pqCodebook(s, dir)).orderBy("vec_id")),
 
     // PQ ADC top-k: probes score the WHOLE corpus through its codes —
     // per probe, a 32-entry distance table (subspace × codeword,
@@ -719,26 +774,8 @@ object SimilarityQueries {
     // 64-row/vector expand, map-side partials into 256 (m, c, d)
     // keys — the codebook-refresh job a deployment runs when q168's
     // qerr audit or q180's recall says the codewords went stale.
-    "q181_pq_refresh" -> ((s, dir) => {
-      val cb = pqCodebook(s, dir)
-      val withCodes = Tables(s, dir, "embeddings")
-        .select(milliQ(col("embedding")).as("mq"))
-        .select(col("mq"),
-          array((0 until pqM).map(m =>
-            pqBest(col("mq"), cb, m).getField("c")): _*).as("codes"))
-      withCodes
-        .select(col("codes"), posexplode(col("mq")).as(Seq("pos", "v")))
-        .select(expr(s"pos div $pqSub").cast("long").as("m"),
-          expr(s"pos % $pqSub").cast("long").as("d"), col("v"),
-          col("codes"))
-        .select(col("m"), element_at(col("codes"), (col("m") + 1).cast("int"))
-          .cast("long").as("c"), col("d"), col("v"))
-        .groupBy("m", "c", "d")
-        .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sv"))
-        .select(col("m"), col("c"), col("d"), col("n_members"),
-          expr("sv div n_members").as("new_milli"))
-        .orderBy("m", "c", "d")
-    }),
+    "q181_pq_refresh" -> ((s, dir) =>
+      pqRefreshFrame(s, dir, pqCodebook(s, dir)).orderBy("m", "c", "d")),
 
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
