@@ -222,6 +222,80 @@ object LogDomainQueries {
           min(col("v")).as("min_val"),
           max(col("v")).as("max_val"))
         .orderBy("template", "slot")
+    }),
+
+    // Incremental template-CATALOG refresh — the q163 delta convention
+    // on the log-mining tier, closing the q188 loop (detect → ABSORB):
+    // the persisted catalog artifact is kept at (template, node) grain
+    // — every stat is then mergeable (n_lines sums, n_params maxes,
+    // first_event mins; n_nodes falls out as the row count) — so the
+    // arriving window contributes ONE grain-agg over its own lines
+    // (history is never re-scanned) and the refresh is one co-keyed
+    // regroup. The merged catalog ≡ q183's from-scratch mining
+    // EXACTLY, and the oracle IS q183's twin verbatim (the q98↔q163
+    // sharing applied to log analytics). At 100 TB: refresh ∝ the
+    // window's lines; both relations key on the construction-bounded
+    // template set.
+    "q190_template_catalog_refresh" -> ((s, dir) => {
+      val lines = logs(s, dir).withColumn("us", expr("ts_ns div 1000"))
+        .select(col("node"), col("event_id"), col("us"),
+          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
+          size(expr("regexp_extract_all(line, '[0-9]+', 0)"))
+            .cast("long").as("n_params"))
+      val mm = lines.agg(min(col("us")), max(col("us"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 3
+      def grainAgg(df: DataFrame) = df.groupBy("template", "node")
+        .agg(count(lit(1)).as("n_lines"), max(col("n_params")).as("n_params"),
+          min(col("event_id")).as("first_event"))
+      val oldCat = grainAgg(lines.where(col("us") < cut))
+      val deltaCat = grainAgg(lines.where(col("us") >= cut))
+      oldCat.union(deltaCat)
+        .groupBy("template", "node")
+        .agg(sum(col("n_lines")).as("n_lines"),
+          max(col("n_params")).as("n_params"),
+          min(col("first_event")).as("first_event"))
+        .groupBy("template")
+        .agg(sum(col("n_lines")).as("n_lines"),
+          count(lit(1)).as("n_nodes"),
+          max(col("n_params")).as("n_params"),
+          min(col("first_event")).as("first_event"))
+        .orderBy(desc("n_lines"), asc("template"))
+    }),
+
+    // Per-slot ANOMALY screen — the alerting op after q187's
+    // extraction, and the Drain-style second stage after q188's
+    // emergence (q188 surfaces unknown TEMPLATES; this surfaces known
+    // templates with out-of-range VALUES — a latency past its
+    // historical max, an id outside its space): history-window
+    // [min, max] envelopes per (template, slot) screen the recent
+    // window's values. The envelope relation is (template × slot)-
+    // bounded, so it BROADCASTS and the screen is one scan-stage probe
+    // — per-slot verdicts aggregate back onto the bounded keys.
+    // Monotone slots (timestamps) price themselves honestly:
+    // n_anomalous = n_checked, which is exactly why deployments read
+    // this table before wiring alerts.
+    "q191_slot_anomaly" -> ((s, dir) => {
+      val lines = logs(s, dir).withColumn("us", expr("ts_ns div 1000"))
+      val mm = lines.agg(min(col("us")), max(col("us"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 3
+      def slots(df: DataFrame) = df.select(
+          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
+          posexplode(expr("regexp_extract_all(line, '[0-9]+', 0)"))
+            .as(Seq("slot", "v")))
+        .select(col("template"), col("slot").cast("long").as("slot"),
+          col("v").cast("long").as("v"))
+      val isAnom = col("v") < col("lo") || col("v") > col("hi")
+      val hist = slots(lines.where(col("us") < cut))
+        .groupBy("template", "slot")
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      slots(lines.where(col("us") >= cut))
+        .join(broadcast(hist), Seq("template", "slot"))  // hint audit: (template x slot)-bounded (log formats are finite)
+        .groupBy("template", "slot", "lo", "hi")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(isAnom, 1L).otherwise(0L)).as("n_anomalous"),
+          min(when(isAnom, col("v"))).as("min_anom"),
+          max(when(isAnom, col("v"))).as("max_anom"))
+        .orderBy("template", "slot")
     }))
 
   def oracle: Map[String, String] = {
@@ -325,6 +399,45 @@ object LogDomainQueries {
            |  CAST(COUNT(DISTINCT (u).v) AS BIGINT) AS n_distinct,
            |  CAST(MIN((u).v) AS BIGINT) AS min_val,
            |  CAST(MAX((u).v) AS BIGINT) AS max_val
-           |FROM tv GROUP BY 1, 2 ORDER BY template, slot""".stripMargin)
+           |FROM tv GROUP BY 1, 2 ORDER BY template, slot""".stripMargin,
+
+      // q183's from-scratch twin VERBATIM (the q98↔q163 sharing): the
+      // incrementally merged catalog must equal full-corpus mining
+      "q190_template_catalog_refresh" ->
+        s"""$sqlCte
+           |SELECT regexp_replace(line, '[0-9]+', '<N>', 'g') AS template,
+           |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+           |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes,
+           |  CAST(MAX(len(regexp_extract_all(line, '[0-9]+'))) AS BIGINT)
+           |    AS n_params,
+           |  MIN(event_id) AS first_event
+           |FROM ev_lines
+           |GROUP BY 1 ORDER BY n_lines DESC, template""".stripMargin,
+
+      "q191_slot_anomaly" ->
+        s"""$sqlCte,
+           |tl AS (SELECT l.event_id,
+           |         regexp_replace(l.line, '[0-9]+', '<N>', 'g') AS template,
+           |         regexp_extract_all(l.line, '[0-9]+') AS vals,
+           |         epoch_us(e.ts) AS us
+           |       FROM ev_lines l JOIN events e USING (event_id)),
+           |b AS (SELECT MIN(us) + (MAX(us) - MIN(us)) * 2 // 3 AS cut FROM tl),
+           |sv AS (SELECT template, us,
+           |         unnest(list_transform(range(1, len(vals) + 1), i ->
+           |           struct_pack(slot := CAST(i - 1 AS BIGINT),
+           |             v := CAST(vals[CAST(i AS INT)] AS BIGINT)))) AS u
+           |       FROM tl),
+           |s2 AS (SELECT template, us, (u).slot AS slot, (u).v AS v FROM sv),
+           |hist AS (SELECT template, slot, MIN(v) AS lo, MAX(v) AS hi
+           |         FROM s2 WHERE us < (SELECT cut FROM b) GROUP BY 1, 2)
+           |SELECT s.template, s.slot, h.lo, h.hi,
+           |  CAST(COUNT(*) AS BIGINT) AS n_checked,
+           |  CAST(SUM(CASE WHEN s.v < h.lo OR s.v > h.hi
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           |  MIN(CASE WHEN s.v < h.lo OR s.v > h.hi THEN s.v END) AS min_anom,
+           |  MAX(CASE WHEN s.v < h.lo OR s.v > h.hi THEN s.v END) AS max_anom
+           |FROM s2 s JOIN hist h USING (template, slot)
+           |WHERE s.us >= (SELECT cut FROM b)
+           |GROUP BY 1, 2, 3, 4 ORDER BY template, slot""".stripMargin)
   }
 }

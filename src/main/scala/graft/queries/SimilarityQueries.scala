@@ -73,6 +73,11 @@ object SimilarityQueries {
     * monotone in it (PqSpec pins this through the shared definition).
     */
   private val ivfNprobe = 4
+  /** q189 tombstone slice: established-corpus vec_ids with
+    * id % mod == rem (spread across cells; never in the delta range).
+    */
+  private val pqDeleteMod = 13L
+  private val pqDeleteRem = 5L
 
   /** Milli-quantized integer components (floor(v·1000) — exact across
     * engines: float→double is exact, ·1000 and floor are IEEE).
@@ -764,6 +769,53 @@ object SimilarityQueries {
         .orderBy("cell")
     }),
 
+    // PQ-index UPSERT maintenance — q186's insert face composed with
+    // the delete face every real index needs (takedowns, TTL): the
+    // persisted per-row codes table (the index's base artifact; the
+    // per-cell rollup is a view over it) anti-joins a tombstone set —
+    // NO re-encode of surviving vectors, their codes are reused as
+    // stored — while the delta batch encodes fresh through the SAME
+    // shared expressions; one cell-keyed regroup rebuilds the per-cell
+    // index. Deletes and inserts are disjoint row sets, so the result
+    // ≡ the from-scratch index over (corpus ∖ tombstones) EXACTLY,
+    // and the oracle is that from-scratch twin (q186's SQL with the
+    // tombstone filter). At 100 TB: maintenance cost ∝ |tombstones| +
+    // |delta| through bucketed-by-cell joins; the corpus's raw vectors
+    // are never re-read.
+    "q189_pq_index_upsert" -> ((s, dir) => {
+      val cb = pqCodebook(s, dir)
+      val corpus = emb(s, dir)
+      val cents: Array[(Long, Array[Float], Double)] = corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val centsD = cents.toSeq.map { case (id, ce, n2) =>
+        (id, ce.map(_.toDouble), n2)
+      }
+      val lo = ModelOpsQueries.deltaLo
+      val hi = ModelOpsQueries.deltaHi
+      def inDelta(c: Column) = c >= lo && c < hi
+      // tombstones arrive as DATA (a takedown list), not a predicate —
+      // here a deterministic established-corpus id slice spread across
+      // cells; delta inserts never collide with it
+      val tombstones = corpus
+        .where(col("vec_id") % pqDeleteMod === pqDeleteRem &&
+          col("vec_id") < lo)
+        .select("vec_id")
+      val oldCodes = pqCellCodeRows(
+        corpus.where(!inDelta(col("vec_id"))), cb, centsD)
+      // UNHINTED anti-join (the q150 rule): tombstone volume is a
+      // corpus fraction in general — stats choose the strategy
+      val alive = oldCodes.join(tombstones, Seq("vec_id"), "left_anti")
+      val deltaCodes = pqCellCodeRows(
+        corpus.where(inDelta(col("vec_id"))), cb, centsD)
+      pqCellIndex(alive.union(deltaCodes))
+        .select(col("cell"), col("n_members"), col("sum_qerr"),
+          col("code_fp"), array_join(col("postings"), ",").as("postings"))
+        .orderBy("cell")
+    }),
+
     // PQ codebook refresh — the Lloyd step (q78) applied per SUBSPACE:
     // each vector's subvectors assign to their nearest codeword (the
     // SAME pqBest expression as the q168 encode, so the assignment
@@ -959,6 +1011,37 @@ object SimilarityQueries {
            |    AS code_fp,
            |  array_to_string(list_sort(list(pc.vec_id)), ',') AS postings
            |FROM pc JOIN cells cl USING (vec_id)
+           |GROUP BY cl.cell ORDER BY cl.cell""".stripMargin
+      },
+      // q186's from-scratch twin over (corpus ∖ tombstones): the
+      // upsert-maintained index must equal it bit-for-bit (per-row
+      // encode ⇒ end-filtering ≡ input-filtering; the frozen
+      // codebook/centroid ids are never in the tombstone slice)
+      "q189_pq_index_upsert" -> {
+        val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+        s"""WITH $sqlEmb,
+           |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+           |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+           |cells AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.c_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cCos DESC, c.c_id) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |$sqlPqCodes,
+           |pc AS (SELECT vec_id,
+           |    CAST(SUM(code * (CAST(1 AS BIGINT) << CAST(2 * m AS INT)))
+           |      AS BIGINT) AS packed_code,
+           |    CAST(SUM(dist) AS BIGINT) AS qerr
+           |  FROM cod GROUP BY vec_id)
+           |SELECT cl.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  CAST(SUM(pc.qerr) AS BIGINT) AS sum_qerr,
+           |  CAST(SUM(pc.packed_code * (pc.vec_id % 997 + 1)) AS BIGINT)
+           |    AS code_fp,
+           |  array_to_string(list_sort(list(pc.vec_id)), ',') AS postings
+           |FROM pc JOIN cells cl USING (vec_id)
+           |WHERE NOT (pc.vec_id % $pqDeleteMod = $pqDeleteRem
+           |  AND pc.vec_id < ${ModelOpsQueries.deltaLo})
            |GROUP BY cl.cell ORDER BY cl.cell""".stripMargin
       },
       "q181_pq_refresh" ->
