@@ -829,6 +829,110 @@ object SimilarityQueries {
     "q181_pq_refresh" -> ((s, dir) =>
       pqRefreshFrame(s, dir, pqCodebook(s, dir)).orderBy("m", "c", "d")),
 
+    // IVF cell-balance audit — the index-health number BESIDE q168's
+    // qerr: per-cell member share and balance vs the uniform ideal
+    // (1000 = perfectly balanced). Unbalanced cells break the
+    // per-probe cost model (a probe landing in a fat cell pays its
+    // size) and are the signal to retrain the coarse quantizer
+    // (ext/KMeans / tools/IndexPipeline). One scan through the SAME
+    // shared bestCell assignment as q37, a groupBy onto #cells keys,
+    // and windows over the cells-bounded (8-row) aggregate.
+    "q192_ivf_cell_balance" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val cents: Array[(Long, Array[Float], Double)] = corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val best = bestCell(col("embedding"), col("n2"),
+        cents.toSeq.map { case (id, ce, n2) => (id, ce.map(_.toDouble), n2) })
+      val perCell = corpus
+        .select((-best.getField("nid")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      // windows over the #cells-bounded aggregate (8 rows)
+      val all = Window.partitionBy()
+      perCell
+        .withColumn("total", sum(col("n_members")).over(all))
+        .withColumn("n_cells", count(lit(1)).over(all))
+        .select(col("cell"), col("n_members"),
+          expr("n_members * 1000 div total").as("share_permille"),
+          expr("n_members * n_cells * 1000 div total").as("balance_permille"))
+        .orderBy("cell")
+    }),
+
+    // Multi-probe LSH — q30's index with the knob q131's recall eval
+    // exists to inform (Lv et al., VLDB 2007 — public): each probe
+    // scans its own bucket PLUS every Hamming-1 neighbor (one sign-bit
+    // flip per hyperplane), because a near neighbor's most likely
+    // miss-mode is landing one flipped bit away. Candidates are ranked
+    // by TRUE cosine, so widening the candidate set provably never
+    // loses recall (candidate-superset argument — PqSpec pins it
+    // per-probe against q30). Per-probe cost × (planes+1), still O(1)
+    // in corpus size; a candidate lives in ONE bucket so the exploded
+    // join needs no dedup.
+    "q193_ann_multiprobe" -> ((s, dir) => {
+      val bucketed = emb(s, dir).withColumn("bucket", lshBucket(col("embedding")))
+      val probes = bucketed.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"),
+          explode(array((col("bucket") +: (0 until lshPlanes).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j)))): _*)).as("pbucket"))
+      val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      bucketed.join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice x 9 probe buckets)
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("bucket"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= annK)
+        .orderBy("probe_id", "rn")
+    }),
+
+    // q131's recall eval re-run over the multi-probe index — the
+    // measured payoff of the q193 knob, mirroring how q185 prices
+    // q184's. Same probe-bounded comparison shape.
+    "q194_multiprobe_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding")))
+      val probes = bucketed.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"), col("bucket").as("pbucket"))
+      val exactScored = corpus
+        .join(broadcast(probes.drop("pbucket")),  // hint audit: probe-batch-bounded (9-row probe slice)
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), annK)
+      val mprobes = bucketed.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"),
+          explode(array((col("bucket") +: (0 until lshPlanes).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j)))): _*)).as("pbucket"))
+      val wAnn = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("vec_id"))
+      val ann = bucketed.join(broadcast(mprobes),  // hint audit: probe-batch-bounded (9-row probe slice x 9 probe buckets)
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .withColumn("rn", row_number().over(wAnn))
+        .where(col("rn") <= annK)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      val all = Window.partitionBy()
+      exact.join(broadcast(ann), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (ANN hits, <= probes x k rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr(s"n_hits * 1000 div $annK"))
+        .withColumn("total_hits", sum(col("n_hits")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_recall_permille",
+          expr(s"total_hits * 1000 div (n_probes * $annK)"))
+        .drop("total_hits", "n_probes")
+        .orderBy("probe_id")
+    }),
+
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val probes = corpus.where(probeSlice(50))
@@ -844,7 +948,82 @@ object SimilarityQueries {
 
   def oracle: Map[String, String] = {
     def cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+    // the probe's multi-probe bucket list: own bucket + one flip per
+    // hyperplane (Hamming-1 ball)
+    val mpBuckets = (Seq("bucket") ++ (0 until lshPlanes).map(j =>
+      s"xor(bucket, ${1L << j})")).mkString("[", ", ", "]")
     Map(
+      "q192_ivf_cell_balance" -> {
+        val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+        s"""WITH $sqlEmb,
+           |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+           |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+           |cells AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.c_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cCos DESC, c.c_id) AS rn
+           |    FROM e, c) WHERE rn = 1),
+           |pc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+           |       FROM cells GROUP BY 1)
+           |SELECT cell, n_members,
+           |  CAST(n_members * 1000
+           |    // (SUM(n_members) OVER ()) AS BIGINT) AS share_permille,
+           |  CAST(n_members * (COUNT(*) OVER ()) * 1000
+           |    // (SUM(n_members) OVER ()) AS BIGINT) AS balance_permille
+           |FROM pc ORDER BY cell""".stripMargin
+      },
+      "q193_ann_multiprobe" -> {
+        val bCos = sqlCosineFrom(sqlDot("p.pe", "b.embedding"), "p.pn2", "b.n2")
+        s"""WITH $sqlEmb,
+           |b AS (SELECT vec_id, embedding, n2,
+           |        ${sqlLshBucket("embedding")} AS bucket FROM e),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2,
+           |        unnest($mpBuckets) AS pbucket
+           |      FROM b WHERE ${sqlProbeSlice(61)})
+           |SELECT probe_id, vec_id, bucket, cosine, rn FROM (
+           |  SELECT p.probe_id, b.vec_id, b.bucket, $bCos AS cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $bCos DESC, b.vec_id) AS INTEGER) AS rn
+           |  FROM p JOIN b ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id)
+           |WHERE rn <= $annK ORDER BY probe_id, rn""".stripMargin
+      },
+      "q194_multiprobe_recall" -> {
+        val bCos = sqlCosineFrom(sqlDot("p.pe", "b.embedding"), "p.pn2", "b.n2")
+        s"""WITH $sqlEmb,
+           |b AS (SELECT vec_id, embedding, n2,
+           |        ${sqlLshBucket("embedding")} AS bucket FROM e),
+           |p0 AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2,
+           |         bucket FROM b WHERE ${sqlProbeSlice(61)}),
+           |p AS (SELECT probe_id, pe, pn2, bucket AS pbucket FROM p0),
+           |mp AS (SELECT probe_id, pe, pn2, unnest($mpBuckets) AS pbucket
+           |       FROM p0),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $annK),
+           |an AS (SELECT probe_id, vec_id FROM (
+           |  SELECT mp.probe_id, b.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY mp.probe_id
+           |      ORDER BY ${sqlCosineFrom(sqlDot("mp.pe", "b.embedding"), "mp.pn2", "b.n2")} DESC,
+           |        b.vec_id) AS rn
+           |  FROM mp JOIN b ON b.bucket = mp.pbucket AND b.vec_id <> mp.probe_id)
+           |  WHERE rn <= $annK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN an.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |      FROM ex LEFT JOIN an
+           |        ON an.probe_id = ex.probe_id AND an.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits,
+           |  n_hits * 1000 // $annK AS recall_permille,
+           |  CAST(SUM(n_hits) OVER () * 1000
+           |    // (COUNT(*) OVER () * $annK) AS BIGINT)
+           |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin
+      },
       "q151_int8_quant" ->
         s"""WITH p AS (SELECT label,
            |    unnest(list_transform(range(1, len(embedding) + 1), i ->

@@ -120,6 +120,26 @@ class PqSpec extends SparkSuite {
       assert(f === a, s"nprobe=8 IVF-PQ drifted from the full ADC scan: $f vs $a")
   }
 
+  test("q193/q194: multi-probe LSH recall dominates single-bucket PER PROBE") {
+    // unlike the ADC case (approximate scores — aggregate-only
+    // monotonicity), LSH candidates are ranked by TRUE cosine, so a
+    // candidate-superset can only improve each probe's top-k overlap
+    // with the exact list: any hit displaced from the widened top-k is
+    // displaced by a higher-cosine vector, which is itself in the
+    // exact top-k. This is a theorem, so it pins PER PROBE.
+    def hits(name: String): Map[Long, Long] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val single = hits("q131_ann_recall")
+    val multi = hits("q194_multiprobe_recall")
+    assert(single.keySet === multi.keySet)
+    for ((p, h1) <- single)
+      assert(multi(p) >= h1,
+        s"probe $p lost recall under multi-probe: ${multi(p)} < $h1")
+    assert(multi.values.sum > single.values.sum,
+      "multi-probe must strictly improve total recall on the fixture")
+  }
+
   test("q172: exactly one keeper per distinct chunk hash") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
