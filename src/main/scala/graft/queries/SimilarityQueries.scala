@@ -216,6 +216,73 @@ object SimilarityQueries {
        |FROM h ORDER BY probe_id""".stripMargin
   }
 
+  /** The residual-PQ CTE chain (through `adc`) for a given nprobe —
+    * mirrors [[resAssigned]]/[[resIvfPqTop]]; ONE definition for the
+    * q195/q196/q197 oracles. `rv` holds per-vector integer residuals
+    * (milli(x) − milli(centroid[cell])), `cbr` the codebook vectors'
+    * OWN residuals (id-drawn convention), `prv` the probe's residual
+    * PER PROBED CELL.
+    */
+  private def sqlResChain(nprobe: Int): String = {
+    val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
+    def sqDist(rq: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${pqSub + 1}), i ->\n" +
+        s"      ($rq[CAST(t.m * $pqSub + i AS INT)]\n" +
+        s"        - cbr.cw[CAST(t.m * $pqSub + i AS INT)]) *\n" +
+        s"      ($rq[CAST(t.m * $pqSub + i AS INT)]\n" +
+        s"        - cbr.cw[CAST(t.m * $pqSub + i AS INT)]))) AS BIGINT)"
+    s"""$sqlEmb,
+       |c AS (SELECT vec_id AS c_id, embedding AS ce, n2 AS cn2
+       |      FROM e WHERE vec_id IN (${centroidIds.mkString(",")})),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cCos DESC, c.c_id) AS rn
+       |    FROM e, c) WHERE rn = 1),
+       |me AS (SELECT vec_id,
+       |    list_transform(embedding, v ->
+       |      CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS mq
+       |  FROM embeddings),
+       |cm AS (SELECT vec_id AS ccell, mq AS cmq FROM me
+       |       WHERE vec_id IN (${centroidIds.mkString(",")})),
+       |rv AS (SELECT me.vec_id, cl.cell,
+       |    list_transform(range(1, 65), i ->
+       |      me.mq[CAST(i AS INT)] - cm.cmq[CAST(i AS INT)]) AS rq
+       |  FROM me JOIN cells cl USING (vec_id)
+       |  JOIN cm ON cm.ccell = cl.cell),
+       |cbr AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k,
+       |    rq AS cw
+       |  FROM rv WHERE vec_id IN (${pqCodebookIds.mkString(",")})),
+       |rpd AS (SELECT rv.vec_id, t.m, cbr.k,
+       |    ${sqDist("rv.rq")} AS dist
+       |  FROM rv, range(0, $pqM) t(m), cbr),
+       |rcod AS (SELECT vec_id, m, k AS code, dist FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, k) AS rn FROM rpd) WHERE rn = 1),
+       |pcells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $cCos DESC, c.c_id) AS rn
+       |    FROM e, c WHERE ${sqlProbeSlice(61).replace("vec_id", "e.vec_id")})
+       |  WHERE rn <= $nprobe),
+       |prv AS (SELECT pc.vec_id AS probe_id, pc.cell AS pcell,
+       |    list_transform(range(1, 65), i ->
+       |      me.mq[CAST(i AS INT)] - cm.cmq[CAST(i AS INT)]) AS rq
+       |  FROM pcells pc JOIN me ON me.vec_id = pc.vec_id
+       |  JOIN cm ON cm.ccell = pc.cell),
+       |prd AS (SELECT prv.probe_id, prv.pcell, t.m, cbr.k,
+       |    ${sqDist("prv.rq")} AS dist
+       |  FROM prv, range(0, $pqM) t(m), cbr),
+       |adc AS (SELECT prd.probe_id, rcod.vec_id, cc.cell,
+       |    CAST(SUM(prd.dist) AS BIGINT) AS adc_dist
+       |  FROM rcod JOIN prd ON prd.m = rcod.m AND prd.k = rcod.code
+       |  JOIN cells cc ON cc.vec_id = rcod.vec_id
+       |  WHERE rcod.vec_id <> prd.probe_id AND cc.cell = prd.pcell
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
   /** q177's cell+codes cache — at most one generation live. */
   private val lastIvfPqCodes = new graft.util.CacheSlot
 
@@ -354,6 +421,94 @@ object SimilarityQueries {
           r.getLong(0).toInt * pqSub + r.getLong(2).toInt) = r.getLong(3)
       }
     next
+  }
+
+  /** q196's residual-codes cache — at most one generation live. */
+  private val lastResPqCodes = new graft.util.CacheSlot
+
+  /** Residual IVF-PQ foundation (IVFADC proper — Jégou et al. TPAMI
+    * 2011 §III): instead of quantizing raw vectors, each vector
+    * quantizes its RESIDUAL to the assigned centroid (r = milli(x) −
+    * milli(centroid[cell]), exact integers), which concentrates the
+    * quantizer's dynamic range on the within-cell variation — the
+    * second standard remedy (after nprobe) when PQ recall is too low.
+    * Returns (assigned-residuals frame (vec_id, cell, rq), residual
+    * codebook, centroid-set, centroid-milli frame). The residual
+    * codebook follows the id-drawn convention: the CODEBOOK VECTORS'
+    * OWN residuals, computed through the same frame (no driver-side
+    * arithmetic to drift). The 8-row centroid-milli join broadcasts.
+    */
+  private def resAssigned(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Long]],
+         Seq[(Long, Array[Double], Double)], DataFrame) = {
+    val corpus = emb(s, dir)
+    val cents: Array[(Long, Array[Float], Double)] = corpus
+      .where(col("vec_id").isin(centroidIds: _*))
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val centsD = cents.toSeq.map { case (id, ce, n2) =>
+      (id, ce.map(_.toDouble), n2)
+    }
+    import s.implicits._
+    val centMilli = centsD.map { case (id, ce, _) =>
+      (id, ce.map(v => math.floor(v * 1000).toLong).toSeq)
+    }.toDF("cell", "cmq")
+    val best = bestCell(col("embedding"), col("n2"), centsD)
+    val assigned = corpus.select(col("vec_id"),
+      milliQ(col("embedding")).as("mq"), (-best.getField("nid")).as("cell"))
+      .join(broadcast(centMilli), "cell")  // hint audit: dimension-bounded (8-row centroid-milli frame)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("mq"), col("cmq"), (a, b) => a - b).as("rq"))
+    val cbRes: Array[Array[Long]] = assigned
+      .where(col("vec_id").isin(pqCodebookIds: _*))
+      .orderBy("vec_id").select("rq").collect()
+      .map(_.getSeq[Long](0).toArray)
+    (assigned, cbRes, centsD, centMilli)
+  }
+
+  /** The residual-PQ ranked frame (probe_id, vec_id, cell, adc_dist,
+    * rn) — q196's gate and q197's recall eval share it (the
+    * q177/q180 sharing applied to the residual tier). Probe-side ADC
+    * tables are PER PROBED CELL (the probe's residual depends on which
+    * cell it scans — the defining IVFADC subtlety), so the exploded
+    * probe batch carries nprobe 32-entry tables, still
+    * broadcast-bounded.
+    */
+  private[graft] def resIvfPqTop(
+      s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val (assigned, cbRes, centsD, centMilli) = resAssigned(s, dir)
+    val codes = lastResPqCodes.swap(assigned
+      .select(col("vec_id"), col("cell"),
+        array((0 until pqM).map(m =>
+          pqBest(col("rq"), cbRes, m).getField("c")): _*).as("codes"))
+      .cache())
+    val probes = emb(s, dir).where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"),
+        milliQ(col("embedding")).as("mq"),
+        explode(topCellsArr(col("embedding"), col("n2"), centsD, nprobe))
+          .as("pc"))
+      .select(col("probe_id"), col("mq"), (-col("pc.nid")).as("pcell"))
+      .join(broadcast(centMilli.withColumnRenamed("cell", "pcell")), "pcell")  // hint audit: dimension-bounded (8-row centroid-milli frame)
+      .select(col("probe_id"), col("pcell"),
+        zip_with(col("mq"), col("cmq"), (a, b) => a - b).as("rq"))
+      .select(col("probe_id"), col("pcell"),
+        array((0 until pqM).flatMap(m => cbRes.indices.map(k =>
+          pqSubDist(col("rq"), cbRes(k), m))): _*).as("pd"))
+    val adc = (0 until pqM).map(m =>
+      element_at(col("pd"),
+        lit(m * pqK + 1) + element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val scored = codes
+      .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice x nprobe<=8 cells carrying 32-long ADC tables)
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        adc.as("adc_dist"))
+    val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq("adc_dist" -> false, "vec_id" -> false), pqTopK)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+    top.withColumn("rn", row_number().over(w))
   }
 
   /** (vec_id, cell, packed_code, qerr) for any embeddings frame,
@@ -829,6 +984,74 @@ object SimilarityQueries {
     "q181_pq_refresh" -> ((s, dir) =>
       pqRefreshFrame(s, dir, pqCodebook(s, dir)).orderBy("m", "c", "d")),
 
+    // Residual-PQ encode — the IVFADC accuracy upgrade (Jégou §III):
+    // every vector's codes quantize its residual to the assigned
+    // centroid, so the 2-bit codewords spend their range on
+    // within-cell variation instead of the whole embedding space; the
+    // qerr column is directly comparable to q168's (same units) and
+    // measures the upgrade. Same scan-stage shape as q168 plus one
+    // broadcast-bounded centroid join.
+    "q195_res_pq_encode" -> ((s, dir) => {
+      val (assigned, cbRes, _, _) = resAssigned(s, dir)
+      val bests = (0 until pqM).map(m => pqBest(col("rq"), cbRes, m).as(s"b$m"))
+      assigned.select(col("vec_id") +: col("cell") +: bests: _*)
+        .select(col("vec_id"), col("cell"),
+          (0 until pqM).map(m =>
+            col(s"b$m").getField("c").cast("long") * lit(1L << (2 * m)))
+            .reduce(_ + _).as("packed_code"),
+          (0 until pqM).map(m => col(s"b$m").getField("d"))
+            .reduce(_ + _).as("qerr"))
+        .orderBy("vec_id")
+    }),
+
+    // Residual IVF-PQ search at nprobe — q184's routing over q195's
+    // residual codes; the probe's ADC table is rebuilt PER PROBED CELL
+    // (its residual depends on the cell — the defining IVFADC
+    // subtlety), which the exploded probe batch carries at nprobe ×
+    // 32 longs per probe.
+    "q196_res_ivf_pq_topk" -> ((s, dir) =>
+      resIvfPqTop(s, dir, ivfNprobe).orderBy("probe_id", "rn")),
+
+    // The recall eval for the residual tier at the same nprobe — the
+    // number that prices the IVFADC upgrade against q185's
+    // raw-vector-PQ endpoint on the same probes. On the RANDOM
+    // embedding fixture it prices honestly AGAINST residuals: with no
+    // cluster structure a residual x − c(x) is LARGER than x (total
+    // qerr rises 595M → 811M at sf0.01) and recall does not improve
+    // (44‰, level with q185) — the textbook precondition made
+    // measurable: IVFADC pays off exactly when centroids are trained
+    // on clustered data so residual norms shrink (the
+    // tools/IndexPipeline loop), and this eval is the gate a
+    // deployment checks before switching the corpus encoding.
+    "q197_res_pq_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val pq = resIvfPqTop(s, dir, ivfNprobe)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      val all = Window.partitionBy()
+      exact.join(broadcast(pq), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (PQ hits, <= probes x k rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr(s"n_hits * 1000 div $pqTopK"))
+        .withColumn("total_hits", sum(col("n_hits")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_recall_permille",
+          expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
+        .drop("total_hits", "n_probes")
+        .orderBy("probe_id")
+    }),
+
     // IVF cell-balance audit — the index-health number BESIDE q168's
     // qerr: per-cell member share and balance vs the uniform ideal
     // (1000 = perfectly balanced). Unbalanced cells break the
@@ -953,6 +1176,48 @@ object SimilarityQueries {
     val mpBuckets = (Seq("bucket") ++ (0 until lshPlanes).map(j =>
       s"xor(bucket, ${1L << j})")).mkString("[", ", ", "]")
     Map(
+      "q195_res_pq_encode" ->
+        s"""WITH ${sqlResChain(1)}
+           |SELECT r.vec_id, v.cell,
+           |  CAST(SUM(r.code * (CAST(1 AS BIGINT) << CAST(2 * r.m AS INT)))
+           |    AS BIGINT) AS packed_code,
+           |  CAST(SUM(r.dist) AS BIGINT) AS qerr
+           |FROM rcod r JOIN rv v USING (vec_id)
+           |GROUP BY 1, 2 ORDER BY r.vec_id""".stripMargin,
+      "q196_res_ivf_pq_topk" ->
+        s"""WITH ${sqlResChain(ivfNprobe)}
+           |SELECT probe_id, vec_id, cell, adc_dist, rn FROM (
+           |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q197_res_pq_recall" ->
+        s"""WITH ${sqlResChain(ivfNprobe)},
+           |pqtop AS (SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |        ORDER BY adc_dist, vec_id) AS rn
+           |    FROM adc) WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN pqtop.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |      FROM ex LEFT JOIN pqtop
+           |        ON pqtop.probe_id = ex.probe_id
+           |        AND pqtop.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits,
+           |  n_hits * 1000 // $pqTopK AS recall_permille,
+           |  CAST(SUM(n_hits) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin,
       "q192_ivf_cell_balance" -> {
         val cCos = sqlCosineFrom(sqlDot("e.embedding", "c.ce"), "e.n2", "c.cn2")
         s"""WITH $sqlEmb,

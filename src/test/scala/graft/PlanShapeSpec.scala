@@ -104,7 +104,7 @@ class PlanShapeSpec extends SparkSuite {
     // q131/q180/q185/q194 evaluate an index against q29's exact scan —
     // the broadcast-probe inequality join IS the exact side measured
     "q131_ann_recall", "q180_pq_recall", "q185_pq_recall_nprobe",
-    "q194_multiprobe_recall",
+    "q194_multiprobe_recall", "q197_res_pq_recall",
     // q132 calibrates the MinHash sketch over q26's bounded pair slice
     // — the same deliberate broadcast all-pairs tier as q26
     "q132_sketch_calibration",
