@@ -438,18 +438,18 @@ object SimilarityQueries {
     * OWN residuals, computed through the same frame (no driver-side
     * arithmetic to drift). The 8-row centroid-milli join broadcasts.
     */
-  private def resAssigned(s: SparkSession, dir: String)
+  private def resAssigned(s: SparkSession, dir: String,
+      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None)
       : (DataFrame, Array[Array[Long]],
          Seq[(Long, Array[Double], Double)], DataFrame) = {
     val corpus = emb(s, dir)
-    val cents: Array[(Long, Array[Float], Double)] = corpus
-      .where(col("vec_id").isin(centroidIds: _*))
-      .orderBy("vec_id")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    val centsD = cents.toSeq.map { case (id, ce, n2) =>
-      (id, ce.map(_.toDouble), n2)
-    }
+    val centsD: Seq[(Long, Array[Double], Double)] = centsOpt.getOrElse(
+      corpus
+        .where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+          r.getDouble(2))).toSeq)
     import s.implicits._
     val centMilli = centsD.map { case (id, ce, _) =>
       (id, ce.map(v => math.floor(v * 1000).toLong).toSeq)
@@ -465,6 +465,21 @@ object SimilarityQueries {
       .orderBy("vec_id").select("rq").collect()
       .map(_.getSeq[Long](0).toArray)
     (assigned, cbRes, centsD, centMilli)
+  }
+
+  /** Total residual-PQ quantization error under a given centroid set —
+    * the number that makes the IVFADC precondition measurable (see
+    * q197's scaladoc): training centroids shrinks residual norms, so
+    * this drops as ext/KMeans inertia drops (IndexPipelineSpec pins
+    * trained < id-drawn on the fixture). One scan + a 1-row rollup.
+    */
+  private[graft] def resPqTotalQerr(s: SparkSession, dir: String,
+      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None): Long = {
+    val (assigned, cbRes, _, _) = resAssigned(s, dir, centsOpt)
+    assigned.select(
+      (0 until pqM).map(m => pqBest(col("rq"), cbRes, m).getField("d"))
+        .reduce(_ + _).as("qerr"))
+      .agg(sum(col("qerr"))).head().getLong(0)
   }
 
   /** The residual-PQ ranked frame (probe_id, vec_id, cell, adc_dist,

@@ -39,6 +39,25 @@ class IndexPipelineSpec extends SparkSuite {
       s"refresh round 2 regressed qerr: ${r.qerrByRound.mkString(" -> ")}")
   }
 
+  test("training centroids shrinks residual-PQ quantization error (the IVFADC precondition)") {
+    // q197's scaladoc claims IVFADC pays off once centroids are
+    // trained so residual norms shrink — make that measurable: the
+    // residual tier's total qerr under KMeans-trained centroids must
+    // be below the id-drawn default's on the fixture.
+    import graft.queries.{SimilarityQueries, Tables}
+    val km = graft.ext.KMeans.train(Tables(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2)
+    km.cells.unpersist(blocking = false)
+    val trained = km.centroids.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c, c.map(x => x * x).sum)
+    }.toSeq
+    val qDefault = SimilarityQueries.resPqTotalQerr(spark, dir)
+    val qTrained = SimilarityQueries.resPqTotalQerr(spark, dir, Some(trained))
+    info(s"residual qerr: id-drawn $qDefault -> trained $qTrained")
+    assert(qTrained < qDefault,
+      s"trained centroids must shrink residual qerr: $qTrained >= $qDefault")
+  }
+
   test("trained-centroid + refreshed-codebook pipeline is structurally sane") {
     val r = IndexPipeline.run(spark, dir,
       kmeansIters = 2, refreshRounds = 1, nprobes = Seq(1, 8))
