@@ -83,6 +83,16 @@ object CorpusOpsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** q198 continuation-ratio fixed-point scale. */
+  private val fluencyScale = 1000000L
+
+  /** q200 chunking geometry: 50-token chunks, stride 40 (10-token
+    * overlap so a fact straddling a boundary survives in one piece).
+    */
+  private val chunkW = 50
+  private val chunkStride = 40
+  private val chunkOverlap = chunkW - chunkStride
+
   /** The (term, shard) sharded-postings aggregation — ONE definition
     * shared by q98 (batch build), q163 (incremental merge), and the
     * streaming q164, so the index contract (shard width, df_shard
@@ -246,6 +256,65 @@ object CorpusOpsQueries {
           array_join(array_sort(flatten(collect_list(col("postings")))), ",")
             .as("postings"))
         .orderBy("term", "shard")
+    }),
+
+    // Corpus-LM fluency scoring — the CCNet/perplexity-filter quality
+    // signal (Wenzek et al. 2020, public) in EXACT integer arithmetic:
+    // a bigram continuation model trained on the corpus itself scores
+    // every doc by its mean continuation ratio (c(a,b)·10⁶ div c(a·),
+    // where c(a·) counts bigram starts — a log-free perplexity proxy
+    // that gates bit-for-bit, which ln-based scores cannot
+    // cross-engine). Gibberish/boilerplate scores low, fluent text
+    // high. Two scans by design (the q151 calibrate-then-apply shape):
+    // one builds the LM — ≤V² rows, broadcast at ANY corpus size since
+    // vocab grows ~log(corpus) — one scores with the LM broadcast back;
+    // nothing shuffles beyond the per-doc regroup.
+    "q198_bigram_fluency" -> ((s, dir) => {
+      def bigrams = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("g"))
+        .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+      val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val ca = cab.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
+      val lm = cab.join(broadcast(ca), "a")  // hint audit: vocab-bounded (per-start totals, <= V rows)
+        .select(col("a"), col("b"),
+          expr(s"c_ab * $fluencyScale div c_a").as("cont_micro"))
+      bigrams.join(broadcast(lm), Seq("a", "b"))  // hint audit: vocab-bounded (<= V^2-row bigram LM; vocab ~log corpus)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cont_micro")).as("sc"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sc div n_bigrams").as("fluency_micro"))
+        .orderBy("doc_id")
+    }),
+
+    // RAG-style document chunking: fixed 50-token windows at stride 40
+    // (10-token overlap so boundary-straddling content survives whole
+    // in one chunk) — the retrieval-serving segmentation between q98's
+    // index and an embedding pass. Pure map: one scan, a per-doc
+    // bounded explode (⌈(n−overlap)/stride⌉ chunks), chunk content
+    // pinned by polyHash so the gate proves exact token spans without
+    // shipping text. Provenance (doc_id, chunk_id, start_tok) is what
+    // lets retrieval answers cite their source span.
+    "q200_doc_chunking" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .where(col("n") >= 1)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            greatest(lit(1),
+              expr(s"(n - $chunkOverlap + $chunkStride - 1) div $chunkStride"))
+              - 1)).as("c"))
+        .select(col("doc_id"), col("c").cast("long").as("chunk_id"),
+          (col("c") * chunkStride).cast("long").as("start_tok"),
+          slice(col("toks"), col("c") * chunkStride + 1, lit(chunkW)).as("ch"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("ch")).cast("long").as("n_tokens"),
+          polyHash(concat_ws(" ", col("ch"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
     }),
 
     // Compaction bin-packing planner: group the doc inventory into
@@ -559,6 +628,42 @@ object CorpusOpsQueries {
     val isTest = PipelineOpsQueries.sqlIsTestDoc("doc_id")
     val isTestTb = PipelineOpsQueries.sqlIsTestDoc("tb.doc_id")
     Map(
+      "q198_bigram_fluency" ->
+        s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+           |bg AS (SELECT doc_id,
+           |    unnest(list_transform(range(1, len(toks)), i ->
+           |      struct_pack(a := toks[CAST(i AS INT)],
+           |        b := toks[CAST(i + 1 AS INT)]))) AS g
+           |  FROM t WHERE len(toks) >= 2),
+           |g2 AS (SELECT doc_id, (g).a AS a, (g).b AS b FROM bg),
+           |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+           |        FROM g2 GROUP BY 1, 2),
+           |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a
+           |       FROM cab GROUP BY 1),
+           |lm AS (SELECT a, b,
+           |        CAST(c_ab * $fluencyScale // c_a AS BIGINT) AS cont_micro
+           |       FROM cab JOIN ca USING (a))
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |  CAST(SUM(cont_micro) // COUNT(*) AS BIGINT) AS fluency_micro
+           |FROM g2 JOIN lm USING (a, b)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      "q200_doc_chunking" ->
+        s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks,
+           |         len(${sqlTokens("text")}) AS n FROM documents),
+           |ch AS (SELECT doc_id, toks,
+           |    unnest(range(0, greatest(
+           |      (n - $chunkOverlap + ${chunkStride - 1}) // $chunkStride, 1)))
+           |      AS c
+           |  FROM t WHERE n >= 1),
+           |sl AS (SELECT doc_id, c,
+           |    toks[CAST(c * $chunkStride + 1 AS INT):
+           |      CAST(c * $chunkStride + $chunkW AS INT)] AS chunk
+           |  FROM ch)
+           |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+           |  CAST(c * $chunkStride AS BIGINT) AS start_tok,
+           |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+           |  ${sqlPolyHash("array_to_string(chunk, ' ')")} AS chunk_hash
+           |FROM sl ORDER BY doc_id, chunk_id""".stripMargin,
       "q96_importance_weights" ->
         s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
            |tb AS (SELECT doc_id, ${sqlPolyHash("t")} % $dsirBuckets AS b

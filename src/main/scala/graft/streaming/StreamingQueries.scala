@@ -1060,6 +1060,82 @@ object StreamingQueries {
       }
     }),
 
+    // Streaming slot-anomaly ALERTS — the value face of the alerting
+    // roadmap (q188 surfaces unknown TEMPLATES; this fires on known
+    // templates whose parameter VALUES leave their historical
+    // envelope — q191's screen run live): per micro-batch, each
+    // line's digit-run slots probe the broadcast (template, slot) →
+    // [min, max] envelope mined from the history window, and
+    // out-of-range values emit Append-mode (stateless — a
+    // stream-static inner join + filter holds no stream state). The
+    // gate rolls up alerts per (template, slot); the oracle replays
+    // envelope + screen relationally. At 100 TB: scan-stage regex +
+    // posexplode bounded by params/line + one broadcast probe per
+    // micro-batch — the cheapest possible alerting path.
+    "q199_stream_slot_anomaly" -> ((s, dir) => {
+      import graft.queries.{LogDomainQueries, Tables}
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q199-src")
+      val ckpt = tmpDir("graft-q199-ckpt")
+      val sink = s"graft_q199_sink_${runSeq.incrementAndGet()}"
+      try {
+        val schema = s.read.parquet(src.toString).schema
+        val lines = LogDomainQueries.Corpus.logsOf(Tables.events(s, dir))
+          .withColumn("us", expr("ts_ns div 1000"))
+        val mm = lines.agg(min(col("us")), max(col("us"))).head()
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 3
+        def slots(df: DataFrame) = df.select(
+            regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
+            posexplode(expr("regexp_extract_all(line, '[0-9]+', 0)"))
+              .as(Seq("slot", "v")))
+          .select(col("template"), col("slot").cast("long").as("slot"),
+            col("v").cast("long").as("v"))
+        val envelopes = slots(lines.where(col("us") < cut))
+          .groupBy("template", "slot")
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val tmp = tmpDir("graft-q199-w")
+        try {
+          s.read.parquet(src.toString)
+            .withColumn("us", tsUs(schema)).where(col("us") >= cut)
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, stage.resolve("t2.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally deleteRecursively(tmp)
+        val streamRaw = s.readStream.schema(schema).parquet(stage.toString)
+        val streamNorm = schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            streamRaw.withColumn("ts_ns", col("ts"))
+          case t => streamRaw.withColumn("ts_ns", Tables.tsUs(t) * lit(1000L))
+        }
+        val alerts = slots(LogDomainQueries.Corpus.logsOf(streamNorm))
+          .join(broadcast(envelopes), Seq("template", "slot"))  // hint audit: (template x slot)-bounded (log formats are finite)
+          .where(col("v") < col("lo") || col("v") > col("hi"))
+          .select(col("template"), col("slot"), col("v"))
+        val query = alerts.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink)
+          .groupBy("template", "slot")
+          .agg(count(lit(1)).as("n_alerts"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .orderBy("template", "slot")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // E39 oracle-gated: stream-static enrichment — the event stream
     // joins a BATCH dimension (nation, keyed by a derived user bucket)
     // inside the micro-batch; the static side broadcasts per batch, no
@@ -1347,6 +1423,30 @@ object StreamingQueries {
          |  AND template NOT IN (SELECT template FROM cat)
          |GROUP BY 1 ORDER BY template""".stripMargin
     },
+
+    // q191's envelope + screen replayed relationally, restricted to
+    // the out-of-range emissions the stream alerts on
+    "q199_stream_slot_anomaly" ->
+      s"""${graft.queries.LogDomainQueries.Corpus.sqlCte},
+         |tl AS (SELECT l.event_id,
+         |         regexp_replace(l.line, '[0-9]+', '<N>', 'g') AS template,
+         |         regexp_extract_all(l.line, '[0-9]+') AS vals,
+         |         epoch_us(e.ts) AS us
+         |       FROM ev_lines l JOIN events e USING (event_id)),
+         |b AS (SELECT MIN(us) + (MAX(us) - MIN(us)) * 2 // 3 AS cut FROM tl),
+         |sv AS (SELECT template, us,
+         |         unnest(list_transform(range(1, len(vals) + 1), i ->
+         |           struct_pack(slot := CAST(i - 1 AS BIGINT),
+         |             v := CAST(vals[CAST(i AS INT)] AS BIGINT)))) AS u
+         |       FROM tl),
+         |s2 AS (SELECT template, us, (u).slot AS slot, (u).v AS v FROM sv),
+         |hist AS (SELECT template, slot, MIN(v) AS lo, MAX(v) AS hi
+         |         FROM s2 WHERE us < (SELECT cut FROM b) GROUP BY 1, 2)
+         |SELECT s.template, s.slot, CAST(COUNT(*) AS BIGINT) AS n_alerts,
+         |  CAST(MIN(s.v) AS BIGINT) AS min_v, CAST(MAX(s.v) AS BIGINT) AS max_v
+         |FROM s2 s JOIN hist h USING (template, slot)
+         |WHERE s.us >= (SELECT cut FROM b) AND (s.v < h.lo OR s.v > h.hi)
+         |GROUP BY 1, 2 ORDER BY template, slot""".stripMargin,
 
     "q178_stream_dedup_ttl" ->
       s"""WITH t AS (SELECT user_id, event_type, epoch_us(ts) AS us
