@@ -278,8 +278,12 @@ object CorpusOpsQueries {
             "i -> struct(toks[i-1] AS a, toks[i] AS b))")).as("g"))
         .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
       val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      val ca = cab.groupBy("a").agg(sum(col("c_ab")).as("c_a"))
-      val lm = cab.join(broadcast(ca), "a")  // hint audit: vocab-bounded (per-start totals, <= V rows)
+      // per-start totals as a window over the ALREADY-AGGREGATED
+      // (≤V²-row) bigram relation — a separate groupBy("a") would
+      // recompute the cab subtree for its second reference (plan-pinned
+      // at 4 shuffles in PlanShapeSpec)
+      val lm = cab
+        .withColumn("c_a", sum(col("c_ab")).over(Window.partitionBy("a")))
         .select(col("a"), col("b"),
           expr(s"c_ab * $fluencyScale div c_a").as("cont_micro"))
       bigrams.join(broadcast(lm), Seq("a", "b"))  // hint audit: vocab-bounded (<= V^2-row bigram LM; vocab ~log corpus)

@@ -221,7 +221,10 @@ class PlanShapeSpec extends SparkSuite {
       "q37_ann_ivf" -> 2, // per-probe top-k window + sort
       "q54_topk_custom" -> 2, // group-key shuffle + result sort
       "q55_winnowing" -> 1, // winnow is scan-stage; group agg local? no: agg+sort collapse
-      "q57_hash_split" -> 3) // content-distinct + split-bucket agg + sort
+      "q57_hash_split" -> 3, // content-distinct + split-bucket agg + sort
+      "q195_res_pq_encode" -> 1, // residual encode is scan-stage after the broadcast centroid join; sort only
+      "q198_bigram_fluency" -> 4, // LM build (bigram agg + start agg) + per-doc regroup + sort; both LM joins broadcast
+      "q200_doc_chunking" -> 1) // chunking is a pure map; sort only
     for ((name, n) <- budget) {
       val shuffles = plans(name).collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.size <= n,
