@@ -321,6 +321,61 @@ object CorpusOpsQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Postings-compression audit — the storage-planning number for the
+    // q98 index: per (term, shard), the Elias-gamma cost of the
+    // delta-gapped sorted posting list (gap g costs 2·⌊log2(g+1)⌋+1
+    // bits, bit width via length(bin(g+1)) — exact integers in both
+    // engines, unlike a log2 double) vs the raw 64-bit layout. Dense
+    // stopword-grade postings compress hardest (small gaps), which is
+    // exactly what decides codec choice and shard width before anyone
+    // ships the index to object storage. Gaps and bit costs fold
+    // INSIDE the array (scan-stage HOFs over the already-aggregated
+    // (term, shard) relation) — nothing re-explodes.
+    "q201_postings_compression" -> ((s, dir) => {
+      shardedIndex(docs(s, dir))
+        .select(col("term"), col("shard"), col("df_shard"),
+          expr("transform(postings, (x, i) -> " +
+            "IF(i = 0, x, x - postings[i-1]))").as("gaps"))
+        .select(col("term"), col("shard"), col("df_shard"),
+          expr("aggregate(gaps, 0L, (acc, g) -> " +
+            "acc + 2 * (length(bin(g + 1)) - 1) + 1)").as("gamma_bits"))
+        .select(col("term"), col("shard"), col("df_shard"),
+          (col("df_shard") * 64L).as("raw_bits"), col("gamma_bits"),
+          expr("(df_shard * 64 - gamma_bits) * 1000 div (df_shard * 64)")
+            .as("savings_permille"))
+        .orderBy("term", "shard")
+    }),
+
+    // Vocabulary-drift monitor — the "did my crawl shift?" screen run
+    // between an established window and an arriving batch (the
+    // E124-family delta convention): per-token permille share in each
+    // window and the share delta, biggest movers first. Exact integer
+    // permille (a KL term would need cross-engine logs); token keys
+    // are vocab-bounded, so at 100 TB this is two scans folding into a
+    // ≤V-row frame — the monitor a pipeline checks before retraining
+    // its tokenizer or reweighting its mix.
+    "q202_vocab_drift" -> ((s, dir) => {
+      def inDelta(c: Column) =
+        c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .select(col("token"),
+          when(inDelta(col("doc_id")), 1L).otherwise(0L).as("d"))
+      val counts = tok.groupBy("token")
+        .agg(sum(lit(1L) - col("d")).as("cnt_a"), sum(col("d")).as("cnt_b"))
+      // totals over the vocab-bounded aggregate (≤V rows)
+      val all = Window.partitionBy()
+      counts
+        .withColumn("tot_a", sum(col("cnt_a")).over(all))
+        .withColumn("tot_b", sum(col("cnt_b")).over(all))
+        .select(col("token"), col("cnt_a"), col("cnt_b"),
+          expr("cnt_a * 1000 div tot_a").as("share_a_permille"),
+          expr("cnt_b * 1000 div tot_b").as("share_b_permille"))
+        .withColumn("drift_permille",
+          col("share_b_permille") - col("share_a_permille"))
+        .orderBy(abs(col("drift_permille")).desc, asc("token"))
+    }),
+
     // Compaction bin-packing planner: group the doc inventory into
     // input-file granules, then assign consecutive files to
     // target-sized output bins via the running-sum rule (a file starts
@@ -632,6 +687,50 @@ object CorpusOpsQueries {
     val isTest = PipelineOpsQueries.sqlIsTestDoc("doc_id")
     val isTestTb = PipelineOpsQueries.sqlIsTestDoc("tb.doc_id")
     Map(
+      "q201_postings_compression" ->
+        s"""WITH t AS (SELECT DISTINCT doc_id, term
+           |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+           |            FROM documents)),
+           |p AS (SELECT term, doc_id // $shardSize AS shard,
+           |        CAST(COUNT(*) AS BIGINT) AS df_shard,
+           |        list_sort(list(doc_id)) AS postings
+           |      FROM t GROUP BY 1, 2),
+           |g AS (SELECT term, shard, df_shard,
+           |        list_transform(range(1, len(postings) + 1), i ->
+           |          CASE WHEN i = 1 THEN postings[CAST(i AS INT)]
+           |               ELSE postings[CAST(i AS INT)]
+           |                    - postings[CAST(i - 1 AS INT)] END) AS gaps
+           |      FROM p),
+           |b AS (SELECT term, shard, df_shard,
+           |        CAST(list_sum(list_transform(gaps, g ->
+           |          2 * (length(bin(g + 1)) - 1) + 1)) AS BIGINT)
+           |          AS gamma_bits
+           |      FROM g)
+           |SELECT term, shard, df_shard,
+           |  CAST(df_shard * 64 AS BIGINT) AS raw_bits, gamma_bits,
+           |  CAST((df_shard * 64 - gamma_bits) * 1000
+           |    // (df_shard * 64) AS BIGINT) AS savings_permille
+           |FROM b ORDER BY term, shard""".stripMargin,
+      "q202_vocab_drift" ->
+        s"""WITH tok AS (SELECT
+           |      CASE WHEN doc_id >= ${ModelOpsQueries.deltaLo}
+           |           AND doc_id < ${ModelOpsQueries.deltaHi}
+           |        THEN 1 ELSE 0 END AS d,
+           |      unnest(${sqlTokens("text")}) AS token
+           |    FROM documents),
+           |c AS (SELECT token, CAST(SUM(1 - d) AS BIGINT) AS cnt_a,
+           |        CAST(SUM(d) AS BIGINT) AS cnt_b
+           |      FROM tok GROUP BY 1),
+           |t2 AS (SELECT *, CAST(SUM(cnt_a) OVER () AS BIGINT) AS tot_a,
+           |        CAST(SUM(cnt_b) OVER () AS BIGINT) AS tot_b FROM c)
+           |SELECT token, cnt_a, cnt_b,
+           |  CAST(cnt_a * 1000 // tot_a AS BIGINT) AS share_a_permille,
+           |  CAST(cnt_b * 1000 // tot_b AS BIGINT) AS share_b_permille,
+           |  CAST(cnt_b * 1000 // tot_b - cnt_a * 1000 // tot_a AS BIGINT)
+           |    AS drift_permille
+           |FROM t2
+           |ORDER BY abs(cnt_b * 1000 // tot_b - cnt_a * 1000 // tot_a) DESC,
+           |  token""".stripMargin,
       "q198_bigram_fluency" ->
         s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
            |bg AS (SELECT doc_id,
