@@ -548,6 +548,31 @@ object SimilarityQueries {
           .reduce(_ + _).as("qerr"))
   }
 
+  /** (vec_id, cell, packed_code, qerr) for ANY (vec_id, embedding)
+    * frame under the frozen gated artifacts — the entry the STREAMING
+    * ingest gate (q204) uses, so the in-stream encode is EXACTLY the
+    * gated q168/q37 one (pure codegen projections: the codebook and
+    * centroids are driver-side literals, legal inside a micro-batch).
+    */
+  private[graft] def pqCodeRowsFor(
+      s: SparkSession, dir: String, frame: DataFrame): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    val centsD: Seq[(Long, Array[Double], Double)] = emb(s, dir)
+      .where(col("vec_id").isin(centroidIds: _*))
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getDouble(2))).toSeq
+    pqCellCodeRows(frame.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2")), cb, centsD)
+  }
+
+  /** [[pqCellIndex]] for callers outside this object (q204's post-sink
+    * merge — ONE rollup definition across all build paths).
+    */
+  private[graft] def pqCellIndexOf(codeRows: DataFrame): DataFrame =
+    pqCellIndex(codeRows)
+
   /** The per-cell IVF-PQ index rollup — member count, total
     * quantization error (the codebook-staleness audit), a
     * member-weighted code fingerprint, and the sorted member posting
@@ -1171,6 +1196,35 @@ object SimilarityQueries {
         .orderBy("probe_id")
     }),
 
+    // SEMANTIC decontamination — the embedding face of q73's lexical
+    // screen (shingle overlap misses paraphrases; cosine similarity
+    // catches them): every training vector is screened against the
+    // BROADCAST eval slice (the q73/q96 eval-set convention — modulus
+    // AND fixed horizon, so the eval side is O(1) in corpus size), and
+    // vectors above the near-dup band report their contamination
+    // evidence (hit count, min contaminating eval id, max cosine).
+    // At 100 TB this is one corpus scan against a bounded broadcast —
+    // the semantic sweep a benchmark-hygiene pass runs beside the
+    // lexical one before training.
+    "q203_semantic_decontam" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val isEval = PipelineOpsQueries.isTestDoc(col("vec_id"))
+      val eval = corpus.where(isEval)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      corpus.where(!isEval)
+        .join(broadcast(eval), col("vec_id") =!= col("eval_id"))  // hint audit: eval-horizon-bounded (capped id slice)
+        .select(col("vec_id"), col("eval_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+        .where(col("cosine") > nearDupThreshold)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_eval_hits"),
+          min(col("eval_id")).as("first_eval_hit"),
+          max(col("cosine")).as("max_cosine"))
+        .orderBy("vec_id")
+    }),
+
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val probes = corpus.where(probeSlice(50))
@@ -1513,6 +1567,20 @@ object SimilarityQueries {
            |CROSS JOIN (SELECT unnest(range(0, $pqSub)) AS d) t
            |GROUP BY 1, 2, 3 ORDER BY m, c, d""".stripMargin,
       "q180_pq_recall" -> sqlPqRecall(1),
+      "q203_semantic_decontam" -> {
+        val eCos = sqlCosineFrom(sqlDot("ev.pe", "tr.embedding"), "ev.pn2", "tr.n2")
+        s"""WITH $sqlEmb,
+           |ev AS (SELECT vec_id AS eval_id, embedding AS pe, n2 AS pn2
+           |       FROM e WHERE ${PipelineOpsQueries.sqlIsTestDoc("vec_id")}),
+           |tr AS (SELECT * FROM e
+           |       WHERE NOT ${PipelineOpsQueries.sqlIsTestDoc("vec_id")}),
+           |hits AS (SELECT tr.vec_id, ev.eval_id, $eCos AS cosine
+           |         FROM tr JOIN ev ON tr.vec_id <> ev.eval_id
+           |         WHERE $eCos > $nearDupThreshold)
+           |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           |  MIN(eval_id) AS first_eval_hit, MAX(cosine) AS max_cosine
+           |FROM hits GROUP BY 1 ORDER BY vec_id""".stripMargin
+      },
       "q31_embedding_neardup" ->
         s"""WITH $sqlEmb,
            |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2

@@ -1060,6 +1060,74 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING vector ingest — completes the VECTOR tier's build-path
+    // triangle exactly as q164 completed the text index's (batch q168
+    // / incremental q186 / streaming THIS): delta embeddings arrive as
+    // a stream, and the full encode — milli quantization, argmax-
+    // cosine cell assignment, per-subspace codeword argmin — runs
+    // INSIDE the micro-batch as pure codegen projections (codebook +
+    // centroids are frozen driver-side literals, so the map is
+    // stateless; Append, no watermark). Post-sink, the emitted
+    // (vec_id, cell, packed_code, qerr) rows roll up through the SAME
+    // pqCellIndex definition and merge with the persisted old-corpus
+    // index exactly as q186 — delta vec_ids disjoint ⇒ merged ≡
+    // from-scratch, and the oracle IS q186's from-scratch twin
+    // verbatim, proving the STREAMING build path bit-identical to both
+    // batch paths. At 100 TB: per-micro-batch work ∝ arriving vectors;
+    // the old index is never re-derived from raw embeddings.
+    "q204_stream_vec_ingest" -> ((s, dir) => {
+      import graft.queries.{ModelOpsQueries, SimilarityQueries}
+      val src = Paths.get(s"$dir/embeddings.parquet")
+      val stage = tmpDir("graft-q204-src")
+      val ckpt = tmpDir("graft-q204-ckpt")
+      val sink = s"graft_q204_sink_${runSeq.incrementAndGet()}"
+      try {
+        val schema = s.read.parquet(src.toString).schema
+        val lo = ModelOpsQueries.deltaLo
+        val hi = ModelOpsQueries.deltaHi
+        val tmp = tmpDir("graft-q204-w")
+        try {
+          s.read.parquet(src.toString)
+            .where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, stage.resolve("delta.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally deleteRecursively(tmp)
+        val deltaCodes = SimilarityQueries.pqCodeRowsFor(s, dir,
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(col("vec_id") >= lo && col("vec_id") < hi))
+        val query = deltaCodes.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val oldIdx = SimilarityQueries.pqCellIndexOf(
+          SimilarityQueries.pqCodeRowsFor(s, dir,
+            s.read.parquet(src.toString)
+              .where(col("vec_id") < lo || col("vec_id") >= hi)))
+        val deltaIdx = SimilarityQueries.pqCellIndexOf(s.table(sink))
+        val out = oldIdx.union(deltaIdx)
+          .groupBy("cell")
+          .agg(sum(col("n_members")).as("n_members"),
+            sum(col("sum_qerr")).as("sum_qerr"),
+            sum(col("code_fp")).as("code_fp"),
+            array_join(array_sort(flatten(collect_list(col("postings")))), ",")
+              .as("postings"))
+          .orderBy("cell")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming slot-anomaly ALERTS — the value face of the alerting
     // roadmap (q188 surfaces unknown TEMPLATES; this fires on known
     // templates whose parameter VALUES leave their historical
@@ -1423,6 +1491,12 @@ object StreamingQueries {
          |  AND template NOT IN (SELECT template FROM cat)
          |GROUP BY 1 ORDER BY template""".stripMargin
     },
+
+    // q186's from-scratch twin VERBATIM (the q164↔q98 sharing applied
+    // to the vector tier): streaming-built delta codes merged with the
+    // old index must equal the full-corpus index bit-for-bit
+    "q204_stream_vec_ingest" ->
+      graft.queries.SimilarityQueries.oracle("q186_pq_delta_index"),
 
     // q191's envelope + screen replayed relationally, restricted to
     // the out-of-range emissions the stream alerts on

@@ -105,6 +105,8 @@ class PlanShapeSpec extends SparkSuite {
     // the broadcast-probe inequality join IS the exact side measured
     "q131_ann_recall", "q180_pq_recall", "q185_pq_recall_nprobe",
     "q194_multiprobe_recall", "q197_res_pq_recall",
+    // q203's eval-slice screen is q31's deliberate broadcast probe scan
+    "q203_semantic_decontam",
     // q132 calibrates the MinHash sketch over q26's bounded pair slice
     // — the same deliberate broadcast all-pairs tier as q26
     "q132_sketch_calibration",
