@@ -16,7 +16,7 @@ object SparkEntry {
       PipelineOpsQueries.queries ++ ScaleOpsQueries.queries ++
       CorpusOpsQueries.queries ++ QualityOpsQueries.queries ++
       InsightOpsQueries.queries ++ ModelOpsQueries.queries ++
-      ShapeOpsQueries.queries ++
+      ShapeOpsQueries.queries ++ CrawlOpsQueries.queries ++
       graft.streaming.StreamingQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,6 +29,6 @@ object SparkEntry {
       PipelineOpsQueries.oracle ++ ScaleOpsQueries.oracle ++
       CorpusOpsQueries.oracle ++ QualityOpsQueries.oracle ++
       InsightOpsQueries.oracle ++ ModelOpsQueries.oracle ++
-      ShapeOpsQueries.oracle ++
+      ShapeOpsQueries.oracle ++ CrawlOpsQueries.oracle ++
       graft.streaming.StreamingQueries.oracle
 }

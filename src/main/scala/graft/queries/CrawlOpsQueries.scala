@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 web-crawl curation tier — the operators a crawl-derived
+  * training corpus runs BEFORE any text-level screen: URL
+  * canonicalization + canonical-key dedup (q205), reversed-host
+  * suffix-blocklist filtering (q206), and a mojibake/encoding-damage
+  * screen (q207). The reference engine
+  * (`/root/reference/cassandra_log_analyzer.py`) has no crawl surface;
+  * these extend the corpus-curation tier the same way q63/q89/q90 did.
+  *
+  * The synthetic corpus carries no URLs or encoding damage, so — the
+  * q61/q63 convention (`TextAnalysisQueries.piiText` scaladoc) — each
+  * query WEAVES deterministic inputs from `doc_id` with the SAME
+  * construction in the oracle, and the operator under test is the
+  * canonicalization/suffix-match/screen machinery, not the fixture.
+  *
+  * Cross-engine rules: all string ops are in the Java-regex ∩ RE2
+  * intersection; all ratios are exact integer permille.
+  */
+object CrawlOpsQueries {
+
+  // ---------------------------------------------------------------- q205
+
+  /** Landing-page group: docs 4k..4k+3 link the same page through
+    * raw-URL variants (case, default port, `www.`, tracking params,
+    * fragments), so canonicalization merges 8 raw URLs into 1.
+    */
+  private val urlGroup = "doc_id div 4"
+  private val sqlUrlGroup = "doc_id // 4"
+
+  /** The two woven raw-URL variants per doc (g = doc_id div 4). */
+  private def rawUrls: Column = {
+    val g = expr(urlGroup)
+    array(
+      concat(lit("HTTPS://WWW.Site"), (g % 23).cast("string"),
+        lit(".COM:443/p/"), g.cast("string"),
+        lit("?utm_source=s"), (col("doc_id") % 3).cast("string"),
+        lit("&id="), (g % 101).cast("string"),
+        lit("#f"), (col("doc_id") % 7).cast("string")),
+      concat(lit("http://site"), (g % 23).cast("string"),
+        lit(".com/p/"), g.cast("string"),
+        lit("?id="), (g % 101).cast("string"),
+        lit("&gclid=g"), col("doc_id").cast("string")))
+  }
+
+  private val sqlRawUrls =
+    s"""[concat('HTTPS://WWW.Site', CAST(($sqlUrlGroup) % 23 AS VARCHAR),
+       |    '.COM:443/p/', CAST($sqlUrlGroup AS VARCHAR),
+       |    '?utm_source=s', CAST(doc_id % 3 AS VARCHAR),
+       |    '&id=', CAST(($sqlUrlGroup) % 101 AS VARCHAR),
+       |    '#f', CAST(doc_id % 7 AS VARCHAR)),
+       |  concat('http://site', CAST(($sqlUrlGroup) % 23 AS VARCHAR),
+       |    '.com/p/', CAST($sqlUrlGroup AS VARCHAR),
+       |    '?id=', CAST(($sqlUrlGroup) % 101 AS VARCHAR),
+       |    '&gclid=g', CAST(doc_id AS VARCHAR))]""".stripMargin
+
+  /** Tracking parameters stripped by canonicalization (the public
+    * convention: UTM campaign tags plus the Facebook/Google click ids).
+    */
+  private val trackingParamRe = "^(utm_[a-z]+|fbclid|gclid)="
+
+  /** Scheme-less canonical URL — host (lowercased, default port and
+    * leading `www.` stripped) + path (empty → `/`) + surviving query
+    * params sorted and rejoined. A pure codegen string-expression
+    * chain: at 100 TB this runs scan-stage; the ONLY shuffle in q205
+    * is the canonical-key aggregation (exactly q25's exact-dedup
+    * shuffle). Returned as (canonical, intermediate columns) via a
+    * projection builder so the chain materializes each step once.
+    */
+  private[queries] def canonicalize(df: DataFrame): DataFrame =
+    df.withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+      .withColumn("rest",
+        regexp_replace(regexp_replace(col("url"), "#.*", ""), "^[A-Za-z]+://", ""))
+      .withColumn("host_port", lower(regexp_extract(col("rest"), "^([^/?]+)", 1)))
+      .withColumn("host", regexp_replace(
+        when(col("scheme") === "https", regexp_replace(col("host_port"), ":443$", ""))
+          .when(col("scheme") === "http", regexp_replace(col("host_port"), ":80$", ""))
+          .otherwise(col("host_port")),
+        "^www\\.", ""))
+      .withColumn("pq", expr("substring(rest, length(host_port) + 1)"))
+      .withColumn("path",
+        when(regexp_replace(col("pq"), "\\?.*", "") === "", "/")
+          .otherwise(regexp_replace(col("pq"), "\\?.*", "")))
+      .withColumn("params", filter(split(regexp_extract(col("pq"), "\\?(.*)", 1), "&"),
+        p => p =!= "" && !p.rlike(trackingParamRe)))
+      .withColumn("canonical_url", concat(col("host"), col("path"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(array_sort(col("params")), "&")))
+          .otherwise(lit(""))))
+      .drop("scheme", "rest", "host_port", "pq", "params")
+
+  /** The same chain rendered for DuckDB (`u` = source CTE with
+    * (doc_id, url)). DuckDB's `regexp_replace` is first-match-only by
+    * default — equivalent here because every pattern is anchored or
+    * consumes the rest of the string.
+    */
+  private def sqlCanonicalChain(src: String): String =
+    s"""s1 AS (SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    regexp_replace(regexp_replace(url, '#.*', ''), '^[A-Za-z]+://', '') AS rest
+       |  FROM $src),
+       |s2 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]+)', 1)) AS host_port FROM s1),
+       |s3 AS (SELECT *,
+       |    regexp_replace(CASE
+       |        WHEN scheme = 'https' THEN regexp_replace(host_port, ':443$$', '')
+       |        WHEN scheme = 'http' THEN regexp_replace(host_port, ':80$$', '')
+       |        ELSE host_port END, '^www\\.', '') AS host,
+       |    substr(rest, length(host_port) + 1) AS pq
+       |  FROM s2),
+       |s4 AS (SELECT *,
+       |    CASE WHEN regexp_replace(pq, '\\?.*', '') = '' THEN '/'
+       |         ELSE regexp_replace(pq, '\\?.*', '') END AS path,
+       |    list_filter(string_split(regexp_extract(pq, '\\?(.*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '$trackingParamRe')) AS params
+       |  FROM s3),
+       |canon AS (SELECT doc_id, url, concat(host, path,
+       |    CASE WHEN len(params) > 0
+       |      THEN concat('?', array_to_string(list_sort(params), '&'))
+       |      ELSE '' END) AS canonical_url
+       |  FROM s4)""".stripMargin
+
+  // ---------------------------------------------------------------- q206
+
+  /** Woven per-doc hosts: a deep subdomain under a bounded set of
+    * registered domains (suffix matching must look PAST the subdomain)
+    * plus a CDN host under a blocked TLD.
+    */
+  private def hosts: Column = array(
+    concat(lit("h"), (col("doc_id") % 997).cast("string"),
+      lit(".site"), (col("doc_id") % 23).cast("string"), lit(".com")),
+    concat(lit("cdn"), (col("doc_id") % 5).cast("string"), lit(".net")))
+
+  private val sqlHosts =
+    """[concat('h', CAST(doc_id % 997 AS VARCHAR),
+      |    '.site', CAST(doc_id % 23 AS VARCHAR), '.com'),
+      |  concat('cdn', CAST(doc_id % 5 AS VARCHAR), '.net')]""".stripMargin
+
+  /** The blocklist: registered domains and a whole TLD, stored as
+    * REVERSED label paths so suffix-of-host becomes prefix-of-key —
+    * the standard trick that turns domain-suffix matching into a
+    * sorted prefix lookup.
+    */
+  private val blockRules = Seq(
+    ("site3.com", "com.site3"),
+    ("site17.com", "com.site17"),
+    ("*.net", "net"))
+
+  // ---------------------------------------------------------------- q207
+
+  /** Woven encoding damage: docs ≡0 mod 11 get a double-encoded UTF-8
+    * signature (the `Ã`+continuation-range pair that "café"/"naïve"
+    * become when UTF-8 bytes are re-decoded as Latin-1), docs ≡0 mod 13
+    * get a U+FFFD replacement char (a decoder already gave up once).
+    */
+  private val mojiToken = " cafÃ© naÃ¯ve"
+  private val replToken = " bad�sym"
+
+  private def damagedText: Column = concat(col("text"),
+    when(col("doc_id") % 11 === 0, lit(mojiToken)).otherwise(lit("")),
+    when(col("doc_id") % 13 === 0, lit(replToken)).otherwise(lit("")))
+
+  private val sqlDamagedText =
+    s"concat(text, CASE WHEN doc_id % 11 = 0 THEN '$mojiToken' " +
+      s"ELSE '' END, CASE WHEN doc_id % 13 = 0 THEN '$replToken' ELSE '' END)"
+
+  /** Mojibake signature: `Ã` followed by a char in the Latin-1
+    * continuation range — the exact pair double-encoding produces.
+    * Literal chars keep the pattern in the Java-regex ∩ RE2
+    * intersection (no `\x{}` vs `\uXXXX` divergence).
+    */
+  private val mojibakeRe = "Ã[ -¿]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // URL canonicalization + canonical-key dedup — the FIRST dedup any
+    // web corpus runs (cheaper than any text hash: it needs only the
+    // URL column). Canonicalization is one codegen scan-stage string
+    // chain (case, default port, www., fragment, tracking params,
+    // param order); the only shuffle is the canonical-key agg, and the
+    // keep-first winner is a plain MIN — no per-key sort, the q25/q172
+    // convention. At 100 TB: shuffle volume = one row per RAW url
+    // (grouping key ~100 bytes), candidates never materialize as pairs.
+    "q205_url_canonical" -> ((s, dir) => {
+      val raw = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(rawUrls).as("url"))
+      canonicalize(raw)
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct(col("url")).as("n_variants"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("kept_doc"))
+        .orderBy("canonical_url")
+    }),
+
+    // Domain-suffix blocklist filter: hosts reverse into label paths
+    // (com.site3.h42) so "host under blocked domain" = "reversed host
+    // has a blocklist entry as a dotted prefix". The blocklist is
+    // value-domain bounded (a curated denylist, O(1) in corpus size) —
+    // broadcast nested-loop with the prefix predicate is the designed
+    // plan; a corpus-scaled blocklist would switch to the sorted
+    // prefix RANGE join (entry ≤ rev < entry+'.~' on the sorted list),
+    // the same regime split PlanShapeSpec pins for q116/q150. Rule
+    // attribution survives into the rollup (which rule blocked what),
+    // the report a crawl operator actually reads.
+    "q206_host_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val hostRows = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(hosts).as("host"))
+        .withColumn("rev", array_join(reverse(split(col("host"), "\\.")), "."))
+      val bl = blockRules.toDF("rule", "rule_rev")
+      hostRows
+        .join(broadcast(bl), // hint audit: value-domain-bounded (3-entry curated blocklist; production alternative for a corpus-scaled list = sorted reversed-prefix range join)
+          col("rev") === col("rule_rev") ||
+            expr("substring(rev, 1, length(rule_rev) + 1)") ===
+              concat(col("rule_rev"), lit(".")),
+          "left")
+        .groupBy(coalesce(col("rule"), lit("kept")).as("rule"))
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("rule")
+    }),
+
+    // Encoding-damage screen: per-source mojibake report — double-
+    // encoded UTF-8 signatures (Ã + continuation-range char) and
+    // U+FFFD replacement chars counted scan-stage, rolled into the
+    // bounded per-source report a curation run reads before deciding
+    // to re-extract a source. All ratios exact integer permille.
+    "q207_mojibake_screen" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), damagedText.as("txt"))
+        .select(col("source"),
+          size(expr(s"regexp_extract_all(txt, '$mojibakeRe', 0)"))
+            .cast("long").as("moji_hits"),
+          (length(col("txt")) - length(regexp_replace(col("txt"), "�", "")))
+            .cast("long").as("repl_hits"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("moji_hits") > 0, 1L).otherwise(0L)).as("n_moji_docs"),
+          sum(when(col("repl_hits") > 0, 1L).otherwise(0L)).as("n_repl_docs"),
+          sum(when(col("moji_hits") > 0 || col("repl_hits") > 0, 1L)
+            .otherwise(0L)).as("n_flagged"),
+          sum(col("moji_hits")).as("sum_moji_hits"))
+        .withColumn("flagged_permille", expr("n_flagged * 1000 div n_docs"))
+        .orderBy("source")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q205_url_canonical" -> {
+      val chain = sqlCanonicalChain("raw")
+      s"""WITH raw AS (
+         |  SELECT doc_id, unnest($sqlRawUrls) AS url FROM documents),
+         |$chain
+         |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  MIN(doc_id) AS kept_doc
+         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+    },
+    "q206_host_blocklist" -> {
+      val rules = blockRules
+        .map { case (r, rv) => s"('$r', '$rv')" }.mkString(", ")
+      s"""WITH h AS (
+         |  SELECT doc_id, unnest($sqlHosts) AS host FROM documents),
+         |r AS (SELECT doc_id, host,
+         |    array_to_string(list_reverse(string_split(host, '.')), '.') AS rev
+         |  FROM h),
+         |bl(rule, rule_rev) AS (VALUES $rules),
+         |j AS (SELECT r.doc_id, r.host, bl.rule
+         |  FROM r LEFT JOIN bl ON r.rev = bl.rule_rev
+         |    OR substr(r.rev, 1, length(bl.rule_rev) + 1) = bl.rule_rev || '.')
+         |SELECT COALESCE(rule, 'kept') AS rule,
+         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM j GROUP BY 1 ORDER BY rule""".stripMargin
+    },
+    "q207_mojibake_screen" ->
+      s"""WITH d AS (SELECT source, $sqlDamagedText AS txt FROM documents),
+         |m AS (SELECT source,
+         |    CAST(len(regexp_extract_all(txt, '$mojibakeRe')) AS BIGINT) AS moji_hits,
+         |    CAST(length(txt) - length(replace(txt, '�', '')) AS BIGINT) AS repl_hits
+         |  FROM d)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN moji_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moji_docs,
+         |  CAST(SUM(CASE WHEN repl_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repl_docs,
+         |  CAST(SUM(CASE WHEN moji_hits > 0 OR repl_hits > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  CAST(SUM(moji_hits) AS BIGINT) AS sum_moji_hits,
+         |  CAST(SUM(CASE WHEN moji_hits > 0 OR repl_hits > 0 THEN 1 ELSE 0 END)
+         |    * 1000 AS BIGINT) // COUNT(*) AS flagged_permille
+         |FROM m GROUP BY source ORDER BY source""".stripMargin)
+}
