@@ -70,7 +70,7 @@ object CrawlOpsQueries {
     * shuffle). Returned as (canonical, intermediate columns) via a
     * projection builder so the chain materializes each step once.
     */
-  private[queries] def canonicalize(df: DataFrame): DataFrame =
+  private[graft] def canonicalize(df: DataFrame): DataFrame =
     df.withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
       .withColumn("rest",
         regexp_replace(regexp_replace(col("url"), "#.*", ""), "^[A-Za-z]+://", ""))

@@ -921,6 +921,46 @@ object SimilarityQueries {
     "q185_pq_recall_nprobe" -> ((s, dir) =>
       pqRecallFrame(s, dir, ivfNprobe)),
 
+    // Rank-sensitive ANN eval: MRR of the exact NEAREST neighbor
+    // within the IVF-PQ nprobe-ranked list — the rank-blind recall@k
+    // pair (q180/q185) says whether true neighbors appear at all;
+    // this says WHERE the single most important one lands, which is
+    // what a serving stack that re-ranks the top candidates actually
+    // pays for. Ground truth = exact top-1 (the q29 scoring frame
+    // through the bounded-heap TopKPerGroup at k=1); ranked list =
+    // the SAME shared ivfPqTopN frame the q184 gate measures, so the
+    // evaluated index IS the gated one. Reciprocal ranks are exact
+    // integer micro-units (1e6 div rank, 0 = missed); the overall
+    // mean folds over the bounded probe relation only.
+    "q208_ann_mrr" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val scored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact1 = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), 1)
+        .select(col("probe_id"), col("vec_id").as("true_id"))
+      val ranked = ivfPqTopN(s, dir, ivfNprobe)
+        .select(col("probe_id"), col("vec_id").as("true_id"), col("rn"))
+      val all = Window.partitionBy()
+      exact1.join(broadcast(ranked), Seq("probe_id", "true_id"), "left")  // hint audit: probe-bounded (<= probes x pqTopK ranked rows)
+        .select(col("probe_id"), col("true_id"),
+          coalesce(col("rn").cast("long"), lit(0L)).as("hit_rank"))
+        .withColumn("rr_micro",
+          when(col("hit_rank") > 0, expr("1000000 div hit_rank"))
+            .otherwise(lit(0L)))
+        .withColumn("sum_rr", sum(col("rr_micro")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("mrr_micro", expr("sum_rr div n_probes"))
+        .drop("sum_rr", "n_probes")
+        .orderBy("probe_id")
+    }),
+
     // Incremental PQ-index maintenance — the q163 delta convention
     // applied to the VECTOR tier (previously its one missing face: a
     // daily embedding batch implied re-encoding the corpus). The
@@ -1498,6 +1538,36 @@ object SimilarityQueries {
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
       "q185_pq_recall_nprobe" -> sqlPqRecall(ivfNprobe),
+      "q208_ann_mrr" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        s"""WITH ${sqlIvfPqAdcN(ivfNprobe)},
+           |pqtop AS (SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rn FROM (
+           |    SELECT probe_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |        ORDER BY adc_dist, vec_id) AS rn
+           |    FROM adc) WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |ex1 AS (SELECT probe_id, vec_id AS true_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn = 1),
+           |j AS (SELECT ex1.probe_id, ex1.true_id,
+           |        CAST(COALESCE(pqtop.rn, 0) AS BIGINT) AS hit_rank
+           |      FROM ex1 LEFT JOIN pqtop
+           |        ON pqtop.probe_id = ex1.probe_id
+           |        AND pqtop.vec_id = ex1.true_id),
+           |rr AS (SELECT probe_id, true_id, hit_rank,
+           |        CASE WHEN hit_rank > 0 THEN 1000000 // hit_rank
+           |             ELSE CAST(0 AS BIGINT) END AS rr_micro
+           |      FROM j)
+           |SELECT probe_id, true_id, hit_rank, rr_micro,
+           |  CAST(SUM(rr_micro) OVER () // COUNT(*) OVER () AS BIGINT)
+           |    AS mrr_micro
+           |FROM rr ORDER BY probe_id""".stripMargin
+      },
       // the from-scratch twin: the delta-merged index must equal the
       // index built over the whole corpus bit-for-bit (delta vec_ids
       // are disjoint)

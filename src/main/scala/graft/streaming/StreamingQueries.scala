@@ -57,6 +57,14 @@ object StreamingQueries {
   private val streamKmvK = 16
   private val gapUs = 3600L * 1000000L // q33's 1-hour session gap
   private val gapMs = gapUs / 1000L
+  /** q209 quality-drift monitor: event time = doc_id seconds; 64 s
+    * windows so several windows close per gate run AND windows
+    * straddle the staged-third boundaries (cross-micro-batch state
+    * accumulation); drift alert at |Δ| > 10 permille.
+    */
+  private val qualityDriftWindowUs = 64L * 1000000L
+  private val qualityDriftDelayUs = 30L * 1000000L
+  private val qualityDriftThreshold = 10L
   /** q178 TTL-dedup state lifetime: 2 days against the fixture's
     * ~10-day thirds, so a nontrivial subset of third-1 keys expires
     * before batch 3 (those first seen ≤ maxT1 − 2·delay) and the rest
@@ -1128,6 +1136,112 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING quality drift — corpus-health monitoring run live: the
+    // q22/q174 quality score computed scan-stage INSIDE each
+    // micro-batch, aggregated into event-time windows per source
+    // (Append mode, watermark-gated emission — the q59 contract), then
+    // each emitted window probes the bounded per-source baseline the
+    // FULL corpus established, and |window mean − baseline mean| in
+    // exact integer permille flags the drift a curation operator
+    // alerts on (a source whose quality distribution moved = extractor
+    // regression or upstream spam wave). Documents stage as THREE
+    // doc_id-ordered files (thirds), so windows straddling a third
+    // boundary accumulate state ACROSS micro-batches before the
+    // watermark closes them — the incremental engine's accumulation
+    // path is in the gate, not just single-batch emission. Event time
+    // is doc_id seconds (arrival order = event order, so no batch can
+    // carry rows late relative to the PREVIOUS batch's watermark —
+    // emitted counts are complete; the oracle mirrors emission as
+    // window_end <= floor-ms(global max) − delay). At 100 TB: per-batch
+    // work is one scan + a (window × source)-keyed partial agg; state
+    // ∝ open windows × sources, evicted on watermark advance; the
+    // baseline probe is a bounded broadcast.
+    "q209_stream_quality_drift" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val src = Paths.get(s"$dir/documents.parquet")
+      val stage = tmpDir("graft-q209-src")
+      val ckpt = tmpDir("graft-q209-ckpt")
+      val sink = s"graft_q209_sink_${runSeq.incrementAndGet()}"
+      try {
+        val batch = s.read.parquet(src.toString)
+        val schema = batch.schema
+        val mm = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (dmin, dmax) = (mm.getLong(0), mm.getLong(1))
+        val d1 = dmin + (dmax - dmin) / 3
+        val d2 = dmin + (dmax - dmin) * 2 / 3
+        // quality permille, identical on the batch (baseline) and
+        // streaming (per-window) sides — the q174 construction
+        def withQp(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), col("source"), col("text"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            floor(TextFunctions.qualityScoreFromTokens(col("toks"),
+              col("text")) * 1000).cast("long").as("qp"))
+        val baseline = withQp(batch).groupBy("source")
+          .agg(count(lit(1)).as("bn"), sum(col("qp")).as("bsum"))
+          .select(col("source"), expr("bsum div bn").as("base_mean"))
+        // stage three doc_id-ordered thirds, mtime-ordered (q178's
+        // one-pass partitioned write; the explicit sort is the
+        // ts-order contract, not an accident of fixture order)
+        val tmp = tmpDir("graft-q209-w")
+        val now = System.currentTimeMillis()
+        try {
+          batch
+            .withColumn("third",
+              when(col("doc_id") < d1, 0).when(col("doc_id") < d2, 1)
+                .otherwise(2))
+            .coalesce(1)
+            .sortWithinPartitions(col("third"), col("doc_id"))
+            .write.partitionBy("third").mode("overwrite")
+            .parquet(tmp.toString)
+          for (i <- 0 to 2) {
+            val part = Files.list(tmp.resolve(s"third=$i"))
+              .filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            Files.move(part, stage.resolve(s"t$i.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(stage.resolve(s"t$i.parquet"),
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - i) * 60000L))
+          }
+        } finally deleteRecursively(tmp)
+        val agg = withQp(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString))
+          .withColumn("event_time",
+            timestamp_micros(col("doc_id") * lit(1000000L)))
+          .withWatermark("event_time", s"${qualityDriftDelayUs / 1000000L} seconds")
+          .groupBy(window(col("event_time"),
+            s"${qualityDriftWindowUs / 1000000L} seconds"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("qp")).as("sum_qp"))
+          .select(unix_micros(col("window.start")).as("window_us"),
+            col("source"), col("n_docs"), col("sum_qp"))
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink)
+          .join(broadcast(baseline), Seq("source"))  // hint audit: dimension-bounded (per-source baseline; sources are a bounded set)
+          .withColumn("batch_mean", expr("sum_qp div n_docs"))
+          .withColumn("drift", col("batch_mean") - col("base_mean"))
+          .withColumn("drift_flag",
+            abs(col("drift")) > qualityDriftThreshold)
+          .select(col("window_us"), col("source"), col("n_docs"),
+            col("batch_mean"), col("base_mean"), col("drift"),
+            col("drift_flag"))
+          .orderBy("window_us", "source")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming slot-anomaly ALERTS — the value face of the alerting
     // roadmap (q188 surfaces unknown TEMPLATES; this fires on known
     // templates whose parameter VALUES leave their historical
@@ -1497,6 +1611,33 @@ object StreamingQueries {
     // old index must equal the full-corpus index bit-for-bit
     "q204_stream_vec_ingest" ->
       graft.queries.SimilarityQueries.oracle("q186_pq_delta_index"),
+
+    // windowed per-source quality means vs the whole-corpus baseline,
+    // with q59's emission predicate (window_end <= floor-ms(max) −
+    // delay) deciding which windows the Append stream flushed
+    "q209_stream_quality_drift" -> {
+      val q = graft.functions.TextFunctions.sqlQualityScore("text")
+      val wUs = qualityDriftWindowUs
+      s"""WITH q AS (SELECT doc_id, source,
+         |    CAST(floor(($q) * 1000) AS BIGINT) AS qp
+         |  FROM documents),
+         |b AS (SELECT source, CAST(SUM(qp) AS BIGINT) // COUNT(*) AS base_mean
+         |      FROM q GROUP BY source),
+         |mx AS (SELECT MAX(doc_id) * 1000000 AS max_us FROM q),
+         |w AS (SELECT (doc_id * 1000000 // $wUs) * $wUs AS window_us, source,
+         |        COUNT(*) AS n_docs, CAST(SUM(qp) AS BIGINT) AS sum_qp
+         |      FROM q GROUP BY 1, 2),
+         |e AS (SELECT w.* FROM w, mx
+         |      WHERE w.window_us + $wUs <=
+         |        (mx.max_us // 1000) * 1000 - $qualityDriftDelayUs)
+         |SELECT e.window_us, e.source, e.n_docs,
+         |  e.sum_qp // e.n_docs AS batch_mean, b.base_mean,
+         |  e.sum_qp // e.n_docs - b.base_mean AS drift,
+         |  abs(e.sum_qp // e.n_docs - b.base_mean) > $qualityDriftThreshold
+         |    AS drift_flag
+         |FROM e JOIN b USING (source)
+         |ORDER BY window_us, source""".stripMargin
+    },
 
     // q191's envelope + screen replayed relationally, restricted to
     // the out-of-range emissions the stream alerts on

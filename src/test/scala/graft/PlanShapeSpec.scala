@@ -105,6 +105,15 @@ class PlanShapeSpec extends SparkSuite {
     // the broadcast-probe inequality join IS the exact side measured
     "q131_ann_recall", "q180_pq_recall", "q185_pq_recall_nprobe",
     "q194_multiprobe_recall", "q197_res_pq_recall",
+    // q208's ground truth is q29's exact broadcast-probe scan (the
+    // recall evals' shape); the ranked-list attach is an equi BHJ
+    "q208_ann_mrr",
+    // q206's suffix-blocklist probe: the 3-entry curated blocklist
+    // broadcasts under a prefix (inequality) condition — BNLJ against
+    // a value-domain-bounded build side IS the designed plan (the
+    // production alternative for a corpus-scaled blocklist is the
+    // sorted reversed-prefix range join, per the in-code note)
+    "q206_host_blocklist",
     // q203's eval-slice screen is q31's deliberate broadcast probe scan
     "q203_semantic_decontam",
     // q132 calibrates the MinHash sketch over q26's bounded pair slice
@@ -226,7 +235,10 @@ class PlanShapeSpec extends SparkSuite {
       "q57_hash_split" -> 3, // content-distinct + split-bucket agg + sort
       "q195_res_pq_encode" -> 1, // residual encode is scan-stage after the broadcast centroid join; sort only
       "q198_bigram_fluency" -> 4, // LM build (bigram agg + start agg) + per-doc regroup + sort; both LM joins broadcast
-      "q200_doc_chunking" -> 1) // chunking is a pure map; sort only
+      "q200_doc_chunking" -> 1, // chunking is a pure map; sort only
+      "q205_url_canonical" -> 3, // canonicalization is scan-stage; multi-distinct canonical agg (expand + final) + sort
+      "q206_host_blocklist" -> 3, // reversed-host + blocklist probe scan-stage; rule rollup (multi-distinct) + sort
+      "q207_mojibake_screen" -> 2) // signature counting is scan-stage; source agg + sort
     for ((name, n) <- budget) {
       val shuffles = plans(name).collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.size <= n,
