@@ -91,6 +91,8 @@ object CorpusOpsQueries {
     */
   private val chunkW = 50
   private val chunkStride = 40
+  /** q214: docs sampled per source (the inspection-batch size). */
+  private val groupSampleK = 5
   private val chunkOverlap = chunkW - chunkStride
 
   /** The (term, shard) sharded-postings aggregation — ONE definition
@@ -374,6 +376,28 @@ object CorpusOpsQueries {
         .withColumn("drift_permille",
           col("share_b_permille") - col("share_a_permille"))
         .orderBy(abs(col("drift_permille")).desc, asc("token"))
+    }),
+
+    // Deterministic k-per-stratum sample — the "show me 5 random docs
+    // from every source" inspection tool, built for scale: the draw is
+    // spreadHash(text) (uniform over [0, P), the q86 KMV device), so
+    // the sample is CONSISTENT — a doc's draw never changes as the
+    // corpus grows, re-running after ingest keeps the old picks unless
+    // a new doc genuinely draws lower (the consistent-sampling
+    // property KMV sketches rely on — Broder 1997's min-hash
+    // uniformity argument). The bounded-heap TopKPerGroup keeps k rows
+    // per (source × partition) BEFORE the shuffle — no global sort, no
+    // per-group full sort: the q06/q54 custom operator applied to
+    // sampling.
+    "q214_group_sample" -> ((s, dir) => {
+      val drawn = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          spreadHash(col("text")).as("draw"))
+      val top = graft.plans.TopK.perGroup(drawn, Seq("source"),
+        Seq("draw" -> false, "doc_id" -> false), groupSampleK)
+      val w = Window.partitionBy("source").orderBy(asc("draw"), asc("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .orderBy("source", "rank")
     }),
 
     // Compaction bin-packing planner: group the doc inventory into
@@ -687,6 +711,13 @@ object CorpusOpsQueries {
     val isTest = PipelineOpsQueries.sqlIsTestDoc("doc_id")
     val isTestTb = PipelineOpsQueries.sqlIsTestDoc("tb.doc_id")
     Map(
+      "q214_group_sample" ->
+        s"""SELECT source, doc_id, draw, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT source, doc_id, ${sqlSpreadHash("text")} AS draw,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY ${sqlSpreadHash("text")}, doc_id) AS rank
+           |  FROM documents)
+           |WHERE rank <= $groupSampleK ORDER BY source, rank""".stripMargin,
       "q201_postings_compression" ->
         s"""WITH t AS (SELECT DISTINCT doc_id, term
            |      FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS term

@@ -173,6 +173,43 @@ object CrawlOpsQueries {
     */
   private val mojibakeRe = "Ã[ -¿]"
 
+  // ---------------------------------------------------------------- q213
+
+  /** Robots-style path policy: longest matching prefix wins (the
+    * Google robots.txt rule-precedence semantics — public spec);
+    * ties break to the lexicographically larger prefix. The list is
+    * curated (value-domain bounded), so the rules COMPILE INTO the
+    * scan as a codegen decision chain — no join at all; a
+    * corpus-scaled ruleset would switch to the q206 broadcast
+    * prefix-join with a per-URL argmax.
+    */
+  private val pathRules = Seq(
+    "/p/12" -> "allow",
+    "/p/1" -> "deny",
+    "/p/3" -> "deny",
+    "/p/" -> "allow",
+    "/" -> "allow")
+
+  /** Rules sorted by precedence: length DESC, then prefix DESC. */
+  private val rulesByPrecedence =
+    pathRules.sortBy { case (p, _) => (-p.length, p) }(
+      Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))
+
+  private def ruleMatch(path: Column): Column = coalesce(
+    (rulesByPrecedence.map { case (p, d) =>
+      when(path.startsWith(p),
+        struct(lit(p).as("rule"), lit(d).as("decision")))
+    } :+ struct(lit("<default>").as("rule"), lit("allow").as("decision"))): _*)
+
+  private def sqlRuleMatch(path: String): (String, String) = {
+    def chain(field: Int) = "CASE " + rulesByPrecedence.map { case (p, d) =>
+      s"WHEN substr($path, 1, ${p.length}) = '$p' " +
+        s"THEN '${if (field == 0) p else d}'"
+    }.mkString(" ") +
+      s" ELSE '${if (field == 0) "<default>" else "allow"}' END"
+    (chain(0), chain(1))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL canonicalization + canonical-key dedup — the FIRST dedup any
     // web corpus runs (cheaper than any text hash: it needs only the
@@ -221,6 +258,26 @@ object CrawlOpsQueries {
           count(lit(1)).as("n_urls"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("rule")
+    }),
+
+    // Crawl-policy evaluation: every raw URL canonicalizes (the q205
+    // chain) and its PATH meets the longest-prefix-wins rule table —
+    // robots.txt precedence semantics — with the winning rule and
+    // decision attributed per URL and rolled into the policy report a
+    // crawl operator reviews before a fetch wave. The bounded ruleset
+    // compiles into the scan as ONE codegen conditional chain (rules
+    // ordered by precedence at PLAN time): no join, no shuffle beyond
+    // the bounded report agg — "the policy is part of the plan".
+    "q213_robots_rules" -> ((s, dir) => {
+      val raw = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(rawUrls).as("url"))
+      canonicalize(raw)
+        .withColumn("m", ruleMatch(col("path")))
+        .groupBy(col("m.decision").as("decision"), col("m.rule").as("rule"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("path")).as("n_paths"),
+          min(col("path")).as("example_path"))
+        .orderBy("decision", "rule")
     }),
 
     // Encoding-damage screen: per-source mojibake report — double-
@@ -276,6 +333,19 @@ object CrawlOpsQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_urls,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM j GROUP BY 1 ORDER BY rule""".stripMargin
+    },
+    "q213_robots_rules" -> {
+      val chain = sqlCanonicalChain("raw")
+      val (ruleSql, decSql) = sqlRuleMatch("s4.path")
+      s"""WITH raw AS (
+         |  SELECT doc_id, unnest($sqlRawUrls) AS url FROM documents),
+         |$chain,
+         |m AS (SELECT s4.path, $decSql AS decision, $ruleSql AS rule
+         |      FROM s4)
+         |SELECT decision, rule, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+         |  MIN(path) AS example_path
+         |FROM m GROUP BY 1, 2 ORDER BY decision, rule""".stripMargin
     },
     "q207_mojibake_screen" ->
       s"""WITH d AS (SELECT source, $sqlDamagedText AS txt FROM documents),

@@ -394,6 +394,39 @@ object InsightOpsQueries {
           col("src_ids").as("top_ids"),
           expr("c * 1000 div n_docs").as("top_permille"))
         .orderBy("shard", "bin")
+    }),
+
+    // TOKENIZER FERTILITY per language — the standard multilingual
+    // tokenizer-quality table (subword ids per word, chars per id):
+    // a language whose fertility is high pays more sequence length
+    // per sentence, which skews both the mixing budget (q171/q175
+    // count tokens) and training cost; this is the eval a tokenizer
+    // retrain decision reads. Runs the REAL gated encoder
+    // (BpeEncodeIds, the q159 scan-stage Expression) — not the q23
+    // regex proxy — so the fertility measured is the fertility
+    // shipped; the oracle replays encoding through the SAME
+    // bpeIdsCtes chain as q159/q167. One scan, language-bounded agg,
+    // exact integer permille.
+    "q210_tokenizer_fertility" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(graft.functions.BpeEncodeIds(col("toks"))).cast("long")
+            .as("n_ids"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("n_ids")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("fertility_permille",
+          expr("CASE WHEN sum_tok > 0 THEN sum_ids * 1000 div sum_tok " +
+            "ELSE 0 END"))
+        .withColumn("chars_per_id_permille",
+          expr("CASE WHEN sum_ids > 0 THEN sum_chars * 1000 div sum_ids " +
+            "ELSE 0 END"))
+        .orderBy("lang")
     }))
 
   /** q167's sharded token-budget binning — ONE definition shared by
@@ -627,7 +660,27 @@ object InsightOpsQueries {
          |  CAST(n_sources AS BIGINT) AS n_sources,
          |  source AS top_source, c AS top_n, src_ids AS top_ids,
          |  CAST(c * 1000 // n_docs AS BIGINT) AS top_permille
-         |FROM r WHERE rn = 1 ORDER BY shard, bin""".stripMargin)
+         |FROM r WHERE rn = 1 ORDER BY shard, bin""".stripMargin,
+
+    // the q159 encode CTEs verbatim, rolled up per language
+    "q210_tokenizer_fertility" ->
+      s"""WITH $bpeIdsCtes,
+         |m AS (SELECT dd.lang,
+         |        CAST(COALESCE(per.n_tok, 0) AS BIGINT) AS n_tok,
+         |        CAST(COALESCE(len(per.all_ids), 0) AS BIGINT) AS n_ids,
+         |        CAST(length(dd.text) AS BIGINT) AS n_chars
+         |      FROM documents dd LEFT JOIN per ON per.doc_id = dd.doc_id)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(SUM(n_ids) AS BIGINT) AS sum_ids,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CASE WHEN SUM(n_tok) > 0
+         |    THEN CAST(SUM(n_ids) AS BIGINT) * 1000 // CAST(SUM(n_tok) AS BIGINT)
+         |    ELSE 0 END AS fertility_permille,
+         |  CASE WHEN SUM(n_ids) > 0
+         |    THEN CAST(SUM(n_chars) AS BIGINT) * 1000 // CAST(SUM(n_ids) AS BIGINT)
+         |    ELSE 0 END AS chars_per_id_permille
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** The q159 BPE-encode machinery as a reusable DuckDB CTE chain
     * (through `d` = doc/tokens and `per` = doc/ordered id list) —

@@ -620,9 +620,128 @@ object PipelineOpsQueries {
           (col("sq").cast("double") / col("n_members").cast("double"))
             .as("centroid_micro"))
         .orderBy("cell", "dim")
+    }),
+
+    // SPLIT-LEAKAGE screen — the check q57's hash split needs before
+    // anyone trusts a held-out number: a content-hash split guarantees
+    // no EXACT duplicate crosses splits, but near-duplicates (shared
+    // shingles) still leak val/test content into train. Per 3-gram
+    // shingle, presence flags per split fold in ONE shingle-keyed agg
+    // (q73's ShingleHash scan, split label attached scan-stage), then
+    // a single global rollup reports cross-split overlap counts and
+    // the headline number: the permille of distinct test shingles
+    // already present in train. At 100 TB the only real shuffle is
+    // the shingle-keyed agg — the same key q73/q98 already spread.
+    "q211_split_leakage" -> ((s, dir) => {
+      val flags = Tables(s, dir, "documents")
+        .select(splitOf(col("text")).as("split"),
+          explode(array_distinct(
+            graft.functions.ShingleHash(tokens(col("text")), 3))).as("h"))
+        .groupBy("h")
+        .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
+          max(when(col("split") === "val", 1L).otherwise(0L)).as("in_val"),
+          max(when(col("split") === "test", 1L).otherwise(0L)).as("in_test"))
+      flags.agg(
+          count(lit(1)).as("n_shingles"),
+          sum(col("in_train")).as("n_train"),
+          sum(col("in_val")).as("n_val"),
+          sum(col("in_test")).as("n_test"),
+          sum(col("in_train") * col("in_val")).as("shared_train_val"),
+          sum(col("in_train") * col("in_test")).as("shared_train_test"),
+          sum(col("in_val") * col("in_test")).as("shared_val_test"),
+          sum(col("in_train") * col("in_val") * col("in_test"))
+            .as("shared_all"))
+        .withColumn("test_leak_permille",
+          expr("CASE WHEN n_test > 0 THEN shared_train_test * 1000 div n_test " +
+            "ELSE 0 END"))
+    }),
+
+    // SPLIT-BALANCE audit — the stratification check beside q211's
+    // leakage screen: a content-hash split should deliver each split
+    // the same source mix as the corpus; a split whose mix drifted
+    // signals a pathological hash interaction (or an upstream sort
+    // leaking into assignment). Per split: Gini–Simpson diversity of
+    // the source distribution (1000 − Σ share²/1000, exact integer
+    // permille — no log, so no cross-engine float risk) and the max
+    // absolute per-source share drift vs the corpus mix. All aggs
+    // fold into (split × source) rows — bounded at any corpus size.
+    "q212_split_balance" -> ((s, dir) => {
+      val perCell = Tables(s, dir, "documents")
+        .select(splitOf(col("text")).as("split"), col("source"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("c"))
+      // bounded relation from here down: |splits| × |sources| rows
+      val bySplit = Window.partitionBy("split")
+      val bySource = Window.partitionBy("source")
+      val all = Window.partitionBy()
+      perCell
+        .withColumn("split_n", sum(col("c")).over(bySplit))
+        .withColumn("src_n", sum(col("c")).over(bySource))
+        .withColumn("total_n", sum(col("c")).over(all))
+        .withColumn("share_pm", expr("c * 1000 div split_n"))
+        .withColumn("corpus_pm", expr("src_n * 1000 div total_n"))
+        .groupBy("split")
+        .agg(max(col("split_n")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("share_pm") * col("share_pm")).as("ss"),
+          max(abs(col("share_pm") - col("corpus_pm"))).as("max_drift_pm"))
+        .withColumn("simpson_permille", expr("1000 - ss div 1000"))
+        .drop("ss")
+        .orderBy("split")
     }))
 
+  /** q57's content-hash split assignment (same constants) — ONE
+    * definition for the q211 leakage screen and the q212 balance
+    * audit, mirroring q57's inline construction.
+    */
+  private def splitOf(text: Column): Column = {
+    val bucket = pmod(polyHash(text), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+  private def sqlSplitOf(text: String): String =
+    s"CASE WHEN ${sqlPolyHash(text)} % 100 < 80 THEN 'train' " +
+      s"WHEN ${sqlPolyHash(text)} % 100 < 90 THEN 'val' ELSE 'test' END"
+
   def oracle: Map[String, String] = Map(
+    "q211_split_leakage" ->
+      s"""WITH g AS (SELECT ${sqlSplitOf("text")} AS split,
+         |    unnest(${sqlShingleHashes("text")}) AS h
+         |  FROM documents),
+         |f AS (SELECT h,
+         |    MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         |    MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+         |    MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+         |  FROM g GROUP BY h)
+         |SELECT COUNT(*) AS n_shingles,
+         |  CAST(SUM(in_train) AS BIGINT) AS n_train,
+         |  CAST(SUM(in_val) AS BIGINT) AS n_val,
+         |  CAST(SUM(in_test) AS BIGINT) AS n_test,
+         |  CAST(SUM(in_train * in_val) AS BIGINT) AS shared_train_val,
+         |  CAST(SUM(in_train * in_test) AS BIGINT) AS shared_train_test,
+         |  CAST(SUM(in_val * in_test) AS BIGINT) AS shared_val_test,
+         |  CAST(SUM(in_train * in_val * in_test) AS BIGINT) AS shared_all,
+         |  CASE WHEN SUM(in_test) > 0
+         |    THEN CAST(SUM(in_train * in_test) AS BIGINT) * 1000
+         |      // CAST(SUM(in_test) AS BIGINT)
+         |    ELSE 0 END AS test_leak_permille
+         |FROM f""".stripMargin,
+    "q212_split_balance" ->
+      s"""WITH pc AS (SELECT ${sqlSplitOf("text")} AS split, source,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |e AS (SELECT *,
+         |    CAST(SUM(c) OVER (PARTITION BY split) AS BIGINT) AS split_n,
+         |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS src_n,
+         |    CAST(SUM(c) OVER () AS BIGINT) AS total_n
+         |  FROM pc),
+         |s AS (SELECT split, split_n, c * 1000 // split_n AS share_pm,
+         |    src_n * 1000 // total_n AS corpus_pm FROM e)
+         |SELECT split, MAX(split_n) AS n_docs,
+         |  COUNT(*) AS n_sources,
+         |  1000 - CAST(SUM(share_pm * share_pm) AS BIGINT) // 1000
+         |    AS simpson_permille,
+         |  MAX(abs(share_pm - corpus_pm)) AS max_drift_pm
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q73_contamination" ->
       s"""WITH tr AS (SELECT doc_id, unnest(${sqlShingleHashes("text")}) AS h
          |           FROM documents

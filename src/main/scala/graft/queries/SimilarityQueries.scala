@@ -78,6 +78,16 @@ object SimilarityQueries {
     */
   private val pqDeleteMod = 13L
   private val pqDeleteRem = 5L
+  /** q215 nDCG position discounts: floor(1e6 / log2(pos+1)) for pos =
+    * 1..pqTopK — integer micro-unit LITERALS (computed once, embedded
+    * in both engines' plans) so the eval needs no runtime log and
+    * cannot drift across engines. IDCG = the perfect-order fold of the
+    * same constants with graded relevance (k, k−1, …, 1).
+    */
+  private val dcgWeightsMicro =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+  private val ndcgIdcgMicro: Long =
+    dcgWeightsMicro.zipWithIndex.map { case (w, i) => (pqTopK - i) * w }.sum
 
   /** Milli-quantized integer components (floor(v·1000) — exact across
     * engines: float→double is exact, ·1000 and floor are IEEE).
@@ -961,6 +971,51 @@ object SimilarityQueries {
         .orderBy("probe_id")
     }),
 
+    // Graded, position-discounted ANN eval: nDCG@k of the IVF-PQ
+    // ranked list against the exact top-k — completes the eval
+    // triptych (recall@k = set overlap, MRR = best-hit rank, nDCG =
+    // whole-list order quality with graded relevance: the exact
+    // rank-1 neighbor appearing at approx position 3 scores less than
+    // at position 1). The 1/log2(pos+1) discounts are PRE-COMPUTED
+    // integer micro-unit literals (floor(1e6/log2(i+1))) shared with
+    // the oracle — no runtime log, no cross-engine float risk; IDCG
+    // is the same constants' perfect-order fold. Ground truth and
+    // ranked list are the SAME shared frames as q208.
+    "q215_ann_ndcg" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val scored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exTop = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val wEx = Window.partitionBy("probe_id")
+        .orderBy(desc("cosine"), asc("vec_id"))
+      val exact = exTop.withColumn("ex_rn", row_number().over(wEx))
+        .select(col("probe_id"), col("vec_id"), col("ex_rn"))
+      val approx = ivfPqTopN(s, dir, ivfNprobe)
+        .select(col("probe_id"), col("vec_id"), col("rn"))
+      val wArr = array(dcgWeightsMicro.map(lit(_)): _*)
+      val all = Window.partitionBy()
+      approx.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (<= probes x k exact rows)
+        .select(col("probe_id"),
+          (coalesce(lit(pqTopK + 1) - col("ex_rn"), lit(0)).cast("long") *
+            element_at(wArr, col("rn"))).as("gain"))
+        .groupBy("probe_id")
+        .agg(sum(col("gain")).as("dcg_micro"))
+        .withColumn("ndcg_permille",
+          expr(s"dcg_micro * 1000 div $ndcgIdcgMicro"))
+        .withColumn("sum_n", sum(col("ndcg_permille")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("mean_ndcg_permille", expr("sum_n div n_probes"))
+        .drop("sum_n", "n_probes")
+        .orderBy("probe_id")
+    }),
+
     // Incremental PQ-index maintenance — the q163 delta convention
     // applied to the VECTOR tier (previously its one missing face: a
     // daily embedding batch implied re-encoding the corpus). The
@@ -1567,6 +1622,36 @@ object SimilarityQueries {
            |  CAST(SUM(rr_micro) OVER () // COUNT(*) OVER () AS BIGINT)
            |    AS mrr_micro
            |FROM rr ORDER BY probe_id""".stripMargin
+      },
+      "q215_ann_ndcg" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        val wLit = dcgWeightsMicro.mkString("[", ", ", "]")
+        s"""WITH ${sqlIvfPqAdcN(ivfNprobe)},
+           |pqtop AS (SELECT probe_id, vec_id, rn FROM (
+           |    SELECT probe_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |        ORDER BY adc_dist, vec_id) AS rn
+           |    FROM adc) WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |ex AS (SELECT probe_id, vec_id, rn AS ex_rn FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |g AS (SELECT pq.probe_id,
+           |        CAST(COALESCE($pqTopK + 1 - ex.ex_rn, 0) AS BIGINT)
+           |          * ($wLit)[pq.rn] AS gain
+           |      FROM pqtop pq LEFT JOIN ex
+           |        ON ex.probe_id = pq.probe_id AND ex.vec_id = pq.vec_id),
+           |dc AS (SELECT probe_id, CAST(SUM(gain) AS BIGINT) AS dcg_micro
+           |      FROM g GROUP BY probe_id)
+           |SELECT probe_id, dcg_micro,
+           |  dcg_micro * 1000 // $ndcgIdcgMicro AS ndcg_permille,
+           |  CAST(SUM(dcg_micro * 1000 // $ndcgIdcgMicro) OVER ()
+           |    // COUNT(*) OVER () AS BIGINT) AS mean_ndcg_permille
+           |FROM dc ORDER BY probe_id""".stripMargin
       },
       // the from-scratch twin: the delta-merged index must equal the
       // index built over the whole corpus bit-for-bit (delta vec_ids

@@ -105,9 +105,9 @@ class PlanShapeSpec extends SparkSuite {
     // the broadcast-probe inequality join IS the exact side measured
     "q131_ann_recall", "q180_pq_recall", "q185_pq_recall_nprobe",
     "q194_multiprobe_recall", "q197_res_pq_recall",
-    // q208's ground truth is q29's exact broadcast-probe scan (the
-    // recall evals' shape); the ranked-list attach is an equi BHJ
-    "q208_ann_mrr",
+    // q208's/q215's ground truth is q29's exact broadcast-probe scan
+    // (the recall evals' shape); the ranked-list attach is an equi BHJ
+    "q208_ann_mrr", "q215_ann_ndcg",
     // q206's suffix-blocklist probe: the 3-entry curated blocklist
     // broadcasts under a prefix (inequality) condition — BNLJ against
     // a value-domain-bounded build side IS the designed plan (the
@@ -238,7 +238,12 @@ class PlanShapeSpec extends SparkSuite {
       "q200_doc_chunking" -> 1, // chunking is a pure map; sort only
       "q205_url_canonical" -> 3, // canonicalization is scan-stage; multi-distinct canonical agg (expand + final) + sort
       "q206_host_blocklist" -> 3, // reversed-host + blocklist probe scan-stage; rule rollup (multi-distinct) + sort
-      "q207_mojibake_screen" -> 2) // signature counting is scan-stage; source agg + sort
+      "q207_mojibake_screen" -> 2, // signature counting is scan-stage; source agg + sort
+      "q210_tokenizer_fertility" -> 2, // BPE encode is scan-stage; lang agg + sort
+      "q211_split_leakage" -> 2, // split label + shingles scan-stage; shingle-key agg + global rollup
+      "q212_split_balance" -> 2, // cell agg; the three windows + final agg share the exchanges
+      "q213_robots_rules" -> 3, // policy chain is scan-stage; distinct-path report agg + sort
+      "q214_group_sample" -> 2) // TopKPerGroup exchange + result sort; no global sort
     for ((name, n) <- budget) {
       val shuffles = plans(name).collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.size <= n,
