@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-12 web-crawl curation tier — the operators a crawl-derived
@@ -31,8 +32,10 @@ object CrawlOpsQueries {
   private val urlGroup = "doc_id div 4"
   private val sqlUrlGroup = "doc_id // 4"
 
-  /** The two woven raw-URL variants per doc (g = doc_id div 4). */
-  private def rawUrls: Column = {
+  /** The two woven raw-URL variants per doc (g = doc_id div 4).
+    * `private[graft]`: tools/CrawlPipeline's URL inventory stage.
+    */
+  private[graft] def rawUrls: Column = {
     val g = expr(urlGroup)
     array(
       concat(lit("HTTPS://WWW.Site"), (g % 23).cast("string"),
@@ -98,7 +101,7 @@ object CrawlOpsQueries {
     * consumes the rest of the string.
     */
   private def sqlCanonicalChain(src: String): String =
-    s"""s1 AS (SELECT doc_id, url,
+    s"""s1 AS (SELECT $src.*,
        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
        |    regexp_replace(regexp_replace(url, '#.*', ''), '^[A-Za-z]+://', '') AS rest
        |  FROM $src),
@@ -116,7 +119,8 @@ object CrawlOpsQueries {
        |    list_filter(string_split(regexp_extract(pq, '\\?(.*)', 1), '&'),
        |      p -> p <> '' AND NOT regexp_matches(p, '$trackingParamRe')) AS params
        |  FROM s3),
-       |canon AS (SELECT doc_id, url, concat(host, path,
+       |canon AS (SELECT * EXCLUDE (scheme, rest, host_port, pq, params),
+       |    concat(host, path,
        |    CASE WHEN len(params) > 0
        |      THEN concat('?', array_to_string(list_sort(params), '&'))
        |      ELSE '' END) AS canonical_url
@@ -147,6 +151,24 @@ object CrawlOpsQueries {
     ("site3.com", "com.site3"),
     ("site17.com", "com.site17"),
     ("*.net", "net"))
+
+  /** Attaches the matched blocklist rule (null = kept) to any frame
+    * with a `host` column — ONE definition for the q206 gate and the
+    * composed tools/CrawlPipeline, so the pipeline's screen is exactly
+    * the gated one. Disjoint rule prefixes ⇒ at most one match per
+    * host (no row duplication).
+    */
+  private[graft] def withBlockRule(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    val bl = blockRules.toDF("rule", "rule_rev")
+    df.withColumn("rev", array_join(reverse(split(col("host"), "\\.")), "."))
+      .join(broadcast(bl), // hint audit: value-domain-bounded (3-entry curated blocklist; production alternative for a corpus-scaled list = sorted reversed-prefix range join)
+        col("rev") === col("rule_rev") ||
+          expr("substring(rev, 1, length(rule_rev) + 1)") ===
+            concat(col("rule_rev"), lit(".")),
+        "left")
+      .drop("rev", "rule_rev")
+  }
 
   // ---------------------------------------------------------------- q207
 
@@ -195,7 +217,7 @@ object CrawlOpsQueries {
     pathRules.sortBy { case (p, _) => (-p.length, p) }(
       Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))
 
-  private def ruleMatch(path: Column): Column = coalesce(
+  private[graft] def ruleMatch(path: Column): Column = coalesce(
     (rulesByPrecedence.map { case (p, d) =>
       when(path.startsWith(p),
         struct(lit(p).as("rule"), lit(d).as("decision")))
@@ -242,17 +264,9 @@ object CrawlOpsQueries {
     // attribution survives into the rollup (which rule blocked what),
     // the report a crawl operator actually reads.
     "q206_host_blocklist" -> ((s, dir) => {
-      import s.implicits._
       val hostRows = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(hosts).as("host"))
-        .withColumn("rev", array_join(reverse(split(col("host"), "\\.")), "."))
-      val bl = blockRules.toDF("rule", "rule_rev")
-      hostRows
-        .join(broadcast(bl), // hint audit: value-domain-bounded (3-entry curated blocklist; production alternative for a corpus-scaled list = sorted reversed-prefix range join)
-          col("rev") === col("rule_rev") ||
-            expr("substring(rev, 1, length(rule_rev) + 1)") ===
-              concat(col("rule_rev"), lit(".")),
-          "left")
+      withBlockRule(s, hostRows)
         .groupBy(coalesce(col("rule"), lit("kept")).as("rule"))
         .agg(countDistinct(col("host")).as("n_hosts"),
           count(lit(1)).as("n_urls"),
@@ -278,6 +292,39 @@ object CrawlOpsQueries {
           countDistinct(col("path")).as("n_paths"),
           min(col("path")).as("example_path"))
         .orderBy("decision", "rule")
+    }),
+
+    // Crawl-frontier scheduling: the canonical URL set (q205's chain,
+    // keep-first representative carrying its doc's quality permille —
+    // a min-struct through the SAME canonical agg, NO join back to the
+    // corpus) ranked per HOST by priority, with rank − 1 as the fetch
+    // ROUND: round r fetches at most one URL per host — the politeness
+    // interleave every crawler schedules (per-host rate budget), with
+    // high-quality pages first within each host. One host-keyed
+    // window after the canonical agg; at 100 TB the round is the
+    // partition key downstream and no global sort exists in the
+    // production path (the output sort is the oracle contract).
+    "q217_crawl_frontier" -> ((s, dir) => {
+      val prio = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          floor(graft.functions.TextFunctions
+            .qualityScoreFromTokens(col("toks"), col("text")) * 1000)
+            .cast("long").as("qp"))
+      val raw = prio.select(col("doc_id"), col("qp"),
+        explode(rawUrls).as("url"))
+      val kept = canonicalize(raw)
+        .groupBy("canonical_url", "host")
+        .agg(min(struct(col("doc_id"), col("qp"))).as("k"))
+        .select(col("canonical_url"), col("host"),
+          col("k.doc_id").as("kept_doc"), col("k.qp").as("priority_pm"))
+      val wh = Window.partitionBy("host")
+        .orderBy(desc("priority_pm"), asc("canonical_url"))
+      kept.withColumn("round", (row_number().over(wh) - 1).cast("long"))
+        .select(col("round"), col("host"), col("canonical_url"),
+          col("kept_doc"), col("priority_pm"))
+        .orderBy("round", "host", "canonical_url")
     }),
 
     // Encoding-damage screen: per-source mojibake report — double-
@@ -333,6 +380,28 @@ object CrawlOpsQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_urls,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM j GROUP BY 1 ORDER BY rule""".stripMargin
+    },
+    "q217_crawl_frontier" -> {
+      val chain = sqlCanonicalChain("raw")
+      val q = graft.functions.TextFunctions.sqlQualityScore("text")
+      s"""WITH raw AS (
+         |  SELECT doc_id, CAST(floor(($q) * 1000) AS BIGINT) AS qp,
+         |    unnest($sqlRawUrls) AS url
+         |  FROM documents),
+         |$chain,
+         |c AS (SELECT canonical_url, host, doc_id, qp,
+         |    ROW_NUMBER() OVER (PARTITION BY canonical_url, host
+         |      ORDER BY doc_id) AS rn
+         |  FROM canon),
+         |k AS (SELECT canonical_url, host, doc_id AS kept_doc,
+         |        qp AS priority_pm
+         |      FROM c WHERE rn = 1),
+         |f AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+         |        ORDER BY priority_pm DESC, canonical_url) - 1 AS BIGINT)
+         |        AS round
+         |      FROM k)
+         |SELECT round, host, canonical_url, kept_doc, priority_pm
+         |FROM f ORDER BY round, host, canonical_url""".stripMargin
     },
     "q213_robots_rules" -> {
       val chain = sqlCanonicalChain("raw")

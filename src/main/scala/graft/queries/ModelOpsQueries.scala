@@ -78,6 +78,10 @@ object ModelOpsQueries {
     * device), keeping the centroid math hash-gateable.
     */
   private val embMicro = 1000000L
+  /** q216: the vector table's contract dimension (the fixed-width dot
+    * in `VectorFunctions.sqlDot` assumes it too).
+    */
+  private val embDim = 64
 
   /** q155: milli-units, not micro — the diversity identity squares the
     * per-dim SUM (s_d ≤ n·quant), so micro at n = 5e4 rows/label would
@@ -551,9 +555,52 @@ object ModelOpsQueries {
           max(col("n")).as("n_vecs"),
           sum(abs(col("c") - col("g"))).as("l1_drift_micro"))
         .orderBy("label")
+    }),
+
+    // EMBEDDING-TIER validation rules — q112's Deequ-style ingest
+    // screen applied to the vector table before any index build
+    // (a single NaN vector silently poisons cosine rankings; a
+    // zero-norm vector divides by zero in every cosine; a dimension
+    // mismatch breaks the fixed-width dot): per label, dimension
+    // conformance, NaN presence, zero-norm count, and the squared-norm
+    // envelope in exact milli units (floor(‖x‖²·1000) — the fixed
+    // tree both engines share). One scan, label-bounded agg.
+    "q216_embedding_audit" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.norm2
+      Tables(s, dir, "embeddings")
+        .select(col("label"),
+          (size(col("embedding")) === embDim).cast("long").as("dim_ok"),
+          exists(col("embedding"), x => isnan(x)).cast("long").as("has_nan"),
+          floor(norm2(col("embedding")) * 1000).cast("long").as("nm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("dim_ok")).as("n_dim_ok"),
+          sum(col("has_nan")).as("n_nan"),
+          sum(when(col("nm") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          min(col("nm")).as("min_norm2_milli"),
+          max(col("nm")).as("max_norm2_milli"),
+          sum(col("nm")).as("sum_norm2_milli"))
+        .withColumn("avg_norm2_milli", expr("sum_norm2_milli div n_vecs"))
+        .orderBy("label")
     }))
 
   def oracle: Map[String, String] = Map(
+    "q216_embedding_audit" ->
+      s"""WITH m AS (SELECT label,
+         |    CASE WHEN len(embedding) = $embDim THEN 1 ELSE 0 END AS dim_ok,
+         |    CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+         |      THEN 1 ELSE 0 END AS has_nan,
+         |    CAST(floor((${graft.functions.VectorFunctions.sqlNorm2("embedding")})
+         |      * 1000) AS BIGINT) AS nm
+         |  FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(dim_ok) AS BIGINT) AS n_dim_ok,
+         |  CAST(SUM(has_nan) AS BIGINT) AS n_nan,
+         |  CAST(SUM(CASE WHEN nm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  MIN(nm) AS min_norm2_milli, MAX(nm) AS max_norm2_milli,
+         |  CAST(SUM(nm) AS BIGINT) AS sum_norm2_milli,
+         |  CAST(SUM(nm) AS BIGINT) // COUNT(*) AS avg_norm2_milli
+         |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "q133_token_familiarity" ->
       s"""WITH st AS (SELECT source, unnest(${sqlTokens("text")}) AS t
          |      FROM documents),

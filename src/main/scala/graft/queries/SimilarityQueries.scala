@@ -636,6 +636,39 @@ object SimilarityQueries {
       .orderBy("probe_id")
   }
 
+  /** q203's contamination screen over an ARBITRARY (vec_id, embedding)
+    * frame — ONE definition shared by the q203 batch gate and the q218
+    * streaming gate, so the screen run live IS the gated one. The eval
+    * slice is built from the BATCH corpus read (it is the static,
+    * horizon-capped benchmark set); `vecs` may be a streaming frame —
+    * every op here is a stateless projection + stream-static broadcast
+    * join, legal inside a micro-batch.
+    */
+  private[graft] def decontamHits(s: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val isEval = PipelineOpsQueries.isTestDoc(col("vec_id"))
+    val eval = emb(s, dir).where(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    vecs.select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+      .where(!isEval)
+      .join(broadcast(eval), col("vec_id") =!= col("eval_id"))  // hint audit: eval-horizon-bounded (capped id slice)
+      .select(col("vec_id"), col("eval_id"),
+        cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+          .as("cosine"))
+      .where(col("cosine") > nearDupThreshold)
+  }
+
+  /** The per-vector rollup over [[decontamHits]] rows (q203's report
+    * grain; q218 applies it post-sink to the emitted hits).
+    */
+  private[graft] def decontamRollup(hits: DataFrame): DataFrame =
+    hits.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        min(col("eval_id")).as("first_eval_hit"),
+        max(col("cosine")).as("max_cosine"))
+
   /** vectors + squared norms; probe sets are deterministic id slices. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -1301,24 +1334,10 @@ object SimilarityQueries {
     // At 100 TB this is one corpus scan against a bounded broadcast —
     // the semantic sweep a benchmark-hygiene pass runs beside the
     // lexical one before training.
-    "q203_semantic_decontam" -> ((s, dir) => {
-      val corpus = emb(s, dir)
-      val isEval = PipelineOpsQueries.isTestDoc(col("vec_id"))
-      val eval = corpus.where(isEval)
-        .select(col("vec_id").as("eval_id"), col("embedding").as("pe"),
-          col("n2").as("pn2"))
-      corpus.where(!isEval)
-        .join(broadcast(eval), col("vec_id") =!= col("eval_id"))  // hint audit: eval-horizon-bounded (capped id slice)
-        .select(col("vec_id"), col("eval_id"),
-          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
-            .as("cosine"))
-        .where(col("cosine") > nearDupThreshold)
-        .groupBy("vec_id")
-        .agg(count(lit(1)).as("n_eval_hits"),
-          min(col("eval_id")).as("first_eval_hit"),
-          max(col("cosine")).as("max_cosine"))
-        .orderBy("vec_id")
-    }),
+    "q203_semantic_decontam" -> ((s, dir) =>
+      decontamRollup(decontamHits(s, dir,
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))))
+        .orderBy("vec_id")),
 
     "q31_embedding_neardup" -> ((s, dir) => {
       val corpus = emb(s, dir)

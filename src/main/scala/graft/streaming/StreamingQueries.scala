@@ -1136,6 +1136,61 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING semantic decontamination — the q203 screen run LIVE on
+    // arriving vectors (the ingest-time guard: a training vector that
+    // near-duplicates the benchmark slice should be flagged BEFORE it
+    // lands in the corpus, not in a nightly batch): the delta
+    // embedding batch streams in (q204's staging), and inside each
+    // micro-batch the SAME shared decontamHits frame as the q203 gate
+    // runs as a stateless stream-static broadcast screen (eval slice =
+    // the static horizon-capped benchmark set), Append — no watermark,
+    // no state. Post-sink, the emitted hits roll up through q203's
+    // SAME decontamRollup, and the oracle is q203's SQL restricted to
+    // the delta ids — the streaming screen proven identical to the
+    // batch one. At 100 TB: per-batch cost ∝ arriving vectors × the
+    // O(1) eval slice.
+    "q218_stream_decontam" -> ((s, dir) => {
+      import graft.queries.{ModelOpsQueries, SimilarityQueries}
+      val src = Paths.get(s"$dir/embeddings.parquet")
+      val stage = tmpDir("graft-q218-src")
+      val ckpt = tmpDir("graft-q218-ckpt")
+      val sink = s"graft_q218_sink_${runSeq.incrementAndGet()}"
+      try {
+        val schema = s.read.parquet(src.toString).schema
+        val lo = ModelOpsQueries.deltaLo
+        val hi = ModelOpsQueries.deltaHi
+        val tmp = tmpDir("graft-q218-w")
+        try {
+          s.read.parquet(src.toString)
+            .where(col("vec_id") >= lo && col("vec_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, stage.resolve("delta.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally deleteRecursively(tmp)
+        val hits = SimilarityQueries.decontamHits(s, dir,
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(col("vec_id") >= lo && col("vec_id") < hi))
+        val query = hits.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = SimilarityQueries.decontamRollup(s.table(sink))
+          .orderBy("vec_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // STREAMING quality drift — corpus-health monitoring run live: the
     // q22/q174 quality score computed scan-stage INSIDE each
     // micro-batch, aggregated into event-time windows per source
@@ -1611,6 +1666,18 @@ object StreamingQueries {
     // old index must equal the full-corpus index bit-for-bit
     "q204_stream_vec_ingest" ->
       graft.queries.SimilarityQueries.oracle("q186_pq_delta_index"),
+
+    // q203's SQL twin restricted to the delta ids: the streaming
+    // screen must equal the batch screen on the slice it saw
+    "q218_stream_decontam" -> {
+      val base = graft.queries.SimilarityQueries.oracle("q203_semantic_decontam")
+      val lo = graft.queries.ModelOpsQueries.deltaLo
+      val hi = graft.queries.ModelOpsQueries.deltaHi
+      s"""WITH q203 AS ($base)
+         |SELECT * FROM q203
+         |WHERE vec_id >= $lo AND vec_id < $hi
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // windowed per-source quality means vs the whole-corpus baseline,
     // with q59's emission predicate (window_end <= floor-ms(max) −

@@ -243,7 +243,9 @@ class PlanShapeSpec extends SparkSuite {
       "q211_split_leakage" -> 2, // split label + shingles scan-stage; shingle-key agg + global rollup
       "q212_split_balance" -> 2, // cell agg; the three windows + final agg share the exchanges
       "q213_robots_rules" -> 3, // policy chain is scan-stage; distinct-path report agg + sort
-      "q214_group_sample" -> 2) // TopKPerGroup exchange + result sort; no global sort
+      "q214_group_sample" -> 2, // TopKPerGroup exchange + result sort; no global sort
+      "q216_embedding_audit" -> 2, // scan-stage checks; label agg + sort
+      "q217_crawl_frontier" -> 3) // canonical agg + host window + oracle sort; no joins
     for ((name, n) <- budget) {
       val shuffles = plans(name).collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.size <= n,
