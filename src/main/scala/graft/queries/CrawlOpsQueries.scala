@@ -232,6 +232,44 @@ object CrawlOpsQueries {
     (chain(0), chain(1))
   }
 
+  // ----------------------------------------------------------- q217/q219
+
+  /** q217's canonical keep-first frame (canonical_url, host, kept_doc,
+    * priority_pm) over the docs matching `docFilter` — ONE definition
+    * for the q217 batch gate, q219's incremental faces, and
+    * tools/CrawlPipeline. The representative's quality permille rides
+    * the canonical agg as a min-struct: no join back to the corpus.
+    */
+  private[graft] def frontierKept(s: SparkSession, dir: String,
+      docFilter: Column): DataFrame = {
+    val prio = Tables(s, dir, "documents")
+      .where(docFilter)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        floor(graft.functions.TextFunctions
+          .qualityScoreFromTokens(col("toks"), col("text")) * 1000)
+          .cast("long").as("qp"))
+    val raw = prio.select(col("doc_id"), col("qp"),
+      explode(rawUrls).as("url"))
+    canonicalize(raw)
+      .groupBy("canonical_url", "host")
+      .agg(min(struct(col("doc_id"), col("qp"))).as("k"))
+      .select(col("canonical_url"), col("host"),
+        col("k.doc_id").as("kept_doc"), col("k.qp").as("priority_pm"))
+  }
+
+  /** The politeness interleave over a kept frame: per-host rank by
+    * (priority DESC, url ASC), round = rank − 1.
+    */
+  private[graft] def frontierSchedule(kept: DataFrame): DataFrame = {
+    val wh = Window.partitionBy("host")
+      .orderBy(desc("priority_pm"), asc("canonical_url"))
+    kept.withColumn("round", (row_number().over(wh) - 1).cast("long"))
+      .select(col("round"), col("host"), col("canonical_url"),
+        col("kept_doc"), col("priority_pm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // URL canonicalization + canonical-key dedup — the FIRST dedup any
     // web corpus runs (cheaper than any text hash: it needs only the
@@ -304,27 +342,73 @@ object CrawlOpsQueries {
     // window after the canonical agg; at 100 TB the round is the
     // partition key downstream and no global sort exists in the
     // production path (the output sort is the oracle contract).
-    "q217_crawl_frontier" -> ((s, dir) => {
-      val prio = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          floor(graft.functions.TextFunctions
-            .qualityScoreFromTokens(col("toks"), col("text")) * 1000)
-            .cast("long").as("qp"))
-      val raw = prio.select(col("doc_id"), col("qp"),
-        explode(rawUrls).as("url"))
-      val kept = canonicalize(raw)
+    "q217_crawl_frontier" -> ((s, dir) =>
+      frontierSchedule(frontierKept(s, dir, lit(true)))
+        .orderBy("round", "host", "canonical_url")),
+
+    // INCREMENTAL frontier maintenance — the E124/E148 delta
+    // convention applied to the crawl tier (batch q217 / incremental
+    // THIS): a delta doc batch contributes new URLs; the persisted
+    // frontier's kept-representative frame merges with the delta's via
+    // the SAME min-struct re-aggregation (min over per-side minima =
+    // global min — associativity, the q163/q186 device, so the merge
+    // is correct even if a canonical key appears on both sides), and
+    // the schedule recomputes ONLY for hosts the delta touched —
+    // untouched hosts keep their old rounds verbatim, which equals the
+    // from-scratch rounds because their URL sets did not change. The
+    // oracle IS q217's from-scratch twin — incremental ≡ from-scratch,
+    // proven. At 100 TB: re-scheduling cost ∝ the touched hosts' URL
+    // volume, not the frontier.
+    "q219_delta_frontier" -> ((s, dir) => {
+      def inDelta(c: Column) =
+        c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
+      val old = frontierKept(s, dir, !inDelta(col("doc_id")))
+      val delta = frontierKept(s, dir, inDelta(col("doc_id")))
+      val touched = delta.select("host").distinct()
+      val merged = old.union(delta)
         .groupBy("canonical_url", "host")
-        .agg(min(struct(col("doc_id"), col("qp"))).as("k"))
+        .agg(min(struct(col("kept_doc"), col("priority_pm"))).as("k"))
         .select(col("canonical_url"), col("host"),
-          col("k.doc_id").as("kept_doc"), col("k.qp").as("priority_pm"))
-      val wh = Window.partitionBy("host")
-        .orderBy(desc("priority_pm"), asc("canonical_url"))
-      kept.withColumn("round", (row_number().over(wh) - 1).cast("long"))
-        .select(col("round"), col("host"), col("canonical_url"),
-          col("kept_doc"), col("priority_pm"))
+          col("k.kept_doc").as("kept_doc"),
+          col("k.priority_pm").as("priority_pm"))
+      val schedTouched = frontierSchedule(
+        merged.join(broadcast(touched), Seq("host"), "semi"))  // hint audit: value-domain-bounded (hosts are a bounded registered-domain set)
+      val schedUntouched = frontierSchedule(old)
+        .join(broadcast(touched), Seq("host"), "left_anti")  // hint audit: value-domain-bounded (hosts are a bounded registered-domain set)
+      // unionByName: the using-column joins move `host` to the front
+      // of their output — a positional union would misalign columns
+      schedTouched.unionByName(schedUntouched)
         .orderBy("round", "host", "canonical_url")
+    }),
+
+    // URL path templating — q183's template mining applied to the URL
+    // space: digit runs in host+path mask to {n}, collapsing the
+    // canonical set into its structural patterns (the "/p/{n}" shapes
+    // a crawler uses for trap detection, dedup-by-pattern, and
+    // coverage accounting), with per-slot value stats (q187's other
+    // half) bounding each numeric slot's observed range. Scan-stage
+    // mask + a template-bounded agg.
+    "q220_url_templates" -> ((s, dir) => {
+      val raw = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(rawUrls).as("url"))
+      canonicalize(raw)
+        .groupBy("canonical_url", "host")
+        .agg(count(lit(1)).as("n_raw"))
+        .select(col("canonical_url"), col("host"),
+          regexp_replace(col("canonical_url"), "[0-9]+", "{n}")
+            .as("template"),
+          expr("regexp_extract_all(canonical_url, '[0-9]+', 0)")
+            .as("vals"))
+        .select(col("template"), col("canonical_url"), col("host"),
+          posexplode(col("vals")).as(Seq("slot", "v")))
+        .select(col("template"), col("canonical_url"), col("host"),
+          col("slot").cast("long").as("slot"), col("v").cast("long").as("v"))
+        .groupBy("template", "slot")
+        .agg(countDistinct(col("canonical_url")).as("n_urls"),
+          countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+        .orderBy("template", "slot")
     }),
 
     // Encoding-damage screen: per-source mojibake report — double-
@@ -350,6 +434,32 @@ object CrawlOpsQueries {
         .withColumn("flagged_permille", expr("n_flagged * 1000 div n_docs"))
         .orderBy("source")
     }))
+
+  /** The frontier's SQL twin — shared verbatim by q217 (from-scratch)
+    * and q219 (the incremental build must equal it).
+    */
+  private lazy val sqlFrontier: String = {
+    val chain = sqlCanonicalChain("raw")
+    val q = graft.functions.TextFunctions.sqlQualityScore("text")
+    s"""WITH raw AS (
+       |  SELECT doc_id, CAST(floor(($q) * 1000) AS BIGINT) AS qp,
+       |    unnest($sqlRawUrls) AS url
+       |  FROM documents),
+       |$chain,
+       |c AS (SELECT canonical_url, host, doc_id, qp,
+       |    ROW_NUMBER() OVER (PARTITION BY canonical_url, host
+       |      ORDER BY doc_id) AS rn
+       |  FROM canon),
+       |k AS (SELECT canonical_url, host, doc_id AS kept_doc,
+       |        qp AS priority_pm
+       |      FROM c WHERE rn = 1),
+       |f AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+       |        ORDER BY priority_pm DESC, canonical_url) - 1 AS BIGINT)
+       |        AS round
+       |      FROM k)
+       |SELECT round, host, canonical_url, kept_doc, priority_pm
+       |FROM f ORDER BY round, host, canonical_url""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "q205_url_canonical" -> {
@@ -381,27 +491,33 @@ object CrawlOpsQueries {
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM j GROUP BY 1 ORDER BY rule""".stripMargin
     },
-    "q217_crawl_frontier" -> {
+    "q217_crawl_frontier" -> sqlFrontier,
+    // the from-scratch twin VERBATIM (the q98↔q163 convention): the
+    // delta-merged schedule must equal full-frontier scheduling
+    "q219_delta_frontier" -> sqlFrontier,
+    "q220_url_templates" -> {
       val chain = sqlCanonicalChain("raw")
-      val q = graft.functions.TextFunctions.sqlQualityScore("text")
       s"""WITH raw AS (
-         |  SELECT doc_id, CAST(floor(($q) * 1000) AS BIGINT) AS qp,
-         |    unnest($sqlRawUrls) AS url
-         |  FROM documents),
+         |  SELECT doc_id, unnest($sqlRawUrls) AS url FROM documents),
          |$chain,
-         |c AS (SELECT canonical_url, host, doc_id, qp,
-         |    ROW_NUMBER() OVER (PARTITION BY canonical_url, host
-         |      ORDER BY doc_id) AS rn
-         |  FROM canon),
-         |k AS (SELECT canonical_url, host, doc_id AS kept_doc,
-         |        qp AS priority_pm
-         |      FROM c WHERE rn = 1),
-         |f AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
-         |        ORDER BY priority_pm DESC, canonical_url) - 1 AS BIGINT)
-         |        AS round
-         |      FROM k)
-         |SELECT round, host, canonical_url, kept_doc, priority_pm
-         |FROM f ORDER BY round, host, canonical_url""".stripMargin
+         |cu AS (SELECT canonical_url, host FROM canon
+         |       GROUP BY 1, 2),
+         |t AS (SELECT canonical_url, host,
+         |        regexp_replace(canonical_url, '[0-9]+', '{n}', 'g')
+         |          AS template,
+         |        regexp_extract_all(canonical_url, '[0-9]+') AS vals
+         |      FROM cu),
+         |tv AS (SELECT template, canonical_url, host,
+         |         unnest(list_transform(range(1, len(vals) + 1), i ->
+         |           struct_pack(slot := CAST(i - 1 AS BIGINT),
+         |             v := CAST(vals[CAST(i AS INT)] AS BIGINT)))) AS u
+         |       FROM t)
+         |SELECT template, (u).slot AS slot,
+         |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(COUNT(DISTINCT (u).v) AS BIGINT) AS n_distinct,
+         |  MIN((u).v) AS min_val, MAX((u).v) AS max_val
+         |FROM tv GROUP BY 1, 2 ORDER BY template, slot""".stripMargin
     },
     "q213_robots_rules" -> {
       val chain = sqlCanonicalChain("raw")
