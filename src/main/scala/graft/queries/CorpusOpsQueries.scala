@@ -400,6 +400,42 @@ object CorpusOpsQueries {
         .orderBy("source", "rank")
     }),
 
+    // POSITIONAL phrase search — the retrieval feature doc-level
+    // postings (q98/q110) cannot answer: "these two words ADJACENT",
+    // needing term positions in the index. The phrase is the corpus's
+    // own most frequent bigram (a bounded value-domain argmax; the
+    // 1-row driver fetch is the query literal — the model-artifact
+    // convention), and the match is the classic positional-index
+    // device: per query term a (doc, pos) posting stream, adjacency
+    // rewritten as an EQUI join on (doc, pos+1) = (doc, pos) — no
+    // inequality, co-partitioned by doc. At 100 TB: two term-keyed
+    // posting fetches + one doc-keyed merge, candidates ∝ the terms'
+    // document frequency, never the corpus.
+    "q223_phrase_search" -> ((s, dir) => {
+      val toksDf = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val top = toksDf
+        .select(explode(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+        .groupBy("b.w1", "b.w2").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w1"), asc("w2")).limit(1).head()
+      val (t1, t2) = (top.getString(0), top.getString(1))
+      val post = toksDf
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+        .where(col("w") === t1 || col("w") === t2)
+      val p1 = post.where(col("w") === t1)
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("nxt"))
+      val p2 = post.where(col("w") === t2)
+        .select(col("doc_id"), col("pos").cast("long").as("nxt"))
+      p1.join(p2, Seq("doc_id", "nxt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          (min(col("nxt")) - 1).as("first_pos"))
+        .withColumn("w1", lit(t1)).withColumn("w2", lit(t2))
+        .orderBy("doc_id")
+    }),
+
     // Compaction bin-packing planner: group the doc inventory into
     // input-file granules, then assign consecutive files to
     // target-sized output bins via the running-sum rule (a file starts
@@ -711,6 +747,31 @@ object CorpusOpsQueries {
     val isTest = PipelineOpsQueries.sqlIsTestDoc("doc_id")
     val isTestTb = PipelineOpsQueries.sqlIsTestDoc("tb.doc_id")
     Map(
+      "q223_phrase_search" ->
+        s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+           |      FROM documents),
+           |bg AS (SELECT toks[CAST(i AS INT)] AS w1,
+           |         toks[CAST(i + 1 AS INT)] AS w2
+           |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+           |             FROM tk WHERE len(toks) >= 2)),
+           |top AS (SELECT w1, w2 FROM (
+           |    SELECT w1, w2,
+           |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1, w2) AS rn
+           |    FROM bg GROUP BY 1, 2) WHERE rn = 1),
+           |ps AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           |         toks[CAST(i AS INT)] AS w
+           |       FROM (SELECT doc_id, toks,
+           |               unnest(range(1, len(toks) + 1)) AS i
+           |             FROM tk WHERE len(toks) >= 2)),
+           |p1 AS (SELECT ps.doc_id, ps.pos + 1 AS nxt
+           |       FROM ps, top WHERE ps.w = top.w1),
+           |p2 AS (SELECT ps.doc_id, ps.pos AS nxt
+           |       FROM ps, top WHERE ps.w = top.w2),
+           |h AS (SELECT p1.doc_id, p1.nxt FROM p1 JOIN p2 USING (doc_id, nxt))
+           |SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           |  CAST(MIN(h.nxt) - 1 AS BIGINT) AS first_pos,
+           |  (SELECT w1 FROM top) AS w1, (SELECT w2 FROM top) AS w2
+           |FROM h GROUP BY h.doc_id ORDER BY doc_id""".stripMargin,
       "q214_group_sample" ->
         s"""SELECT source, doc_id, draw, CAST(rank AS INTEGER) AS rank FROM (
            |  SELECT source, doc_id, ${sqlSpreadHash("text")} AS draw,

@@ -241,9 +241,16 @@ object CrawlOpsQueries {
     * the canonical agg as a min-struct: no join back to the corpus.
     */
   private[graft] def frontierKept(s: SparkSession, dir: String,
-      docFilter: Column): DataFrame = {
-    val prio = Tables(s, dir, "documents")
-      .where(docFilter)
+      docFilter: Column): DataFrame =
+    frontierKeptOf(Tables(s, dir, "documents").where(docFilter))
+
+  /** The kept-frame builder over an ARBITRARY docs frame — `docs` may
+    * be a STREAMING frame (every op is a stateless projection until
+    * the canonical agg, which q221 runs in Complete mode); one
+    * definition for the batch/incremental/streaming build paths.
+    */
+  private[graft] def frontierKeptOf(docs: DataFrame): DataFrame = {
+    val prio = docs
       .select(col("doc_id"), col("text"),
         graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -258,6 +265,18 @@ object CrawlOpsQueries {
       .select(col("canonical_url"), col("host"),
         col("k.doc_id").as("kept_doc"), col("k.qp").as("priority_pm"))
   }
+
+  /** q219's min-struct frontier merge — min over per-side minima =
+    * global min (associativity), correct even under canonical-key
+    * overlap. Shared with the q221 streaming gate.
+    */
+  private[graft] def frontierMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("canonical_url", "host")
+      .agg(min(struct(col("kept_doc"), col("priority_pm"))).as("k"))
+      .select(col("canonical_url"), col("host"),
+        col("k.kept_doc").as("kept_doc"),
+        col("k.priority_pm").as("priority_pm"))
 
   /** The politeness interleave over a kept frame: per-host rank by
     * (priority DESC, url ASC), round = rank − 1.
@@ -365,12 +384,7 @@ object CrawlOpsQueries {
       val old = frontierKept(s, dir, !inDelta(col("doc_id")))
       val delta = frontierKept(s, dir, inDelta(col("doc_id")))
       val touched = delta.select("host").distinct()
-      val merged = old.union(delta)
-        .groupBy("canonical_url", "host")
-        .agg(min(struct(col("kept_doc"), col("priority_pm"))).as("k"))
-        .select(col("canonical_url"), col("host"),
-          col("k.kept_doc").as("kept_doc"),
-          col("k.priority_pm").as("priority_pm"))
+      val merged = frontierMerge(old, delta)
       val schedTouched = frontierSchedule(
         merged.join(broadcast(touched), Seq("host"), "semi"))  // hint audit: value-domain-bounded (hosts are a bounded registered-domain set)
       val schedUntouched = frontierSchedule(old)

@@ -427,15 +427,40 @@ object InsightOpsQueries {
           expr("CASE WHEN sum_ids > 0 THEN sum_chars * 1000 div sum_ids " +
             "ELSE 0 END"))
         .orderBy("lang")
-    }))
+    }),
+
+    // SEQUENCE-BOUNDARY MASKS for the packed batches — the attention
+    // metadata a trainer consumes alongside q167's id content: for
+    // every (shard, bin) training sequence, the in-bin token offset
+    // where each document starts (the cross-document attention-mask
+    // boundaries / position-id reset points), ordered by pack order
+    // and pinned as an exact string, plus the spill of the bin's last
+    // greedily-assigned doc past the budget (what a trainer truncates
+    // or overflows). SAME packedBinned frame as the q167/q182 gates —
+    // the masks describe exactly the shipped sequences. One (shard,
+    // bin) regroup over the binned frame; nothing rescans the corpus.
+    "q222_packed_boundaries" -> ((s, dir) =>
+      packedBinned(s, dir)
+        .select(col("shard"), col("bin"), col("doc_id"), col("n_ids"),
+          (col("gstart") - col("bin") * packBudget).as("off"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_ids")).as("sum_ids"),
+          greatest(lit(0L),
+            max(col("off") + col("n_ids")) - packBudget).as("spill_ids"),
+          array_join(expr("transform(" +
+            "array_sort(collect_list(struct(doc_id, off)))," +
+            " x -> cast(x.off as string))"), ",").as("boundaries"))
+        .orderBy("shard", "bin")))
 
   /** q167's sharded token-budget binning — ONE definition shared by
-    * the q167 gate and q182's lineage rollup, so the provenance
-    * describes exactly the gated batches. Columns:
-    * (shard, bin, doc_id, n_ids, fp).
+    * the q167 gate, q182's lineage rollup, and q222's boundary masks,
+    * so the provenance/mask metadata describes exactly the gated
+    * batches. Columns: (shard, bin, doc_id, n_ids, fp, gstart) where
+    * gstart = the doc's token offset within its SHARD stream (bin
+    * offset = gstart − bin·budget).
     */
+  private val packBudget = 2048
   private def packedBinned(s: SparkSession, dir: String): DataFrame = {
-    val budget = 2048
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(s, dir)
@@ -446,8 +471,9 @@ object InsightOpsQueries {
         aggregate(col("ids"), lit(0L), (h, c) => (h * 31 + c) % P)
           .as("fp"))
       .withColumn("cum", sum(col("n_ids")).over(w))
-      .select(col("shard"), expr(s"(cum - n_ids) div $budget").as("bin"),
-        col("doc_id"), col("n_ids"), col("fp"))
+      .select(col("shard"), expr(s"(cum - n_ids) div $packBudget").as("bin"),
+        col("doc_id"), col("n_ids"), col("fp"),
+        (col("cum") - col("n_ids")).as("gstart"))
   }
 
   def oracle: Map[String, String] = Map(
@@ -680,7 +706,29 @@ object InsightOpsQueries {
          |  CASE WHEN SUM(n_ids) > 0
          |    THEN CAST(SUM(n_chars) AS BIGINT) * 1000 // CAST(SUM(n_ids) AS BIGINT)
          |    ELSE 0 END AS chars_per_id_permille
-         |FROM m GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the q167 binning CTEs + in-bin offsets folded per sequence
+    "q222_packed_boundaries" ->
+      s"""WITH $bpeIdsCtes,
+         |f AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+         |    CAST(COALESCE(len(per.all_ids), 0) AS BIGINT) AS n_ids
+         |  FROM d LEFT JOIN per USING (doc_id)),
+         |c AS (SELECT shard, doc_id, n_ids,
+         |    SUM(n_ids) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f),
+         |b AS (SELECT shard, CAST((cum - n_ids) // 2048 AS BIGINT) AS bin,
+         |    doc_id, n_ids,
+         |    CAST(cum - n_ids AS BIGINT)
+         |      - CAST((cum - n_ids) // 2048 AS BIGINT) * 2048 AS off
+         |  FROM c)
+         |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_ids) AS BIGINT) AS sum_ids,
+         |  greatest(CAST(0 AS BIGINT),
+         |    CAST(MAX(off + n_ids) AS BIGINT) - 2048) AS spill_ids,
+         |  array_to_string(list(off ORDER BY doc_id), ',') AS boundaries
+         |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)
 
   /** The q159 BPE-encode machinery as a reusable DuckDB CTE chain
     * (through `d` = doc/tokens and `per` = doc/ordered id list) —

@@ -1136,6 +1136,63 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING frontier ingest — completes the CRAWL tier's
+    // build-path triangle exactly as q164 completed the text index's
+    // and q204 the vector tier's (batch q217 / incremental q219 /
+    // streaming THIS): delta documents arrive as a stream, their URLs
+    // weave + canonicalize + keep-first-aggregate INSIDE the
+    // incremental engine through the SAME shared frontierKeptOf
+    // definition (Complete mode — the kept-frame agg is stateful with
+    // state ∝ the delta's canonical cardinality, no watermark needed);
+    // post-sink the emitted delta kept-frame merges with the persisted
+    // old frontier via the SAME frontierMerge and schedules via the
+    // SAME frontierSchedule, and the oracle is q217's from-scratch
+    // twin VERBATIM — streaming build ≡ incremental ≡ from-scratch.
+    "q221_stream_frontier" -> ((s, dir) => {
+      import graft.queries.{CrawlOpsQueries, ModelOpsQueries}
+      val src = Paths.get(s"$dir/documents.parquet")
+      val stage = tmpDir("graft-q221-src")
+      val ckpt = tmpDir("graft-q221-ckpt")
+      val sink = s"graft_q221_sink_${runSeq.incrementAndGet()}"
+      try {
+        val schema = s.read.parquet(src.toString).schema
+        val lo = ModelOpsQueries.deltaLo
+        val hi = ModelOpsQueries.deltaHi
+        def inDelta(c: org.apache.spark.sql.Column) = c >= lo && c < hi
+        val tmp = tmpDir("graft-q221-w")
+        try {
+          s.read.parquet(src.toString)
+            .where(inDelta(col("doc_id")))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, stage.resolve("delta.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally deleteRecursively(tmp)
+        val deltaKept = CrawlOpsQueries.frontierKeptOf(
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(inDelta(col("doc_id"))))
+        val query = deltaKept.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val old = CrawlOpsQueries.frontierKept(s, dir, !inDelta(col("doc_id")))
+        val out = CrawlOpsQueries.frontierSchedule(
+            CrawlOpsQueries.frontierMerge(old, s.table(sink)))
+          .orderBy("round", "host", "canonical_url")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // STREAMING semantic decontamination — the q203 screen run LIVE on
     // arriving vectors (the ingest-time guard: a training vector that
     // near-duplicates the benchmark slice should be flagged BEFORE it
@@ -1666,6 +1723,12 @@ object StreamingQueries {
     // old index must equal the full-corpus index bit-for-bit
     "q204_stream_vec_ingest" ->
       graft.queries.SimilarityQueries.oracle("q186_pq_delta_index"),
+
+    // q217's from-scratch twin VERBATIM (the q164↔q98 / q204↔q186
+    // sharing applied to the crawl tier): the streaming-built frontier
+    // must equal full-corpus scheduling
+    "q221_stream_frontier" ->
+      graft.queries.CrawlOpsQueries.oracle("q217_crawl_frontier"),
 
     // q203's SQL twin restricted to the delta ids: the streaming
     // screen must equal the batch screen on the slice it saw
