@@ -224,7 +224,63 @@ object DedupQueries {
       priorLabels.select(col("node").as("doc_a"), col("label").as("doc_b"))
         .union(deltaPairs.select(col("doc_a"), col("doc_b"))))
 
+  /** q224: a token is a chunk boundary when its spread hash ≡ 0 mod
+    * this (expected chunk length = cdcMod tokens).
+    */
+  private val cdcMod = 8L
+
+  /** Content-defined chunking over a (doc_id, toks) frame → one row
+    * per (doc_id, chunk) with length and order-sensitive fingerprint.
+    * Boundaries are a function of CONTENT (a token's spread hash), not
+    * position — the rsync/LBFS device (Muthitacharoen et al., SOSP
+    * 2001, public): an insertion re-fingerprints only the chunks it
+    * touches, where fixed-window chunking (q172) shifts every chunk
+    * after the edit. CdcSpec pins exactly that shift-resistance.
+    * `private[graft]` for the spec.
+    */
+  private[graft] def cdcChunks(toked: DataFrame): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Long.MinValue, 0)
+    toked
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        spreadHash(col("w")).as("th"))
+      .withColumn("b", when(col("th") % cdcMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum(col("b")).over(wDoc) - col("b"))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("clen"),
+        aggregate(
+          expr("transform(array_sort(collect_list(struct(pos, th)))," +
+            " x -> x.th)"),
+          lit(0L), (h, c) => (h * 31 + c) % P).as("fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CONTENT-DEFINED chunking dedup — the shift-resistant face of
+    // q172's fixed-window chunk dedup: boundaries fall where token
+    // content says (spread hash ≡ 0 mod cdcMod), so shared passages
+    // between docs produce IDENTICAL chunk fingerprints even when
+    // their positions differ (a prefix insertion leaves every chunk
+    // past the first boundary intact — the property fixed windows
+    // cannot have, pinned by CdcSpec). One doc-keyed window assigns
+    // chunk ids, one ordered fold fingerprints each chunk, and the
+    // duplicate report is a chunk-fingerprint-keyed agg — nothing ∝
+    // pairs at any scale.
+    "q224_cdc_chunks" -> ((s, dir) => {
+      val chunks = cdcChunks(Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks")))
+      chunks.groupBy("fp")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("clen")).as("chunk_len"),
+          min(struct(col("doc_id"), col("chunk"))).as("first"))
+        .where(col("n_occ") >= 2)
+        .select(col("fp"), col("n_occ"), col("n_docs"), col("chunk_len"),
+          col("first.doc_id").as("first_doc"),
+          col("first.chunk").as("first_chunk"))
+        .orderBy("fp")
+    }),
     // exact dedup on the canonical token-set form: single hash shuffle,
     // map-side partial agg; representative = min doc_id
     "q25_dedup_exact" -> ((s, dir) => {
@@ -605,6 +661,40 @@ object DedupQueries {
       .map(c => s"SELECT doc_id, sh, $c AS ci, ${sqlSimhashChunk("sh", c)} AS cv FROM sh")
       .mkString("\nUNION ALL\n")
     Map(
+      "q224_cdc_chunks" -> {
+        val th = sqlSpreadHash("toks[CAST(i AS INT)]")
+        s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+           |      FROM documents),
+           |ps AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           |         $th AS th
+           |       FROM (SELECT doc_id, toks,
+           |               unnest(range(1, len(toks) + 1)) AS i FROM tk)),
+           |c AS (SELECT doc_id, pos, th,
+           |    CASE WHEN th % $cdcMod = 0 THEN 1 ELSE 0 END AS b
+           |  FROM ps),
+           |cc AS (SELECT doc_id, pos, th,
+           |    CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+           |      AS BIGINT) AS chunk
+           |  FROM c),
+           |ch AS (SELECT doc_id, chunk, CAST(COUNT(*) AS BIGINT) AS clen,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list(th ORDER BY pos)),
+           |      (h, x) -> (h * 31 + x) % $P) AS fp
+           |  FROM cc GROUP BY 1, 2),
+           |w1 AS (SELECT fp, doc_id, chunk,
+           |    ROW_NUMBER() OVER (PARTITION BY fp
+           |      ORDER BY doc_id, chunk) AS rn
+           |  FROM ch),
+           |g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |    MAX(clen) AS chunk_len
+           |  FROM ch GROUP BY fp)
+           |SELECT g.fp, g.n_occ, g.n_docs, g.chunk_len,
+           |  w1.doc_id AS first_doc, w1.chunk AS first_chunk
+           |FROM g JOIN w1 ON w1.fp = g.fp AND w1.rn = 1
+           |WHERE g.n_occ >= 2 ORDER BY g.fp""".stripMargin
+      },
       "q132_sketch_calibration" ->
         s"""WITH d AS (SELECT doc_id, list_sort(${sqlShingleHashes("text")}) AS hs
            |      FROM documents WHERE doc_id % 5 = 0 AND doc_id < 2500),

@@ -191,6 +191,36 @@ object SimilarityQueries {
 
   private lazy val sqlIvfPqAdc: String = sqlIvfPqAdcN(1)
 
+  /** The SQ8 CTE chain (through the ranked `r8`) — mirrors [[sq8Top]]:
+    * micro quantization, per-dim scales, integer dequant, exact
+    * integer dot, (score DESC, vec_id) ranking.
+    */
+  private lazy val sqlSq8Chain: String =
+    s"""mz AS (SELECT vec_id, list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS mq
+       |  FROM embeddings),
+       |sc AS (SELECT i AS dim, MAX(abs(mq[CAST(i AS INT)])) AS s
+       |       FROM mz, (SELECT unnest(range(1, 65)) AS i) t GROUP BY i),
+       |scl AS (SELECT list(s ORDER BY dim) AS sa FROM sc),
+       |dq AS (SELECT vec_id, list_transform(range(1, 65), i ->
+       |         CASE WHEN sa[CAST(i AS INT)] = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(CASE WHEN mq[CAST(i AS INT)] < 0
+       |               THEN -1 ELSE 1 END AS BIGINT)
+       |             * ((abs(mq[CAST(i AS INT)]) * 127 // sa[CAST(i AS INT)])
+       |                * sa[CAST(i AS INT)] // 127) END) AS deq
+       |       FROM mz, scl),
+       |pq8 AS (SELECT vec_id AS probe_id, mq AS pmq FROM mz
+       |        WHERE ${sqlProbeSlice(61)}),
+       |s8 AS (SELECT p.probe_id, d.vec_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i ->
+       |      d.deq[CAST(i AS INT)] * p.pmq[CAST(i AS INT)])) AS BIGINT)
+       |      AS score
+       |  FROM dq d JOIN pq8 p ON d.vec_id <> p.probe_id),
+       |r8 AS (SELECT probe_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY score DESC, vec_id) AS INTEGER) AS rn
+       |  FROM s8)""".stripMargin
+
   /** The recall-eval twin for a given nprobe — mirrors
     * [[pqRecallFrame]]; ONE parametric string keeps the q180 and q185
     * gates on the same eval arithmetic.
@@ -636,6 +666,51 @@ object SimilarityQueries {
       .orderBy("probe_id")
   }
 
+  /** q225/q226 — scalar (int8) quantization search, the OTHER standard
+    * compressed ANN tier beside PQ (4× compression, per-dim codes;
+    * PQ's 32× groups dims): q151's EXACT quantization scheme (per-dim
+    * scale = max|micro|, code = sign·(|m|·127 div s), dequant =
+    * sign·(code·s) div 127 — all integer, both engines bit-equal)
+    * applied as a SEARCH path: the corpus dequantizes scan-stage and
+    * probes score against it with an exact integer dot. The 64-row
+    * scale fetch is the index's model artifact (the q37 centroid
+    * convention).
+    */
+  private def microQ(e: Column): Column =
+    transform(e, v => floor(v.cast("double") * 1000000).cast("long"))
+
+  private def sq8Scales(s: SparkSession, dir: String): Array[Long] =
+    Tables(s, dir, "embeddings")
+      .select(posexplode(microQ(col("embedding"))).as(Seq("dim", "m")))
+      .groupBy("dim").agg(max(abs(col("m"))).as("sc"))
+      .orderBy("dim").collect().map(_.getLong(1))
+
+  /** The SQ8 ranked frame (probe_id, vec_id, score, rn) — shared by
+    * the q225 gate and q226's recall eval.
+    */
+  private[graft] def sq8Top(s: SparkSession, dir: String): DataFrame = {
+    val sa = sq8Scales(s, dir)
+    val corpus = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), microQ(col("embedding")).as("mq"))
+      .withColumn("sa", array(sa.map(lit(_)): _*))
+    val deq = corpus.select(col("vec_id"),
+      expr("zip_with(mq, sa, (m, s) -> CASE WHEN s = 0L THEN 0L ELSE " +
+        "(CASE WHEN m < 0L THEN -1L ELSE 1L END) * " +
+        "((abs(m) * 127L div s) * s div 127L) END)").as("deq"))
+    val probes = corpus.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"), col("mq").as("pmq"))
+    val scored = deq
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+      .select(col("probe_id"), col("vec_id"),
+        expr("aggregate(zip_with(deq, pmq, (a, b) -> a * b), 0L, " +
+          "(acc, x) -> acc + x)").as("score"))
+    val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq("score" -> true, "vec_id" -> false), pqTopK)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("score"), asc("vec_id"))
+    top.withColumn("rn", row_number().over(w))
+  }
+
   /** q203's contamination screen over an ARBITRARY (vec_id, embedding)
     * frame — ONE definition shared by the q203 batch gate and the q218
     * streaming gate, so the screen run live IS the gated one. The eval
@@ -1001,6 +1076,49 @@ object SimilarityQueries {
         .withColumn("n_probes", count(lit(1)).over(all))
         .withColumn("mrr_micro", expr("sum_rr div n_probes"))
         .drop("sum_rr", "n_probes")
+        .orderBy("probe_id")
+    }),
+
+    // Scalar-quantization (int8) top-k — the second standard
+    // compressed serving tier beside PQ: q151's audited quantization
+    // scheme run as the SEARCH path (asymmetric: full-precision probe
+    // against the dequantized corpus, exact integer dot). 4×
+    // compression with per-dim fidelity vs PQ's 32× with subspace
+    // codewords — the two gated tiers are the compression/recall
+    // trade's standard endpoints, and q226 prices this one the same
+    // way q180/q185 price PQ. Scan-stage dequant, broadcast probe
+    // batch, bounded-heap top-k.
+    "q225_sq8_topk" -> ((s, dir) =>
+      sq8Top(s, dir).orderBy("probe_id", "rn")),
+
+    // recall@k of the SQ8 tier against the exact scan — the number
+    // that places int8 on the compression/recall curve beside q180
+    // (PQ nprobe=1) and q185 (PQ nprobe=4)
+    "q226_sq8_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val sq8 = sq8Top(s, dir)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      val all = Window.partitionBy()
+      exact.join(broadcast(sq8), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (SQ8 hits, <= probes x k rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr(s"n_hits * 1000 div $pqTopK"))
+        .withColumn("total_hits", sum(col("n_hits")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_recall_permille",
+          expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
+        .drop("total_hits", "n_probes")
         .orderBy("probe_id")
     }),
 
@@ -1612,6 +1730,36 @@ object SimilarityQueries {
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
       "q185_pq_recall_nprobe" -> sqlPqRecall(ivfNprobe),
+      "q225_sq8_topk" ->
+        s"""WITH $sqlSq8Chain
+           |SELECT probe_id, vec_id, score, rn FROM r8
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q226_sq8_recall" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        s"""WITH $sqlEmb, $sqlSq8Chain,
+           |top8 AS (SELECT probe_id, vec_id FROM r8 WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN top8.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |      FROM ex LEFT JOIN top8
+           |        ON top8.probe_id = ex.probe_id
+           |        AND top8.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits,
+           |  n_hits * 1000 // $pqTopK AS recall_permille,
+           |  CAST(SUM(n_hits) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin
+      },
       "q208_ann_mrr" -> {
         val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
         s"""WITH ${sqlIvfPqAdcN(ivfNprobe)},

@@ -108,6 +108,9 @@ class PlanShapeSpec extends SparkSuite {
     // q208's/q215's ground truth is q29's exact broadcast-probe scan
     // (the recall evals' shape); the ranked-list attach is an equi BHJ
     "q208_ann_mrr", "q215_ann_ndcg",
+    // q225/q226: the SQ8 probe scan is q29's broadcast-probe shape
+    // over the dequantized corpus; q226 adds the exact side too
+    "q225_sq8_topk", "q226_sq8_recall",
     // q206's suffix-blocklist probe: the 3-entry curated blocklist
     // broadcasts under a prefix (inequality) condition — BNLJ against
     // a value-domain-bounded build side IS the designed plan (the
