@@ -744,6 +744,86 @@ object SimilarityQueries {
         min(col("eval_id")).as("first_eval_hit"),
         max(col("cosine")).as("max_cosine"))
 
+  /** q208's MRR eval as a parametric frame — same sharing contract as
+    * [[pqRecallFrame]]: ONE definition for the q208 gate (default
+    * codebook/centroids, nprobe = ivfNprobe) and tools/IndexPipeline
+    * (trained artifacts), so the pipeline's MRR stage IS the gated one.
+    */
+  private[graft] def pqMrrFrame(
+      s: SparkSession, dir: String, nprobe: Int,
+      cbOpt: Option[Array[Array[Long]]] = None,
+      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
+    val corpus = emb(s, dir)
+    val probes = corpus.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val scored = corpus
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+      .select(col("probe_id"), col("vec_id"),
+        cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+          .as("cosine"))
+    val exact1 = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq("cosine" -> true, "vec_id" -> false), 1)
+      .select(col("probe_id"), col("vec_id").as("true_id"))
+    val ranked = ivfPqTopN(s, dir, nprobe, cbOpt, centsOpt)
+      .select(col("probe_id"), col("vec_id").as("true_id"), col("rn"))
+    val all = Window.partitionBy()
+    exact1.join(broadcast(ranked), Seq("probe_id", "true_id"), "left")  // hint audit: probe-bounded (<= probes x pqTopK ranked rows)
+      .select(col("probe_id"), col("true_id"),
+        coalesce(col("rn").cast("long"), lit(0L)).as("hit_rank"))
+      .withColumn("rr_micro",
+        when(col("hit_rank") > 0, expr("1000000 div hit_rank"))
+          .otherwise(lit(0L)))
+      .withColumn("sum_rr", sum(col("rr_micro")).over(all))
+      .withColumn("n_probes", count(lit(1)).over(all))
+      .withColumn("mrr_micro", expr("sum_rr div n_probes"))
+      .drop("sum_rr", "n_probes")
+      .orderBy("probe_id")
+  }
+
+  /** q215's nDCG eval as a parametric frame — same contract as
+    * [[pqMrrFrame]].
+    */
+  private[graft] def pqNdcgFrame(
+      s: SparkSession, dir: String, nprobe: Int,
+      cbOpt: Option[Array[Array[Long]]] = None,
+      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None)
+      : DataFrame = {
+    val corpus = emb(s, dir)
+    val probes = corpus.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val scored = corpus
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+      .select(col("probe_id"), col("vec_id"),
+        cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+          .as("cosine"))
+    val exTop = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+    val wEx = Window.partitionBy("probe_id")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    val exact = exTop.withColumn("ex_rn", row_number().over(wEx))
+      .select(col("probe_id"), col("vec_id"), col("ex_rn"))
+    val approx = ivfPqTopN(s, dir, nprobe, cbOpt, centsOpt)
+      .select(col("probe_id"), col("vec_id"), col("rn"))
+    val wArr = array(dcgWeightsMicro.map(lit(_)): _*)
+    val all = Window.partitionBy()
+    approx.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (<= probes x k exact rows)
+      .select(col("probe_id"),
+        (coalesce(lit(pqTopK + 1) - col("ex_rn"), lit(0)).cast("long") *
+          element_at(wArr, col("rn"))).as("gain"))
+      .groupBy("probe_id")
+      .agg(sum(col("gain")).as("dcg_micro"))
+      .withColumn("ndcg_permille",
+        expr(s"dcg_micro * 1000 div $ndcgIdcgMicro"))
+      .withColumn("sum_n", sum(col("ndcg_permille")).over(all))
+      .withColumn("n_probes", count(lit(1)).over(all))
+      .withColumn("mean_ndcg_permille", expr("sum_n div n_probes"))
+      .drop("sum_n", "n_probes")
+      .orderBy("probe_id")
+  }
+
   /** vectors + squared norms; probe sets are deterministic id slices. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -1050,34 +1130,7 @@ object SimilarityQueries {
     // evaluated index IS the gated one. Reciprocal ranks are exact
     // integer micro-units (1e6 div rank, 0 = missed); the overall
     // mean folds over the bounded probe relation only.
-    "q208_ann_mrr" -> ((s, dir) => {
-      val corpus = emb(s, dir)
-      val probes = corpus.where(probeSlice(61))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("n2").as("pn2"))
-      val scored = corpus
-        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
-        .select(col("probe_id"), col("vec_id"),
-          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
-            .as("cosine"))
-      val exact1 = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq("cosine" -> true, "vec_id" -> false), 1)
-        .select(col("probe_id"), col("vec_id").as("true_id"))
-      val ranked = ivfPqTopN(s, dir, ivfNprobe)
-        .select(col("probe_id"), col("vec_id").as("true_id"), col("rn"))
-      val all = Window.partitionBy()
-      exact1.join(broadcast(ranked), Seq("probe_id", "true_id"), "left")  // hint audit: probe-bounded (<= probes x pqTopK ranked rows)
-        .select(col("probe_id"), col("true_id"),
-          coalesce(col("rn").cast("long"), lit(0L)).as("hit_rank"))
-        .withColumn("rr_micro",
-          when(col("hit_rank") > 0, expr("1000000 div hit_rank"))
-            .otherwise(lit(0L)))
-        .withColumn("sum_rr", sum(col("rr_micro")).over(all))
-        .withColumn("n_probes", count(lit(1)).over(all))
-        .withColumn("mrr_micro", expr("sum_rr div n_probes"))
-        .drop("sum_rr", "n_probes")
-        .orderBy("probe_id")
-    }),
+    "q208_ann_mrr" -> ((s, dir) => pqMrrFrame(s, dir, ivfNprobe)),
 
     // Scalar-quantization (int8) top-k — the second standard
     // compressed serving tier beside PQ: q151's audited quantization
@@ -1132,40 +1185,7 @@ object SimilarityQueries {
     // the oracle — no runtime log, no cross-engine float risk; IDCG
     // is the same constants' perfect-order fold. Ground truth and
     // ranked list are the SAME shared frames as q208.
-    "q215_ann_ndcg" -> ((s, dir) => {
-      val corpus = emb(s, dir)
-      val probes = corpus.where(probeSlice(61))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-          col("n2").as("pn2"))
-      val scored = corpus
-        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
-        .select(col("probe_id"), col("vec_id"),
-          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
-            .as("cosine"))
-      val exTop = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
-      val wEx = Window.partitionBy("probe_id")
-        .orderBy(desc("cosine"), asc("vec_id"))
-      val exact = exTop.withColumn("ex_rn", row_number().over(wEx))
-        .select(col("probe_id"), col("vec_id"), col("ex_rn"))
-      val approx = ivfPqTopN(s, dir, ivfNprobe)
-        .select(col("probe_id"), col("vec_id"), col("rn"))
-      val wArr = array(dcgWeightsMicro.map(lit(_)): _*)
-      val all = Window.partitionBy()
-      approx.join(broadcast(exact), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (<= probes x k exact rows)
-        .select(col("probe_id"),
-          (coalesce(lit(pqTopK + 1) - col("ex_rn"), lit(0)).cast("long") *
-            element_at(wArr, col("rn"))).as("gain"))
-        .groupBy("probe_id")
-        .agg(sum(col("gain")).as("dcg_micro"))
-        .withColumn("ndcg_permille",
-          expr(s"dcg_micro * 1000 div $ndcgIdcgMicro"))
-        .withColumn("sum_n", sum(col("ndcg_permille")).over(all))
-        .withColumn("n_probes", count(lit(1)).over(all))
-        .withColumn("mean_ndcg_permille", expr("sum_n div n_probes"))
-        .drop("sum_n", "n_probes")
-        .orderBy("probe_id")
-    }),
+    "q215_ann_ndcg" -> ((s, dir) => pqNdcgFrame(s, dir, ivfNprobe)),
 
     // Incremental PQ-index maintenance — the q163 delta convention
     // applied to the VECTOR tier (previously its one missing face: a

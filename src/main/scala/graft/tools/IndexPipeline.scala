@@ -41,11 +41,17 @@ object IndexPipeline {
     * @param recallByNprobe (nprobe, overall recall permille) under the
     *                      FINAL codebook/centroids
     */
+  /** @param mrrByNprobe  overall MRR in micro-units (q208's frame)
+    * @param ndcgByNprobe mean nDCG@k permille (q215's frame) — with
+    *                     recall, the full eval triptych per nprobe
+    */
   case class Report(
       kmeansInertia: Seq[Double],
       qerrInit: Long,
       qerrByRound: Seq[Long],
-      recallByNprobe: Seq[(Int, Long)])
+      recallByNprobe: Seq[(Int, Long)],
+      mrrByNprobe: Seq[(Int, Long)],
+      ndcgByNprobe: Seq[(Int, Long)])
 
   def run(spark: SparkSession, sfDir: String,
       kmeansIters: Int, refreshRounds: Int,
@@ -77,14 +83,27 @@ object IndexPipeline {
       totalQerr(cb)
     }
 
-    // 4-5. nprobe search + recall eval under the final artifacts,
-    // through the gated shared frames
+    // 4-5. nprobe search + the FULL eval triptych under the final
+    // artifacts, through the gated shared frames: recall@k (set
+    // overlap, q180/q185), MRR (best-hit rank, q208), nDCG@k (graded
+    // whole-list order, q215) — the dashboard a serving deployment
+    // reads per nprobe setting
     val recall = nprobes.map { np =>
       np -> SimilarityQueries
         .pqRecallFrame(spark, sfDir, np, Some(cb), centsOpt)
         .select("overall_recall_permille").head().getLong(0)
     }
-    Report(inertia, qerrInit, qerrByRound, recall)
+    val mrr = nprobes.map { np =>
+      np -> SimilarityQueries
+        .pqMrrFrame(spark, sfDir, np, Some(cb), centsOpt)
+        .select("mrr_micro").head().getLong(0)
+    }
+    val ndcg = nprobes.map { np =>
+      np -> SimilarityQueries
+        .pqNdcgFrame(spark, sfDir, np, Some(cb), centsOpt)
+        .select("mean_ndcg_permille").head().getLong(0)
+    }
+    Report(inertia, qerrInit, qerrByRound, recall, mrr, ndcg)
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,6 +125,12 @@ object IndexPipeline {
     println(s"pq qerr: ${r.qerrInit} -> ${r.qerrByRound.mkString(" -> ")}")
     r.recallByNprobe.foreach { case (np, rec) =>
       println(s"recall@5 permille (nprobe=$np): $rec")
+    }
+    r.mrrByNprobe.foreach { case (np, v) =>
+      println(s"mrr micro (nprobe=$np): $v")
+    }
+    r.ndcgByNprobe.foreach { case (np, v) =>
+      println(s"ndcg@5 permille (nprobe=$np): $v")
     }
     spark.stop()
   }

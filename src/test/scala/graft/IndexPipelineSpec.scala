@@ -23,6 +23,16 @@ class IndexPipelineSpec extends SparkSuite {
       "pipeline nprobe=1 recall drifted from the q180 gate")
     assert(r.recallByNprobe.toMap.apply(4) === gated("q185_pq_recall_nprobe"),
       "pipeline nprobe=4 recall drifted from the q185 gate")
+    // the other two eval faces reproduce their gates too (both gated
+    // at nprobe = ivfNprobe = 4)
+    val mrrGate = SparkEntry.queries("q208_ann_mrr")(spark, dir)
+      .select("mrr_micro").head().getLong(0)
+    assert(r.mrrByNprobe.toMap.apply(4) === mrrGate,
+      "pipeline nprobe=4 MRR drifted from the q208 gate")
+    val ndcgGate = SparkEntry.queries("q215_ann_ndcg")(spark, dir)
+      .select("mean_ndcg_permille").head().getLong(0)
+    assert(r.ndcgByNprobe.toMap.apply(4) === ndcgGate,
+      "pipeline nprobe=4 nDCG drifted from the q215 gate")
     assert(r.kmeansInertia.isEmpty && r.qerrByRound.isEmpty)
   }
 
