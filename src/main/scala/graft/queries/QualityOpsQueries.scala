@@ -194,9 +194,47 @@ object QualityOpsQueries {
             "ELSE 0 END").as("recall_permille"),
           expr("2 * tp * 1000 div (pred_pos + all_pos)").as("f1_permille"))
         .orderBy(desc("thr_permille"))
+    }),
+
+    // Length-distribution OCTAVE report — the heavy-tail diagnostic
+    // behind chunking/packing/spill budgets (a corpus whose doc sizes
+    // decay slowly per octave needs q84/q200's chunkers and q222's
+    // spill accounting; one that truncates sharply doesn't): octave =
+    // bit width of n_chars via length(bin(x)) — EXACT integers in
+    // both engines, the q201 device (a log2 double can't hash-match) —
+    // with per-octave counts, volume, and the count decay ratio to
+    // the previous octave in exact permille. One scan into a ≤64-row
+    // value-domain relation; the lag window runs over that bounded
+    // relation only (the q121 single-partition-window convention).
+    "q228_length_octaves" -> ((s, dir) => {
+      val b = Tables(s, dir, "documents")
+        .select(length(expr("bin(n_chars)")).cast("long").as("octave"),
+          col("n_chars"))
+        .groupBy("octave")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      // bounded relation from here down: <= 64 octaves
+      val w = Window.orderBy("octave")
+      b.withColumn("prev_n", lag(col("n_docs"), 1).over(w))
+        .withColumn("decay_permille",
+          expr("CASE WHEN prev_n IS NOT NULL AND prev_n > 0 " +
+            "THEN n_docs * 1000 div prev_n ELSE 0 END"))
+        .drop("prev_n")
+        .orderBy("octave")
     }))
 
   def oracle: Map[String, String] = Map(
+    "q228_length_octaves" ->
+      s"""WITH o AS (SELECT CAST(length(bin(n_chars)) AS BIGINT) AS octave,
+         |      n_chars FROM documents),
+         |g AS (SELECT octave, COUNT(*) AS n_docs,
+         |      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |    FROM o GROUP BY octave),
+         |l AS (SELECT *, LAG(n_docs, 1) OVER (ORDER BY octave) AS prev_n
+         |    FROM g)
+         |SELECT octave, n_docs, sum_chars,
+         |  CASE WHEN prev_n IS NOT NULL AND prev_n > 0
+         |    THEN n_docs * 1000 // prev_n ELSE 0 END AS decay_permille
+         |FROM l ORDER BY octave""".stripMargin,
     "q112_validation_rules" -> {
       val langList = allowedLangs.map(l => s"'$l'").mkString(",")
       s"""WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

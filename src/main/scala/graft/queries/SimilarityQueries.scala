@@ -78,6 +78,11 @@ object SimilarityQueries {
     */
   private val pqDeleteMod = 13L
   private val pqDeleteRem = 5L
+  /** q227's metadata predicate: the allowed-label set (a deterministic
+    * half of the label domain).
+    */
+  private val filteredLabels: Seq[Int] = Seq(0, 2, 4, 6, 8)
+
   /** q215 nDCG position discounts: floor(1e6 / log2(pos+1)) for pos =
     * 1..pqTopK — integer micro-unit LITERALS (computed once, embedded
     * in both engines' plans) so the eval needs no runtime log and
@@ -1175,6 +1180,45 @@ object SimilarityQueries {
         .orderBy("probe_id")
     }),
 
+    // FILTERED vector search — the ubiquitous vector-DB request
+    // ("nearest neighbors WHERE label IN (...)") and its standard
+    // lesson: PRE-filtering (predicate inside the candidate scan)
+    // returns a full top-k from the allowed set, while POST-filtering
+    // (global top-k, then predicate) silently returns fewer than k
+    // when the neighborhood is dominated by excluded labels. Both
+    // faces computed from ONE scored scan (the predicate splits the
+    // stream before the bounded heaps), with n_post_surviving
+    // reporting exactly how many of the unfiltered top-k would have
+    // survived — the measured gap that justifies pre-filter plumbing.
+    "q227_filtered_topk" -> ((s, dir) => {
+      val corpus = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          norm2(col("embedding")).as("n2"))
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val scored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"), col("label"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val pre = graft.plans.TopK.perGroup(
+        scored.where(col("label").isin(filteredLabels: _*)),
+        Seq("probe_id"), Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val wp = Window.partitionBy("probe_id")
+        .orderBy(desc("cosine"), asc("vec_id"))
+      val preRanked = pre.withColumn("rn", row_number().over(wp))
+        .select(col("probe_id"), col("vec_id"), col("label"),
+          col("cosine"), col("rn"))
+      val post = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+        .groupBy("probe_id")
+        .agg(sum(when(col("label").isin(filteredLabels: _*), 1L)
+          .otherwise(0L)).as("n_post_surviving"))
+      preRanked.join(broadcast(post), Seq("probe_id"))  // hint audit: probe-bounded (one row per probe)
+        .orderBy("probe_id", "rn")
+    }),
+
     // Graded, position-discounted ANN eval: nDCG@k of the IVF-PQ
     // ranked list against the exact top-k — completes the eval
     // triptych (recall@k = set overlap, MRR = best-hit rank, nDCG =
@@ -1750,6 +1794,32 @@ object SimilarityQueries {
            |    ORDER BY adc_dist, vec_id) AS INTEGER) AS rn FROM adc)
            |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
       "q185_pq_recall_nprobe" -> sqlPqRecall(ivfNprobe),
+      "q227_filtered_topk" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        val labels = filteredLabels.mkString(", ")
+        s"""WITH em AS (SELECT vec_id, embedding, label,
+           |      ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM em WHERE ${sqlProbeSlice(61)}),
+           |sc AS (SELECT p.probe_id, e.vec_id, e.label, $cos AS cosine
+           |       FROM p JOIN em e ON e.vec_id <> p.probe_id),
+           |pre AS (SELECT probe_id, vec_id, label, cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn
+           |  FROM sc WHERE label IN ($labels)),
+           |post AS (SELECT probe_id,
+           |    CAST(SUM(CASE WHEN label IN ($labels) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_post_surviving
+           |  FROM (SELECT probe_id, label,
+           |          ROW_NUMBER() OVER (PARTITION BY probe_id
+           |            ORDER BY cosine DESC, vec_id) AS rn
+           |        FROM sc)
+           |  WHERE rn <= $pqTopK GROUP BY probe_id)
+           |SELECT pre.probe_id, pre.vec_id, pre.label, pre.cosine, pre.rn,
+           |  post.n_post_surviving
+           |FROM pre JOIN post ON post.probe_id = pre.probe_id
+           |WHERE pre.rn <= $pqTopK ORDER BY pre.probe_id, pre.rn""".stripMargin
+      },
       "q225_sq8_topk" ->
         s"""WITH $sqlSq8Chain
            |SELECT probe_id, vec_id, score, rn FROM r8

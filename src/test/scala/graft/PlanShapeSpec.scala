@@ -111,6 +111,9 @@ class PlanShapeSpec extends SparkSuite {
     // q225/q226: the SQ8 probe scan is q29's broadcast-probe shape
     // over the dequantized corpus; q226 adds the exact side too
     "q225_sq8_topk", "q226_sq8_recall",
+    // q227: the filtered search scores through q29's broadcast-probe
+    // scan; both filter faces split one scored stream
+    "q227_filtered_topk",
     // q206's suffix-blocklist probe: the 3-entry curated blocklist
     // broadcasts under a prefix (inequality) condition — BNLJ against
     // a value-domain-bounded build side IS the designed plan (the
