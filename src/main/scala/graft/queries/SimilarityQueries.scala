@@ -73,6 +73,15 @@ object SimilarityQueries {
     * monotone in it (PqSpec pins this through the shared definition).
     */
   private val ivfNprobe = 4
+  /** q229/q230: the exact-re-rank shortlist size r (candidates kept
+    * per probe from the ADC ranking before true-score re-ranking) —
+    * the IVFADC+R device (Jégou et al., "Searching in one billion
+    * vectors: re-rank with source coding", ICASSP 2011 — public):
+    * r = 4k keeps the refine stage probe-bounded (r full-precision
+    * fetches per probe) while recovering neighbors the compressed
+    * scores misorder INSIDE the shortlist.
+    */
+  private val pqRerankR = 20
   /** q189 tombstone slice: established-corpus vec_ids with
     * id % mod == rem (spread across cells; never in the delta range).
     */
@@ -361,8 +370,8 @@ object SimilarityQueries {
   private[graft] def ivfPqTopN(
       s: SparkSession, dir: String, nprobe: Int,
       cbOpt: Option[Array[Array[Long]]] = None,
-      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None)
-      : DataFrame = {
+      centsOpt: Option[Seq[(Long, Array[Double], Double)]] = None,
+      topN: Int = pqTopK): DataFrame = {
     val cb = cbOpt.getOrElse(pqCodebook(s, dir))
     val corpus = emb(s, dir)
     val centsD: Seq[(Long, Array[Double], Double)] = centsOpt.getOrElse(
@@ -398,7 +407,7 @@ object SimilarityQueries {
       .select(col("probe_id"), col("vec_id"), col("cell"),
         adc.as("adc_dist"))
     val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-      Seq("adc_dist" -> false, "vec_id" -> false), pqTopK)
+      Seq("adc_dist" -> false, "vec_id" -> false), topN)
     val w = Window.partitionBy("probe_id")
       .orderBy(asc("adc_dist"), asc("vec_id"))
     top.withColumn("rn", row_number().over(w))
@@ -406,6 +415,35 @@ object SimilarityQueries {
 
   private def ivfPqTop(s: SparkSession, dir: String): DataFrame =
     ivfPqTopN(s, dir, 1)
+
+  /** q229's re-ranked frame (probe_id, vec_id, cosine, rn ≤ k): the
+    * ADC shortlist (top-[[pqRerankR]] by compressed score, through the
+    * SAME [[ivfPqTopN]] the q184 gate executes) re-scored with the
+    * EXACT cosine and cut to top-k — the IVFADC+R second stage. Shared
+    * by the q229 gate and q230's eval so the measured list is exactly
+    * the gated one. The corpus is touched once (the codes scan inside
+    * ivfPqTopN) plus probes×r full-precision fetches — the refine cost
+    * a deployment pays for the recall it buys.
+    */
+  private[graft] def rerankTop(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = ivfPqTopN(s, dir, ivfNprobe, topN = pqRerankR)
+      .select(col("probe_id"), col("vec_id"))
+    val corpus = emb(s, dir)
+    val probes = corpus.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("n2").as("pn2"))
+    val cands = corpus
+      .join(broadcast(shortlist), Seq("vec_id"))  // hint audit: probe-bounded (<= probes x r shortlist rows)
+      .join(broadcast(probes), Seq("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+      .select(col("probe_id"), col("vec_id"),
+        cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+          .as("cosine"))
+    val top = graft.plans.TopK.perGroup(cands, Seq("probe_id"),
+      Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    top.withColumn("rn", row_number().over(w))
+  }
 
   /** q168's encode as a parametric frame (vec_id, packed_code, qerr):
     * the codebook is literal-folded, argmin per subspace is one
@@ -1219,6 +1257,65 @@ object SimilarityQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // PQ shortlist + exact re-rank — the IVFADC+R two-stage serving
+    // path (Jégou et al. ICASSP 2011): the compressed index proposes
+    // top-r by ADC score (cheap, whole-corpus), then only those r
+    // candidates per probe are re-scored with the TRUE cosine and cut
+    // to top-k. The refine stage pays probes×r full-precision fetches
+    // — bounded, never a second corpus scan — and recovers every true
+    // neighbor the ADC scores misordered INSIDE the shortlist (a
+    // per-probe theorem: q230 measures it, PqSpec pins it).
+    "q229_pq_rerank" -> ((s, dir) =>
+      rerankTop(s, dir).select("probe_id", "vec_id", "cosine", "rn")
+        .orderBy("probe_id", "rn")),
+
+    // The re-rank eval: recall@k of the re-ranked list and of the
+    // plain ADC@k list (same nprobe) against the exact top-k, side by
+    // side per probe. Re-rank recall >= ADC recall is a THEOREM here
+    // (shortlist ⊇ ADC top-k, and re-ranking by the true score keeps
+    // every exact-top-k member present in the shortlist), so the gap
+    // columns price exactly what the refine stage buys — the number
+    // that decides whether to ship the second stage.
+    "q230_rerank_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes),  // hint audit: probe-batch-bounded (9-row probe slice)
+          col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val rr = rerankTop(s, dir)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("rr_hit"))
+      val adc = ivfPqTopN(s, dir, ivfNprobe)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("adc_hit"))
+      val all = Window.partitionBy()
+      exact
+        .join(broadcast(rr), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (<= probes x k rerank rows)
+        .join(broadcast(adc), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (<= probes x k ADC rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("rr_hit"), lit(0L))).as("n_hits_rerank"),
+          sum(coalesce(col("adc_hit"), lit(0L))).as("n_hits_adc"))
+        .withColumn("rerank_recall_permille",
+          expr(s"n_hits_rerank * 1000 div $pqTopK"))
+        .withColumn("adc_recall_permille",
+          expr(s"n_hits_adc * 1000 div $pqTopK"))
+        .withColumn("tot_rr", sum(col("n_hits_rerank")).over(all))
+        .withColumn("tot_adc", sum(col("n_hits_adc")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_rerank_permille",
+          expr(s"tot_rr * 1000 div (n_probes * $pqTopK)"))
+        .withColumn("overall_adc_permille",
+          expr(s"tot_adc * 1000 div (n_probes * $pqTopK)"))
+        .drop("tot_rr", "tot_adc", "n_probes")
+        .orderBy("probe_id")
+    }),
+
     // Graded, position-discounted ANN eval: nDCG@k of the IVF-PQ
     // ranked list against the exact top-k — completes the eval
     // triptych (recall@k = set overlap, MRR = best-hit rank, nDCG =
@@ -1819,6 +1916,71 @@ object SimilarityQueries {
            |  post.n_post_surviving
            |FROM pre JOIN post ON post.probe_id = pre.probe_id
            |WHERE pre.rn <= $pqTopK ORDER BY pre.probe_id, pre.rn""".stripMargin
+      },
+      "q229_pq_rerank" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e2.embedding"), "p.pn2", "e2.n2")
+        s"""WITH ${sqlIvfPqAdcN(ivfNprobe)},
+           |sl AS (SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |        ORDER BY adc_dist, vec_id) AS rn
+           |    FROM adc) WHERE rn <= $pqRerankR),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |rr AS (SELECT sl.probe_id, sl.vec_id, $cos AS cosine
+           |       FROM sl JOIN e e2 ON e2.vec_id = sl.vec_id
+           |       JOIN p ON p.probe_id = sl.probe_id)
+           |SELECT probe_id, vec_id, cosine, rn FROM (
+           |  SELECT probe_id, vec_id, cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn FROM rr)
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin
+      },
+      "q230_rerank_recall" -> {
+        val rcos = sqlCosineFrom(sqlDot("p.pe", "e2.embedding"), "p.pn2", "e2.n2")
+        val xcos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        s"""WITH ${sqlIvfPqAdcN(ivfNprobe)},
+           |ranked AS (SELECT probe_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY probe_id
+           |      ORDER BY adc_dist, vec_id) AS rn
+           |  FROM adc),
+           |sl AS (SELECT probe_id, vec_id FROM ranked WHERE rn <= $pqRerankR),
+           |pqtop AS (SELECT probe_id, vec_id FROM ranked WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |rr AS (SELECT probe_id, vec_id FROM (
+           |    SELECT sl.probe_id, sl.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY sl.probe_id
+           |        ORDER BY $rcos DESC, sl.vec_id) AS rn
+           |    FROM sl JOIN e e2 ON e2.vec_id = sl.vec_id
+           |    JOIN p ON p.probe_id = sl.probe_id) WHERE rn <= $pqTopK),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $xcos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN rr.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_rerank,
+           |        CAST(SUM(CASE WHEN pqtop.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_adc
+           |      FROM ex LEFT JOIN rr
+           |        ON rr.probe_id = ex.probe_id AND rr.vec_id = ex.vec_id
+           |      LEFT JOIN pqtop
+           |        ON pqtop.probe_id = ex.probe_id
+           |        AND pqtop.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits_rerank, n_hits_adc,
+           |  n_hits_rerank * 1000 // $pqTopK AS rerank_recall_permille,
+           |  n_hits_adc * 1000 // $pqTopK AS adc_recall_permille,
+           |  CAST(SUM(n_hits_rerank) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_rerank_permille,
+           |  CAST(SUM(n_hits_adc) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_adc_permille
+           |FROM h ORDER BY probe_id""".stripMargin
       },
       "q225_sq8_topk" ->
         s"""WITH $sqlSq8Chain

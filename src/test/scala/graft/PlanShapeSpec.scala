@@ -114,6 +114,9 @@ class PlanShapeSpec extends SparkSuite {
     // q227: the filtered search scores through q29's broadcast-probe
     // scan; both filter faces split one scored stream
     "q227_filtered_topk",
+    // q230's ground truth is q29's exact broadcast-probe scan (the
+    // recall evals' shape); the rerank/ADC attaches are equi BHJs
+    "q230_rerank_recall",
     // q206's suffix-blocklist probe: the 3-entry curated blocklist
     // broadcasts under a prefix (inequality) condition — BNLJ against
     // a value-domain-bounded build side IS the designed plan (the

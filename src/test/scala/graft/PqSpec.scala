@@ -140,6 +140,36 @@ class PqSpec extends SparkSuite {
       "multi-probe must strictly improve total recall on the fixture")
   }
 
+  test("q229/q230: exact re-rank dominates plain ADC PER PROBE") {
+    // like the multi-probe LSH case (and unlike widening nprobe under
+    // approximate scores), this is a theorem: the shortlist is the ADC
+    // ranking truncated at r >= k, so it CONTAINS the ADC top-k; and
+    // re-ranking by the true cosine keeps every exact-top-k member
+    // present in the shortlist (any member outranks any non-member
+    // under the exact total order). So per probe:
+    //   hits(rerank@k) = |shortlist ∩ exact_topk| >= hits(adc@k).
+    val rows = SparkEntry.queries("q230_rerank_recall")(spark, dir).collect()
+    for (r <- rows) {
+      val rr = r.getLong(2); val adc = r.getLong(3)
+      assert(rr >= adc,
+        s"probe ${r.getLong(0)} lost recall under re-rank: $rr < $adc")
+    }
+    assert(rows.map(_.getLong(2)).sum > rows.map(_.getLong(3)).sum,
+      "re-rank must strictly improve total recall on the fixture")
+
+    // and the re-ranked list is drawn from the shortlist: every q229
+    // row appears in the nprobe-routed ADC ranking within rank r
+    val rrIds = SparkEntry.queries("q229_pq_rerank")(spark, dir)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slIds = graft.queries.SimilarityQueries
+      .ivfPqTopN(spark, dir, 4, topN = 20)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rrIds.subsetOf(slIds),
+      "re-ranked results must come from the ADC shortlist")
+  }
+
   test("q172: exactly one keeper per distinct chunk hash") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
