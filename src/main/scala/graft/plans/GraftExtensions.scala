@@ -51,6 +51,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.size == 1, "issue_mask(str)")
         MultiMatch(exprs.head, IssueClassifier.allPatterns.map(_._3))
       }))
+    // `nfc_normalize(str)` — Unicode canonical composition (UAX #15),
+    // named for parity with DuckDB's function so SQL screens port
+    // verbatim. Spark has no normalization builtin; the custom
+    // Expression keeps the screen inside whole-stage codegen.
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        "nfc_normalize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "nfc_normalize(str)")
+        graft.functions.NfcNormalize(exprs.head)
+      }))
     // the custom AGGREGATE: `k_min_values(expr, k)` — KMV distinct
     // sketch (k smallest distinct hashes, O(k) state). The registry
     // builder returns the aggregate FUNCTION; the analyzer wraps it

@@ -206,6 +206,41 @@ object QualityOpsQueries {
     // the previous octave in exact permille. One scan into a ≤64-row
     // value-domain relation; the lag window runs over that bounded
     // relation only (the q121 single-partition-window convention).
+    // Unicode NFC-normalization screen — the canonicalization step a
+    // multilingual corpus runs before ANY hash-based dedup or exact
+    // string matching (a decomposed "e"+U+0301 and a precomposed U+00E9
+    // render identically but hash differently, silently defeating
+    // q25/q27's exact and near-dup keys). Normalization runs through
+    // the NfcNormalize custom codegen Expression (Spark has no builtin;
+    // a UDF would break whole-stage codegen on a full-corpus scan), and
+    // the fixture — ASCII by construction — gets deterministic
+    // combining-mark sequences WOVEN from doc_id (the piiText
+    // convention) with the SAME construction in the oracle, where
+    // DuckDB's nfc_normalize recomputes the composition independently
+    // (two engines, two UAX #15 implementations, one hash). Per-source:
+    // affected-doc permille and codepoints saved by composition.
+    "q232_nfc_screen" -> ((s, dir) => {
+      val woven = concat(
+        lit("Cafe"),
+        when(expr("doc_id % 3 = 0"), lit("\u0301")).otherwise(lit("")),
+        lit(" no"),
+        when(expr("doc_id % 5 = 0"), lit("\u0308")).otherwise(lit("")),
+        lit("l "),
+        when(expr("doc_id % 7 = 0"), lit("\u00e9")).otherwise(lit("e")),
+        col("doc_id").cast("string"))
+      docs(s, dir)
+        .select(col("source"), woven.as("w"))
+        .withColumn("nw", graft.functions.NfcNormalize(col("w")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nw") =!= col("w"), 1L).otherwise(0L))
+            .as("n_non_nfc"),
+          sum((length(col("w")) - length(col("nw"))).cast("long"))
+            .as("chars_saved"))
+        .withColumn("non_nfc_permille", expr("n_non_nfc * 1000 div n_docs"))
+        .orderBy("source")
+    }),
+
     "q228_length_octaves" -> ((s, dir) => {
       val b = Tables(s, dir, "documents")
         .select(length(expr("bin(n_chars)")).cast("long").as("octave"),
@@ -223,6 +258,24 @@ object QualityOpsQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q232_nfc_screen" ->
+      s"""WITH w AS (SELECT source,
+         |    concat('Cafe',
+         |      CASE WHEN doc_id % 3 = 0 THEN '\u0301' ELSE '' END,
+         |      ' no',
+         |      CASE WHEN doc_id % 5 = 0 THEN '\u0308' ELSE '' END,
+         |      'l ',
+         |      CASE WHEN doc_id % 7 = 0 THEN '\u00e9' ELSE 'e' END,
+         |      CAST(doc_id AS VARCHAR)) AS w
+         |  FROM documents),
+         |n AS (SELECT source, w, nfc_normalize(w) AS nw FROM w)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN nw <> w THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_non_nfc,
+         |  CAST(SUM(length(w) - length(nw)) AS BIGINT) AS chars_saved,
+         |  CAST(SUM(CASE WHEN nw <> w THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // CAST(COUNT(*) AS BIGINT) AS non_nfc_permille
+         |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "q228_length_octaves" ->
       s"""WITH o AS (SELECT CAST(length(bin(n_chars)) AS BIGINT) AS octave,
          |      n_chars FROM documents),
