@@ -425,9 +425,19 @@ object SimilarityQueries {
     * ivfPqTopN) plus probes×r full-precision fetches — the refine cost
     * a deployment pays for the recall it buys.
     */
-  private[graft] def rerankTop(s: SparkSession, dir: String): DataFrame = {
-    val shortlist = ivfPqTopN(s, dir, ivfNprobe, topN = pqRerankR)
-      .select(col("probe_id"), col("vec_id"))
+  private[graft] def rerankTop(s: SparkSession, dir: String): DataFrame =
+    rerankFrom(s, dir, ivfPqTopN(s, dir, ivfNprobe, topN = pqRerankR))
+
+  /** The refine stage alone, over a prebuilt (probe_id, vec_id)
+    * shortlist — split out so q230's eval can derive BOTH faces
+    * (re-rank and plain ADC@k) from ONE shortlist frame: the ADC top-k
+    * is the same ranking truncated at k, so sharing the frame both
+    * halves the codes-build work and makes "shortlist ⊇ ADC top-k" —
+    * the premise of the dominance theorem — structural.
+    */
+  private def rerankFrom(
+      s: SparkSession, dir: String, shortlistRanked: DataFrame): DataFrame = {
+    val shortlist = shortlistRanked.select(col("probe_id"), col("vec_id"))
     val corpus = emb(s, dir)
     val probes = corpus.where(probeSlice(61))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -1289,9 +1299,13 @@ object SimilarityQueries {
             .as("cosine"))
       val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
         Seq("cosine" -> true, "vec_id" -> false), pqTopK)
-      val rr = rerankTop(s, dir)
+      // ONE shortlist frame serves both faces: the plain ADC@k face is
+      // the same ranking truncated at k (rn <= k of the top-r), so the
+      // codes build runs once and the theorem's premise is structural
+      val sl = ivfPqTopN(s, dir, ivfNprobe, topN = pqRerankR)
+      val rr = rerankFrom(s, dir, sl)
         .select(col("probe_id"), col("vec_id"), lit(1L).as("rr_hit"))
-      val adc = ivfPqTopN(s, dir, ivfNprobe)
+      val adc = sl.where(col("rn") <= pqTopK)
         .select(col("probe_id"), col("vec_id"), lit(1L).as("adc_hit"))
       val all = Window.partitionBy()
       exact
