@@ -289,7 +289,231 @@ object CrawlOpsQueries {
         col("kept_doc"), col("priority_pm"))
   }
 
+  /** q231's damping in percent and iteration count — literals in both
+    * engines' plans.
+    */
+  private val prDampPct = 85
+  private val prIters = 3
+
+  /** One damped PageRank step over the bounded host graph:
+    * r'(v) = tele(v) + d·Σ_u r(u)·w(u,v) div out(u) div 100 — all
+    * exact integer micro-units (truncation is part of the fixed-point
+    * contract, identical in both engines). `ranks` carries its own
+    * per-host `tele` column — uniform (1e6·(100−d)) div (100·H) for
+    * q231's PageRank, seed-concentrated for q233's TrustRank — so the
+    * SAME step serves both walks. `edges`, `outW`, and `ranks` are all
+    * value-domain-bounded (≤23-host graph), so every join broadcasts
+    * the model-sized side; the one corpus-scale operation in q231 is
+    * the edge aggregation feeding this.
+    */
+  private def pagerankStep(
+      edges: DataFrame, outW: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(broadcast(outW), Seq("src"))  // hint audit: value-domain-bounded (<= 23-host out-weight table)
+      .join(broadcast(ranks.select(col("h").as("src"), col("r"))),  // hint audit: value-domain-bounded (<= 23-host rank vector)
+        Seq("src"))
+      .select(col("dst").as("h"), expr("r * w div out_w").as("c"))
+      .groupBy("h").agg(sum(col("c")).as("inflow"))
+    ranks.select("h", "tele")
+      .join(broadcast(contrib), Seq("h"), "left")  // hint audit: value-domain-bounded (<= 23-host inflow vector)
+      .withColumn("r",
+        expr(s"tele + $prDampPct * coalesce(inflow, 0L) div 100"))
+      .drop("inflow")
+  }
+
+  /** The walk's edge-list cache — at most one generation live
+    * (CacheSlot). Without it, column pruning and join-key null filters
+    * specialize the edge aggregation into three statically distinct
+    * subtrees (nodes / contrib / outW), so even with exchange reuse the
+    * corpus is scanned three times; caching the ≤H²-row edge list makes
+    * "corpus aggregated ONCE" literal — every downstream reference,
+    * across all `prIters` iterations, reads the in-memory relation.
+    */
+  private val lastEdges = new graft.util.CacheSlot
+
+  /** The full iterated walk over a weighted edge list: nodes, initial
+    * mass, `prIters` steps, final (host_id, host, rank_micro,
+    * delta_micro) — ONE definition for the q231 gate, q234's
+    * incremental twin (which feeds it a merged edge list), and — with
+    * `seedTele` — q233's TrustRank.
+    */
+  private def pagerankFrom(
+      edgesRaw: DataFrame, seedTeleR0: Option[(Column, Column)] = None)
+      : DataFrame = {
+    val edges = lastEdges.swap(edgesRaw.cache())
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val nodes = edges.select(col("src").as("h"))
+      .union(edges.select(col("dst").as("h"))).distinct()
+    // bounded relation from here down: <= 23 hosts
+    val all = Window.partitionBy()
+    val withN = nodes.withColumn("nh", count(lit(1)).over(all))
+    val r0 = seedTeleR0 match {
+      case None =>
+        withN
+          .withColumn("tele",
+            expr(s"1000000 * ${100 - prDampPct} div (100 * nh)"))
+          .withColumn("r", expr("1000000 div nh"))
+          .drop("nh")
+      case Some((tele, init)) =>
+        // TrustRank: teleport mass concentrated on the seed set, and
+        // the walk STARTS at that distribution (zero elsewhere)
+        withN.drop("nh").withColumn("tele", tele).withColumn("r", init)
+    }
+    var prev = r0
+    var cur = r0
+    for (_ <- 1 to prIters) {
+      prev = cur
+      cur = pagerankStep(edges, outW, cur)
+    }
+    cur.join(broadcast(prev.select(col("h"), col("r").as("r_prev"))),  // hint audit: value-domain-bounded (<= 23-host rank vector)
+        Seq("h"))
+      .select(col("h").as("host_id"),
+        concat(lit("site"), col("h").cast("string"), lit(".com"))
+          .as("host"),
+        col("r").as("rank_micro"),
+        (col("r") - col("r_prev")).as("delta_micro"))
+      .orderBy(desc("rank_micro"), asc("host_id"))
+  }
+
+  /** The woven host→host edge aggregation over a documents slice —
+    * shared by q231 (full corpus), and q234's old/delta halves (the
+    * per-(src,dst) counts merge by SUM: associativity makes
+    * incremental ≡ from-scratch exactly).
+    */
+  private def hostEdges(docs: DataFrame): DataFrame = docs
+    .select(expr("(doc_id div 4) % 23").as("src"),
+      expr("((doc_id div 4) + doc_id % 7 + 1) % 23").as("dst"))
+    .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** q233 TrustRank seed hosts (Gyöngyi et al., VLDB 2004): the
+    * curated "trusted" set a crawl-quality pipeline anchors on.
+    */
+  private val trustSeeds = Seq(0L, 5L, 10L, 15L, 20L)
+
+  /** q235's iteration count — a literal in both engines' plans. */
+  private val hitsIters = 3
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999 — public) over the
+    * same weighted host graph as q231: `hitsIters` rounds of the
+    * mutual recursion a(v) = Σ_{u→v} h(u)·w, h(u) = Σ_{u→v} a(v)·w,
+    * each side renormalized to total mass 1e6 in exact integer
+    * micro-units (`x·1e6 div total` — truncation is the shared
+    * fixed-point contract; hosts with no in/out links keep exact 0 via
+    * left-join + coalesce). Everything below the edge aggregation is
+    * the ≤H-row bounded relation: the normalization windows are the
+    * sanctioned bounded single-partition windows, and every join
+    * broadcasts a model-sized side. Overflow headroom: araw ≤
+    * 1e6·Σw = 1e6·|docs|, so the ·1e6 rescale stays inside BIGINT up
+    * to ~9e6 docs per weave round; beyond that a deployment splits the
+    * rescale (permille twice), same contract shape.
+    */
+  private def hitsFrom(edgesRaw: DataFrame): DataFrame = {
+    val edges = lastEdges.swap(edgesRaw.cache())
+    val nodes = edges.select(col("src").as("h"))
+      .union(edges.select(col("dst").as("h"))).distinct()
+    val all = Window.partitionBy()
+    // bounded relation from here down: <= 23 hosts
+    var hub = nodes.withColumn("nh", count(lit(1)).over(all))
+      .select(col("h"), expr("1000000 div nh").as("hub"))
+    var auth: DataFrame = null
+    def renorm(raw: DataFrame, rawCol: String, outCol: String): DataFrame =
+      nodes.join(broadcast(raw), Seq("h"), "left")  // hint audit: value-domain-bounded (<= 23-host score vector)
+        .withColumn("v", coalesce(col(rawCol), lit(0L)))
+        .withColumn("tot", sum(col("v")).over(all))
+        .select(col("h"), expr(s"v * 1000000 div tot").as(outCol))
+    for (_ <- 1 to hitsIters) {
+      auth = renorm(
+        edges
+          .join(broadcast(hub.select(col("h").as("src"), col("hub"))),  // hint audit: value-domain-bounded (<= 23-host hub vector)
+            Seq("src"))
+          .select(col("dst").as("h"), expr("hub * w").as("c"))
+          .groupBy("h").agg(sum(col("c")).as("araw")),
+        "araw", "auth")
+      hub = renorm(
+        edges
+          .join(broadcast(auth.select(col("h").as("dst"), col("auth"))),  // hint audit: value-domain-bounded (<= 23-host authority vector)
+            Seq("dst"))
+          .select(col("src").as("h"), expr("auth * w").as("c"))
+          .groupBy("h").agg(sum(col("c")).as("hraw")),
+        "hraw", "hub")
+    }
+    auth.join(broadcast(hub), Seq("h"))  // hint audit: value-domain-bounded (<= 23-host hub vector)
+      .select(col("h").as("host_id"),
+        concat(lit("site"), col("h").cast("string"), lit(".com"))
+          .as("host"),
+        col("auth").as("authority_micro"), col("hub").as("hub_micro"))
+      .orderBy(desc("authority_micro"), asc("host_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Host-level PageRank — the crawl tier's authority signal (Page et
+    // al. 1999; the host-grain webgraph is how web-scale corpora rank
+    // domains for crawl priority / quality priors). Each doc WEAVES one
+    // host-to-host link (its q205 host cites host (g + doc_id%7 + 1)
+    // mod 23 — deterministic, no self-loops, skewed in-degrees), the
+    // corpus aggregates ONCE into a <=23x7-row weighted edge list, and
+    // three damped iterations run entirely on that bounded graph in
+    // exact integer micro-units (total mass 1e6; per-edge truncation is
+    // the fixed-point contract both engines share). delta_micro = the
+    // last iteration's signed movement per host — the convergence
+    // number that decides whether prIters suffices. At 100 TB the
+    // design is unchanged: one edge-agg shuffle ∝ corpus, then
+    // model-sized iterations; a billion-host graph swaps the broadcast
+    // hints for partitioned joins but keeps the same step algebra.
+    "q231_host_pagerank" -> ((s, dir) =>
+      pagerankFrom(hostEdges(Tables(s, dir, "documents")))),
+
+    // TrustRank (Gyöngyi et al., VLDB 2004 — public): the SAME damped
+    // walk as q231 but with the teleport mass concentrated on a curated
+    // trusted-seed host set (and the walk starting there), so authority
+    // flows OUT of the seeds along links — hosts reachable only from
+    // untrusted regions score near zero. The standard web-spam prior:
+    // rank_micro here vs q231's rank is the trust gap a crawl scheduler
+    // reads. Same machinery, same bounded-graph cost model; seeds are a
+    // 5-element literal in both engines' plans.
+    "q233_trustrank" -> ((s, dir) => {
+      val seedSet = trustSeeds.mkString(", ")
+      val nSeeds = trustSeeds.size
+      pagerankFrom(hostEdges(Tables(s, dir, "documents")),
+        Some((
+          expr(s"CASE WHEN h IN ($seedSet) THEN " +
+            s"1000000 * ${100 - prDampPct} div (100 * $nSeeds) " +
+            "ELSE 0L END"),
+          expr(s"CASE WHEN h IN ($seedSet) THEN 1000000 div $nSeeds " +
+            "ELSE 0L END"))))
+    }),
+
+    // Incremental PageRank maintenance — the E124/E148 delta convention
+    // applied to the graph tier: a delta doc batch weaves its edges and
+    // aggregates ALONE (cost ∝ delta), the per-(src,dst) counts merge
+    // into the persisted edge list by SUM (associativity ⇒ merged ≡
+    // from-scratch exactly), and the model-sized iterations re-run on
+    // the merged graph — they were never corpus-scale to begin with.
+    // Oracle = q231's twin VERBATIM over the full corpus: incremental ≡
+    // from-scratch, hash-proven.
+    "q234_delta_pagerank" -> ((s, dir) => {
+      def inDelta(c: Column) =
+        c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
+      val docs = Tables(s, dir, "documents")
+      val oldEdges = hostEdges(docs.where(!inDelta(col("doc_id"))))
+      val deltaEdges = hostEdges(docs.where(inDelta(col("doc_id"))))
+      val merged = oldEdges
+        .unionByName(deltaEdges)
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      pagerankFrom(merged)
+    }),
+
+    // HITS hubs & authorities over the q231 host graph — the second
+    // classic link-analysis signal (Kleinberg 1999): authority = cited
+    // by good hubs, hub = cites good authorities. Where PageRank is the
+    // crawl-priority prior, the authority/hub split is the standard
+    // "content source vs link directory" discriminator a corpus mixer
+    // reads per domain. Same cost model as q231: ONE corpus-scale edge
+    // aggregation (shared CacheSlot — scanned once, iterated in
+    // memory), then model-sized renormalized iterations.
+    "q235_hits" -> ((s, dir) =>
+      hitsFrom(hostEdges(Tables(s, dir, "documents")))),
+
     // URL canonicalization + canonical-key dedup — the FIRST dedup any
     // web corpus runs (cheaper than any text hash: it needs only the
     // URL column). Canonicalization is one codegen scan-stage string
@@ -475,7 +699,90 @@ object CrawlOpsQueries {
        |FROM f ORDER BY round, host, canonical_url""".stripMargin
   }
 
+  /** The iterated-walk oracle, mirroring [[pagerankFrom]] — ONE
+    * parametric string for q231 (uniform teleport), q233 (seeded), and
+    * q234 (whose twin IS q231's: incremental ≡ from-scratch).
+    */
+  private def sqlPagerank(seeded: Boolean): String = {
+    val (tele0, r0expr) =
+      if (seeded) {
+        val ss = trustSeeds.mkString(", ")
+        val nS = trustSeeds.size
+        (s"CASE WHEN h IN ($ss) THEN 1000000 * ${100 - prDampPct} " +
+          s"// (100 * $nS) ELSE 0 END",
+          s"CASE WHEN h IN ($ss) THEN 1000000 // $nS ELSE 0 END")
+      } else
+        (s"1000000 * ${100 - prDampPct} " +
+          "// (100 * CAST(COUNT(*) OVER () AS BIGINT))",
+          "1000000 // CAST(COUNT(*) OVER () AS BIGINT)")
+    val steps = (1 to prIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS h,
+         |    CAST(SUM(r.r * e.w // o.out_w) AS BIGINT) AS inflow
+         |  FROM edges e JOIN outw o ON o.src = e.src
+         |  JOIN r${i - 1} r ON r.h = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.h, n.tele,
+         |    n.tele + $prDampPct * COALESCE(c.inflow, 0) // 100 AS r
+         |  FROM r${i - 1} n LEFT JOIN c$i c ON c.h = n.h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT (doc_id // 4) % 23 AS src,
+       |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
+       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM ed GROUP BY src, dst),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+       |  FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS h FROM edges
+       |  UNION SELECT dst AS h FROM edges),
+       |r0 AS (SELECT h, CAST($tele0 AS BIGINT) AS tele,
+       |    CAST($r0expr AS BIGINT) AS r
+       |  FROM nodes),
+       |$steps
+       |SELECT f.h AS host_id,
+       |  concat('site', CAST(f.h AS VARCHAR), '.com') AS host,
+       |  f.r AS rank_micro, f.r - p.r AS delta_micro
+       |FROM r$prIters f JOIN r${prIters - 1} p ON p.h = f.h
+       |ORDER BY rank_micro DESC, host_id""".stripMargin
+  }
+
+  /** q235's oracle: the HITS recursion unrolled as a CTE chain,
+    * mirroring [[hitsFrom]]'s integer contract step for step.
+    */
+  private def sqlHits: String = {
+    val steps = (1 to hitsIters).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS h, CAST(SUM(x.hub * e.w) AS BIGINT) AS v
+         |  FROM edges e JOIN hub${i - 1} x ON x.h = e.src GROUP BY e.dst),
+         |a${i}t AS (SELECT n.h, CAST(COALESCE(r.v, 0) AS BIGINT) AS v,
+         |    CAST(SUM(COALESCE(r.v, 0)) OVER () AS BIGINT) AS tot
+         |  FROM nodes n LEFT JOIN a${i}r r ON r.h = n.h),
+         |auth$i AS (SELECT h, v * 1000000 // tot AS auth FROM a${i}t),
+         |h${i}r AS (SELECT e.src AS h, CAST(SUM(x.auth * e.w) AS BIGINT) AS v
+         |  FROM edges e JOIN auth$i x ON x.h = e.dst GROUP BY e.src),
+         |h${i}t AS (SELECT n.h, CAST(COALESCE(r.v, 0) AS BIGINT) AS v,
+         |    CAST(SUM(COALESCE(r.v, 0)) OVER () AS BIGINT) AS tot
+         |  FROM nodes n LEFT JOIN h${i}r r ON r.h = n.h),
+         |hub$i AS (SELECT h, v * 1000000 // tot AS hub FROM h${i}t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT (doc_id // 4) % 23 AS src,
+       |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
+       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM ed GROUP BY src, dst),
+       |nodes AS (SELECT src AS h FROM edges
+       |  UNION SELECT dst AS h FROM edges),
+       |hub0 AS (SELECT h,
+       |    1000000 // CAST(COUNT(*) OVER () AS BIGINT) AS hub
+       |  FROM nodes),
+       |$steps
+       |SELECT a.h AS host_id,
+       |  concat('site', CAST(a.h AS VARCHAR), '.com') AS host,
+       |  a.auth AS authority_micro, b.hub AS hub_micro
+       |FROM auth$hitsIters a JOIN hub$hitsIters b ON b.h = a.h
+       |ORDER BY authority_micro DESC, host_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q235_hits" -> sqlHits,
+    "q231_host_pagerank" -> sqlPagerank(seeded = false),
+    "q233_trustrank" -> sqlPagerank(seeded = true),
+    "q234_delta_pagerank" -> sqlPagerank(seeded = false),
     "q205_url_canonical" -> {
       val chain = sqlCanonicalChain("raw")
       s"""WITH raw AS (

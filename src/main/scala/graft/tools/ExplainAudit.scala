@@ -27,6 +27,15 @@ object ExplainAudit {
       "q154_stream_session_window",
       "q64_dedup_clusters", "q150_keep_best", "q80_bloom_join")
     val (flags, qs) = args.partition(_.startsWith("--"))
+    // `--no-aqe`: print the STATIC physical plan (AQE off), where the
+    // ReuseExchangeAndSubquery preparation rule is applied visibly —
+    // the way to audit that repeated subtrees (e.g. an iterated graph
+    // walk referencing the same corpus-scale edge aggregation) collapse
+    // to ReusedExchange instead of re-scanning. With AQE on, the same
+    // reuse happens at runtime via canonicalized stage matching but the
+    // printed initial plan shows the duplicates.
+    if (flags.contains("--no-aqe"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     if (flags.contains("--summary")) {
       val names =
         if (qs.nonEmpty) qs.toSeq

@@ -167,10 +167,14 @@ class PlanShapeSpec extends SparkSuite {
       // pessimistic, so the static pass plans the production shuffle
       // joins — at runtime AQE promotes them to broadcast at gate
       // scale from the cached edge frame's real size
+      // ... and q236's snapshot diff full-outer-merges two corpus-scale
+      // digest streams on doc_id — full-outer equi-joins cannot
+      // broadcast, and sort-merge on the id IS the designed diff plan
       if (!Set("q72_cdc_merge", "q80_bloom_join", "q82_incremental_agg",
           "q103_triangle_count", "q114_bigram_coherence",
           "q115_sorted_neighborhood", "q126_rank_fusion",
-          "q139_linkage_score", "q152_skipgram_pmi")(name))
+          "q139_linkage_score", "q152_skipgram_pmi",
+          "q236_corpus_diff")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
@@ -626,6 +630,31 @@ class PlanShapeSpec extends SparkSuite {
     assert(q177.collect { case t: graft.plans.TopKPartialExec => t }.size === 1
       && q177.collect { case t: graft.plans.TopKFinalExec => t }.size === 1,
       "q177 must rank through the two-phase TopKPerGroup operator")
+  }
+
+  test("graph tier iterates over the cached edge list, never the corpus") {
+    // The PageRank family's one corpus-scale operation is the edge
+    // aggregation, materialized through pagerankFrom's CacheSlot: the
+    // executedPlan of every walk must read ONLY InMemoryTableScans
+    // (the corpus scan lives inside the InMemoryRelation, computed
+    // once) and join only model-sized broadcast sides. A parquet scan
+    // appearing here would mean column pruning / join-key filters
+    // re-specialized an uncached edge subtree — three corpus scans at
+    // 100 TB instead of one.
+    for (q <- Seq("q231_host_pagerank", "q233_trustrank",
+        "q234_delta_pagerank", "q235_hits")) {
+      val p = plans(q)
+      assert(p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.isEmpty, s"$q: a corpus scan escaped the edge-list cache")
+      assert(p.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }.nonEmpty, s"$q: iterations no longer read the cached edge list")
+      assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+        p.collect { case j: ShuffledHashJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q: every iteration join must broadcast its bounded side")
+    }
   }
 
   test("filter pushdown reaches the parquet scan in q01") {
