@@ -187,6 +187,54 @@ object ShapeOpsQueries {
     // null bucket) so the staging directory can be cleaned up before
     // the frame is consumed. At 100 TB mergeSchema's footer-union
     // planning is metadata-scale; the data path stays one scan.
+    // Corpus snapshot diff — the "what changed between crawls" report
+    // that gates every incremental re-process decision (re-dedup?
+    // re-embed? retrain?): two snapshot states full-outer-joined on
+    // doc_id and compared BY DIGEST (md5 — at 100 TB the digests are
+    // precomputed per snapshot and the diff never moves document text,
+    // only 16-byte fingerprints; both engines compute md5 of the same
+    // UTF-8 bytes so the comparison is cross-engine exact). Snapshots
+    // are WOVEN (the piiText convention): the old state drops doc_id %
+    // 13 == 7 (later-added docs) and carries a stale revision for
+    // doc_id % 11 == 3; the new state drops doc_id % 17 == 5 (removed
+    // docs). Per source: added / removed / changed / unchanged counts
+    // and churn permille — the number a scheduler compares against its
+    // re-process threshold. Plan: the full-outer join shuffles both
+    // corpus-scale sides on doc_id (the designed plan — no broadcast
+    // is possible or hinted); the rollup is map-side-combined into ≤
+    // |sources| rows.
+    "q236_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.where(col("doc_id") % 13 =!= 7)
+        .select(col("doc_id"), col("source"),
+          md5(when(col("doc_id") % 11 === 3,
+              concat(col("text"), lit(" (rev1)")))
+            .otherwise(col("text")).cast("binary")).as("dig_old"))
+      val nw = d.where(col("doc_id") % 17 =!= 5)
+        .select(col("doc_id"), col("source").as("source_new"),
+          md5(col("text").cast("binary")).as("dig_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(
+          coalesce(col("source"), col("source_new")).as("source"),
+          when(col("dig_old").isNull, lit("added"))
+            .when(col("dig_new").isNull, lit("removed"))
+            .when(col("dig_old") =!= col("dig_new"), lit("changed"))
+            .otherwise(lit("unchanged")).as("st"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("st") === "removed", 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("st") === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("st") === "unchanged", 1L).otherwise(0L))
+            .as("n_unchanged"))
+        .withColumn("churn_permille",
+          expr("(n_added + n_removed + n_changed) * 1000 div " +
+            "(n_added + n_removed + n_changed + n_unchanged)"))
+        .orderBy("source")
+    }),
+
     "q165_schema_evolution" -> ((s, dir) => {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-q165-vintages")
@@ -323,6 +371,34 @@ object ShapeOpsQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    "q236_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 11 = 3 THEN concat(text, ' (rev1)')
+        |        ELSE text END) AS dig_old
+        |  FROM documents WHERE doc_id % 13 <> 7),
+        |nw AS (SELECT doc_id, source AS source_new, md5(text) AS dig_new
+        |  FROM documents WHERE doc_id % 17 <> 5),
+        |st AS (SELECT COALESCE(old.source, nw.source_new) AS source,
+        |    CASE WHEN dig_old IS NULL THEN 'added'
+        |      WHEN dig_new IS NULL THEN 'removed'
+        |      WHEN dig_old <> dig_new THEN 'changed'
+        |      ELSE 'unchanged' END AS s
+        |  FROM old FULL OUTER JOIN nw ON nw.doc_id = old.doc_id),
+        |c AS (SELECT source,
+        |    CAST(SUM(CASE WHEN s = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_added,
+        |    CAST(SUM(CASE WHEN s = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_removed,
+        |    CAST(SUM(CASE WHEN s = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changed,
+        |    CAST(SUM(CASE WHEN s = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unchanged
+        |  FROM st GROUP BY source)
+        |SELECT source, n_added, n_removed, n_changed, n_unchanged,
+        |  (n_added + n_removed + n_changed) * 1000
+        |    // (n_added + n_removed + n_changed + n_unchanged)
+        |    AS churn_permille
+        |FROM c ORDER BY source""".stripMargin,
     "q142_cms_estimate" -> {
       val vals = cmsA.zip(cmsB).zipWithIndex
         .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
