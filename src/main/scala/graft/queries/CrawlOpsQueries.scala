@@ -337,7 +337,7 @@ object CrawlOpsQueries {
     * incremental twin (which feeds it a merged edge list), and — with
     * `seedTele` — q233's TrustRank.
     */
-  private def pagerankFrom(
+  private[graft] def pagerankFrom(
       edgesRaw: DataFrame, seedTeleR0: Option[(Column, Column)] = None)
       : DataFrame = {
     val edges = lastEdges.swap(edgesRaw.cache())
@@ -380,7 +380,7 @@ object CrawlOpsQueries {
     * per-(src,dst) counts merge by SUM: associativity makes
     * incremental ≡ from-scratch exactly).
     */
-  private def hostEdges(docs: DataFrame): DataFrame = docs
+  private[graft] def hostEdges(docs: DataFrame): DataFrame = docs
     .select(expr("(doc_id div 4) % 23").as("src"),
       expr("((doc_id div 4) + doc_id % 7 + 1) % 23").as("dst"))
     .groupBy("src", "dst").agg(count(lit(1)).as("w"))

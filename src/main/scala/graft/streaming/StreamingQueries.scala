@@ -1193,6 +1193,67 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING graph-edge ingest — completes the GRAPH tier's
+    // build-path triangle exactly as q164 did the text index's, q204
+    // the vector tier's, and q221 the frontier's (batch q231 /
+    // incremental q234 / streaming THIS): delta documents arrive as a
+    // stream and their woven host→host links aggregate INSIDE the
+    // incremental engine through the SAME shared hostEdges definition
+    // (Complete mode — the (src, dst) count agg is stateful with state
+    // ∝ the delta's edge cardinality, ≤ H², no watermark needed).
+    // Post-sink the emitted delta edge list SUM-merges with the
+    // persisted old edge list (associativity ⇒ merged ≡ from-scratch
+    // exactly, q234's device) and the SAME pagerankFrom iterates the
+    // merged graph; the oracle is q231's from-scratch twin VERBATIM —
+    // streaming build ≡ incremental ≡ batch, hash-proven. At 100 TB:
+    // per-batch cost ∝ arriving docs; the rank refresh was never
+    // corpus-scale.
+    "q237_stream_edges" -> ((s, dir) => {
+      import graft.queries.{CrawlOpsQueries, ModelOpsQueries}
+      val src = Paths.get(s"$dir/documents.parquet")
+      val stage = tmpDir("graft-q237-src")
+      val ckpt = tmpDir("graft-q237-ckpt")
+      val sink = s"graft_q237_sink_${runSeq.incrementAndGet()}"
+      try {
+        val schema = s.read.parquet(src.toString).schema
+        val lo = ModelOpsQueries.deltaLo
+        val hi = ModelOpsQueries.deltaHi
+        def inDelta(c: org.apache.spark.sql.Column) = c >= lo && c < hi
+        val tmp = tmpDir("graft-q237-w")
+        try {
+          s.read.parquet(src.toString)
+            .where(inDelta(col("doc_id")))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, stage.resolve("delta.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally deleteRecursively(tmp)
+        val deltaEdges = CrawlOpsQueries.hostEdges(
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(inDelta(col("doc_id"))))
+        val query = deltaEdges.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val oldEdges = CrawlOpsQueries.hostEdges(
+          s.read.parquet(src.toString).where(!inDelta(col("doc_id"))))
+        val merged = oldEdges.unionByName(s.table(sink))
+          .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+        val out = CrawlOpsQueries.pagerankFrom(merged)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // STREAMING semantic decontamination — the q203 screen run LIVE on
     // arriving vectors (the ingest-time guard: a training vector that
     // near-duplicates the benchmark slice should be flagged BEFORE it
@@ -1729,6 +1790,12 @@ object StreamingQueries {
     // must equal full-corpus scheduling
     "q221_stream_frontier" ->
       graft.queries.CrawlOpsQueries.oracle("q217_crawl_frontier"),
+
+    // q231's from-scratch twin VERBATIM (the q164↔q98 / q204↔q186 /
+    // q221↔q217 sharing applied to the graph tier): the streaming-built
+    // edge list must yield the full-corpus PageRank
+    "q237_stream_edges" ->
+      graft.queries.CrawlOpsQueries.oracle("q231_host_pagerank"),
 
     // q203's SQL twin restricted to the delta ids: the streaming
     // screen must equal the batch screen on the slice it saw
