@@ -75,9 +75,10 @@ class PlanShapeSpec extends SparkSuite {
     "q106_hard_negatives", // q29's shape with the negative-band filter
     "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel",
     // one-row broadcast scalars (percentile threshold / max count /
-    // BM25 collection stats / exact+sketch threshold pair)
+    // BM25 collection stats / exact+sketch threshold pair / the
+    // Rayleigh-quotient pair + max-|cell| rescale scalar)
     "q65_quantile_filter", "q67_mix_weights", "q77_bm25",
-    "q88_quantile_filter_sketch",
+    "q88_quantile_filter_sketch", "q238_pca_power",
     // q87's split plan: codegen numeric agg ⨯ KMV object agg, both
     // single-row — the crossJoin of two 1-row results is a BNLJ
     "q87_profile_sketch",
