@@ -100,6 +100,28 @@ object ModelOpsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** q148's augmented-moment construction — the [x_micro.., 1, label]
+    * vector folded through the Gramian TypedImperativeAggregate into
+    * upper-triangle (i, j, v) cells. ONE definition for the q148 gate,
+    * q240's incremental maintenance (cells SUM-merge by (i, j) —
+    * associativity ⇒ merged ≡ from-scratch exactly), and q241's
+    * streaming ingest, so the maintained moment matrix can't drift
+    * from its gated from-scratch twin.
+    */
+  private[graft] def momentCells(df: DataFrame): DataFrame =
+    df.select(concat(
+        expr(s"transform(embedding, v -> cast(floor(cast(v as double) * $embMicro) as bigint))"),
+        array(lit(1L)),
+        array(col("label").cast("long"))).as("m"))
+      .agg(graft.functions.Gramian(col("m")).as("g"))
+      .select(inline(col("g")))
+
+  /** The q148 output shape over a cell frame. */
+  private[graft] def momentReport(cells: DataFrame): DataFrame =
+    cells.select(col("i").as("dim_i"), col("j").as("dim_j"),
+        col("v").as("s_micro"))
+      .orderBy("dim_i", "dim_j")
+
   /** q238's iteration count — a literal in both engines' plans. */
   private val pcaIters = 4
 
@@ -109,6 +131,57 @@ object ModelOpsQueries {
     * relation, the graph tier's device applied to linear algebra.
     */
   private val lastGram = new graft.util.CacheSlot
+
+  /** The power-iteration core — (cached scaled Gramian frame, final
+    * iterate, previous iterate) — ONE definition for the q238 gate and
+    * q239's whitening step, so the component the whitener subtracts is
+    * exactly the gated one. The corpus is touched once (the raw
+    * embedding Gramian, NOT q148's augmented one); each d-row iterate
+    * materializes to a LOCAL relation (the q78 centroid-fetch
+    * convention — a bounded model-sized collect per step; without it
+    * Catalyst re-optimizes the exponentially nesting per-iteration
+    * lineage, measured 24 s → 10 s for 64-row algebra).
+    */
+  private[graft] def pcaPower(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val gram = Tables(s, dir, "embeddings")
+      .select(expr(("transform(embedding, v -> " +
+        s"cast(floor(cast(v as double) * $embMicro) as bigint))")).as("m"))
+      .agg(graft.functions.Gramian(col("m")).as("g"))
+      .select(inline(col("g")))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("v"))
+    val full = gram.select(col("i"), col("j"), col("v"))
+      .unionByName(gram.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("v")))
+    val scaled = lastGram.swap(
+      full.join(broadcast(full.agg(max(abs(col("v"))).as("gmax"))))  // hint audit: scalar (one-row max-|cell|)
+        .select(col("i"), col("j"), expr("v * 1000 div gmax").as("g"))
+        // one partition for the cached ≤d²-row model: every iteration
+        // job is then a single task instead of 32-partition
+        // micro-stages — pure fixed-overhead removal, no data path
+        // change (the corpus-scale Gramian agg above is unaffected)
+        .coalesce(1)
+        .cache())
+    def local(df: DataFrame): DataFrame = {
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+    var v = local(scaled.select(col("i").as("dim")).distinct()
+      .withColumn("x", lit(1000000L)))
+    var prev = v
+    for (_ <- 1 to pcaIters) {
+      prev = v
+      val w = scaled
+        .join(broadcast(v.select(col("dim").as("j"), col("x"))),  // hint audit: value-domain-bounded (<= d-row iterate vector)
+          Seq("j"))
+        .groupBy("i").agg(sum(expr("g * x")).as("w"))
+      v = local(w
+        .join(broadcast(w.agg(max(abs(col("w"))).as("wmax"))))  // hint audit: scalar (one-row max-|component|)
+        .select(col("i").as("dim"), expr("w * 1000000 div wmax").as("x")))
+    }
+    (scaled, v, prev)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Top principal component via power iteration (von Mises–Pollaczek
@@ -130,50 +203,7 @@ object ModelOpsQueries {
     // estimate in scaled-Gramian units — as exact integers both
     // engines reproduce bit-for-bit.
     "q238_pca_power" -> ((s, dir) => {
-      val gram = Tables(s, dir, "embeddings")
-        .select(expr(("transform(embedding, v -> " +
-          s"cast(floor(cast(v as double) * $embMicro) as bigint))")).as("m"))
-        .agg(graft.functions.Gramian(col("m")).as("g"))
-        .select(inline(col("g")))
-        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          col("v"))
-      val full = gram.select(col("i"), col("j"), col("v"))
-        .unionByName(gram.where(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("v")))
-      val scaled = lastGram.swap(
-        full.join(broadcast(full.agg(max(abs(col("v"))).as("gmax"))))  // hint audit: scalar (one-row max-|cell|)
-          .select(col("i"), col("j"), expr("v * 1000 div gmax").as("g"))
-          // one partition for the cached ≤d²-row model: every
-          // iteration job is then a single task instead of 32-partition
-          // micro-stages — pure fixed-overhead removal, no data path
-          // change (the corpus-scale Gramian agg above is unaffected)
-          .coalesce(1)
-          .cache())
-      // bounded relation from here down: <= d^2 = 4096 cells. Each
-      // iterate materializes to a d-row LOCAL relation (the q78
-      // KMeans centroid-fetch convention — a bounded model-sized
-      // collect per step): without it the lineage nests one full
-      // join+agg layer per iteration and Catalyst re-optimizes the
-      // exponentially growing tree, tens of seconds of pure DRIVER
-      // time for 64-row algebra. The corpus-scale Gramian stays in
-      // the cached plan; only the d-row iterate round-trips.
-      def local(df: DataFrame): DataFrame = {
-        val rows = df.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      }
-      var v = local(scaled.select(col("i").as("dim")).distinct()
-        .withColumn("x", lit(1000000L)))
-      var prev = v
-      for (_ <- 1 to pcaIters) {
-        prev = v
-        val w = scaled
-          .join(broadcast(v.select(col("dim").as("j"), col("x"))),  // hint audit: value-domain-bounded (<= d-row iterate vector)
-            Seq("j"))
-          .groupBy("i").agg(sum(expr("g * x")).as("w"))
-        v = local(w
-          .join(broadcast(w.agg(max(abs(col("w"))).as("wmax"))))  // hint audit: scalar (one-row max-|component|)
-          .select(col("i").as("dim"), expr("w * 1000000 div wmax").as("x")))
-      }
+      val (scaled, v, prev) = pcaPower(s, dir)
       val rayleigh = scaled
         .join(broadcast(v.select(col("dim").as("i"), col("x").as("xi"))),  // hint audit: value-domain-bounded (<= d-row iterate vector)
           Seq("i"))
@@ -188,6 +218,71 @@ object ModelOpsQueries {
           (col("x") - col("xp")).as("delta_micro"),
           col("rayleigh_num"), col("rayleigh_den"))
         .orderBy("dim")
+    }),
+
+    // Whitening residual — the ACTING step of q238 (the E161
+    // measure→act convention): remove each vector's projection onto
+    // the gated top component (Arora et al.'s "all-but-the-top" /
+    // SIF correction — the dominant direction carries corpus-wide
+    // frequency signal, not meaning, and subtracting it is the
+    // standard cheap similarity fix). The component comes from the
+    // SAME pcaPower the q238 gate executes, collected as a d-row
+    // literal and FOLDED into one scan-stage HOF chain (the PQ
+    // codebook literal-folding convention): per vector the projection
+    // coefficient in exact milli units, the residual array, and both
+    // norms — no explode, no join, the corpus touched once. Per
+    // label: total norm² before/after and the reduction permille —
+    // how much of each label's energy lived in the dominant
+    // direction. All integer: c_milli = (m·v)·1000 div (v·v),
+    // r_i = m_i − (c_milli·v_i) div 1000, norms div 1e6 per vector
+    // (the shared truncation contract; every product bounded in
+    // BIGINT at d = 64).
+    "q239_whitening_residual" -> ((s, dir) => {
+      val (_, vFrame, _) = pcaPower(s, dir)
+      // d-row model fetch (the q78 centroid-fetch convention)
+      val vlit = vFrame.orderBy("dim").collect().map(_.getLong(1))
+      val den = vlit.map(x => x * x).sum
+      val vArr = array(vlit.map(lit(_)).toSeq: _*)
+      Tables(s, dir, "embeddings")
+        .select(col("label"),
+          expr(("transform(embedding, v -> " +
+            s"cast(floor(cast(v as double) * $embMicro) as bigint))")).as("m"))
+        .withColumn("vl", vArr)
+        .withColumn("c_milli",
+          expr("aggregate(zip_with(m, vl, (a, b) -> a * b), 0L, " +
+            s"(acc, e) -> acc + e) * 1000 div ${den}L"))
+        .withColumn("r",
+          expr("zip_with(m, vl, (a, b) -> a - (c_milli * b) div 1000)"))
+        .withColumn("x2",
+          expr("aggregate(m, 0L, (acc, e) -> acc + e * e) div 1000000"))
+        .withColumn("r2",
+          expr("aggregate(r, 0L, (acc, e) -> acc + e * e) div 1000000"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("x2")).as("tot_norm2"),
+          sum(col("r2")).as("tot_resid2"))
+        .withColumn("reduction_permille",
+          expr("(tot_norm2 - tot_resid2) * 1000 div tot_norm2"))
+        .orderBy("label")
+    }),
+
+    // Incremental moment-matrix maintenance — the E124/E148 delta
+    // convention applied to the linear-algebra tier: the delta
+    // embedding batch folds its OWN Gramian (cost ∝ delta, fixed
+    // per-partition state), and the (i, j) cells SUM-merge with the
+    // persisted matrix — associativity makes incremental ≡
+    // from-scratch EXACTLY, so a daily batch updates XᵀX without
+    // rescanning the corpus and q148's downstream consumers (the
+    // ridge probe, q238's iteration) never know the difference.
+    // Oracle = q148's twin VERBATIM over the full corpus, hash-proven.
+    "q240_delta_gramian" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      def inDelta(c: org.apache.spark.sql.Column) =
+        c >= deltaLo && c < deltaHi
+      momentReport(
+        momentCells(e.where(!inDelta(col("vec_id"))))
+          .unionByName(momentCells(e.where(inDelta(col("vec_id")))))
+          .groupBy("i", "j").agg(sum(col("v")).as("v")))
     }),
 
     // Unigram-LM familiarity per source: Σ mentions(t)·corpus_count(t)
@@ -540,18 +635,8 @@ object ModelOpsQueries {
     // would fan every row out ×2,211 before the shuffle; here the
     // shuffle moves one 17 KB state per partition. Everything a ridge
     // probe fit needs leaves the cluster in 2,211 exact integer rows.
-    "q148_gramian" -> ((s, dir) => {
-      val aug = Tables(s, dir, "embeddings").select(
-        concat(
-          expr(s"transform(embedding, v -> cast(floor(cast(v as double) * $embMicro) as bigint))"),
-          array(lit(1L)),
-          array(col("label").cast("long"))).as("m"))
-      aug.agg(graft.functions.Gramian(col("m")).as("g"))
-        .select(inline(col("g")))
-        .select(col("i").as("dim_i"), col("j").as("dim_j"),
-          col("v").as("s_micro"))
-        .orderBy("dim_i", "dim_j")
-    }),
+    "q148_gramian" -> ((s, dir) =>
+      momentReport(momentCells(Tables(s, dir, "embeddings")))),
 
     // Skip-gram association (PMI lift): co-occurrence statistics for
     // embedding/word-vector training — pairs at gap 1 and gap 2 over
@@ -677,7 +762,13 @@ object ModelOpsQueries {
     * mirroring the Spark side's integer contract step for step (full
     * matrix computed directly — ≡ the mirrored upper triangle).
     */
-  private def sqlPcaPower: String = {
+  /** The shared power-iteration CTE chain (through `v$pcaIters` and
+    * `den`), mirroring [[pcaPower]]'s integer contract step for step
+    * (full matrix computed directly — ≡ the mirrored upper triangle);
+    * q238's and q239's oracles both build on it, exactly as the Spark
+    * side shares [[pcaPower]].
+    */
+  private def sqlPcaChain: String = {
     val steps = (1 to pcaIters).map { i =>
       s"""w$i AS (SELECT gs.gi AS dim, CAST(SUM(gs.g * p.x) AS BIGINT) AS w
          |  FROM gs JOIN v${i - 1} p ON p.dim = gs.gj GROUP BY 1),
@@ -685,7 +776,8 @@ object ModelOpsQueries {
          |v$i AS (SELECT dim, w * 1000000 // (SELECT wm FROM m$i) AS x
          |  FROM w$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT list_transform(range(1, len(embedding) + 1),
+    s"""WITH q AS (SELECT vec_id, label,
+       |    list_transform(range(1, len(embedding) + 1),
        |      k -> CAST(floor(CAST(embedding[CAST(k AS INT)] AS DOUBLE)
        |        * $embMicro) AS BIGINT)) AS m
        |    FROM embeddings),
@@ -702,19 +794,73 @@ object ModelOpsQueries {
        |v0 AS (SELECT DISTINCT gi AS dim, CAST(1000000 AS BIGINT) AS x
        |  FROM gs),
        |$steps,
+       |den AS (SELECT CAST(SUM(x * x) AS BIGINT) AS dd FROM v$pcaIters)""".stripMargin
+  }
+
+  /** q148's oracle — also q240's, VERBATIM (incremental ≡
+    * from-scratch).
+    */
+  private def sqlGramian: String =
+    s"""WITH q AS (SELECT list_append(list_append(
+       |        list_transform(range(1, len(embedding) + 1),
+       |          k -> CAST(floor(CAST(embedding[CAST(k AS INT)] AS DOUBLE)
+       |            * $embMicro) AS BIGINT)),
+       |        CAST(1 AS BIGINT)), CAST(label AS BIGINT)) AS m
+       |      FROM embeddings),
+       |d AS (SELECT CAST(MAX(len(m)) AS BIGINT) AS nd FROM q),
+       |i AS (SELECT unnest(range(0, (SELECT nd FROM d))) AS di),
+       |j AS (SELECT unnest(range(0, (SELECT nd FROM d))) AS dj)
+       |SELECT CAST(i.di AS INT) AS dim_i, CAST(j.dj AS INT) AS dim_j,
+       |  CAST(SUM(q.m[CAST(i.di + 1 AS INT)]
+       |    * q.m[CAST(j.dj + 1 AS INT)]) AS BIGINT) AS s_micro
+       |FROM q, i, j WHERE j.dj >= i.di
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def sqlPcaPower: String =
+    s"""$sqlPcaChain,
        |num AS (SELECT CAST(SUM(gs.g * a.x * b.x) AS BIGINT) AS n
        |  FROM gs JOIN v$pcaIters a ON a.dim = gs.gi
-       |  JOIN v$pcaIters b ON b.dim = gs.gj),
-       |den AS (SELECT CAST(SUM(x * x) AS BIGINT) AS dd FROM v$pcaIters)
+       |  JOIN v$pcaIters b ON b.dim = gs.gj)
        |SELECT f.dim, f.x AS loading_micro, f.x - p.x AS delta_micro,
        |  (SELECT n FROM num) AS rayleigh_num,
        |  (SELECT dd FROM den) AS rayleigh_den
        |FROM v$pcaIters f JOIN v${pcaIters - 1} p ON p.dim = f.dim
        |ORDER BY f.dim""".stripMargin
-  }
+
+  /** q239's oracle: the chain's component applied back to every
+    * vector — projection coefficient, residual, both norms, label
+    * rollup — each truncation mirrored.
+    */
+  private def sqlWhitening: String =
+    s"""$sqlPcaChain,
+       |e2 AS (SELECT vec_id, label, CAST(k - 1 AS BIGINT) AS dim,
+       |    m[CAST(k AS INT)] AS mm
+       |  FROM q, unnest(range(1, len(m) + 1)) AS u(k)),
+       |pr AS (SELECT e2.vec_id,
+       |    CAST(SUM(e2.mm * v.x) AS BIGINT) * 1000
+       |      // (SELECT dd FROM den) AS c
+       |  FROM e2 JOIN v$pcaIters v ON v.dim = e2.dim GROUP BY e2.vec_id),
+       |r AS (SELECT e2.vec_id, e2.label, e2.dim,
+       |    e2.mm - (pr.c * v.x) // 1000 AS rr
+       |  FROM e2 JOIN pr ON pr.vec_id = e2.vec_id
+       |  JOIN v$pcaIters v ON v.dim = e2.dim),
+       |nx AS (SELECT vec_id, label,
+       |    CAST(SUM(mm * mm) AS BIGINT) // 1000000 AS x2
+       |  FROM e2 GROUP BY 1, 2),
+       |nr AS (SELECT vec_id, CAST(SUM(rr * rr) AS BIGINT) // 1000000 AS r2
+       |  FROM r GROUP BY 1),
+       |lb AS (SELECT nx.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(SUM(nx.x2) AS BIGINT) AS tot_norm2,
+       |    CAST(SUM(nr.r2) AS BIGINT) AS tot_resid2
+       |  FROM nx JOIN nr ON nr.vec_id = nx.vec_id GROUP BY nx.label)
+       |SELECT label, n_vecs, tot_norm2, tot_resid2,
+       |  (tot_norm2 - tot_resid2) * 1000 // tot_norm2
+       |    AS reduction_permille
+       |FROM lb ORDER BY label""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q238_pca_power" -> sqlPcaPower,
+    "q239_whitening_residual" -> sqlWhitening,
     "q216_embedding_audit" ->
       s"""WITH m AS (SELECT label,
          |    CASE WHEN len(embedding) = $embDim THEN 1 ELSE 0 END AS dim_ok,
@@ -958,21 +1104,11 @@ object ModelOpsQueries {
          |FROM pc JOIN uc ux ON ux.t = string_split(pair, ' ')[1]
          |     JOIN uc uy ON uy.t = string_split(pair, ' ')[2], n
          |ORDER BY lift DESC, pair""".stripMargin,
-    "q148_gramian" ->
-      s"""WITH q AS (SELECT list_append(list_append(
-         |        list_transform(range(1, len(embedding) + 1),
-         |          k -> CAST(floor(CAST(embedding[CAST(k AS INT)] AS DOUBLE)
-         |            * $embMicro) AS BIGINT)),
-         |        CAST(1 AS BIGINT)), CAST(label AS BIGINT)) AS m
-         |      FROM embeddings),
-         |d AS (SELECT CAST(MAX(len(m)) AS BIGINT) AS nd FROM q),
-         |i AS (SELECT unnest(range(0, (SELECT nd FROM d))) AS di),
-         |j AS (SELECT unnest(range(0, (SELECT nd FROM d))) AS dj)
-         |SELECT CAST(i.di AS INT) AS dim_i, CAST(j.dj AS INT) AS dim_j,
-         |  CAST(SUM(q.m[CAST(i.di + 1 AS INT)]
-         |    * q.m[CAST(j.dj + 1 AS INT)]) AS BIGINT) AS s_micro
-         |FROM q, i, j WHERE j.dj >= i.di
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q148_gramian" -> sqlGramian,
+    // q148's twin VERBATIM: incremental moment maintenance ≡
+    // from-scratch (the q163↔q98 / q186↔q168 sharing applied to the
+    // linear-algebra tier)
+    "q240_delta_gramian" -> sqlGramian,
     "q155_embedding_diversity" ->
       s"""WITH p0 AS (SELECT label,
          |        unnest(list_transform(range(1, len(embedding) + 1),

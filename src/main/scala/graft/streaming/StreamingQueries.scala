@@ -1254,6 +1254,65 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING moment-matrix ingest — the linear-algebra tier's
+    // streaming face (batch q148 / incremental q240 / streaming THIS),
+    // the same triangle the graph tier closed with q237: delta
+    // embeddings stream in and fold through the SAME momentCells
+    // definition — the Gramian TypedImperativeAggregate runs INSIDE
+    // the incremental engine (Complete mode; its fixed d(d+1)/2-long
+    // buffer IS the streaming state, serialized to the state store via
+    // the aggregate's own serialize/merge — the mergeability q111
+    // gated for the sketches, exercised here for the moment matrix).
+    // Post-sink the emitted delta cells SUM-merge with the persisted
+    // matrix (q240's device); oracle = q148's twin VERBATIM —
+    // streaming ≡ incremental ≡ batch, hash-proven. At 100 TB: state
+    // is ONE ~17 KB buffer regardless of arrival volume.
+    "q241_stream_gramian" -> ((s, dir) => {
+      import graft.queries.ModelOpsQueries
+      val src = Paths.get(s"$dir/embeddings.parquet")
+      val stage = tmpDir("graft-q241-src")
+      val ckpt = tmpDir("graft-q241-ckpt")
+      val sink = s"graft_q241_sink_${runSeq.incrementAndGet()}"
+      try {
+        val schema = s.read.parquet(src.toString).schema
+        val lo = ModelOpsQueries.deltaLo
+        val hi = ModelOpsQueries.deltaHi
+        def inDelta(c: org.apache.spark.sql.Column) = c >= lo && c < hi
+        val tmp = tmpDir("graft-q241-w")
+        try {
+          s.read.parquet(src.toString)
+            .where(inDelta(col("vec_id")))
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = Files.list(tmp)
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          Files.move(part, stage.resolve("delta.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally deleteRecursively(tmp)
+        val deltaCells = ModelOpsQueries.momentCells(
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(inDelta(col("vec_id"))))
+        val query = deltaCells.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val oldCells = ModelOpsQueries.momentCells(
+          s.read.parquet(src.toString).where(!inDelta(col("vec_id"))))
+        val out = ModelOpsQueries.momentReport(
+          oldCells.unionByName(s.table(sink))
+            .groupBy("i", "j").agg(sum(col("v")).as("v")))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // STREAMING semantic decontamination — the q203 screen run LIVE on
     // arriving vectors (the ingest-time guard: a training vector that
     // near-duplicates the benchmark slice should be flagged BEFORE it
@@ -1796,6 +1855,11 @@ object StreamingQueries {
     // edge list must yield the full-corpus PageRank
     "q237_stream_edges" ->
       graft.queries.CrawlOpsQueries.oracle("q231_host_pagerank"),
+
+    // q148's from-scratch twin VERBATIM: the streaming-built moment
+    // matrix must equal the full-corpus one
+    "q241_stream_gramian" ->
+      graft.queries.ModelOpsQueries.oracle("q148_gramian"),
 
     // q203's SQL twin restricted to the delta ids: the streaming
     // screen must equal the batch screen on the slice it saw
