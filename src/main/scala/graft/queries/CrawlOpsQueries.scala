@@ -445,7 +445,87 @@ object CrawlOpsQueries {
       .orderBy(desc("authority_micro"), asc("host_id"))
   }
 
+  /** q242's iteration count — a literal in both engines' plans. */
+  private val lpaIters = 3
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007
+    * — public) + weighted modularity (Newman 2004) over the undirected
+    * view of the host graph: `lpaIters` rounds of "adopt the
+    * neighbor label with the greatest incident weight" with the
+    * deterministic (weight DESC, label ASC) tie-break that makes
+    * synchronous LPA reproducible, then per-community size / internal
+    * weight / degree weight / modularity contribution in exact integer
+    * micro-units — Q_c = e_c·1e6 div 2m − (deg_c·1000 div 2m)², the
+    * permille-squared-is-micro device. Same cost model as the rest of
+    * the tier: the cached edge list is the one corpus-scale input;
+    * every round and the modularity rollup run on the ≤H-host bounded
+    * relation (the label-frequency window partitions by host — ≤H
+    * labels per host — and the fleet modularity window runs over ≤H
+    * community rows).
+    */
+  private def lpaFrom(edgesRaw: DataFrame): DataFrame = {
+    val edges = lastEdges.swap(edgesRaw.cache())
+    val und = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .unionByName(
+        edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+    val nodes = und.select(col("a").as("h")).distinct()
+    // bounded relation from here down: <= 23 hosts
+    var lab = nodes.withColumn("lab", col("h"))
+    for (_ <- 1 to lpaIters) {
+      val freq = und
+        .join(broadcast(lab.select(col("h").as("a"), col("lab"))),  // hint audit: value-domain-bounded (<= 23-host label vector)
+          Seq("a"))
+        .groupBy("b", "lab").agg(sum(col("w")).as("s"))
+      val pick = Window.partitionBy("b").orderBy(desc("s"), asc("lab"))
+      lab = freq.withColumn("rn", row_number().over(pick))
+        .where(col("rn") === 1)
+        .select(col("b").as("h"), col("lab"))
+    }
+    val labA = lab.select(col("h").as("a"), col("lab").as("lab_a"))
+    val labB = lab.select(col("h").as("b"), col("lab").as("lab_b"))
+    val internal = und
+      .join(broadcast(labA), Seq("a"))  // hint audit: value-domain-bounded (<= 23-host label vector)
+      .join(broadcast(labB), Seq("b"))  // hint audit: value-domain-bounded (<= 23-host label vector)
+      .where(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("community"))
+      .agg(sum(col("w")).as("internal_w"))
+    val degree = und
+      .join(broadcast(labA), Seq("a"))  // hint audit: value-domain-bounded (<= 23-host label vector)
+      .groupBy(col("lab_a").as("community"))
+      .agg(sum(col("w")).as("degree_w"))
+    val sizes = lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_hosts"))
+    val all = Window.partitionBy()
+    sizes
+      .join(broadcast(degree), Seq("community"))  // hint audit: value-domain-bounded (<= 23-community rollup)
+      .join(broadcast(internal), Seq("community"), "left")  // hint audit: value-domain-bounded (<= 23-community rollup)
+      .withColumn("internal_w", coalesce(col("internal_w"), lit(0L)))
+      .withColumn("m2", sum(col("degree_w")).over(all))
+      .withColumn("contribution_micro",
+        expr("internal_w * 1000000 div m2 " +
+          "- (degree_w * 1000 div m2) * (degree_w * 1000 div m2)"))
+      .withColumn("modularity_micro",
+        sum(col("contribution_micro")).over(all))
+      .select(col("community"), col("n_hosts"), col("internal_w"),
+        col("degree_w"), col("contribution_micro"),
+        col("modularity_micro"))
+      .orderBy("community")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Community detection + partition quality over the q231 host graph
+    // — the third classic graph-analytics signal after rank (q231/233)
+    // and hubs (q235): which domains form link neighborhoods (mirror
+    // farms, citation cliques, topical clusters), and whether the
+    // partition is real (modularity — the go/no-go before any
+    // community-based mixing/pruning decision keys off it). LPA is the
+    // scale-canonical choice: no pair enumeration, no parameter k,
+    // rounds ∝ diameter; the deterministic tie-break makes the
+    // synchronous variant engine-exact.
+    "q242_lpa_communities" -> ((s, dir) =>
+      lpaFrom(hostEdges(Tables(s, dir, "documents")))),
+
     // Host-level PageRank — the crawl tier's authority signal (Page et
     // al. 1999; the host-grain webgraph is how web-scale corpora rank
     // domains for crawl priority / quality priors). Each doc WEAVES one
@@ -778,7 +858,58 @@ object CrawlOpsQueries {
        |ORDER BY authority_micro DESC, host_id""".stripMargin
   }
 
+  /** q242's oracle: the synchronous LPA rounds + modularity rollup
+    * unrolled as a CTE chain, mirroring [[lpaFrom]] step for step.
+    */
+  private def sqlLpa: String = {
+    val steps = (1 to lpaIters).map { i =>
+      s"""f$i AS (SELECT und.b, l.lab, CAST(SUM(und.w) AS BIGINT) AS s
+         |  FROM und JOIN l${i - 1} l ON l.h = und.a GROUP BY und.b, l.lab),
+         |l$i AS (SELECT b AS h, lab FROM (SELECT b, lab,
+         |    row_number() OVER (PARTITION BY b ORDER BY s DESC, lab ASC)
+         |      AS rn FROM f$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT (doc_id // 4) % 23 AS src,
+       |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
+       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM ed GROUP BY src, dst),
+       |und AS (SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM edges
+       |    UNION ALL SELECT dst AS a, src AS b, w FROM edges)
+       |  GROUP BY a, b),
+       |nodes AS (SELECT DISTINCT a AS h FROM und),
+       |l0 AS (SELECT h, h AS lab FROM nodes),
+       |$steps,
+       |internal AS (SELECT la.lab AS community,
+       |    CAST(SUM(und.w) AS BIGINT) AS internal_w
+       |  FROM und JOIN l$lpaIters la ON la.h = und.a
+       |  JOIN l$lpaIters lb ON lb.h = und.b
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |degree AS (SELECT la.lab AS community,
+       |    CAST(SUM(und.w) AS BIGINT) AS degree_w
+       |  FROM und JOIN l$lpaIters la ON la.h = und.a GROUP BY 1),
+       |sizes AS (SELECT lab AS community, CAST(COUNT(*) AS BIGINT)
+       |    AS n_hosts
+       |  FROM l$lpaIters GROUP BY 1),
+       |c AS (SELECT s.community, s.n_hosts,
+       |    CAST(COALESCE(i2.internal_w, 0) AS BIGINT) AS internal_w,
+       |    d.degree_w, CAST(SUM(d.degree_w) OVER () AS BIGINT) AS m2
+       |  FROM sizes s JOIN degree d ON d.community = s.community
+       |  LEFT JOIN internal i2 ON i2.community = s.community),
+       |qq AS (SELECT community, n_hosts, internal_w, degree_w,
+       |    internal_w * 1000000 // m2
+       |      - (degree_w * 1000 // m2) * (degree_w * 1000 // m2)
+       |      AS contribution_micro
+       |  FROM c)
+       |SELECT community, n_hosts, internal_w, degree_w,
+       |  contribution_micro,
+       |  CAST(SUM(contribution_micro) OVER () AS BIGINT)
+       |    AS modularity_micro
+       |FROM qq ORDER BY community""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q242_lpa_communities" -> sqlLpa,
     "q235_hits" -> sqlHits,
     "q231_host_pagerank" -> sqlPagerank(seeded = false),
     "q233_trustrank" -> sqlPagerank(seeded = true),
