@@ -24,7 +24,7 @@ object CrawlPipeline {
 
   case class Plan(
       rawUrls: Long, canonical: Long, blocked: Long, denied: Long,
-      scheduled: Long, hosts: Long, maxRound: Long)
+      scheduled: Long, hosts: Long, maxRound: Long, firstHost: String)
 
   /** Runs the pipeline over `$sfDir/documents.parquet`'s woven URL
     * inventory, writes the fetch schedule under `outDir`, returns the
@@ -76,12 +76,31 @@ object CrawlPipeline {
     val scheduled = sched.count()
     val stats = sched.agg(countDistinct(col("host")),
       coalesce(max(col("round")), lit(-1L))).head()
-    sched.write.mode("overwrite").parquet(s"$outDir/fetch_schedule")
+
+    // 6: authority-ranked global fetch order — the q231 PageRank over
+    // the SAME woven host graph (shared pagerankFrom/hostEdges, so the
+    // prior IS the gated one) decides WHICH host each politeness round
+    // serves first: global position = (round ASC, rank DESC, host,
+    // url) via the two-phase GlobalIndex — never a single-partition
+    // sort of the corpus-scaled schedule. The crawl-scheduler shape at
+    // any scale: the rank vector is host-bounded; the order assignment
+    // is one range shuffle.
+    val ranks = CrawlOpsQueries.pagerankFrom(
+      CrawlOpsQueries.hostEdges(Tables(spark, sfDir, "documents")))
+    val ordered = graft.ext.GlobalIndex.withGlobalIndex(
+      sched.join(
+        broadcast(ranks.select(col("host"), col("rank_micro"))),  // hint audit: value-domain-bounded (<= 23-host rank vector)
+        Seq("host")),
+      Seq(col("round").asc, col("rank_micro").desc, col("host").asc,
+        col("canonical_url").asc), 8, "fetch_pos").cache()
+    ordered.write.mode("overwrite").parquet(s"$outDir/fetch_schedule")
+    val firstHost = ordered.where(col("fetch_pos") === 0)
+      .select(col("host")).head().getString(0)
 
     val plan = Plan(rawCount, canonical, blocked, denied, scheduled,
-      stats.getLong(0), stats.getLong(1))
-    sched.unpersist(); ruled.unpersist(); screened.unpersist()
-    canon.unpersist()
+      stats.getLong(0), stats.getLong(1), firstHost)
+    ordered.unpersist(); sched.unpersist(); ruled.unpersist()
+    screened.unpersist(); canon.unpersist()
     plan
   }
 
@@ -101,7 +120,8 @@ object CrawlPipeline {
     val p = run(spark, sfDir, outDir)
     println(s"raw=${p.rawUrls} canonical=${p.canonical} " +
       s"blocked=${p.blocked} denied=${p.denied} scheduled=${p.scheduled} " +
-      s"hosts=${p.hosts} maxRound=${p.maxRound} -> $outDir")
+      s"hosts=${p.hosts} maxRound=${p.maxRound} " +
+      s"firstHost=${p.firstHost} -> $outDir")
     spark.stop()
   }
 }

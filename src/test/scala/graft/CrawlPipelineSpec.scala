@@ -60,5 +60,39 @@ class CrawlPipelineSpec extends SparkSuite {
       .where(col("n") =!= col("r")).count()
     assert(perHost === 0L, "rounds are not contiguous per host")
     assert(sched.count() === p.scheduled)
+
+    // authority ordering: the written schedule's rank column is the
+    // q231 GATE's rank verbatim (per host), fetch_pos is a
+    // 0..n-1 total order that never decreases in round, within a
+    // round never increases in rank, and the first fetch goes to the
+    // round-0 host with the greatest authority
+    val q231 = SparkEntry.queries("q231_host_pagerank")(spark, dir)
+      .select(col("host"), col("rank_micro").as("gate_rank"))
+    assert(sched.join(q231, Seq("host"))
+      .where(col("rank_micro") =!= col("gate_rank")).count() === 0L,
+      "schedule rank drifted from the q231 gate")
+    val n = sched.count()
+    assert(sched.agg(min(col("fetch_pos")), max(col("fetch_pos")),
+      countDistinct(col("fetch_pos"))).head() match {
+      case r => r.getLong(0) == 0L && r.getLong(1) == n - 1 &&
+        r.getLong(2) == n
+    }, "fetch_pos is not a dense 0..n-1 total order")
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.orderBy(col("fetch_pos"))
+    val violations = sched
+      .withColumn("prev_round", lag(col("round"), 1).over(byPos))
+      .withColumn("prev_rank", lag(col("rank_micro"), 1).over(byPos))
+      .where(col("prev_round").isNotNull && (
+        col("round") < col("prev_round") ||
+        (col("round") === col("prev_round") &&
+          col("rank_micro") > col("prev_rank"))))
+      .count()
+    assert(violations === 0L,
+      "fetch order violates (round ASC, rank DESC)")
+    val topRound0 = sched.where(col("round") === 0)
+      .orderBy(desc("rank_micro"), asc("host")).select("host")
+      .head().getString(0)
+    assert(p.firstHost === topRound0,
+      "the first fetch is not the highest-authority round-0 host")
   }
 }
