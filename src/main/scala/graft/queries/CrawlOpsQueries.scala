@@ -407,7 +407,7 @@ object CrawlOpsQueries {
     * to ~9e6 docs per weave round; beyond that a deployment splits the
     * rescale (permille twice), same contract shape.
     */
-  private def hitsFrom(edgesRaw: DataFrame): DataFrame = {
+  private[graft] def hitsFrom(edgesRaw: DataFrame): DataFrame = {
     val edges = lastEdges.swap(edgesRaw.cache())
     val nodes = edges.select(col("src").as("h"))
       .union(edges.select(col("dst").as("h"))).distinct()
@@ -463,7 +463,7 @@ object CrawlOpsQueries {
     * labels per host — and the fleet modularity window runs over ≤H
     * community rows).
     */
-  private def lpaFrom(edgesRaw: DataFrame): DataFrame = {
+  private[graft] def lpaFrom(edgesRaw: DataFrame): DataFrame = {
     val edges = lastEdges.swap(edgesRaw.cache())
     val und = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
       .unionByName(
