@@ -934,6 +934,43 @@ object SimilarityQueries {
         .orderBy("probe_id", "rn")
     }),
 
+    // Contrastive triplet mining — the training-pair generator for
+    // embedding fine-tuning (anchor, positive, negative): per probe,
+    // from ONE scored scan (q29's broadcast-probe shape), the
+    // highest-cosine SAME-label candidate (the positive) and the
+    // highest-cosine OTHER-label candidate (the hard negative — q106's
+    // notion made label-aware), plus the margin between them — the
+    // number a curriculum thresholds on (a tiny or negative margin
+    // marks the probes worth training on). Both argmaxes are
+    // conditional struct-MAX aggregates (ties broken by max vec_id —
+    // deterministic), so the scan feeds one hash aggregate and no
+    // candidate ever ranks beyond what the two maxes retain: unlike a
+    // top-k, state per probe is TWO rows at any corpus size.
+    "q243_contrastive_triplets" -> ((s, dir) => {
+      val corpus = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"),
+          norm2(col("embedding")).as("n2"))
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("label").as("plabel"), col("n2").as("pn2"))
+      val scored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("plabel"), col("vec_id"), col("label"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      scored.groupBy("probe_id")
+        .agg(
+          max(when(col("label") === col("plabel"),
+            struct(col("cosine"), col("vec_id")))).as("p"),
+          max(when(col("label") =!= col("plabel"),
+            struct(col("cosine"), col("vec_id")))).as("n"))
+        .select(col("probe_id"),
+          col("p.vec_id").as("pos_id"), col("p.cosine").as("pos_cos"),
+          col("n.vec_id").as("neg_id"), col("n.cosine").as("neg_cos"),
+          (col("p.cosine") - col("n.cosine")).as("margin"))
+        .orderBy("probe_id")
+    }),
+
     // ANN: probes meet only their own hyperplane-sign bucket
     "q30_ann_lsh" -> ((s, dir) => {
       val bucketed = emb(s, dir).withColumn("bucket", lshBucket(col("embedding")))
@@ -1804,6 +1841,28 @@ object SimilarityQueries {
            |  FROM p JOIN e ON e.vec_id <> p.probe_id
            |  WHERE $cos < $hardNegTau)
            |WHERE rn <= $topK ORDER BY probe_id, rn""".stripMargin,
+      "q243_contrastive_triplets" ->
+        s"""WITH el AS (SELECT vec_id, embedding, label,
+           |      ${sqlNorm2("embedding")} AS n2 FROM embeddings),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe,
+           |      label AS plabel, n2 AS pn2
+           |    FROM el WHERE ${sqlProbeSlice(61)}),
+           |s AS (SELECT p.probe_id, p.plabel, e.vec_id, e.label,
+           |    ${sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")}
+           |      AS cosine
+           |  FROM p JOIN el e ON e.vec_id <> p.probe_id),
+           |pos AS (SELECT probe_id, vec_id AS pos_id, cosine AS pos_cos
+           |  FROM (SELECT probe_id, vec_id, cosine, row_number() OVER (
+           |      PARTITION BY probe_id ORDER BY cosine DESC, vec_id DESC)
+           |      AS rn FROM s WHERE label = plabel) WHERE rn = 1),
+           |neg AS (SELECT probe_id, vec_id AS neg_id, cosine AS neg_cos
+           |  FROM (SELECT probe_id, vec_id, cosine, row_number() OVER (
+           |      PARTITION BY probe_id ORDER BY cosine DESC, vec_id DESC)
+           |      AS rn FROM s WHERE label <> plabel) WHERE rn = 1)
+           |SELECT pos.probe_id, pos_id, pos_cos, neg_id, neg_cos,
+           |  pos_cos - neg_cos AS margin
+           |FROM pos JOIN neg ON neg.probe_id = pos.probe_id
+           |ORDER BY pos.probe_id""".stripMargin,
       "q30_ann_lsh" ->
         s"""WITH $sqlEmb,
            |b AS (SELECT vec_id, embedding, n2,
