@@ -526,6 +526,42 @@ object CrawlOpsQueries {
     "q242_lpa_communities" -> ((s, dir) =>
       lpaFrom(hostEdges(Tables(s, dir, "documents")))),
 
+    // Link-smoothed host quality prior — the "bad neighborhood" signal
+    // web-quality pipelines blend into per-host priors (the TrustRank
+    // intuition applied to a CONTENT signal): a host surrounded by
+    // low-quality linkers is suspect even if its own docs look fine.
+    // One corpus scan aggregates own quality per host (clamped n_chars
+    // permille-style — the signal's definition is not the point, the
+    // propagation is); the in-neighbor weighted mean rides the SAME
+    // cached edge list as q231; smoothed = (70·own + 30·nbr) div 100,
+    // all exact integers. Hosts with no in-links keep their own score
+    // (coalesce to own — the explicit no-evidence case).
+    "q244_quality_smoothing" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val edges = lastEdges.swap(hostEdges(docs).cache())
+      val own = docs
+        .select(expr("(doc_id div 4) % 23").as("h"),
+          least(col("n_chars"), lit(500L)).as("q"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sq"))
+        .withColumn("own_q", expr("sq div n_docs")).drop("sq")
+      val nbr = edges
+        .join(broadcast(own.select(col("h").as("src"),  // hint audit: value-domain-bounded (<= 23-host quality vector)
+          col("own_q").as("src_q"))), Seq("src"))
+        .groupBy(col("dst").as("h"))
+        .agg(expr("sum(w * src_q) div sum(w)").as("nbr_q"))
+      own
+        .join(broadcast(nbr), Seq("h"), "left")  // hint audit: value-domain-bounded (<= 23-host neighbor means)
+        .withColumn("nbr_q", coalesce(col("nbr_q"), col("own_q")))
+        .withColumn("smoothed_q",
+          expr("(70 * own_q + 30 * nbr_q) div 100"))
+        .select(col("h").as("host_id"),
+          concat(lit("site"), col("h").cast("string"), lit(".com"))
+            .as("host"),
+          col("n_docs"), col("own_q"), col("nbr_q"), col("smoothed_q"))
+        .orderBy("host_id")
+    }),
+
     // Host-level PageRank — the crawl tier's authority signal (Page et
     // al. 1999; the host-grain webgraph is how web-scale corpora rank
     // domains for crawl priority / quality priors). Each doc WEAVES one
@@ -909,6 +945,28 @@ object CrawlOpsQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    "q244_quality_smoothing" ->
+      """WITH own AS (SELECT (doc_id // 4) % 23 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(LEAST(n_chars, 500)) AS BIGINT)
+        |      // CAST(COUNT(*) AS BIGINT) AS own_q
+        |  FROM documents GROUP BY 1),
+        |ed AS (SELECT (doc_id // 4) % 23 AS src,
+        |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
+        |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM ed GROUP BY src, dst),
+        |nbr AS (SELECT e.dst AS h,
+        |    CAST(SUM(e.w * o.own_q) AS BIGINT)
+        |      // CAST(SUM(e.w) AS BIGINT) AS nbr_q
+        |  FROM edges e JOIN own o ON o.h = e.src GROUP BY e.dst)
+        |SELECT own.h AS host_id,
+        |  concat('site', CAST(own.h AS VARCHAR), '.com') AS host,
+        |  own.n_docs, own.own_q,
+        |  COALESCE(nbr.nbr_q, own.own_q) AS nbr_q,
+        |  (70 * own.own_q + 30 * COALESCE(nbr.nbr_q, own.own_q)) // 100
+        |    AS smoothed_q
+        |FROM own LEFT JOIN nbr ON nbr.h = own.h
+        |ORDER BY host_id""".stripMargin,
     "q242_lpa_communities" -> sqlLpa,
     "q235_hits" -> sqlHits,
     "q231_host_pagerank" -> sqlPagerank(seeded = false),

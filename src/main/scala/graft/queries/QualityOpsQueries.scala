@@ -219,6 +219,33 @@ object QualityOpsQueries {
     // DuckDB's nfc_normalize recomputes the composition independently
     // (two engines, two UAX #15 implementations, one hash). Per-source:
     // affected-doc permille and codepoints saved by composition.
+    // Quarantine / dead-letter split — the operational face of the
+    // screening tier: every ingest pipeline routes rows that fail a
+    // rule into a quarantine table WITH the first-failing reason code
+    // (so the fix is attributable), and this is that report — an
+    // ordered CASE chain (empty → too_short → lang_excluded →
+    // oversize → clean; first match wins, exactly how a router
+    // dispatches) rolled up per (source, reason) with the share of
+    // each source's rows in exact permille. One scan-stage projection
+    // + one bounded agg; the per-source total rides a window over the
+    // ≤ sources×reasons relation (the q121 bounded-window convention).
+    "q245_quarantine_split" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+      docs(s, dir)
+        .withColumn("reason",
+          when(length(trim(col("text"))) === 0, "empty")
+            .when(col("n_chars") < 60, "too_short")
+            .when(col("lang") === "zh", "lang_excluded")
+            .when(col("n_chars") > 520, "oversize")
+            .otherwise("clean"))
+        .groupBy("source", "reason")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("tot_src", sum(col("n_docs")).over(w))
+        .withColumn("permille", expr("n_docs * 1000 div tot_src"))
+        .drop("tot_src")
+        .orderBy("source", "reason")
+    }),
+
     "q232_nfc_screen" -> ((s, dir) => {
       val woven = concat(
         lit("Cafe"),
@@ -258,6 +285,20 @@ object QualityOpsQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q245_quarantine_split" ->
+      """WITH r AS (SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 'empty'
+        |      WHEN n_chars < 60 THEN 'too_short'
+        |      WHEN lang = 'zh' THEN 'lang_excluded'
+        |      WHEN n_chars > 520 THEN 'oversize'
+        |      ELSE 'clean' END AS reason
+        |  FROM documents),
+        |c AS (SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM r GROUP BY 1, 2)
+        |SELECT source, reason, n_docs,
+        |  n_docs * 1000 // CAST(SUM(n_docs) OVER (PARTITION BY source)
+        |    AS BIGINT) AS permille
+        |FROM c ORDER BY source, reason""".stripMargin,
     "q232_nfc_screen" ->
       s"""WITH w AS (SELECT source,
          |    concat('Cafe',
