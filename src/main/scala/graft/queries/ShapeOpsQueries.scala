@@ -187,6 +187,56 @@ object ShapeOpsQueries {
     // null bucket) so the staging directory can be cleaned up before
     // the frame is consumed. At 100 TB mergeSchema's footer-union
     // planning is metadata-scale; the data path stays one scan.
+    // Format-ingest parity — the source-format coverage gate: the SAME
+    // event rows staged as JSON Lines and CSV, read back through
+    // Spark's json/csv readers with the explicit schema, and
+    // full-outer-joined against the parquet truth with a null-safe
+    // all-column comparison. The output is (format, n_rows,
+    // n_mismatch) and the oracle asserts n_mismatch = 0 with the full
+    // count — any row a text-format path drops, reorders into the
+    // wrong types, or rounds (doubles survive because both writers
+    // emit shortest-round-trip representations) fails the hash. This
+    // is the proof behind "the engine ingests parquet, JSONL, and CSV
+    // with identical semantics" — at 100 TB the text formats are the
+    // landing zone and parquet the canonical store, and this gate is
+    // the conversion's acceptance test.
+    "q246_format_ingest" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts_ns div 1000").as("us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q246-stage")
+      try {
+        base.write.mode("overwrite").json(s"$stage/jsonl")
+        base.write.mode("overwrite").option("header", "true")
+          .csv(s"$stage/csv")
+        val schema = base.schema
+        def parity(fmt: String): DataFrame = {
+          val rb = fmt match {
+            case "jsonl" => s.read.schema(schema).json(s"$stage/jsonl")
+            case _ => s.read.schema(schema).option("header", "true")
+              .csv(s"$stage/csv")
+          }
+          val r = rb.select(col("event_id"),
+            struct(col("us"), col("user_id"), col("event_type"),
+              col("value"), col("props")).as("rbrow"))
+          base.select(col("event_id"),
+              struct(col("us"), col("user_id"), col("event_type"),
+                col("value"), col("props")).as("pqrow"))
+            .join(r, Seq("event_id"), "full_outer")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(!(col("pqrow") <=> col("rbrow")), 1L)
+                .otherwise(0L)).as("n_mismatch"))
+            .select(lit(fmt).as("format"), col("n_rows"),
+              col("n_mismatch"))
+        }
+        val out = parity("csv").unionByName(parity("jsonl"))
+          .orderBy("format")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // Corpus snapshot diff — the "what changed between crawls" report
     // that gates every incremental re-process decision (re-dedup?
     // re-embed? retrain?): two snapshot states full-outer-joined on
@@ -371,6 +421,14 @@ object ShapeOpsQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    "q246_format_ingest" ->
+      """SELECT * FROM (
+        |  SELECT 'csv' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(0 AS BIGINT) AS n_mismatch FROM events
+        |  UNION ALL
+        |  SELECT 'jsonl', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM events)
+        |ORDER BY format""".stripMargin,
     "q236_corpus_diff" ->
       """WITH old AS (SELECT doc_id, source,
         |    md5(CASE WHEN doc_id % 11 = 3 THEN concat(text, ' (rev1)')

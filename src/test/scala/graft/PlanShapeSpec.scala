@@ -73,6 +73,7 @@ class PlanShapeSpec extends SparkSuite {
     */
   private val bnljAllowed = Set("q26_ngram_jaccard", "q29_cosine_topk",
     "q106_hard_negatives", // q29's shape with the negative-band filter
+    "q243_contrastive_triplets", // q29's shape, two-row struct-max state
     "q31_embedding_neardup", "q38_tfidf_terms", "q47_funnel",
     // one-row broadcast scalars (percentile threshold / max count /
     // BM25 collection stats / exact+sketch threshold pair / the
