@@ -168,6 +168,22 @@ object Demo {
       println(f"train mse ${probe.trainMse}%.4f vs mean-only ${probe.targetVar}%.4f" +
         f" (intercept ${probe.intercept}%.3f, |w| ${
           math.sqrt(probe.weights.map(w => w * w).sum)}%.3f)")
+      println("-- graph tier (q231 PageRank / q235 HITS / q242 LPA) --")
+      graft.queries.CrawlOpsQueries
+        .queries("q231_host_pagerank")(spark, sfDir)
+        .show(3, truncate = false)
+      val lpa = graft.queries.CrawlOpsQueries
+        .queries("q242_lpa_communities")(spark, sfDir)
+        .select("community", "n_hosts", "modularity_micro").head()
+      println(s"LPA: community ${lpa.getLong(0)} holds ${lpa.getLong(1)} " +
+        s"hosts; fleet modularity ${lpa.getLong(2)} micro")
+      println("-- linear-algebra tier (q238 power iteration) --")
+      val pca = graft.queries.ModelOpsQueries
+        .queries("q238_pca_power")(spark, sfDir)
+        .orderBy(org.apache.spark.sql.functions.desc("loading_micro"))
+        .head()
+      println(s"top-PC: dim ${pca.getLong(0)} loads ${pca.getLong(1)} " +
+        s"micro; Rayleigh ${pca.getLong(3)}/${pca.getLong(4)}")
     }
     spark.stop()
   }
