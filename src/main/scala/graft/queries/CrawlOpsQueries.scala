@@ -463,12 +463,22 @@ object CrawlOpsQueries {
     * labels per host — and the fleet modularity window runs over ≤H
     * community rows).
     */
-  private[graft] def lpaFrom(edgesRaw: DataFrame): DataFrame = {
-    val edges = lastEdges.swap(edgesRaw.cache())
-    val und = edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
+  /** The undirected weighted view of a directed edge list (parallel
+    * edges in either direction merge by SUM).
+    */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("a"), col("dst").as("b"), col("w"))
       .unionByName(
         edges.select(col("dst").as("a"), col("src").as("b"), col("w")))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
+
+  /** The LPA label frame (h, lab) alone — ONE definition for the q242
+    * rollup and q247's per-doc card, so the community a doc carries is
+    * exactly the gated partition.
+    */
+  private[graft] def lpaLabelsFrom(edgesRaw: DataFrame): DataFrame = {
+    val edges = lastEdges.swap(edgesRaw.cache())
+    val und = undirected(edges)
     val nodes = und.select(col("a").as("h")).distinct()
     // bounded relation from here down: <= 23 hosts
     var lab = nodes.withColumn("lab", col("h"))
@@ -482,6 +492,12 @@ object CrawlOpsQueries {
         .where(col("rn") === 1)
         .select(col("b").as("h"), col("lab"))
     }
+    lab
+  }
+
+  private[graft] def lpaFrom(edgesRaw: DataFrame): DataFrame = {
+    val lab = lpaLabelsFrom(edgesRaw)
+    val und = undirected(lastEdges.swap(edgesRaw.cache()))
     val labA = lab.select(col("h").as("a"), col("lab").as("lab_a"))
     val labB = lab.select(col("h").as("b"), col("lab").as("lab_b"))
     val internal = und
@@ -525,6 +541,34 @@ object CrawlOpsQueries {
     // synchronous variant engine-exact.
     "q242_lpa_communities" -> ((s, dir) =>
       lpaFrom(hostEdges(Tables(s, dir, "documents")))),
+
+    // Cross-tier document card — the composition proof AS a gated
+    // query: every document annotated with its host's authority (the
+    // SAME pagerankFrom the q231 gate executes), its host's link
+    // community (the SAME lpaLabelsFrom behind q242), its clamped
+    // quality, and its length octave (the E186 device) — the serving
+    // row a mixer/scheduler reads per doc. The graph signals are
+    // host-bounded broadcasts onto one corpus scan (the edge
+    // aggregation reuses the shared CacheSlot, so the corpus is
+    // touched twice total: once for the card scan, once for the
+    // cached edge build); the oracle recomputes BOTH iterated chains
+    // independently as nested-WITH CTEs and joins them the same way.
+    "q247_doc_card" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val ranks = pagerankFrom(hostEdges(d))
+        .select(col("host_id").as("h"), col("host"), col("rank_micro"))
+      val labels = lpaLabelsFrom(hostEdges(d))
+        .select(col("h"), col("lab").as("community"))
+      d.select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), expr("(doc_id div 4) % 23").as("h"))
+        .join(broadcast(ranks), Seq("h"))  // hint audit: value-domain-bounded (<= 23-host rank vector)
+        .join(broadcast(labels), Seq("h"))  // hint audit: value-domain-bounded (<= 23-host label vector)
+        .select(col("doc_id"), col("source"), col("lang"), col("host"),
+          col("rank_micro"), col("community"),
+          least(col("n_chars"), lit(500L)).as("quality"),
+          length(expr("bin(n_chars)")).cast("long").as("octave"))
+        .orderBy("doc_id")
+    }),
 
     // Link-smoothed host quality prior — the "bad neighborhood" signal
     // web-quality pipelines blend into per-host priors (the TrustRank
@@ -894,10 +938,11 @@ object CrawlOpsQueries {
        |ORDER BY authority_micro DESC, host_id""".stripMargin
   }
 
-  /** q242's oracle: the synchronous LPA rounds + modularity rollup
-    * unrolled as a CTE chain, mirroring [[lpaFrom]] step for step.
+  /** The LPA CTE chain (through `l$lpaIters`), mirroring
+    * [[lpaLabelsFrom]] step for step — q242's and q247's oracles both
+    * build on it, exactly as the Spark side shares the label frame.
     */
-  private def sqlLpa: String = {
+  private def sqlLpaChain: String = {
     val steps = (1 to lpaIters).map { i =>
       s"""f$i AS (SELECT und.b, l.lab, CAST(SUM(und.w) AS BIGINT) AS s
          |  FROM und JOIN l${i - 1} l ON l.h = und.a GROUP BY und.b, l.lab),
@@ -905,7 +950,7 @@ object CrawlOpsQueries {
          |    row_number() OVER (PARTITION BY b ORDER BY s DESC, lab ASC)
          |      AS rn FROM f$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ed AS (SELECT (doc_id // 4) % 23 AS src,
+    s"""ed AS (SELECT (doc_id // 4) % 23 AS src,
        |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
        |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
        |  FROM ed GROUP BY src, dst),
@@ -915,7 +960,14 @@ object CrawlOpsQueries {
        |  GROUP BY a, b),
        |nodes AS (SELECT DISTINCT a AS h FROM und),
        |l0 AS (SELECT h, h AS lab FROM nodes),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  /** q242's oracle: the synchronous LPA rounds + modularity rollup
+    * unrolled as a CTE chain, mirroring [[lpaFrom]] step for step.
+    */
+  private def sqlLpa: String =
+    s"""WITH $sqlLpaChain,
        |internal AS (SELECT la.lab AS community,
        |    CAST(SUM(und.w) AS BIGINT) AS internal_w
        |  FROM und JOIN l$lpaIters la ON la.h = und.a
@@ -942,7 +994,6 @@ object CrawlOpsQueries {
        |  CAST(SUM(contribution_micro) OVER () AS BIGINT)
        |    AS modularity_micro
        |FROM qq ORDER BY community""".stripMargin
-  }
 
   def oracle: Map[String, String] = Map(
     "q244_quality_smoothing" ->
@@ -968,6 +1019,19 @@ object CrawlOpsQueries {
         |FROM own LEFT JOIN nbr ON nbr.h = own.h
         |ORDER BY host_id""".stripMargin,
     "q242_lpa_communities" -> sqlLpa,
+    // both iterated chains recomputed independently as nested-WITH
+    // CTEs, joined onto the per-doc scan exactly as the Spark side
+    "q247_doc_card" ->
+      s"""WITH pr AS (${sqlPagerank(seeded = false)}),
+         |lab AS (WITH $sqlLpaChain SELECT h, lab FROM l$lpaIters),
+         |dd AS (SELECT doc_id, source, lang, n_chars,
+         |    (doc_id // 4) % 23 AS h FROM documents)
+         |SELECT dd.doc_id, dd.source, dd.lang, pr.host, pr.rank_micro,
+         |  lab.lab AS community,
+         |  CAST(LEAST(dd.n_chars, 500) AS BIGINT) AS quality,
+         |  CAST(length(bin(dd.n_chars)) AS BIGINT) AS octave
+         |FROM dd JOIN pr ON pr.host_id = dd.h JOIN lab ON lab.h = dd.h
+         |ORDER BY dd.doc_id""".stripMargin,
     "q235_hits" -> sqlHits,
     "q231_host_pagerank" -> sqlPagerank(seeded = false),
     "q233_trustrank" -> sqlPagerank(seeded = true),
