@@ -542,6 +542,36 @@ object CrawlOpsQueries {
     "q242_lpa_communities" -> ((s, dir) =>
       lpaFrom(hostEdges(Tables(s, dir, "documents")))),
 
+    // Spam-mass report — the ACTIONABLE output of having both walks
+    // (Gyöngyi et al., VLDB 2004 §6: spam mass ≈ (PR − TR)/PR — the
+    // fraction of a host's authority NOT attributable to trusted
+    // seeds): both rank vectors through the SAME pagerankFrom the
+    // q231/q233 gates execute (shared CacheSlot keeps the edge build
+    // single), joined at host grain, with the gap in micro and spam
+    // mass in exact permille, most-suspect first — the demote/review
+    // list a crawl-quality pipeline actually consumes. PR ≥ its
+    // uniform teleport share > 0, so the division is total.
+    "q248_spam_mass" -> ((s, dir) => {
+      val e = hostEdges(Tables(s, dir, "documents"))
+      val pr = pagerankFrom(e)
+        .select(col("host_id"), col("host"), col("rank_micro").as("pr"))
+      val seedSet = trustSeeds.mkString(", ")
+      val nSeeds = trustSeeds.size
+      val tr = pagerankFrom(e, Some((
+          expr(s"CASE WHEN h IN ($seedSet) THEN " +
+            s"1000000 * ${100 - prDampPct} div (100 * $nSeeds) " +
+            "ELSE 0L END"),
+          expr(s"CASE WHEN h IN ($seedSet) THEN 1000000 div $nSeeds " +
+            "ELSE 0L END"))))
+        .select(col("host_id"), col("rank_micro").as("tr"))
+      pr.join(broadcast(tr), Seq("host_id"))  // hint audit: value-domain-bounded (<= 23-host rank vector)
+        .select(col("host_id"), col("host"),
+          col("pr").as("pr_micro"), col("tr").as("tr_micro"),
+          (col("pr") - col("tr")).as("gap_micro"),
+          expr("(pr - tr) * 1000 div pr").as("spam_mass_permille"))
+        .orderBy(desc("spam_mass_permille"), asc("host_id"))
+    }),
+
     // Cross-tier document card — the composition proof AS a gated
     // query: every document annotated with its host's authority (the
     // SAME pagerankFrom the q231 gate executes), its host's link
@@ -1019,6 +1049,17 @@ object CrawlOpsQueries {
         |FROM own LEFT JOIN nbr ON nbr.h = own.h
         |ORDER BY host_id""".stripMargin,
     "q242_lpa_communities" -> sqlLpa,
+    // both walks recomputed independently as nested-WITH CTEs
+    "q248_spam_mass" ->
+      s"""WITH pr AS (${sqlPagerank(seeded = false)}),
+         |tr AS (${sqlPagerank(seeded = true)})
+         |SELECT pr.host_id, pr.host,
+         |  pr.rank_micro AS pr_micro, tr.rank_micro AS tr_micro,
+         |  pr.rank_micro - tr.rank_micro AS gap_micro,
+         |  (pr.rank_micro - tr.rank_micro) * 1000 // pr.rank_micro
+         |    AS spam_mass_permille
+         |FROM pr JOIN tr ON tr.host_id = pr.host_id
+         |ORDER BY spam_mass_permille DESC, pr.host_id""".stripMargin,
     // both iterated chains recomputed independently as nested-WITH
     // CTEs, joined onto the per-doc scan exactly as the Spark side
     "q247_doc_card" ->

@@ -644,7 +644,8 @@ class PlanShapeSpec extends SparkSuite {
     // re-specialized an uncached edge subtree — three corpus scans at
     // 100 TB instead of one.
     for (q <- Seq("q231_host_pagerank", "q233_trustrank",
-        "q234_delta_pagerank", "q235_hits", "q242_lpa_communities")) {
+        "q234_delta_pagerank", "q235_hits", "q242_lpa_communities",
+        "q248_spam_mass")) {
       val p = plans(q)
       assert(p.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
