@@ -62,6 +62,14 @@ object InsightOpsQueries {
   private val bm25K1 = "1.2"
   private val bm25B = "0.75"
 
+  /** q252: pseudo-relevance-feedback depths — the feedback set size
+    * (top docs of the first pass whose vocabulary feeds expansion) and
+    * the number of expansion terms emitted. Standard RM3 operating
+    * range (Lavrenko & Croft, SIGIR 2001 — public).
+    */
+  private val prfFbDocs = 5
+  private val prfTopM = 10
+
   /** q128: decay window in weeks. Terms are c · 2^(window - age), all
     * BIGINT — beyond the window a term would underflow the integer
     * scale exactly where a float formulation would start rounding, so
@@ -240,6 +248,60 @@ object InsightOpsQueries {
             coalesce(expr(s"1000000000 div ($rrfK + r_vec)"), lit(0L)))
             .as("rrf_micro"))
         .orderBy(desc("rrf_micro"), asc("doc_id")).limit(fuseTop)
+    }),
+
+    // Pseudo-relevance-feedback query expansion (Rocchio 1971; RM3 —
+    // Lavrenko & Croft, SIGIR 2001 — both public): the fixed 2-term
+    // query runs through q126's exact BM25 tree, the top prfFbDocs
+    // docs become the feedback set, every term they contain is scored
+    // Σ_d rel(d) · tf(t,d)/dl(d), and the top prfTopM NEW terms are
+    // the expanded query a second retrieval pass would run. Cross-row
+    // sums are exact integers: per-(doc,term) BM25 quantizes to
+    // micro-units BEFORE the per-doc sum (a multi-term double sum
+    // would be partition-order-sensitive), and term weights are
+    // (tf·1e6 div dl) · rel products of BIGINTs (≤ ~1e17 at sf1 —
+    // headroom logged here because rel grows with N/df). Scale: the
+    // first pass touches only the query terms' postings; the
+    // feedback set is prfFbDocs rows broadcast against one corpus
+    // scan; the expansion agg's keys are the feedback docs'
+    // vocabulary, never the corpus vocabulary.
+    "q252_prf_expansion" -> ((s, dir) => {
+      val toked = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val stats = toked.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_dl"))
+      val tf = toked.select(col("doc_id"),
+          size(col("toks")).cast("long").as("dl"),
+          explode(filter(col("toks"), t => t.isin(queryTerms: _*))).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      val k1 = lit(BigDecimal(bm25K1)).cast("double")
+      val b = lit(BigDecimal(bm25B)).cast("double")
+      val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+      val tfd = col("tf").cast("double")
+      val idf = (col("n_docs").cast("double") - col("doc_freq").cast("double")
+        + lit(0.5)) / (col("doc_freq").cast("double") + lit(0.5))
+      val score = (tfd * (k1 + lit(1.0)) /
+        (tfd + k1 * (lit(1.0) - b + b * (col("dl").cast("double") / avgdl)))) * idf
+      val fb = tf.join(broadcast(dfreq), "term")  // hint audit: dimension-bounded (query-term df table)
+        .crossJoin(broadcast(stats))  // hint audit: scalar (one-row collection stats)
+        .withColumn("s_micro", floor(score * lit(1000000.0)).cast("long"))
+        .groupBy("doc_id").agg(sum(col("s_micro")).as("rel_micro"))
+        .orderBy(desc("rel_micro"), asc("doc_id")).limit(prfFbDocs)
+      val fbtf = toked.join(broadcast(fb), "doc_id")  // hint audit: query-bounded (prfFbDocs feedback docs)
+        .select(col("doc_id"), col("rel_micro"),
+          size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("rel_micro"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      fbtf.where(!col("term").isin(queryTerms: _*))
+        .withColumn("w", expr("(tf * 1000000 div dl) * rel_micro"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_fb_docs"), sum(col("w")).as("weight"))
+        .orderBy(desc("weight"), asc("term")).limit(prfTopM)
+        .withColumn("exp_rank", row_number().over(
+          Window.orderBy(desc("weight"), asc("term"))))
+        .orderBy("exp_rank")
     }),
 
     // Language-ID confusion matrix: the q21 classifier evaluated
@@ -579,6 +641,44 @@ object InsightOpsQueries {
          |    COALESCE(1000000000 // ($rrfK + vt.r_vec), 0) AS rrf_micro
          |FROM kw FULL OUTER JOIN vt ON vt.doc_id = kw.doc_id
          |ORDER BY rrf_micro DESC, doc_id LIMIT $fuseTop""".stripMargin
+    },
+    "q252_prf_expansion" -> {
+      val terms = queryTerms.map(t => s"t = '$t'").mkString(" OR ")
+      val notTerms = queryTerms.map(t => s"term <> '$t'").mkString(" AND ")
+      s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks
+         |      FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs,
+         |        CAST(SUM(len(toks)) AS BIGINT) AS total_dl FROM d),
+         |qt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |        unnest(list_filter(toks, t -> $terms)) AS term
+         |      FROM d),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+         |       FROM qt GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, CAST(SUM(CAST(FLOOR((
+         |    (CAST(tf.tf AS DOUBLE) * ($bm25K1 + 1.0) /
+         |      (CAST(tf.tf AS DOUBLE) + $bm25K1 * (1.0 - $bm25B + $bm25B *
+         |        (CAST(tf.dl AS DOUBLE) /
+         |         (CAST(st.total_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+         |    * ((CAST(st.n_docs AS DOUBLE) - CAST(dfq.doc_freq AS DOUBLE) + 0.5)
+         |       / (CAST(dfq.doc_freq AS DOUBLE) + 0.5))) * 1000000.0)
+         |    AS BIGINT)) AS BIGINT) AS rel_micro
+         |  FROM tf JOIN dfq USING (term), st GROUP BY tf.doc_id),
+         |fb AS (SELECT doc_id, rel_micro FROM sc
+         |       ORDER BY rel_micro DESC, doc_id LIMIT $prfFbDocs),
+         |ft AS (SELECT d.doc_id, fb.rel_micro,
+         |        CAST(len(d.toks) AS BIGINT) AS dl, unnest(d.toks) AS term
+         |       FROM d JOIN fb USING (doc_id)),
+         |ftf AS (SELECT doc_id, rel_micro, dl, term, COUNT(*) AS tf
+         |        FROM ft GROUP BY 1, 2, 3, 4),
+         |ew AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_fb_docs,
+         |        CAST(SUM((tf * 1000000 // dl) * rel_micro) AS BIGINT)
+         |          AS weight
+         |       FROM ftf WHERE $notTerms GROUP BY term)
+         |SELECT term, n_fb_docs, weight,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, term) AS INTEGER)
+         |    AS exp_rank
+         |FROM ew ORDER BY weight DESC, term LIMIT $prfTopM""".stripMargin
     },
     "q127_lang_confusion" ->
       s"""WITH m AS (SELECT lang, ${sqlLangId("text")} AS pred_lang,

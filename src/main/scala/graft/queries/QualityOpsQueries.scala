@@ -35,7 +35,45 @@ object QualityOpsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** q253 privacy thresholds: every quasi-identifier equivalence class
+    * must hold >= anonK rows (k-anonymity — Sweeney, IJUFKS 2002) and
+    * >= diversityL distinct sensitive values (l-diversity —
+    * Machanavajjhala et al., ICDE 2006). Both public.
+    */
+  private val anonK = 10L
+  private val diversityL = 3L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // k-anonymity / l-diversity release audit — the privacy gate a
+    // governance review runs before publishing a table keyed by
+    // quasi-identifiers. QI = (nation, market segment); sensitive
+    // attribute = the account-balance band (floor(bal/2000): double
+    // division + floor, IEEE-identical in both engines and safe on
+    // negative balances — an integer `div` would truncate toward zero
+    // in Spark but floor in DuckDB). Per equivalence class: size,
+    // distinct sensitive values, both pass flags; the audit-wide
+    // suppression cost (rows lost if k-violating classes are dropped)
+    // rides a window over the CLASS relation. One corpus-scale op —
+    // a map-side-combining groupBy on the QI keys; everything after
+    // is ∝ distinct QI combinations, never the table.
+    "q253_k_anonymity" -> ((s, dir) => {
+      val band = floor(col("c_acctbal") / lit(2000.0)).cast("long")
+      val classes = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"), band.as("band"))
+        .groupBy("nation", "segment")
+        .agg(count(lit(1)).as("class_n"),
+          countDistinct(col("band")).as("l_distinct"))
+      val all = Window.partitionBy()
+      classes
+        .withColumn("meets_k", (col("class_n") >= anonK).cast("int"))
+        .withColumn("meets_l", (col("l_distinct") >= diversityL).cast("int"))
+        .withColumn("suppressed_rows",
+          sum(when(col("class_n") < anonK, col("class_n")).otherwise(lit(0L)))
+            .over(all))
+        .orderBy("nation", "segment")
+    }),
+
     // Rule-based validation report (the Deequ-style ingest gate —
     // Schelter et al., VLDB 2018, public): completeness, consistency,
     // domain, uniqueness, duplication, content-policy and range rules,
@@ -285,6 +323,20 @@ object QualityOpsQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q253_k_anonymity" ->
+      s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |    c_mktsegment AS segment,
+         |    CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS band
+         |  FROM customer),
+         |cl AS (SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS class_n,
+         |    CAST(COUNT(DISTINCT band) AS BIGINT) AS l_distinct
+         |  FROM c GROUP BY 1, 2)
+         |SELECT nation, segment, class_n, l_distinct,
+         |  CASE WHEN class_n >= $anonK THEN 1 ELSE 0 END AS meets_k,
+         |  CASE WHEN l_distinct >= $diversityL THEN 1 ELSE 0 END AS meets_l,
+         |  CAST(SUM(CASE WHEN class_n < $anonK THEN class_n ELSE 0 END)
+         |    OVER () AS BIGINT) AS suppressed_rows
+         |FROM cl ORDER BY nation, segment""".stripMargin,
     "q245_quarantine_split" ->
       """WITH r AS (SELECT source,
         |    CASE WHEN length(trim(text)) = 0 THEN 'empty'

@@ -92,6 +92,30 @@ object SimilarityQueries {
     */
   private val filteredLabels: Seq[Int] = Seq(0, 2, 4, 6, 8)
 
+  /** q249/q250 — binary (sign-bit) quantization, the THIRD standard
+    * compressed serving tier beside SQ8 (q225, 4×) and PQ (q168, 32×):
+    * 1 bit per dim (64× here), hamming distance by XOR + popcount —
+    * the sign-random-projection sketch of Charikar (STOC 2002 —
+    * public), served in the identity basis exactly as production
+    * vector stores ship "binary quantization". Codes pack into TWO
+    * 32-bit words per vector rather than one 64-bit word: bit 63 of a
+    * single BIGINT would carry the sign and wrap the packing sum in
+    * both engines, while 32-bit words keep every intermediate a small
+    * positive integer — hamming is then exact in both engines by
+    * construction (popcount of XOR, no arithmetic rounding anywhere).
+    */
+  private val bqWordBits = 32
+
+  /** q251 — matryoshka truncation (Kusupati et al., NeurIPS 2022 —
+    * public): search with only the first `mrlDims` components (here
+    * 16 of 64, a 4× scan/memory cut with NO re-encoding — the corpus
+    * is just read narrower). The eval prices prefix-dim search the
+    * same way q226/q250 price the quantized tiers; on MRL-trained
+    * embeddings the prefix carries most of the signal, and on this
+    * random fixture the measured number is the honest floor.
+    */
+  private val mrlDims = 16
+
   /** q215 nDCG position discounts: floor(1e6 / log2(pos+1)) for pos =
     * 1..pqTopK — integer micro-unit LITERALS (computed once, embedded
     * in both engines' plans) so the eval needs no runtime log and
@@ -764,6 +788,63 @@ object SimilarityQueries {
     top.withColumn("rn", row_number().over(w))
   }
 
+  /** One 32-bit word of the sign-bit code: bit i set iff component
+    * (off + i) is >= 0. A pure scan-stage fold — the whole 64× encode
+    * is two projections, no shuffle, no model artifact to fetch.
+    */
+  private def bqWord(off: Int): Column =
+    expr(s"aggregate(transform(slice(embedding, ${off + 1}, $bqWordBits), " +
+      "(v, i) -> IF(v >= CAST(0 AS FLOAT), shiftleft(1L, i), 0L)), " +
+      "0L, (acc, x) -> acc + x)")
+
+  /** The BQ ranked frame (probe_id, vec_id, hamming, rn ≤ k) — shared
+    * by the q249 gate and q250's recall eval (the sq8Top contract).
+    * Symmetric search: the probe is binarized too, so the scan is pure
+    * integer XOR+popcount — the cheapest possible candidate pass.
+    */
+  private[graft] def bqTop(s: SparkSession, dir: String): DataFrame = {
+    val codes = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), bqWord(0).as("w0"), bqWord(bqWordBits).as("w1"))
+    val probes = codes.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"),
+        col("w0").as("p0"), col("w1").as("p1"))
+    val scored = codes
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+      .select(col("probe_id"), col("vec_id"),
+        expr("CAST(bit_count(w0 ^ p0) + bit_count(w1 ^ p1) AS BIGINT)")
+          .as("hamming"))
+    val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
+      Seq("hamming" -> false, "vec_id" -> false), pqTopK)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(asc("hamming"), asc("vec_id"))
+    top.withColumn("rn", row_number().over(w))
+  }
+
+  /** The BQ CTE chain (through the ranked `br`) — mirrors [[bqTop]]:
+    * two 32-bit sign-bit words, XOR+popcount hamming, (hamming ASC,
+    * vec_id) ranking. DuckDB's indexed list lambda is 1-based, Spark's
+    * transform index 0-based — the `i - 1` aligns them bit-for-bit.
+    */
+  private lazy val sqlBqChain: String = {
+    def word(lo: Int): String =
+      s"CAST(list_sum(list_transform(embedding[$lo:${lo + bqWordBits - 1}], " +
+        "(v, i) -> CASE WHEN v >= 0 THEN 1::BIGINT << (i - 1) " +
+        "ELSE 0::BIGINT END)) AS BIGINT)"
+    s"""bc AS (SELECT vec_id, ${word(1)} AS w0,
+       |    ${word(bqWordBits + 1)} AS w1
+       |  FROM embeddings),
+       |bp AS (SELECT vec_id AS probe_id, w0 AS p0, w1 AS p1 FROM bc
+       |       WHERE ${sqlProbeSlice(61)}),
+       |bs AS (SELECT p.probe_id, c.vec_id,
+       |    CAST(bit_count(xor(c.w0, p.p0))
+       |      + bit_count(xor(c.w1, p.p1)) AS BIGINT) AS hamming
+       |  FROM bc c JOIN bp p ON c.vec_id <> p.probe_id),
+       |br AS (SELECT probe_id, vec_id, hamming,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY hamming, vec_id) AS INTEGER) AS rn
+       |  FROM bs)""".stripMargin
+  }
+
   /** q203's contamination screen over an ARBITRARY (vec_id, embedding)
     * frame — ONE definition shared by the q203 batch gate and the q218
     * streaming gate, so the screen run live IS the gated one. The eval
@@ -1253,6 +1334,96 @@ object SimilarityQueries {
         .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
       val all = Window.partitionBy()
       exact.join(broadcast(sq8), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (SQ8 hits, <= probes x k rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr(s"n_hits * 1000 div $pqTopK"))
+        .withColumn("total_hits", sum(col("n_hits")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_recall_permille",
+          expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
+        .drop("total_hits", "n_probes")
+        .orderBy("probe_id")
+    }),
+
+    // Binary-quantization top-k — the third gated compressed tier
+    // (64× vs SQ8's 4× and PQ's 32×): sign-bit codes, symmetric
+    // XOR+popcount hamming scan. Encode is two scan-stage projections
+    // (no codebook, no scales — nothing to fetch or refresh), and the
+    // scored scan moves only (vec_id, 2 longs) per row: at cluster
+    // scale this is the candidate-generation pass that reads 1/32nd
+    // of what the SQ8 scan reads and no float math at all.
+    "q249_bq_topk" -> ((s, dir) =>
+      bqTop(s, dir).orderBy("probe_id", "rn")),
+
+    // recall@k of the BQ tier against the exact scan — completes the
+    // compression/recall curve: q180/q185 (PQ), q226 (SQ8), this
+    // (1-bit). The three gated points are exactly what a deployment
+    // reads to pick its tier (or to size a BQ-shortlist → re-rank
+    // cascade, q229's device with this as the first stage).
+    "q250_bq_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val bq = bqTop(s, dir)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      val all = Window.partitionBy()
+      exact.join(broadcast(bq), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (BQ hits, <= probes x k rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_permille", expr(s"n_hits * 1000 div $pqTopK"))
+        .withColumn("total_hits", sum(col("n_hits")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_recall_permille",
+          expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
+        .drop("total_hits", "n_probes")
+        .orderBy("probe_id")
+    }),
+
+    // Matryoshka (prefix-dim) truncated search priced against the
+    // full-dim exact scan: the corpus is read NARROWER (first 16 of
+    // 64 components — a pure column-width cut, no re-encoding, no
+    // index artifact), scored with the same exact-fold cosine, and
+    // the eval reports per-probe + overall recall@k. Orthogonal to
+    // quantization: a deployment composes prefix-dims × SQ8/BQ and
+    // reads the two gated curves to pick the operating point.
+    "q251_mrl_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      val tr = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, mrlDims).as("te"))
+        .withColumn("tn2", norm2(col("te")))
+      val tprobes = tr.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("te").as("tpe"),
+          col("tn2").as("tpn2"))
+      val tscored = tr
+        .join(broadcast(tprobes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("tpe"), col("te")), col("tpn2"), col("tn2"))
+            .as("tcos"))
+      val ttop = graft.plans.TopK.perGroup(tscored, Seq("probe_id"),
+        Seq("tcos" -> true, "vec_id" -> false), pqTopK)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
+      val all = Window.partitionBy()
+      exact.join(broadcast(ttop), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (truncated hits, <= probes x k rows)
         .groupBy("probe_id")
         .agg(count(lit(1)).as("k_exact"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
@@ -2077,6 +2248,73 @@ object SimilarityQueries {
            |      FROM ex LEFT JOIN top8
            |        ON top8.probe_id = ex.probe_id
            |        AND top8.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits,
+           |  n_hits * 1000 // $pqTopK AS recall_permille,
+           |  CAST(SUM(n_hits) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin
+      },
+      "q249_bq_topk" ->
+        s"""WITH $sqlBqChain
+           |SELECT probe_id, vec_id, hamming, rn FROM br
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin,
+      "q250_bq_recall" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        s"""WITH $sqlEmb, $sqlBqChain,
+           |topb AS (SELECT probe_id, vec_id FROM br WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN topb.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |      FROM ex LEFT JOIN topb
+           |        ON topb.probe_id = ex.probe_id
+           |        AND topb.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits,
+           |  n_hits * 1000 // $pqTopK AS recall_permille,
+           |  CAST(SUM(n_hits) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin
+      },
+      "q251_mrl_recall" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        val tcos = sqlCosineFrom(
+          sqlDot("tp.embedding", "t.embedding", mrlDims),
+          sqlNorm2("tp.embedding", mrlDims), sqlNorm2("t.embedding", mrlDims))
+        s"""WITH $sqlEmb,
+           |t AS (SELECT vec_id, embedding FROM embeddings),
+           |tp AS (SELECT vec_id AS probe_id, embedding FROM embeddings
+           |       WHERE ${sqlProbeSlice(61)}),
+           |ttop AS (SELECT probe_id, vec_id FROM (
+           |  SELECT tp.probe_id, t.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY tp.probe_id
+           |      ORDER BY $tcos DESC, t.vec_id) AS rn
+           |  FROM tp JOIN t ON t.vec_id <> tp.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $cos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN ttop.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |      FROM ex LEFT JOIN ttop
+           |        ON ttop.probe_id = ex.probe_id
+           |        AND ttop.vec_id = ex.vec_id
            |      GROUP BY ex.probe_id)
            |SELECT probe_id, k_exact, n_hits,
            |  n_hits * 1000 // $pqTopK AS recall_permille,
