@@ -797,12 +797,15 @@ object SimilarityQueries {
       "(v, i) -> IF(v >= CAST(0 AS FLOAT), shiftleft(1L, i), 0L)), " +
       "0L, (acc, x) -> acc + x)")
 
-  /** The BQ ranked frame (probe_id, vec_id, hamming, rn ≤ k) — shared
-    * by the q249 gate and q250's recall eval (the sq8Top contract).
-    * Symmetric search: the probe is binarized too, so the scan is pure
-    * integer XOR+popcount — the cheapest possible candidate pass.
+  /** The BQ ranked frame (probe_id, vec_id, hamming, rn ≤ topN) —
+    * shared by the q249 gate, q250's recall eval (both at topN = k,
+    * the sq8Top contract) and the q254/q255 re-rank cascade (topN =
+    * [[pqRerankR]], the shortlist). Symmetric search: the probe is
+    * binarized too, so the scan is pure integer XOR+popcount — the
+    * cheapest possible candidate pass.
     */
-  private[graft] def bqTop(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bqTop(s: SparkSession, dir: String,
+      topN: Int = pqTopK): DataFrame = {
     val codes = Tables(s, dir, "embeddings")
       .select(col("vec_id"), bqWord(0).as("w0"), bqWord(bqWordBits).as("w1"))
     val probes = codes.where(probeSlice(61))
@@ -814,7 +817,7 @@ object SimilarityQueries {
         expr("CAST(bit_count(w0 ^ p0) + bit_count(w1 ^ p1) AS BIGINT)")
           .as("hamming"))
     val top = graft.plans.TopK.perGroup(scored, Seq("probe_id"),
-      Seq("hamming" -> false, "vec_id" -> false), pqTopK)
+      Seq("hamming" -> false, "vec_id" -> false), topN)
     val w = Window.partitionBy("probe_id")
       .orderBy(asc("hamming"), asc("vec_id"))
     top.withColumn("rn", row_number().over(w))
@@ -1433,6 +1436,66 @@ object SimilarityQueries {
         .withColumn("overall_recall_permille",
           expr(s"total_hits * 1000 div (n_probes * $pqTopK)"))
         .drop("total_hits", "n_probes")
+        .orderBy("probe_id")
+    }),
+
+    // BQ-shortlist → exact re-rank cascade: q229's IVFADC+R device
+    // with the 1-bit tier as the FIRST stage — the hamming scan (pure
+    // integer, 1/32nd the bytes of the SQ8 scan) keeps the top-r per
+    // probe, then probes×r full-precision fetches re-score with the
+    // TRUE cosine and cut to top-k. Shares rerankFrom with q229 (one
+    // refine-stage definition) and bqTop with q249 (one candidate
+    // definition) — the cascade measured IS the gated tiers composed.
+    "q254_bq_rerank" -> ((s, dir) =>
+      rerankFrom(s, dir, bqTop(s, dir, pqRerankR))
+        .select("probe_id", "vec_id", "cosine", "rn")
+        .orderBy("probe_id", "rn")),
+
+    // The cascade eval: recall@k of the re-ranked list and of the raw
+    // BQ@k list side by side per probe. Re-rank >= raw is the same
+    // structural theorem as q230 (shortlist ⊇ BQ top-k — one ranking
+    // truncated at r vs k — and exact re-scoring keeps every true
+    // neighbor present), so the gap columns price exactly what the
+    // refine stage buys over the 1-bit scan alone.
+    "q255_bq_rerank_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+        Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+      // ONE shortlist frame serves both faces (the q230 device): the
+      // raw BQ@k face is the same hamming ranking truncated at k
+      val sl = bqTop(s, dir, pqRerankR)
+      val rr = rerankFrom(s, dir, sl)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("rr_hit"))
+      val bq = sl.where(col("rn") <= pqTopK)
+        .select(col("probe_id"), col("vec_id"), lit(1L).as("bq_hit"))
+      val all = Window.partitionBy()
+      exact
+        .join(broadcast(rr), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (<= probes x k rerank rows)
+        .join(broadcast(bq), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (<= probes x k BQ rows)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("k_exact"),
+          sum(coalesce(col("rr_hit"), lit(0L))).as("n_hits_rerank"),
+          sum(coalesce(col("bq_hit"), lit(0L))).as("n_hits_bq"))
+        .withColumn("rerank_recall_permille",
+          expr(s"n_hits_rerank * 1000 div $pqTopK"))
+        .withColumn("bq_recall_permille",
+          expr(s"n_hits_bq * 1000 div $pqTopK"))
+        .withColumn("tot_rr", sum(col("n_hits_rerank")).over(all))
+        .withColumn("tot_bq", sum(col("n_hits_bq")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .withColumn("overall_rerank_permille",
+          expr(s"tot_rr * 1000 div (n_probes * $pqTopK)"))
+        .withColumn("overall_bq_permille",
+          expr(s"tot_bq * 1000 div (n_probes * $pqTopK)"))
+        .drop("tot_rr", "tot_bq", "n_probes")
         .orderBy("probe_id")
     }),
 
@@ -2321,6 +2384,63 @@ object SimilarityQueries {
            |  CAST(SUM(n_hits) OVER () * 1000
            |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
            |    AS overall_recall_permille
+           |FROM h ORDER BY probe_id""".stripMargin
+      },
+      "q254_bq_rerank" -> {
+        val cos = sqlCosineFrom(sqlDot("p.pe", "e2.embedding"), "p.pn2", "e2.n2")
+        s"""WITH $sqlEmb, $sqlBqChain,
+           |sl AS (SELECT probe_id, vec_id FROM br WHERE rn <= $pqRerankR),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |rr AS (SELECT sl.probe_id, sl.vec_id, $cos AS cosine
+           |       FROM sl JOIN e e2 ON e2.vec_id = sl.vec_id
+           |       JOIN p ON p.probe_id = sl.probe_id)
+           |SELECT probe_id, vec_id, cosine, rn FROM (
+           |  SELECT probe_id, vec_id, cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+           |      ORDER BY cosine DESC, vec_id) AS INTEGER) AS rn FROM rr)
+           |WHERE rn <= $pqTopK ORDER BY probe_id, rn""".stripMargin
+      },
+      "q255_bq_rerank_recall" -> {
+        val rcos = sqlCosineFrom(sqlDot("p.pe", "e2.embedding"), "p.pn2", "e2.n2")
+        val xcos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
+        s"""WITH $sqlEmb, $sqlBqChain,
+           |sl AS (SELECT probe_id, vec_id FROM br WHERE rn <= $pqRerankR),
+           |bqtop AS (SELECT probe_id, vec_id FROM br WHERE rn <= $pqTopK),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+           |      FROM e WHERE ${sqlProbeSlice(61)}),
+           |rr AS (SELECT probe_id, vec_id FROM (
+           |    SELECT sl.probe_id, sl.vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY sl.probe_id
+           |        ORDER BY $rcos DESC, sl.vec_id) AS rn
+           |    FROM sl JOIN e e2 ON e2.vec_id = sl.vec_id
+           |    JOIN p ON p.probe_id = sl.probe_id) WHERE rn <= $pqTopK),
+           |ex AS (SELECT probe_id, vec_id FROM (
+           |  SELECT p.probe_id, e.vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |      ORDER BY $xcos DESC, e.vec_id) AS rn
+           |  FROM p JOIN e ON e.vec_id <> p.probe_id)
+           |  WHERE rn <= $pqTopK),
+           |h AS (SELECT ex.probe_id, CAST(COUNT(*) AS BIGINT) AS k_exact,
+           |        CAST(SUM(CASE WHEN rr.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_rerank,
+           |        CAST(SUM(CASE WHEN bqtop.vec_id IS NOT NULL
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_bq
+           |      FROM ex LEFT JOIN rr
+           |        ON rr.probe_id = ex.probe_id AND rr.vec_id = ex.vec_id
+           |      LEFT JOIN bqtop
+           |        ON bqtop.probe_id = ex.probe_id
+           |        AND bqtop.vec_id = ex.vec_id
+           |      GROUP BY ex.probe_id)
+           |SELECT probe_id, k_exact, n_hits_rerank, n_hits_bq,
+           |  n_hits_rerank * 1000 // $pqTopK AS rerank_recall_permille,
+           |  n_hits_bq * 1000 // $pqTopK AS bq_recall_permille,
+           |  CAST(SUM(n_hits_rerank) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_rerank_permille,
+           |  CAST(SUM(n_hits_bq) OVER () * 1000
+           |    // (COUNT(*) OVER () * $pqTopK) AS BIGINT)
+           |    AS overall_bq_permille
            |FROM h ORDER BY probe_id""".stripMargin
       },
       "q208_ann_mrr" -> {

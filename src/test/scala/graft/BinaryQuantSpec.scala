@@ -95,6 +95,49 @@ class BinaryQuantSpec extends SparkSuite {
     assert(got === want)
   }
 
+  private val RerankR = 20
+
+  /** Hamming top-r shortlist re-scored by exact cosine, cut to top-K —
+    * the independent cascade oracle.
+    */
+  private def rerankIds(p: Long): Seq[Long] =
+    vecs.keys.filter(_ != p).toSeq
+      .map(id => (id, ham(vecs(p), vecs(id), 64)))
+      .sortBy { case (id, h) => (h, id) }
+      .take(RerankR)
+      .map { case (id, _) => (id, cos(vecs(p), vecs(id), 64)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(K).map(_._1)
+
+  test("q254: BQ-shortlist exact re-rank == independent cascade") {
+    val got = SparkEntry.queries("q254_bq_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val want = probeIds.flatMap(p => rerankIds(p).map(id => (p, id)))
+    assert(got === want)
+  }
+
+  test("q255: re-rank recall dominates raw BQ recall on every probe") {
+    val rows = SparkEntry.queries("q255_bq_rerank_recall")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rerank = r.getAs[Long]("n_hits_rerank")
+      val bq = r.getAs[Long]("n_hits_bq")
+      assert(rerank >= bq, s"probe ${r.getLong(0)}: rerank $rerank < bq $bq")
+    }
+    // and the counts match the independent implementations
+    val want = probeIds.map { p =>
+      val ex = exactTop(p, 64).toSet
+      (p, rerankIds(p).count(ex).toLong,
+        bqTopIds(p).map(_._1).count(ex).toLong)
+    }
+    val got = rows.map(r => (r.getLong(0),
+      r.getAs[Long]("n_hits_rerank"), r.getAs[Long]("n_hits_bq"))).toSeq
+    assert(got === want)
+  }
+
   test("q251: matryoshka recall eval rows == hand-counted hits") {
     val got = SparkEntry.queries("q251_mrl_recall")(spark, dir)
       .collect()
