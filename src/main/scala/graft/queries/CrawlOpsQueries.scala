@@ -393,6 +393,55 @@ object CrawlOpsQueries {
   /** q235's iteration count — a literal in both engines' plans. */
   private val hitsIters = 3
 
+  /** q258's round count — a literal in both engines' plans. The woven
+    * host graph reaches every host from the 5-seed set well inside 6
+    * rounds (each host links forward up to 7 positions, seeds sit 5
+    * apart); GraphSpec pins the BFS semantics on a constructed path
+    * graph where the bound actually binds.
+    */
+  private val bfsIters = 6
+
+  /** Multi-source BFS hop distance from a seed set — min-plus
+    * propagation, `bfsIters` rounds: dist_{t+1}(v) = min(dist_t(v),
+    * 1 + min over in-edges from reached hosts). Null/unreached
+    * surfaces as -1 — the crawl-depth / link-distance-from-trust
+    * number a scheduler pairs with q233's TrustRank mass: TrustRank
+    * says how MUCH trust flows, this says how FAR a host sits from
+    * any trusted anchor. Cost model: the edge AGGREGATION is the one
+    * corpus-scale op (distributed, shared CacheSlot); the graph
+    * itself is model-sized (≤ hosts·7 distinct pairs), so the rounds
+    * fold on the DRIVER over the collected pair list — the q37/
+    * ext-KMeans centroid-fetch convention. An iterated-DataFrame
+    * formulation was measured at 14 s/run (6 micro-shuffle rounds of
+    * job+plan overhead for a ≤23-row relation); the collected fold is
+    * the plan a deployment wants: one scan, one bounded fetch, zero
+    * per-round jobs. (A billion-host graph flips this back to
+    * partitioned min-plus joins — the same step algebra, stated here
+    * so the scale path is explicit.)
+    */
+  private[graft] def hopDistFrom(
+      edgesRaw: DataFrame, seeds: Seq[Long]): DataFrame = {
+    val spark = edgesRaw.sparkSession
+    val pairs = edgesRaw.select("src", "dst").collect()  // hint audit: value-domain-bounded collect (<= hosts x 7 distinct host pairs)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hosts = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val bySrc = pairs.groupBy(_._1)
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    seeds.filter(hosts.contains).foreach(s => dist(s) = 0L)
+    for (_ <- 1 to bfsIters) {
+      val reached = dist.toSeq
+      reached.foreach { case (u, du) =>
+        bySrc.getOrElse(u, Array.empty).foreach { case (_, v) =>
+          if (!dist.contains(v) || dist(v) > du + 1) dist(v) = du + 1
+        }
+      }
+    }
+    import spark.implicits._
+    hosts.map(h => (h, s"site$h.com", dist.getOrElse(h, -1L))).toSeq
+      .toDF("host_id", "host", "hops")
+      .orderBy("hops", "host_id")
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999 — public) over the
     * same weighted host graph as q231: `hitsIters` rounds of the
     * mutual recursion a(v) = Σ_{u→v} h(u)·w, h(u) = Σ_{u→v} a(v)·w,
@@ -692,6 +741,15 @@ object CrawlOpsQueries {
         .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       pagerankFrom(merged)
     }),
+
+    // Multi-source BFS from the trusted seeds — the graph tier's
+    // distance face (rank tells how much authority flows; this tells
+    // how many hops separate a host from ANY trusted anchor — the
+    // crawl-depth budget and the "link neighborhood" radius a
+    // scheduler caps). Min-plus rounds on the cached bounded graph;
+    // unreached surfaces as -1, never silently dropped.
+    "q258_seed_bfs" -> ((s, dir) =>
+      hopDistFrom(hostEdges(Tables(s, dir, "documents")), trustSeeds)),
 
     // HITS hubs & authorities over the q231 host graph — the second
     // classic link-analysis signal (Kleinberg 1999): authority = cited
@@ -1073,6 +1131,30 @@ object CrawlOpsQueries {
          |  CAST(length(bin(dd.n_chars)) AS BIGINT) AS octave
          |FROM dd JOIN pr ON pr.host_id = dd.h JOIN lab ON lab.h = dd.h
          |ORDER BY dd.doc_id""".stripMargin,
+    "q258_seed_bfs" -> {
+      val seedSet = trustSeeds.mkString(", ")
+      val base =
+        s"""eg AS (SELECT DISTINCT (doc_id // 4) % 23 AS src,
+           |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst
+           |  FROM documents),
+           |n AS (SELECT src AS h FROM eg UNION SELECT dst FROM eg),
+           |d0 AS (SELECT h, CASE WHEN h IN ($seedSet)
+           |    THEN CAST(0 AS BIGINT) END AS dist FROM n)""".stripMargin
+      val rounds = (1 to bfsIters).map { i =>
+        s"""d$i AS (SELECT h, MIN(nd) AS dist FROM (
+           |    SELECT h, dist AS nd FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT eg.dst AS h, d.dist + 1 AS nd
+           |    FROM eg JOIN d${i - 1} d ON d.h = eg.src
+           |    WHERE d.dist IS NOT NULL) GROUP BY h)""".stripMargin
+      }
+      ("WITH " + (Seq(base) ++ rounds).mkString(",\n")) +
+        s"""
+           |SELECT h AS host_id,
+           |  concat('site', CAST(h AS VARCHAR), '.com') AS host,
+           |  COALESCE(dist, -1) AS hops
+           |FROM d$bfsIters ORDER BY hops, host_id""".stripMargin
+    },
     "q235_hits" -> sqlHits,
     "q231_host_pagerank" -> sqlPagerank(seeded = false),
     "q233_trustrank" -> sqlPagerank(seeded = true),

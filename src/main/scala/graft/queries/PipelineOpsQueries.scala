@@ -116,6 +116,13 @@ object PipelineOpsQueries {
   private val bm25TopN = 3
   private val bm25DocModulus = 20
 
+  // ---------------------------------------------------------------- q256
+  /** Probe-observation slice for the PIT join: every pitProbeMod-th
+    * event_id asks "what was this user's tracked attribute at my
+    * timestamp?" — the training-row grain of a feature store.
+    */
+  private val pitProbeMod = 17
+
   // ---------------------------------------------------------------- q83
   /** A 3-gram shingle present in at least this many distinct docs is
     * template text, not content. The corpus' max shingle df is 7-25
@@ -213,6 +220,49 @@ object PipelineOpsQueries {
         .select(col("user_id"), col("version"), col("event_type"),
           col("valid_from_us"), col("valid_to_us"), col("is_current"))
         .orderBy("user_id", "version")
+    }),
+
+    // Point-in-time (PIT) feature join — the feature-store primitive
+    // (training rows must see each feature's value AS OF the
+    // observation time, never a later one — the leakage rule): each
+    // probe observation (user, t) picks up the q74 SCD2 attribute
+    // version valid at t. Implemented WITHOUT an interval join: the
+    // change rows and the probe rows union into ONE per-user window
+    // ordered by (t, tag, event_id) — changes sort before probes at
+    // equal t, so a probe at a change's own instant sees the new value
+    // (valid_from inclusive, exactly q74's interval semantics) — and
+    // a running last-non-null carries the version forward. One
+    // shuffle, no pair term, no interval explode: the PIT shape that
+    // survives a 100 TB event stream where a range join would
+    // re-partition both sides per interval.
+    "q256_pit_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t"))
+      val wch = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val changes = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(wch))
+        .where(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("version", row_number().over(wch))
+        .select(col("user_id"), col("event_id"), col("t"),
+          col("event_type").as("feat"), col("version"),
+          lit(0).as("tag"))
+      val probes = ev.where(col("event_id") % pitProbeMod === 0)
+        .select(col("user_id"), col("event_id"), col("t"),
+          lit(null).cast("string").as("feat"),
+          lit(null).cast("int").as("version"), lit(1).as("tag"))
+      val wpit = Window.partitionBy("user_id")
+        .orderBy("t", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      changes.unionByName(probes)
+        .withColumn("pit_type", last(col("feat"), ignoreNulls = true).over(wpit))
+        .withColumn("pit_version",
+          last(col("version"), ignoreNulls = true).over(wpit))
+        .where(col("tag") === 1)
+        .select(col("user_id"), col("event_id").as("probe_id"),
+          col("t").as("asof_us"), col("pit_type"), col("pit_version"))
+        .orderBy("user_id", "asof_us", "probe_id")
     }),
 
     // Z-order layout clustering: the Morton interleave of two scan
@@ -775,6 +825,32 @@ object PipelineOpsQueries {
         |FROM changes
         |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    "q256_pit_join" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS prev_type
+         |  FROM events),
+         |ch AS (
+         |  SELECT user_id, event_id, t, event_type AS feat,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY t, event_id) AS INTEGER) AS version, 0 AS tag
+         |  FROM ev WHERE prev_type IS NULL OR prev_type <> event_type),
+         |pr AS (
+         |  SELECT user_id, event_id, t, CAST(NULL AS VARCHAR) AS feat,
+         |    CAST(NULL AS INTEGER) AS version, 1 AS tag
+         |  FROM ev WHERE event_id % $pitProbeMod = 0),
+         |u AS (SELECT * FROM ch UNION ALL SELECT * FROM pr)
+         |SELECT user_id, event_id AS probe_id, t AS asof_us,
+         |  pit_type, pit_version
+         |FROM (
+         |  SELECT *,
+         |    last_value(feat IGNORE NULLS) OVER w2 AS pit_type,
+         |    last_value(version IGNORE NULLS) OVER w2 AS pit_version
+         |  FROM u WINDOW w2 AS (PARTITION BY user_id
+         |    ORDER BY t, tag, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |WHERE tag = 1 ORDER BY user_id, asof_us, probe_id""".stripMargin,
     "q75_zorder_layout" ->
       s"""WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS qb,
          |                  l_partkey % 64 AS pb FROM lineitem)

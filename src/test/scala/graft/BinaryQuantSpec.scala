@@ -138,6 +138,41 @@ class BinaryQuantSpec extends SparkSuite {
     assert(got === want)
   }
 
+  /** Plain-Scala MMR greedy (λ = 0.5) over the exact top-r shortlist
+    * — the independent q257 oracle. Same formula tree: step 1 = max
+    * rel; step i = argmax (rel − max sim to selected) · 0.5, vec_id
+    * tiebreaks throughout.
+    */
+  private def mmrIds(p: Long): Seq[Long] = {
+    val cands = vecs.keys.filter(_ != p).toSeq
+      .map(id => (id, cos(vecs(p), vecs(id), 64)))
+      .sortBy { case (id, c) => (-c, id) }
+      .take(RerankR)
+    val rel = cands.toMap
+    var sel = List(cands.head._1)
+    var rem = cands.map(_._1).filterNot(_ == sel.head)
+    for (_ <- 2 to K) {
+      val pick = rem.map { id =>
+        val ms = sel.map(s => cos(vecs(id), vecs(s), 64)).max
+        (id, (rel(id) - ms) * 0.5)
+      }.sortBy { case (id, m) => (-m, id) }.head._1
+      sel = sel :+ pick
+      rem = rem.filterNot(_ == pick)
+    }
+    sel
+  }
+
+  test("q257: MMR greedy selection == independent plain-Scala recursion") {
+    val got = SparkEntry.queries("q257_mmr_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .toSeq
+    val want = probeIds.flatMap { p =>
+      mmrIds(p).zipWithIndex.map { case (id, i) => (p, i + 1, id) }
+    }
+    assert(got === want)
+  }
+
   test("q251: matryoshka recall eval rows == hand-counted hits") {
     val got = SparkEntry.queries("q251_mrl_recall")(spark, dir)
       .collect()

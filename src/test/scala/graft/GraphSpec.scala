@@ -89,4 +89,32 @@ class GraphSpec extends SparkSuite {
     // permille device: 500000 − 500² = 250000 per community
     assert(out.head.getAs[Long]("modularity_micro") === 500000L)
   }
+
+  test("BFS on a directed path: hop i at node i; unreachable = -1") {
+    // path 0→1→…→6 uses the full bfsIters=6 budget (the bound binds
+    // exactly); 10→11 is a separate component the seed never reaches;
+    // the back-edge 3→0 must not shorten anything (dist 0 is final)
+    val out = CrawlOpsQueries.hopDistFrom(
+      edges((0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1),
+        (5, 6, 1), (3, 0, 1), (10, 11, 1)), Seq(0L)).collect()
+    val hops = out.map(r =>
+      r.getAs[Long]("host_id") -> r.getAs[Long]("hops")).toMap
+    (0 to 6).foreach(i => assert(hops(i.toLong) === i.toLong,
+      s"node $i at wrong depth ${hops(i.toLong)}"))
+    assert(hops(10L) === -1L && hops(11L) === -1L,
+      "the disconnected component must surface as -1, not be dropped")
+  }
+
+  test("multi-source BFS takes the min over seeds") {
+    // seeds 0 and 4 on a path 0→1→2→3→4→5: node 3 is 3 hops from
+    // seed 0; node 5 is 1 hop from seed 4, not 5 from seed 0
+    val out = CrawlOpsQueries.hopDistFrom(
+      edges((0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)),
+      Seq(0L, 4L)).collect()
+    val hops = out.map(r =>
+      r.getAs[Long]("host_id") -> r.getAs[Long]("hops")).toMap
+    assert(hops(3L) === 3L)
+    assert(hops(4L) === 0L)
+    assert(hops(5L) === 1L)
+  }
 }

@@ -37,6 +37,29 @@ class PipelineOpsSpec extends SparkSuite {
     }
   }
 
+  test("q256 PIT join never leaks the future and lands inside the q74 interval") {
+    // the feature-store correctness property the hash gate states only
+    // implicitly: every probe's attached version must be VALID at the
+    // probe instant under q74's own intervals — valid_from <= t and
+    // (valid_to is null or t < valid_to)
+    val scd2 = run("q74_scd2").collect().map { r =>
+      (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getString(2))
+    }.toMap
+    val pit = PipelineOpsQueries.queries("q256_pit_join")(spark, dir)
+      .collect()
+    assert(pit.nonEmpty)
+    pit.foreach { r =>
+      val (user, t, typ, ver) = (r.getLong(0), r.getLong(2),
+        r.getString(3), r.getInt(4))
+      val (from, to, attr) = scd2((user, ver))
+      assert(from <= t, s"user $user: version $ver starts after probe $t")
+      assert(to.forall(t < _), s"user $user: probe $t sees expired version $ver")
+      assert(attr === typ, s"user $user: attribute mismatch at version $ver")
+    }
+  }
+
   test("q74 SCD2 intervals are contiguous, versioned, one current per user") {
     val hist = run("q74_scd2").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(3),
