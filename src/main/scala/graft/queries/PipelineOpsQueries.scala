@@ -121,7 +121,7 @@ object PipelineOpsQueries {
     * event_id asks "what was this user's tracked attribute at my
     * timestamp?" — the training-row grain of a feature store.
     */
-  private val pitProbeMod = 17
+  private[graft] val pitProbeMod = 17
 
   // ---------------------------------------------------------------- q83
   /** A 3-gram shingle present in at least this many distinct docs is

@@ -769,6 +769,67 @@ object StreamingQueries {
     // bit-identical to both the batch and the incremental-batch
     // paths. At 100 TB: in-stream state ∝ the delta's (term, shard)
     // cardinality, the old index is never re-derived from text.
+    // E245 oracle-gated: streaming point-in-time enrichment — ONLINE
+    // feature serving: probe observations arrive as a stream and each
+    // micro-batch stream-static joins the persisted q74/q256 SCD2
+    // interval table (valid_from <= t < valid_to, current rows open) —
+    // stateless, Append-mode, no watermark (a static join side holds
+    // no stream state). The oracle is q256's twin VERBATIM: the
+    // streaming interval lookup and the batch union+window formulation
+    // are two different algorithms held to one gated contract, the
+    // strongest cross-check in the PIT family. At 100 TB the static
+    // side is the feature store's persisted compact history (∝
+    // attribute changes, not events), broadcast or bucket-joined per
+    // micro-batch; per-batch work ∝ arriving observations.
+    "q259_stream_pit" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q259-src")
+      val ckpt = tmpDir("graft-q259-ckpt")
+      val sink = s"graft_q259_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val wch = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("t", "event_id")
+        val scd2 = graft.queries.Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts_ns div 1000").as("t"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wch))
+          .where(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .withColumn("pit_version", row_number().over(wch))
+          .withColumn("valid_to", lead(col("t"), 1).over(wch))
+          .select(col("user_id"), col("event_type").as("pit_type"),
+            col("pit_version"), col("t").as("valid_from"), col("valid_to"))
+        val probes = s.readStream.schema(schema).parquet(stage.toString)
+          .where(col("event_id") %
+            graft.queries.PipelineOpsQueries.pitProbeMod === 0)
+          .select(col("user_id"), col("event_id").as("probe_id"),
+            tsUs(schema).as("asof_us"))
+        val joined = probes.join(scd2,
+            probes("user_id") === scd2("user_id") &&
+              col("valid_from") <= col("asof_us") &&
+              (col("valid_to").isNull || col("asof_us") < col("valid_to")))
+          .select(probes("user_id"), col("probe_id"), col("asof_us"),
+            col("pit_type"), col("pit_version"))
+        val query = joined.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("user_id", "asof_us", "probe_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     "q164_stream_index" -> ((s, dir) => {
       val src = Paths.get(s"$dir/documents.parquet")
       val stage = tmpDir("graft-q164-src")
@@ -1593,6 +1654,12 @@ object StreamingQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    // the q163/q186 convention taken one step further: the oracle IS
+    // the batch twin's SQL VERBATIM (one definition, zero drift) —
+    // the streaming interval join must reproduce the batch
+    // union+window PIT bit-for-bit
+    "q259_stream_pit" ->
+      graft.queries.PipelineOpsQueries.oracle("q256_pit_join"),
     // Same window arithmetic + the Append-mode emission predicate: the
     // watermark is the ms-floored max event time minus the delay, and
     // only windows whose END has passed it are in the output.
