@@ -788,6 +788,31 @@ object SimilarityQueries {
     top.withColumn("rn", row_number().over(w))
   }
 
+  /** q260: the exact top-k list is joined against all seven tier
+    * lists — cached once (same unpersist discipline as lastEdges).
+    */
+  private val lastScoreboardExact = new graft.util.CacheSlot
+
+  /** The matryoshka truncated-dim top-k (probe_id, vec_id) — ONE
+    * definition for the q251 gate and the q260 scoreboard.
+    */
+  private def mrlTop(s: SparkSession, dir: String): DataFrame = {
+    val tr = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), slice(col("embedding"), 1, mrlDims).as("te"))
+      .withColumn("tn2", norm2(col("te")))
+    val tprobes = tr.where(probeSlice(61))
+      .select(col("vec_id").as("probe_id"), col("te").as("tpe"),
+        col("tn2").as("tpn2"))
+    val tscored = tr
+      .join(broadcast(tprobes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+      .select(col("probe_id"), col("vec_id"),
+        cosineFrom(dot(col("tpe"), col("te")), col("tpn2"), col("tn2"))
+          .as("tcos"))
+    graft.plans.TopK.perGroup(tscored, Seq("probe_id"),
+      Seq("tcos" -> true, "vec_id" -> false), pqTopK)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
   /** One 32-bit word of the sign-bit code: bit i set iff component
     * (off + i) is >= 0. A pure scan-stage fold — the whole 64× encode
     * is two projections, no shuffle, no model artifact to fetch.
@@ -1482,19 +1507,7 @@ object SimilarityQueries {
             .as("cosine"))
       val exact = graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
         Seq("cosine" -> true, "vec_id" -> false), pqTopK)
-      val tr = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), slice(col("embedding"), 1, mrlDims).as("te"))
-        .withColumn("tn2", norm2(col("te")))
-      val tprobes = tr.where(probeSlice(61))
-        .select(col("vec_id").as("probe_id"), col("te").as("tpe"),
-          col("tn2").as("tpn2"))
-      val tscored = tr
-        .join(broadcast(tprobes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
-        .select(col("probe_id"), col("vec_id"),
-          cosineFrom(dot(col("tpe"), col("te")), col("tpn2"), col("tn2"))
-            .as("tcos"))
-      val ttop = graft.plans.TopK.perGroup(tscored, Seq("probe_id"),
-        Seq("tcos" -> true, "vec_id" -> false), pqTopK)
+      val ttop = mrlTop(s, dir)
         .select(col("probe_id"), col("vec_id"), lit(1L).as("hit"))
       val all = Window.partitionBy()
       exact.join(broadcast(ttop), Seq("probe_id", "vec_id"), "left")  // hint audit: probe-bounded (truncated hits, <= probes x k rows)
@@ -1580,6 +1593,52 @@ object SimilarityQueries {
     // k−1 nested CTEs — selection IS the gated semantics, not just
     // the final set.
     "q257_mmr_rerank" -> ((s, dir) => mmrTop(s, dir)),
+
+    // Compression-tier scoreboard — the decision table the individual
+    // recall gates imply, materialized as ONE gated artifact: overall
+    // recall@k vs the exact scan for every served tier, each ranked
+    // list through the SAME shared frame its own gate executes
+    // (bqTop, rerankFrom, sq8Top, mrlTop, ivfPqTopN, rerankTop).
+    // Costs the sum of the tier builds (each is its own gate's plan,
+    // the exact list cached across the seven joins); the value is the
+    // composition proof — the scoreboard CANNOT drift from the gated
+    // tiers because there is no second definition to drift.
+    "q260_tier_scoreboard" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(probeSlice(61))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("n2").as("pn2"))
+      val exactScored = corpus
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))  // hint audit: probe-batch-bounded (9-row probe slice)
+        .select(col("probe_id"), col("vec_id"),
+          cosineFrom(dot(col("pe"), col("embedding")), col("pn2"), col("n2"))
+            .as("cosine"))
+      val exact = lastScoreboardExact.swap(
+        graft.plans.TopK.perGroup(exactScored, Seq("probe_id"),
+          Seq("cosine" -> true, "vec_id" -> false), pqTopK)
+          .select("probe_id", "vec_id").cache())
+      def recallOf(tier: String, hits: DataFrame): DataFrame =
+        exact
+          .join(broadcast(hits.withColumn("hit", lit(1L))),  // hint audit: probe-bounded (<= probes x k tier rows)
+            Seq("probe_id", "vec_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+            count(lit(1)).as("n_exact"))
+          .select(lit(tier).as("tier"),
+            expr("n_hits * 1000 div n_exact").as("recall_permille"))
+      Seq(
+        ("bq1bit", bqTop(s, dir).select("probe_id", "vec_id")),
+        ("bq_rerank", rerankFrom(s, dir, bqTop(s, dir, pqRerankR))
+          .select("probe_id", "vec_id")),
+        ("sq8", sq8Top(s, dir).select("probe_id", "vec_id")),
+        ("mrl16", mrlTop(s, dir)),
+        ("pq_nprobe1", ivfPqTopN(s, dir, 1).select("probe_id", "vec_id")),
+        ("pq_nprobe4", ivfPqTopN(s, dir, ivfNprobe)
+          .select("probe_id", "vec_id")),
+        ("pq_rerank", rerankTop(s, dir).select("probe_id", "vec_id")))
+        .map { case (t, df) => recallOf(t, df) }
+        .reduce(_ unionByName _)
+        .orderBy(desc("recall_permille"), asc("tier"))
+    }),
 
     // FILTERED vector search — the ubiquitous vector-DB request
     // ("nearest neighbors WHERE label IN (...)") and its standard
@@ -2575,6 +2634,82 @@ object SimilarityQueries {
         ("WITH " + (Seq(base) ++ steps).mkString(",\n")) +
           s"\nSELECT probe_id, vec_id, rel, step FROM sel$pqTopK" +
           "\nORDER BY probe_id, step"
+      },
+      "q260_tier_scoreboard" -> {
+        val xcos = sqlCosineFrom(sqlDot("p2.pe", "e.embedding"), "p2.pn2", "e.n2")
+        val rcos = sqlCosineFrom(sqlDot("p2.pe", "e2.embedding"), "p2.pn2", "e2.n2")
+        // each tier's recall is one scalar subquery with its own
+        // nested WITH — the chains reuse CTE names (e, br, r8, adc),
+        // so they cannot share a single top-level scope
+        def tierScalar(chains: String, hitsSel: String): String =
+          s"""(WITH $chains,
+             |p2 AS (SELECT vec_id AS probe_id, embedding AS pe, n2 AS pn2
+             |       FROM e WHERE ${sqlProbeSlice(61)}),
+             |ex AS (SELECT probe_id, vec_id FROM (
+             |  SELECT p2.probe_id, e.vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY p2.probe_id
+             |      ORDER BY $xcos DESC, e.vec_id) AS rn
+             |  FROM p2 JOIN e ON e.vec_id <> p2.probe_id)
+             |  WHERE rn <= $pqTopK),
+             |hits AS ($hitsSel)
+             |SELECT CAST(SUM(CASE WHEN h.vec_id IS NOT NULL
+             |    THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+             |FROM ex LEFT JOIN hits h
+             |  ON h.probe_id = ex.probe_id AND h.vec_id = ex.vec_id)"""
+            .stripMargin
+        val adcTop =
+          s"""SELECT probe_id, vec_id FROM (
+             |  SELECT probe_id, vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id
+             |      ORDER BY adc_dist, vec_id) AS rn
+             |  FROM adc) WHERE rn <= $pqTopK""".stripMargin
+        val tcos = sqlCosineFrom(
+          sqlDot("tp.embedding", "t.embedding", mrlDims),
+          sqlNorm2("tp.embedding", mrlDims), sqlNorm2("t.embedding", mrlDims))
+        val tiers = Seq(
+          "bq1bit" -> tierScalar(s"$sqlEmb, $sqlBqChain",
+            s"SELECT probe_id, vec_id FROM br WHERE rn <= $pqTopK"),
+          "bq_rerank" -> tierScalar(s"$sqlEmb, $sqlBqChain",
+            s"""SELECT probe_id, vec_id FROM (
+               |  SELECT sl.probe_id, sl.vec_id,
+               |    ROW_NUMBER() OVER (PARTITION BY sl.probe_id
+               |      ORDER BY $rcos DESC, sl.vec_id) AS rn
+               |  FROM (SELECT probe_id, vec_id FROM br
+               |        WHERE rn <= $pqRerankR) sl
+               |  JOIN e e2 ON e2.vec_id = sl.vec_id
+               |  JOIN p2 ON p2.probe_id = sl.probe_id)
+               |WHERE rn <= $pqTopK""".stripMargin),
+          "sq8" -> tierScalar(s"$sqlEmb, $sqlSq8Chain",
+            s"SELECT probe_id, vec_id FROM r8 WHERE rn <= $pqTopK"),
+          "mrl16" -> tierScalar(sqlEmb,
+            s"""SELECT probe_id, vec_id FROM (
+               |  SELECT tp.probe_id, t.vec_id,
+               |    ROW_NUMBER() OVER (PARTITION BY tp.probe_id
+               |      ORDER BY $tcos DESC, t.vec_id) AS rn
+               |  FROM (SELECT vec_id AS probe_id, embedding FROM embeddings
+               |        WHERE ${sqlProbeSlice(61)}) tp
+               |  JOIN (SELECT vec_id, embedding FROM embeddings) t
+               |    ON t.vec_id <> tp.probe_id)
+               |WHERE rn <= $pqTopK""".stripMargin),
+          "pq_nprobe1" -> tierScalar(sqlIvfPqAdcN(1), adcTop),
+          "pq_nprobe4" -> tierScalar(sqlIvfPqAdcN(ivfNprobe), adcTop),
+          "pq_rerank" -> tierScalar(sqlIvfPqAdcN(ivfNprobe),
+            s"""SELECT probe_id, vec_id FROM (
+               |  SELECT sl.probe_id, sl.vec_id,
+               |    ROW_NUMBER() OVER (PARTITION BY sl.probe_id
+               |      ORDER BY $rcos DESC, sl.vec_id) AS rn
+               |  FROM (SELECT probe_id, vec_id FROM (
+               |      SELECT probe_id, vec_id,
+               |        ROW_NUMBER() OVER (PARTITION BY probe_id
+               |          ORDER BY adc_dist, vec_id) AS rn
+               |      FROM adc) WHERE rn <= $pqRerankR) sl
+               |  JOIN e e2 ON e2.vec_id = sl.vec_id
+               |  JOIN p2 ON p2.probe_id = sl.probe_id)
+               |WHERE rn <= $pqTopK""".stripMargin))
+        tiers.map { case (t, scalar) =>
+          s"SELECT '$t' AS tier, $scalar AS recall_permille"
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY recall_permille DESC, tier")
       },
       "q208_ann_mrr" -> {
         val cos = sqlCosineFrom(sqlDot("p.pe", "e.embedding"), "p.pn2", "e.n2")
