@@ -407,6 +407,43 @@ object InsightOpsQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE DECODE round-trip audit — the tokenizer loop's closing
+    // proof (train q125 → encode q159 → decode THIS): every id maps
+    // back to its surface string (char ids → the char, merged ids →
+    // the rule's concatenation) and the reassembled stream must equal
+    // the original tokenized text EXACTLY — the lossless-
+    // detokenization contract a training pipeline asserts before it
+    // ships ids instead of text. Gate: per source, doc count,
+    // mismatch count (the oracle pins the measured value — 0 — at
+    // full corpus), and the chars→ids compression in exact permille
+    // (the capacity number the id stream buys). One scan-stage
+    // encode+decode pass, one bounded per-source agg; the round-trip
+    // target is the TOKENIZED stream (array_join of tokens) — the id
+    // sequence's actual source, not the raw text with punctuation.
+    "q261_bpe_roundtrip" -> ((s, dir) => {
+      import graft.functions.BpeCodec
+      val vocab = BpeCodec.merges
+        .map { case (a, b) => s"'${a + b}'" }.mkString("array(", ", ", ")")
+      val decodeExpr =
+        s"array_join(transform(ids, i -> IF(i < ${BpeCodec.idBase}, " +
+          s"chr(i), element_at($vocab, " +
+          s"CAST(i - ${BpeCodec.idBase - 1} AS INT)))), '')"
+      docs(s, dir)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .select(col("source"), array_join(col("toks"), "").as("orig"),
+          graft.functions.BpeEncodeIds(col("toks")).as("ids"))
+        .withColumn("dec", expr(decodeExpr))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dec") =!= col("orig"), 1L).otherwise(0L))
+            .as("n_mismatch"),
+          sum(length(col("orig")).cast("long")).as("sum_chars"),
+          sum(size(col("ids")).cast("long")).as("sum_ids"))
+        .withColumn("compression_permille",
+          expr("sum_ids * 1000 div sum_chars"))
+        .orderBy("source")
+    }),
+
     // PACKED TRAINING BATCHES with real token ids — the q68 × q159
     // composition and the pipeline's tensor-ready terminal: greedy
     // sequential fill of fixed id-budget bins (q68's sharded
@@ -723,6 +760,32 @@ object InsightOpsQueries {
     // (BpeCodec requires it), so match positions are never adjacent
     // and "merge where (s[i], s[i+1]) = (a, b), drop the consumed
     // successor" IS the greedy left-to-right pass.
+    "q261_bpe_roundtrip" -> {
+      import graft.functions.BpeCodec
+      val vocab = BpeCodec.merges
+        .map { case (a, b) => s"'${a + b}'" }.mkString("[", ", ", "]")
+      s"""WITH $bpeIdsCtes,
+         |o AS (SELECT doc_id, source,
+         |        array_to_string(${sqlTokens("text")}, '') AS orig
+         |      FROM documents),
+         |dc AS (SELECT per.doc_id,
+         |    array_to_string(list_transform(all_ids, i ->
+         |      CASE WHEN i < ${BpeCodec.idBase} THEN chr(CAST(i AS INT))
+         |        ELSE ($vocab)[CAST(i - ${BpeCodec.idBase - 1} AS INT)]
+         |      END), '') AS dec,
+         |    CAST(len(all_ids) AS BIGINT) AS n_ids
+         |  FROM per)
+         |SELECT o.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN COALESCE(dc.dec, '') <> o.orig
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |  CAST(SUM(length(o.orig)) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(COALESCE(dc.n_ids, 0)) AS BIGINT) AS sum_ids,
+         |  CAST(SUM(COALESCE(dc.n_ids, 0)) * 1000
+         |    // CAST(SUM(length(o.orig)) AS BIGINT) AS BIGINT)
+         |    AS compression_permille
+         |FROM o LEFT JOIN dc ON dc.doc_id = o.doc_id
+         |GROUP BY o.source ORDER BY o.source""".stripMargin
+    },
     "q159_bpe_encode" ->
       s"""WITH $bpeIdsCtes
          |SELECT d.doc_id,

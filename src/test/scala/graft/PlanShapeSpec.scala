@@ -89,6 +89,9 @@ class PlanShapeSpec extends SparkSuite {
     // q149/q152 attach one-row broadcast scalars (largest-lang count /
     // corpus token total); q175 attaches the one-row token budget
     "q149_epoch_mix", "q152_skipgram_pmi", "q175_token_budget",
+    // q252's first BM25 pass crossJoins the one-row collection stats
+    // (q77's shape); the feedback-doc attach is a probe-bounded BHJ
+    "q252_prf_expansion",
     // q153's box-overlap probe join: the 9-row probe grid broadcasts
     // against the #files-bounded zone relation (inequality condition)
     "q153_zonemap_skip",
@@ -113,6 +116,17 @@ class PlanShapeSpec extends SparkSuite {
     // q225/q226: the SQ8 probe scan is q29's broadcast-probe shape
     // over the dequantized corpus; q226 adds the exact side too
     "q225_sq8_topk", "q226_sq8_recall",
+    // q249-q251/q254-q255/q260: the BQ hamming scan, the
+    // truncated-dim scan, and every recall eval's exact ground truth
+    // are all q29's deliberate broadcast-probe inequality shape (the
+    // probe batch is the horizon-capped bounded side); the tier
+    // lists/shortlists rejoin as probe-bounded equi BHJs. (q257's
+    // returned frame is the driver-greedy LocalRelation — its
+    // distributed scoring runs at build time, so no BNLJ survives in
+    // the returned plan.)
+    "q249_bq_topk", "q250_bq_recall", "q251_mrl_recall",
+    "q254_bq_rerank", "q255_bq_rerank_recall",
+    "q260_tier_scoreboard",
     // q227: the filtered search scores through q29's broadcast-probe
     // scan; both filter faces split one scored stream
     "q227_filtered_topk",
