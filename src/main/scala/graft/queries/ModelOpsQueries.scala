@@ -183,7 +183,97 @@ object ModelOpsQueries {
     (scaled, v, prev)
   }
 
+  /** q262/q263 temporal cut: train ends at 60% of the observed time
+    * range (lo + (hi−lo)·3 div 5 — exact integer µs, the q119-family
+    * device), and q262's embargo extends 5% further (·13 div 20).
+    * Purged/embargoed temporal splits are standard leakage hygiene for
+    * time-ordered data (López de Prado, "Advances in Financial Machine
+    * Learning", 2018 — public).
+    */
+  private val cutNum = 3L
+  private val cutDen = 5L
+  private val embargoNum = 13L
+  private val embargoDen = 20L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Embargoed temporal split audit: every event lands in train
+    // (before the 60% cut), embargo (the next 5% band — excluded from
+    // BOTH sides so boundary-adjacent rows can't leak labels), or
+    // test. The audit reports each split's row/user counts and time
+    // range plus the train∩test user overlap — the group-leakage
+    // number a reviewer reads next to the time split (users spanning
+    // both sides are expected in behavioral data; the column prices
+    // it). One scan + one bounded agg; the overlap is a distinct-user
+    // semi-join, keys ∝ users.
+    "q262_embargo_split" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+      val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val tagged = ev.crossJoin(broadcast(b))  // hint audit: scalar (one-row time bounds)
+        .withColumn("split",
+          when(col("us") < expr(s"lo + (hi - lo) * $cutNum div $cutDen"),
+            lit("train"))
+            .when(col("us") <
+              expr(s"lo + (hi - lo) * $embargoNum div $embargoDen"),
+              lit("embargo"))
+            .otherwise(lit("test")))
+      val per = tagged.groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+      val overlap = tagged.where(col("split") === "train")
+        .select("user_id").distinct()
+        .join(tagged.where(col("split") === "test")
+          .select("user_id").distinct(), Seq("user_id"))
+        .agg(count(lit(1)).as("overlap_users"))
+      per.crossJoin(broadcast(overlap))  // hint audit: scalar (one-row overlap count)
+        .orderBy("split")
+    }),
+
+    // Next-event prediction eval — the behavioral LM (q134) actually
+    // SCORED: the transition matrix trains on pairs whose from-event
+    // precedes the 60% cut, predicts per from-type the argmax next
+    // type (count DESC, type ASC — deterministic), and is evaluated
+    // on the post-cut pairs: per-type and overall top-1 accuracy in
+    // exact permille. The eval twin every "which sequence model?"
+    // decision reads — q134 gives the distribution, this prices its
+    // point prediction on held-out time. Train agg ≤ |types|² rows;
+    // the model is a ≤|types|-row broadcast back onto the test pairs.
+    "q263_next_event_eval" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          col("event_type"), expr("ts_ns div 1000").as("us"))
+      val pairs = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+      val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val tagged = pairs.crossJoin(broadcast(b))  // hint audit: scalar (one-row time bounds)
+        .withColumn("cut", expr(s"lo + (hi - lo) * $cutNum div $cutDen"))
+      val train = tagged.where(col("us") < col("cut"))
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val model = graft.plans.TopK.perGroup(train, Seq("from_type"),
+        Seq("n" -> true, "to_type" -> false), 1)
+        .select(col("from_type"), col("to_type").as("predicted"))
+      val test = tagged.where(col("us") >= col("cut"))
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val all = Window.partitionBy()
+      test.join(broadcast(model), Seq("from_type"), "left")  // hint audit: value-domain-bounded (<= |event types| model rows)
+        .groupBy("from_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"),
+          min(col("predicted")).as("predicted"))
+        .withColumn("acc_permille", expr("n_correct * 1000 div n_test"))
+        .withColumn("tot_c", sum(col("n_correct")).over(all))
+        .withColumn("tot_n", sum(col("n_test")).over(all))
+        .withColumn("overall_acc_permille",
+          expr("tot_c * 1000 div tot_n"))
+        .drop("tot_c", "tot_n")
+        .orderBy("from_type")
+    }),
+
     // Top principal component via power iteration (von Mises–Pollaczek
     // 1929; the standard first step of corpus-embedding diagnostics —
     // the dominant direction is what whitening removes and what
@@ -859,6 +949,55 @@ object ModelOpsQueries {
        |FROM lb ORDER BY label""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q262_embargo_split" ->
+      s"""WITH tl AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM tl),
+         |tg AS (SELECT user_id, us,
+         |    CASE WHEN us < lo + (hi - lo) * $cutNum // $cutDen
+         |           THEN 'train'
+         |         WHEN us < lo + (hi - lo) * $embargoNum // $embargoDen
+         |           THEN 'embargo'
+         |         ELSE 'test' END AS split
+         |  FROM tl, b),
+         |per AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |    MIN(us) AS min_us, MAX(us) AS max_us
+         |  FROM tg GROUP BY 1),
+         |ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS overlap_users FROM
+         |  (SELECT DISTINCT user_id FROM tg WHERE split = 'train') a
+         |  JOIN (SELECT DISTINCT user_id FROM tg WHERE split = 'test') t
+         |    USING (user_id))
+         |SELECT per.*, ov.overlap_users FROM per, ov
+         |ORDER BY split""".stripMargin,
+    "q263_next_event_eval" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type,
+         |    epoch_ns(ts) AS ts_ns, epoch_us(ts) AS us FROM events),
+         |pr AS (SELECT user_id, event_type, us,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ns, event_id) AS to_type
+         |  FROM ev),
+         |p2 AS (SELECT * FROM pr WHERE to_type IS NOT NULL),
+         |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+         |tg AS (SELECT p2.*, lo + (hi - lo) * $cutNum // $cutDen AS cut
+         |       FROM p2, b),
+         |tr AS (SELECT event_type AS from_type, to_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tg WHERE us < cut GROUP BY 1, 2),
+         |md AS (SELECT from_type, to_type AS predicted FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+         |      ORDER BY n DESC, to_type) AS rn FROM tr) WHERE rn = 1),
+         |te AS (SELECT event_type AS from_type, to_type FROM tg
+         |       WHERE us >= cut),
+         |h AS (SELECT te.from_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+         |    CAST(SUM(CASE WHEN te.to_type = md.predicted
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |    MIN(md.predicted) AS predicted
+         |  FROM te LEFT JOIN md USING (from_type) GROUP BY te.from_type)
+         |SELECT from_type, n_test, n_correct, predicted,
+         |  n_correct * 1000 // n_test AS acc_permille,
+         |  CAST(SUM(n_correct) OVER () * 1000 // SUM(n_test) OVER ()
+         |    AS BIGINT) AS overall_acc_permille
+         |FROM h ORDER BY from_type""".stripMargin,
     "q238_pca_power" -> sqlPcaPower,
     "q239_whitening_residual" -> sqlWhitening,
     "q216_embedding_audit" ->
