@@ -26,7 +26,61 @@ object TimeSeriesQueries {
     */
   private val tsUs = "(ts_ns div 1000)"
 
+  /** q264: integer day-of-week from the epoch — (epoch_day + 4) % 7
+    * gives 0 = Sunday (1970-01-01 was a Thursday → 4), computed as
+    * pure BIGINT arithmetic so neither engine's calendar/timezone
+    * logic is in the loop.
+    */
+  private val dayUs = 86400000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Day-of-week seasonal index — the load-shape profile every
+    // capacity/scheduling decision reads: per (event type, weekday)
+    // the event count and its ratio to the type's flat expectation in
+    // exact permille (1000 = no seasonality; the 7× numerator makes
+    // the flat case exactly 1000 before the div). One
+    // map-side-combining scan into a ≤ types×7-row relation; the
+    // index window runs over that relation, never the data.
+    "q264_seasonal_index" -> ((s, dir) => {
+      val byDow = Window.partitionBy("event_type")
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"($tsUs div $dayUs + 4) % 7").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+        .withColumn("type_total", sum(col("n")).over(byDow))
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("n * 7 * 1000 div type_total").as("index_permille"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // Conversion-lag histogram — the q47 funnel's TIME dimension: for
+    // every converted user (first click strictly after the first
+    // view, q47's exact stage rule) the view→click lag in seconds,
+    // bucketed into length-doubling octaves (the E214 device:
+    // length(bin(s+1)) — integer-exact in both engines, no float
+    // logs). The latency histogram a growth/UX review reads beside
+    // the funnel counts. Two user-keyed aggs + one user join; the
+    // histogram is ≤64 rows whatever the corpus.
+    "q265_conversion_lag" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr(tsUs).as("t"), col("event_type"))
+      // unhinted user join (q47's rule: qualified users are a corpus
+      // fraction, not a bounded dimension)
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("t")).as("vt"))
+      val conv = e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("t") > col("vt"))
+        .groupBy(col("user_id"), col("vt")).agg(min(col("t")).as("ct"))
+        .select(length(expr("bin((ct - vt) div 1000000 + 1)"))
+          .cast("long").as("lag_octave"))
+      val all = Window.partitionBy()
+      conv.groupBy("lag_octave").agg(count(lit(1)).as("n_users"))
+        .withColumn("total", sum(col("n_users")).over(all))
+        .select(col("lag_octave"), col("n_users"),
+          expr("n_users * 1000 div total").as("share_permille"))
+        .orderBy("lag_octave")
+    }),
+
     // tumbling 5-min window per event_type; partial agg map-side, the
     // only shuffle is the (bucket, type) groupBy itself
     "q18_time_bucket" -> ((s, dir) => {
@@ -149,6 +203,31 @@ object TimeSeriesQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q264_seasonal_index" ->
+      s"""WITH e AS (SELECT event_type,
+         |    (epoch_us(ts) // $dayUs + 4) % 7 AS dow FROM events),
+         |c AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM e GROUP BY 1, 2)
+         |SELECT event_type, dow, n,
+         |  CAST(n * 7 * 1000 // SUM(n) OVER (PARTITION BY event_type)
+         |    AS BIGINT) AS index_permille
+         |FROM c ORDER BY event_type, dow""".stripMargin,
+    "q265_conversion_lag" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+        |      FROM events),
+        |v AS (SELECT user_id, MIN(t) AS vt FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, v.vt, MIN(e.t) AS ct
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.t > v.vt GROUP BY 1, 2),
+        |l AS (SELECT CAST(length(bin((ct - vt) // 1000000 + 1)) AS BIGINT)
+        |        AS lag_octave FROM c),
+        |h AS (SELECT lag_octave, CAST(COUNT(*) AS BIGINT) AS n_users
+        |      FROM l GROUP BY 1)
+        |SELECT lag_octave, n_users,
+        |  CAST(n_users * 1000 // SUM(n_users) OVER () AS BIGINT)
+        |    AS share_permille
+        |FROM h ORDER BY lag_octave""".stripMargin,
     "q18_time_bucket" ->
       s"""SELECT epoch_us(ts) // $bucketUs AS bucket, event_type,
          |  COUNT(*) AS n_events,
