@@ -195,6 +195,74 @@ object ModelOpsQueries {
   private val embargoNum = 13L
   private val embargoDen = 20L
 
+  /** The q262 split audit — ONE definition for the gate and
+    * tools/FeaturePipeline (the pipeline's split-discipline stage).
+    */
+  private[graft] def embargoSplitFrame(
+      s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+    val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val tagged = ev.crossJoin(broadcast(b))  // hint audit: scalar (one-row time bounds)
+      .withColumn("split",
+        when(col("us") < expr(s"lo + (hi - lo) * $cutNum div $cutDen"),
+          lit("train"))
+          .when(col("us") <
+            expr(s"lo + (hi - lo) * $embargoNum div $embargoDen"),
+            lit("embargo"))
+          .otherwise(lit("test")))
+    val per = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("us")).as("min_us"), max(col("us")).as("max_us"))
+    val overlap = tagged.where(col("split") === "train")
+      .select("user_id").distinct()
+      .join(tagged.where(col("split") === "test")
+        .select("user_id").distinct(), Seq("user_id"))
+      .agg(count(lit(1)).as("overlap_users"))
+    per.crossJoin(broadcast(overlap))  // hint audit: scalar (one-row overlap count)
+      .orderBy("split")
+  }
+
+  /** The q263 held-out-time eval — ONE definition for the gate and
+    * tools/FeaturePipeline (the pipeline's model-scoring stage).
+    */
+  private[graft] def nextEventEvalFrame(
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"), expr("ts_ns div 1000").as("us"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val tagged = pairs.crossJoin(broadcast(b))  // hint audit: scalar (one-row time bounds)
+      .withColumn("cut", expr(s"lo + (hi - lo) * $cutNum div $cutDen"))
+    val train = tagged.where(col("us") < col("cut"))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val model = graft.plans.TopK.perGroup(train, Seq("from_type"),
+      Seq("n" -> true, "to_type" -> false), 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    val test = tagged.where(col("us") >= col("cut"))
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val all = Window.partitionBy()
+    test.join(broadcast(model), Seq("from_type"), "left")  // hint audit: value-domain-bounded (<= |event types| model rows)
+      .groupBy("from_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"),
+        min(col("predicted")).as("predicted"))
+      .withColumn("acc_permille", expr("n_correct * 1000 div n_test"))
+      .withColumn("tot_c", sum(col("n_correct")).over(all))
+      .withColumn("tot_n", sum(col("n_test")).over(all))
+      .withColumn("overall_acc_permille",
+        expr("tot_c * 1000 div tot_n"))
+      .drop("tot_c", "tot_n")
+      .orderBy("from_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embargoed temporal split audit: every event lands in train
     // (before the 60% cut), embargo (the next 5% band — excluded from
@@ -205,30 +273,7 @@ object ModelOpsQueries {
     // both sides are expected in behavioral data; the column prices
     // it). One scan + one bounded agg; the overlap is a distinct-user
     // semi-join, keys ∝ users.
-    "q262_embargo_split" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), expr("ts_ns div 1000").as("us"))
-      val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
-      val tagged = ev.crossJoin(broadcast(b))  // hint audit: scalar (one-row time bounds)
-        .withColumn("split",
-          when(col("us") < expr(s"lo + (hi - lo) * $cutNum div $cutDen"),
-            lit("train"))
-            .when(col("us") <
-              expr(s"lo + (hi - lo) * $embargoNum div $embargoDen"),
-              lit("embargo"))
-            .otherwise(lit("test")))
-      val per = tagged.groupBy("split")
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("user_id")).as("n_users"),
-          min(col("us")).as("min_us"), max(col("us")).as("max_us"))
-      val overlap = tagged.where(col("split") === "train")
-        .select("user_id").distinct()
-        .join(tagged.where(col("split") === "test")
-          .select("user_id").distinct(), Seq("user_id"))
-        .agg(count(lit(1)).as("overlap_users"))
-      per.crossJoin(broadcast(overlap))  // hint audit: scalar (one-row overlap count)
-        .orderBy("split")
-    }),
+    "q262_embargo_split" -> ((s, dir) => embargoSplitFrame(s, dir)),
 
     // Next-event prediction eval — the behavioral LM (q134) actually
     // SCORED: the transition matrix trains on pairs whose from-event
@@ -239,40 +284,7 @@ object ModelOpsQueries {
     // decision reads — q134 gives the distribution, this prices its
     // point prediction on held-out time. Train agg ≤ |types|² rows;
     // the model is a ≤|types|-row broadcast back onto the test pairs.
-    "q263_next_event_eval" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("ts_ns"), col("event_id"),
-          col("event_type"), expr("ts_ns div 1000").as("us"))
-      val pairs = ev
-        .withColumn("to_type", lead(col("event_type"), 1).over(w))
-        .where(col("to_type").isNotNull)
-      val b = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
-      val tagged = pairs.crossJoin(broadcast(b))  // hint audit: scalar (one-row time bounds)
-        .withColumn("cut", expr(s"lo + (hi - lo) * $cutNum div $cutDen"))
-      val train = tagged.where(col("us") < col("cut"))
-        .groupBy(col("event_type").as("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val model = graft.plans.TopK.perGroup(train, Seq("from_type"),
-        Seq("n" -> true, "to_type" -> false), 1)
-        .select(col("from_type"), col("to_type").as("predicted"))
-      val test = tagged.where(col("us") >= col("cut"))
-        .select(col("event_type").as("from_type"), col("to_type"))
-      val all = Window.partitionBy()
-      test.join(broadcast(model), Seq("from_type"), "left")  // hint audit: value-domain-bounded (<= |event types| model rows)
-        .groupBy("from_type")
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
-            .as("n_correct"),
-          min(col("predicted")).as("predicted"))
-        .withColumn("acc_permille", expr("n_correct * 1000 div n_test"))
-        .withColumn("tot_c", sum(col("n_correct")).over(all))
-        .withColumn("tot_n", sum(col("n_test")).over(all))
-        .withColumn("overall_acc_permille",
-          expr("tot_c * 1000 div tot_n"))
-        .drop("tot_c", "tot_n")
-        .orderBy("from_type")
-    }),
+    "q263_next_event_eval" -> ((s, dir) => nextEventEvalFrame(s, dir)),
 
     // Top principal component via power iteration (von Mises–Pollaczek
     // 1929; the standard first step of corpus-embedding diagnostics —

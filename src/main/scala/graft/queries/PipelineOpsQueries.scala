@@ -123,6 +123,61 @@ object PipelineOpsQueries {
     */
   private[graft] val pitProbeMod = 17
 
+  /** The SCD2 history frame (q74's exact build) — ONE definition for
+    * the q74 gate, the q256/q259 interval semantics, and
+    * tools/FeaturePipeline (the persisted feature-table artifact).
+    */
+  private[graft] def scd2Frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("t"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from_us", col("t"))
+      .withColumn("valid_to_us", lead(col("t"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** The PIT-enriched training rows (q256's exact union+window build)
+    * — ONE definition for the q256 gate and tools/FeaturePipeline.
+    */
+  private[graft] def pitFrame(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("t"))
+    val wch = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val changes = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(wch))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(wch))
+      .select(col("user_id"), col("event_id"), col("t"),
+        col("event_type").as("feat"), col("version"),
+        lit(0).as("tag"))
+    val probes = ev.where(col("event_id") % pitProbeMod === 0)
+      .select(col("user_id"), col("event_id"), col("t"),
+        lit(null).cast("string").as("feat"),
+        lit(null).cast("int").as("version"), lit(1).as("tag"))
+    val wpit = Window.partitionBy("user_id")
+      .orderBy("t", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionByName(probes)
+      .withColumn("pit_type", last(col("feat"), ignoreNulls = true).over(wpit))
+      .withColumn("pit_version",
+        last(col("version"), ignoreNulls = true).over(wpit))
+      .where(col("tag") === 1)
+      .select(col("user_id"), col("event_id").as("probe_id"),
+        col("t").as("asof_us"), col("pit_type"), col("pit_version"))
+      .orderBy("user_id", "asof_us", "probe_id")
+  }
+
   // ---------------------------------------------------------------- q83
   /** A 3-gram shingle present in at least this many distinct docs is
     * template text, not content. The corpus' max shingle df is 7-25
@@ -204,23 +259,7 @@ object PipelineOpsQueries {
     // and one (t, event_id) sort: a single shuffle+sort feeds the whole
     // history build at any scale. valid_to is NULL on each user's
     // current row (version numbering makes the survivor deterministic).
-    "q74_scd2" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-      val changes = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts_ns div 1000").as("t"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .where(col("prev_type").isNull ||
-          col("prev_type") =!= col("event_type"))
-      changes
-        .withColumn("version", row_number().over(w))
-        .withColumn("valid_from_us", col("t"))
-        .withColumn("valid_to_us", lead(col("t"), 1).over(w))
-        .withColumn("is_current", col("valid_to_us").isNull)
-        .select(col("user_id"), col("version"), col("event_type"),
-          col("valid_from_us"), col("valid_to_us"), col("is_current"))
-        .orderBy("user_id", "version")
-    }),
+    "q74_scd2" -> ((s, dir) => scd2Frame(s, dir)),
 
     // Point-in-time (PIT) feature join — the feature-store primitive
     // (training rows must see each feature's value AS OF the
@@ -235,35 +274,7 @@ object PipelineOpsQueries {
     // shuffle, no pair term, no interval explode: the PIT shape that
     // survives a 100 TB event stream where a range join would
     // re-partition both sides per interval.
-    "q256_pit_join" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts_ns div 1000").as("t"))
-      val wch = Window.partitionBy("user_id").orderBy("t", "event_id")
-      val changes = ev
-        .withColumn("prev_type", lag(col("event_type"), 1).over(wch))
-        .where(col("prev_type").isNull ||
-          col("prev_type") =!= col("event_type"))
-        .withColumn("version", row_number().over(wch))
-        .select(col("user_id"), col("event_id"), col("t"),
-          col("event_type").as("feat"), col("version"),
-          lit(0).as("tag"))
-      val probes = ev.where(col("event_id") % pitProbeMod === 0)
-        .select(col("user_id"), col("event_id"), col("t"),
-          lit(null).cast("string").as("feat"),
-          lit(null).cast("int").as("version"), lit(1).as("tag"))
-      val wpit = Window.partitionBy("user_id")
-        .orderBy("t", "tag", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      changes.unionByName(probes)
-        .withColumn("pit_type", last(col("feat"), ignoreNulls = true).over(wpit))
-        .withColumn("pit_version",
-          last(col("version"), ignoreNulls = true).over(wpit))
-        .where(col("tag") === 1)
-        .select(col("user_id"), col("event_id").as("probe_id"),
-          col("t").as("asof_us"), col("pit_type"), col("pit_version"))
-        .orderBy("user_id", "asof_us", "probe_id")
-    }),
+    "q256_pit_join" -> ((s, dir) => pitFrame(s, dir)),
 
     // Z-order layout clustering: the Morton interleave of two scan
     // dimensions (quantity, partkey bucket) as the SORT/LAYOUT key, and

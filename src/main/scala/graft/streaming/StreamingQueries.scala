@@ -790,18 +790,13 @@ object StreamingQueries {
         Files.copy(src, stage.resolve("events.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
         val schema = s.read.parquet(src.toString).schema
-        val wch = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("t", "event_id")
-        val scd2 = graft.queries.Tables.events(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            expr("ts_ns div 1000").as("t"))
-          .withColumn("prev_type", lag(col("event_type"), 1).over(wch))
-          .where(col("prev_type").isNull ||
-            col("prev_type") =!= col("event_type"))
-          .withColumn("pit_version", row_number().over(wch))
-          .withColumn("valid_to", lead(col("t"), 1).over(wch))
+        // the static side IS the q74 gate's history — one definition
+        // (scd2Frame), renamed to the serving row's column contract
+        val scd2 = graft.queries.PipelineOpsQueries.scd2Frame(s, dir)
           .select(col("user_id"), col("event_type").as("pit_type"),
-            col("pit_version"), col("t").as("valid_from"), col("valid_to"))
+            col("version").as("pit_version"),
+            col("valid_from_us").as("valid_from"),
+            col("valid_to_us").as("valid_to"))
         val probes = s.readStream.schema(schema).parquet(stage.toString)
           .where(col("event_id") %
             graft.queries.PipelineOpsQueries.pitProbeMod === 0)
