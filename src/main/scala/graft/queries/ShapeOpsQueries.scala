@@ -62,7 +62,80 @@ object ShapeOpsQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** q266: the audited string columns of `documents`, lowest
+    * cardinality first.
+    */
+  private val dictCols = Seq("lang", "source", "text")
+
+  /** q267: (table, primary-key expression) pairs for the manifest.
+    * lineitem's composite key packs as orderkey·10 + linenumber
+    * (linenumber is 1..7 in TPC-H data).
+    */
+  private val manifestKeys = Seq(
+    "customer" -> "c_custkey",
+    "orders" -> "o_orderkey",
+    "lineitem" -> "(l_orderkey * 10 + l_linenumber)",
+    "events" -> "event_id",
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** q267's order-independent row checksum: Σ ((pk mod P) · A) mod P
+    * with P = 1e9+7 and A = Knuth's 2654435761 — the mod-first order
+    * keeps every product under 2.7e18 at ANY key magnitude, and the
+    * sum commutes, so the checksum is partitioning- and
+    * layout-independent (what a replication check needs).
+    */
+  private val manifestP = 1000000007L
+  private val manifestA = 2654435761L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dictionary-encoding benefit audit — the parquet/ORC encoding
+    // decision made measurable: per string column its cardinality,
+    // plain size (Σ value lengths over all rows), and dictionary size
+    // (Σ distinct-value lengths + n·ceil(log2(distinct)) index bits,
+    // via the E214 bin-length device — no float logs), with the
+    // recommend flag. Cost shape: one groupBy per column with keys ∝
+    // that column's distinct values — exactly the pass a columnar
+    // writer's encoder makes; the verdict relation is 3 rows.
+    "q266_dict_audit" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      dictCols.map { cname =>
+        d.groupBy(col(cname).as("v")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_distinct"),
+            sum(length(col("v")).cast("long") * col("c"))
+              .as("plain_chars"),
+            sum(length(col("v")).cast("long")).as("dict_value_chars"))
+          .select(lit(cname).as("column"), col("n_rows"),
+            col("n_distinct"), col("plain_chars"),
+            col("dict_value_chars"))
+          .withColumn("index_bits",
+            length(expr("bin(n_distinct - 1)")).cast("long"))
+          .withColumn("dict_chars",
+            expr("dict_value_chars + (n_rows * index_bits + 7) div 8"))
+          .withColumn("recommend_dict",
+            (col("dict_chars") < col("plain_chars")).cast("int"))
+      }.reduce(_ unionByName _).orderBy("column")
+    }),
+
+    // Replication / disaster-recovery manifest: per table its row
+    // count and an ORDER-INDEPENDENT primary-key checksum (commuting
+    // modular sum of a multiplicative hash) — the artifact a copy job
+    // publishes so the receiving side can verify completeness without
+    // re-reading the source. Layout-independence is the point: the
+    // checksum is identical under any partitioning, file order, or
+    // engine. One combining scan per table, one row out per table.
+    "q267_replication_manifest" -> ((s, dir) => {
+      manifestKeys.map { case (t, pk) =>
+        Tables(s, dir, t).agg(
+            count(lit(1)).as("n_rows"),
+            sum(expr(s"(($pk % $manifestP) * $manifestA) % $manifestP"))
+              .as("key_checksum"))
+          .select(lit(t).as("table_name"), col("n_rows"),
+            col("key_checksum"))
+      }.reduce(_ unionByName _).orderBy("table_name")
+    }),
+
 
     // Count-Min Sketch: exact per-key counts (ONE shuffle with map-side
     // combine — the compressed |keys|-row relation) fan out over the 4
@@ -421,6 +494,30 @@ object ShapeOpsQueries {
   }
 
   def oracle: Map[String, String] = Map(
+    "q266_dict_audit" -> dictCols.map { cname =>
+      s"""SELECT '$cname' AS "column", n_rows, n_distinct, plain_chars,
+         |  dict_value_chars,
+         |  CAST(length(bin(n_distinct - 1)) AS BIGINT) AS index_bits,
+         |  dict_value_chars + (n_rows * CAST(length(bin(n_distinct - 1))
+         |    AS BIGINT) + 7) // 8 AS dict_chars,
+         |  CASE WHEN dict_value_chars + (n_rows *
+         |      CAST(length(bin(n_distinct - 1)) AS BIGINT) + 7) // 8
+         |      < plain_chars THEN 1 ELSE 0 END AS recommend_dict
+         |FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |        CAST(SUM(length(v) * c) AS BIGINT) AS plain_chars,
+         |        CAST(SUM(length(v)) AS BIGINT) AS dict_value_chars
+         |      FROM (SELECT $cname AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |            FROM documents GROUP BY 1))""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY \"column\""),
+    "q267_replication_manifest" -> manifestKeys.map { case (t, pk) =>
+      s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM((($pk % $manifestP) * $manifestA) % $manifestP)
+         |    AS BIGINT) AS key_checksum
+         |FROM $t""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY table_name"),
     "q246_format_ingest" ->
       """SELECT * FROM (
         |  SELECT 'csv' AS format, CAST(COUNT(*) AS BIGINT) AS n_rows,
