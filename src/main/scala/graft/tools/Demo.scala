@@ -184,6 +184,17 @@ object Demo {
         .head()
       println(s"top-PC: dim ${pca.getLong(0)} loads ${pca.getLong(1)} " +
         s"micro; Rayleigh ${pca.getLong(3)}/${pca.getLong(4)}")
+      println("-- compression-tier scoreboard (q260: recall@5 per served tier) --")
+      graft.queries.SimilarityQueries
+        .queries("q260_tier_scoreboard")(spark, sfDir)
+        .show(truncate = false)
+      println("-- feature-store loop (tools/FeaturePipeline) --")
+      val fp = FeaturePipeline.run(spark, sfDir,
+        java.nio.file.Files.createTempDirectory("graft-demo-fp").toString)
+      println(s"history ${fp.historyRows} rows (${fp.currentRows} current); " +
+        s"PIT rows ${fp.enrichedRows}; split ${fp.trainRows}/" +
+        s"${fp.embargoRows}/${fp.testRows}; next-event top-1 " +
+        s"${fp.overallAccPermille} permille over ${fp.evalTypes} types")
     }
     spark.stop()
   }
