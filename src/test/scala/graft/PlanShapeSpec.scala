@@ -92,6 +92,9 @@ class PlanShapeSpec extends SparkSuite {
     // q252's first BM25 pass crossJoins the one-row collection stats
     // (q77's shape); the feedback-doc attach is a probe-bounded BHJ
     "q252_prf_expansion",
+    // q262/q263 crossJoin the one-row (lo, hi) time bounds (and
+    // q262's one-row overlap count) — one-row broadcast scalars
+    "q262_embargo_split", "q263_next_event_eval",
     // q153's box-overlap probe join: the 9-row probe grid broadcasts
     // against the #files-bounded zone relation (inequality condition)
     "q153_zonemap_skip",
