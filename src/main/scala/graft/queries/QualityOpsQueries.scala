@@ -32,6 +32,13 @@ object QualityOpsQueries {
     */
   private val snWindow = 3
 
+  /** q268: the edit-distance verify runs on a fixed-length canonical
+    * prefix (cost per pair capped at prefixLen² character ops) and
+    * keeps pairs within tau edits.
+    */
+  private val editPrefixLen = 48
+  private val editTau = 8
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -191,6 +198,35 @@ object QualityOpsQueries {
           col("idx").as("nidx")), "nidx")
         .select(col("doc_a"), col("doc_b"),
           (col("ck_a") === col("ck_b")).as("exact_dup"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Edit-distance verify join — entity resolution's DISTANCE face
+    // (q115 generates blocked candidates, q139 scores field
+    // agreement; this measures actual character edits): q115's exact
+    // sorted-neighborhood blocking, then Levenshtein on a fixed
+    // 48-char canonical prefix (codegen built-in in Spark, the same
+    // standard distance in DuckDB — exact integers both engines),
+    // keeping pairs within tau edits. Candidates O(n·w) from the
+    // blocking; verify cost capped at prefixLen² per pair — never an
+    // all-pairs edit-distance matrix.
+    "q268_edit_distance_join" -> ((s, dir) => {
+      val keyed = docs(s, dir)
+        .select(col("doc_id"), canonicalKey(col("text")).as("ck"))
+        .withColumn("pfx", substring(col("ck"), 1, editPrefixLen))
+      val idx = graft.ext.GlobalIndex.withGlobalIndex(keyed,
+        Seq(col("ck").asc, col("doc_id").asc), 32, "idx")
+      val probes = idx.select(col("doc_id").as("doc_a"),
+          col("pfx").as("pfx_a"),
+          explode(sequence(lit(1), lit(snWindow))).as("off"), col("idx"))
+        .select(col("doc_a"), col("pfx_a"),
+          (col("idx") + col("off")).as("nidx"))
+      probes.join(idx.select(col("doc_id").as("doc_b"),
+          col("pfx").as("pfx_b"), col("idx").as("nidx")), "nidx")
+        .withColumn("edit_dist",
+          levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+        .where(col("edit_dist") <= editTau)
+        .select("doc_a", "doc_b", "edit_dist")
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -430,6 +466,20 @@ object QualityOpsQueries {
          |    AS mean_coherence_micro
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "q268_edit_distance_join" ->
+      s"""WITH k AS (SELECT doc_id, ${sqlCanonicalKey("text")} AS ck
+         |      FROM documents),
+         |k2 AS (SELECT doc_id, ck, substr(ck, 1, $editPrefixLen) AS pfx
+         |       FROM k),
+         |r AS (SELECT doc_id, pfx,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY ck, doc_id) - 1 AS BIGINT)
+         |          AS idx
+         |      FROM k2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+         |FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + $snWindow
+         |WHERE levenshtein(a.pfx, b.pfx) <= $editTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q115_sorted_neighborhood" ->
       s"""WITH k AS (SELECT doc_id, ${sqlCanonicalKey("text")} AS ck
          |      FROM documents),

@@ -67,6 +67,14 @@ object ShapeOpsQueries {
     */
   private val dictCols = Seq("lang", "source", "text")
 
+  /** q269 clamp ranks (permille) and the cached cumulative histogram
+    * (read by the bounds pass AND the report pass — one swap-guarded
+    * generation, the CacheSlot discipline).
+    */
+  private val winsLoPermille = 10L
+  private val winsHiPermille = 990L
+  private val lastWinsorHist = new graft.util.CacheSlot
+
   /** q267: (table, primary-key expression) pairs for the manifest.
     * lineitem's composite key packs as orderkey·10 + linenumber
     * (linenumber is 1..7 in TPC-H data).
@@ -89,6 +97,45 @@ object ShapeOpsQueries {
   private val manifestA = 2654435761L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Winsorization report — the standard robust data-cleaning step
+    // (clamp at exact p1/p99) made measurable BEFORE anyone mutates
+    // data: exact percentile bounds from the value histogram's
+    // distributed prefix sum (ext/GlobalIndex — the corpus-scale
+    // running sum, never a single-partition window over a
+    // near-continuous measure), then one histogram pass counting
+    // clamped rows and the before/after sums in exact integer cents.
+    // ceil-rank semantics: bound = min value whose cumulative count
+    // reaches ceil(n·p/1000).
+    "q269_winsorize" -> ((s, dir) => {
+      val hist = Tables(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        .groupBy("c").agg(count(lit(1)).as("n"))
+      val cum = lastWinsorHist.swap(
+        graft.ext.GlobalIndex.withGlobalPrefixSum(
+          hist, Seq(col("c")), "n", 32, "cum").cache())
+      val tot = cum.agg(max(col("cum")).as("n_total"))
+      val bounds = cum.crossJoin(broadcast(tot))  // hint audit: scalar (one-row total)
+        .agg(
+          min(when(col("cum") >=
+            expr(s"(n_total * $winsLoPermille + 999) div 1000"),
+            col("c"))).as("lo_cents"),
+          min(when(col("cum") >=
+            expr(s"(n_total * $winsHiPermille + 999) div 1000"),
+            col("c"))).as("hi_cents"))
+      cum.crossJoin(broadcast(bounds))  // hint audit: scalar (one-row clamp bounds)
+        .agg(
+          sum(col("n")).as("n_rows"),
+          sum(when(col("c") < col("lo_cents"), col("n")).otherwise(lit(0L)))
+            .as("n_clamped_lo"),
+          sum(when(col("c") > col("hi_cents"), col("n")).otherwise(lit(0L)))
+            .as("n_clamped_hi"),
+          sum(col("c") * col("n")).as("sum_cents"),
+          sum(greatest(least(col("c"), col("hi_cents")), col("lo_cents"))
+            * col("n")).as("winsorized_sum_cents"),
+          min(col("lo_cents")).as("lo_cents"),
+          min(col("hi_cents")).as("hi_cents"))
+    }),
+
     // Dictionary-encoding benefit audit — the parquet/ORC encoding
     // decision made measurable: per string column its cardinality,
     // plain size (Σ value lengths over all rows), and dictionary size
@@ -511,6 +558,30 @@ object ShapeOpsQueries {
          |            FROM documents GROUP BY 1))""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY \"column\""),
+    "q269_winsorize" ->
+      s"""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         |        AS c FROM lineitem),
+         |h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY c),
+         |cu AS (SELECT c, n, SUM(n) OVER (ORDER BY c
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |t AS (SELECT MAX(cum) AS n_total FROM cu),
+         |bd AS (SELECT
+         |    MIN(CASE WHEN cum >= (n_total * $winsLoPermille + 999) // 1000
+         |      THEN c END) AS lo_cents,
+         |    MIN(CASE WHEN cum >= (n_total * $winsHiPermille + 999) // 1000
+         |      THEN c END) AS hi_cents
+         |  FROM cu, t)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN c < lo_cents THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_clamped_lo,
+         |  CAST(SUM(CASE WHEN c > hi_cents THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_clamped_hi,
+         |  CAST(SUM(c * n) AS BIGINT) AS sum_cents,
+         |  CAST(SUM(GREATEST(LEAST(c, hi_cents), lo_cents) * n) AS BIGINT)
+         |    AS winsorized_sum_cents,
+         |  MIN(lo_cents) AS lo_cents, MIN(hi_cents) AS hi_cents
+         |FROM cu, bd""".stripMargin,
     "q267_replication_manifest" -> manifestKeys.map { case (t, pk) =>
       s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(SUM((($pk % $manifestP) * $manifestA) % $manifestP)
