@@ -93,8 +93,9 @@ class PlanShapeSpec extends SparkSuite {
     // (q77's shape); the feedback-doc attach is a probe-bounded BHJ
     "q252_prf_expansion",
     // q262/q263 crossJoin the one-row (lo, hi) time bounds (and
-    // q262's one-row overlap count) — one-row broadcast scalars
-    "q262_embargo_split", "q263_next_event_eval",
+    // q262's one-row overlap count) — one-row broadcast scalars;
+    // q269 crossJoins the one-row total and the one-row clamp bounds
+    "q262_embargo_split", "q263_next_event_eval", "q269_winsorize",
     // q153's box-overlap probe join: the 9-row probe grid broadcasts
     // against the #files-bounded zone relation (inequality condition)
     "q153_zonemap_skip",
@@ -193,7 +194,10 @@ class PlanShapeSpec extends SparkSuite {
           "q103_triangle_count", "q114_bigram_coherence",
           "q115_sorted_neighborhood", "q126_rank_fusion",
           "q139_linkage_score", "q152_skipgram_pmi",
-          "q236_corpus_diff")(name))
+          "q236_corpus_diff",
+          // q268 is q115's positional-neighbor join over the
+          // GlobalIndex order — same corpus-scaled equi-join class
+          "q268_edit_distance_join")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
