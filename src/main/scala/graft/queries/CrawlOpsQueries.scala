@@ -381,9 +381,29 @@ object CrawlOpsQueries {
     * incremental ≡ from-scratch exactly).
     */
   private[graft] def hostEdges(docs: DataFrame): DataFrame = docs
-    .select(expr("(doc_id div 4) % 23").as("src"),
-      expr("((doc_id div 4) + doc_id % 7 + 1) % 23").as("dst"))
+    .select(hostOf.as("src"), expr(hostDstExpr).as("dst"))
     .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** ONE host-id derivation for the woven graph — Spark and DuckDB
+    * renderings of the same formula, shared by the edge weave, the
+    * per-doc host key (q244/q247), and every graph-tier oracle CTE,
+    * so a change to the weave updates both engines at once (ADVICE
+    * r12: the q258 oracle restated the formula inline).
+    */
+  private val hostSrcExpr = "(doc_id div 4) % 23"
+  private val hostDstExpr = "((doc_id div 4) + doc_id % 7 + 1) % 23"
+  private[graft] val sqlHostSrc = "(doc_id // 4) % 23"
+  private val sqlHostDst = "((doc_id // 4) + doc_id % 7 + 1) % 23"
+  private[graft] def hostOf: Column = expr(hostSrcExpr)
+
+  /** The shared `ed` + weighted `edges` CTE pair every graph-tier
+    * oracle builds on — the SQL twin of [[hostEdges]].
+    */
+  private def sqlEdgesCtes: String =
+    s"""ed AS (SELECT $sqlHostSrc AS src,
+       |    $sqlHostDst AS dst FROM documents),
+       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM ed GROUP BY src, dst)""".stripMargin
 
   /** q233 TrustRank seed hosts (Gyöngyi et al., VLDB 2004): the
     * curated "trusted" set a crawl-quality pipeline anchors on.
@@ -639,7 +659,7 @@ object CrawlOpsQueries {
       val labels = lpaLabelsFrom(hostEdges(d))
         .select(col("h"), col("lab").as("community"))
       d.select(col("doc_id"), col("source"), col("lang"),
-          col("n_chars"), expr("(doc_id div 4) % 23").as("h"))
+          col("n_chars"), hostOf.as("h"))
         .join(broadcast(ranks), Seq("h"))  // hint audit: value-domain-bounded (<= 23-host rank vector)
         .join(broadcast(labels), Seq("h"))  // hint audit: value-domain-bounded (<= 23-host label vector)
         .select(col("doc_id"), col("source"), col("lang"), col("host"),
@@ -663,7 +683,7 @@ object CrawlOpsQueries {
       val docs = Tables(s, dir, "documents")
       val edges = lastEdges.swap(hostEdges(docs).cache())
       val own = docs
-        .select(expr("(doc_id div 4) % 23").as("h"),
+        .select(hostOf.as("h"),
           least(col("n_chars"), lit(500L)).as("q"))
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sq"))
@@ -972,10 +992,7 @@ object CrawlOpsQueries {
          |    n.tele + $prDampPct * COALESCE(c.inflow, 0) // 100 AS r
          |  FROM r${i - 1} n LEFT JOIN c$i c ON c.h = n.h)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ed AS (SELECT (doc_id // 4) % 23 AS src,
-       |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
-       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM ed GROUP BY src, dst),
+    s"""WITH $sqlEdgesCtes,
        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
        |  FROM edges GROUP BY src),
        |nodes AS (SELECT src AS h FROM edges
@@ -1009,10 +1026,7 @@ object CrawlOpsQueries {
          |  FROM nodes n LEFT JOIN h${i}r r ON r.h = n.h),
          |hub$i AS (SELECT h, v * 1000000 // tot AS hub FROM h${i}t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ed AS (SELECT (doc_id // 4) % 23 AS src,
-       |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
-       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM ed GROUP BY src, dst),
+    s"""WITH $sqlEdgesCtes,
        |nodes AS (SELECT src AS h FROM edges
        |  UNION SELECT dst AS h FROM edges),
        |hub0 AS (SELECT h,
@@ -1038,10 +1052,7 @@ object CrawlOpsQueries {
          |    row_number() OVER (PARTITION BY b ORDER BY s DESC, lab ASC)
          |      AS rn FROM f$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""ed AS (SELECT (doc_id // 4) % 23 AS src,
-       |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
-       |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM ed GROUP BY src, dst),
+    s"""$sqlEdgesCtes,
        |und AS (SELECT a, b, CAST(SUM(w) AS BIGINT) AS w FROM (
        |    SELECT src AS a, dst AS b, w FROM edges
        |    UNION ALL SELECT dst AS a, src AS b, w FROM edges)
@@ -1085,15 +1096,12 @@ object CrawlOpsQueries {
 
   def oracle: Map[String, String] = Map(
     "q244_quality_smoothing" ->
-      """WITH own AS (SELECT (doc_id // 4) % 23 AS h,
+      s"""WITH own AS (SELECT $sqlHostSrc AS h,
         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(SUM(LEAST(n_chars, 500)) AS BIGINT)
         |      // CAST(COUNT(*) AS BIGINT) AS own_q
         |  FROM documents GROUP BY 1),
-        |ed AS (SELECT (doc_id // 4) % 23 AS src,
-        |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst FROM documents),
-        |edges AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-        |  FROM ed GROUP BY src, dst),
+        |$sqlEdgesCtes,
         |nbr AS (SELECT e.dst AS h,
         |    CAST(SUM(e.w * o.own_q) AS BIGINT)
         |      // CAST(SUM(e.w) AS BIGINT) AS nbr_q
@@ -1124,7 +1132,7 @@ object CrawlOpsQueries {
       s"""WITH pr AS (${sqlPagerank(seeded = false)}),
          |lab AS (WITH $sqlLpaChain SELECT h, lab FROM l$lpaIters),
          |dd AS (SELECT doc_id, source, lang, n_chars,
-         |    (doc_id // 4) % 23 AS h FROM documents)
+         |    $sqlHostSrc AS h FROM documents)
          |SELECT dd.doc_id, dd.source, dd.lang, pr.host, pr.rank_micro,
          |  lab.lab AS community,
          |  CAST(LEAST(dd.n_chars, 500) AS BIGINT) AS quality,
@@ -1134,8 +1142,8 @@ object CrawlOpsQueries {
     "q258_seed_bfs" -> {
       val seedSet = trustSeeds.mkString(", ")
       val base =
-        s"""eg AS (SELECT DISTINCT (doc_id // 4) % 23 AS src,
-           |    ((doc_id // 4) + doc_id % 7 + 1) % 23 AS dst
+        s"""eg AS (SELECT DISTINCT $sqlHostSrc AS src,
+           |    $sqlHostDst AS dst
            |  FROM documents),
            |n AS (SELECT src AS h FROM eg UNION SELECT dst FROM eg),
            |d0 AS (SELECT h, CASE WHEN h IN ($seedSet)

@@ -87,14 +87,33 @@ object ShapeOpsQueries {
     "documents" -> "doc_id",
     "embeddings" -> "vec_id")
 
-  /** q267's order-independent row checksum: Σ ((pk mod P) · A) mod P
-    * with P = 1e9+7 and A = Knuth's 2654435761 — the mod-first order
-    * keeps every product under 2.7e18 at ANY key magnitude, and the
-    * sum commutes, so the checksum is partitioning- and
-    * layout-independent (what a replication check needs).
+  /** q267's order-independent row checksum: Σ term(pk) where term is a
+    * NONLINEAR two-prime mixer — quadratic in both CRT residues
+    * r1 = pk mod P1, r2 = pk mod P2:
+    *   term = ((r1² + A·r1) mod P1 · 31 + (r2² + B·r2) mod P2) mod P1.
+    * An affine single-mod term (the round-12 form) let any two keys
+    * congruent mod P contribute identical terms, so a replication
+    * error dropping one and duplicating the other passed the check;
+    * here keys congruent mod P1 still differ mod P2 (the residue pair
+    * is injective over the packed-key domain up to P1·P2 ≈ 1e18), and
+    * the quadratic terms break affinity, so distinct keys virtually
+    * never share a term (pairwise collision ~ 1/P1). Every
+    * intermediate stays in BIGINT at ANY key magnitude (r² < 1.01e18,
+    * A·r < 2.7e18), the final term stays < P1 — the same sum-magnitude
+    * bound as before — and the sum commutes, so the checksum is
+    * partitioning- and layout-independent (what a replication check
+    * needs). ONE term renderer feeds both engines' plans.
     */
   private val manifestP = 1000000007L
+  private val manifestP2 = 998244353L
   private val manifestA = 2654435761L
+  private val manifestB = 2246822519L
+  private[graft] def manifestTerm(pk: String): String = {
+    val r1 = s"(($pk) % $manifestP)"
+    val r2 = s"(($pk) % $manifestP2)"
+    s"((($r1 * $r1 + $manifestA * $r1) % $manifestP) * 31 + " +
+      s"(($r2 * $r2 + $manifestB * $r2) % $manifestP2)) % $manifestP"
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Winsorization report — the standard robust data-cleaning step
@@ -176,8 +195,7 @@ object ShapeOpsQueries {
       manifestKeys.map { case (t, pk) =>
         Tables(s, dir, t).agg(
             count(lit(1)).as("n_rows"),
-            sum(expr(s"(($pk % $manifestP) * $manifestA) % $manifestP"))
-              .as("key_checksum"))
+            sum(expr(manifestTerm(pk))).as("key_checksum"))
           .select(lit(t).as("table_name"), col("n_rows"),
             col("key_checksum"))
       }.reduce(_ unionByName _).orderBy("table_name")
@@ -584,8 +602,7 @@ object ShapeOpsQueries {
          |FROM cu, bd""".stripMargin,
     "q267_replication_manifest" -> manifestKeys.map { case (t, pk) =>
       s"""SELECT '$t' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(SUM((($pk % $manifestP) * $manifestA) % $manifestP)
-         |    AS BIGINT) AS key_checksum
+         |  CAST(SUM(${manifestTerm(pk)}) AS BIGINT) AS key_checksum
          |FROM $t""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
       "\n) ORDER BY table_name"),

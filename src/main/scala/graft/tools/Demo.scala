@@ -189,12 +189,14 @@ object Demo {
         .queries("q260_tier_scoreboard")(spark, sfDir)
         .show(truncate = false)
       println("-- feature-store loop (tools/FeaturePipeline) --")
-      val fp = FeaturePipeline.run(spark, sfDir,
-        java.nio.file.Files.createTempDirectory("graft-demo-fp").toString)
-      println(s"history ${fp.historyRows} rows (${fp.currentRows} current); " +
-        s"PIT rows ${fp.enrichedRows}; split ${fp.trainRows}/" +
-        s"${fp.embargoRows}/${fp.testRows}; next-event top-1 " +
-        s"${fp.overallAccPermille} permille over ${fp.evalTypes} types")
+      val fpDir = java.nio.file.Files.createTempDirectory("graft-demo-fp")
+      try {
+        val fp = FeaturePipeline.run(spark, sfDir, fpDir.toString)
+        println(s"history ${fp.historyRows} rows (${fp.currentRows} current); " +
+          s"PIT rows ${fp.enrichedRows}; split ${fp.trainRows}/" +
+          s"${fp.embargoRows}/${fp.testRows}; next-event top-1 " +
+          s"${fp.overallAccPermille} permille over ${fp.evalTypes} types")
+      } finally graft.util.FileUtils.deleteRecursively(fpDir)
     }
     spark.stop()
   }

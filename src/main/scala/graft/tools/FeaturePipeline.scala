@@ -60,7 +60,10 @@ object FeaturePipeline {
       .map(r => r.getString(0) -> r)
       .toMap
     def rows(k: String) = split.get(k).map(_.getLong(1)).getOrElse(0L)
-    val overlapUsers = split.values.head.getAs[Long]("overlap_users")
+    // guarded like the adjacent rows(k) lookups: an empty events table
+    // yields zero overlap, not NoSuchElementException
+    val overlapUsers = split.values.headOption
+      .map(_.getAs[Long]("overlap_users")).getOrElse(0L)
 
     // 4: model scoring on held-out time
     val eval = ModelOpsQueries.nextEventEvalFrame(spark, sfDir).collect()
