@@ -550,7 +550,139 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // Lake TIME TRAVEL — the commit-log / snapshot face the lake trio
+    // (q165 read evolution, q166 backfill, q176 compaction) was
+    // missing (VERDICT r12 item #2): versioned add/remove-file
+    // manifests (the delta-log pattern), with as-of(v) reads resolved
+    // ENTIRELY at metadata scale — fold the ≤v manifests (adds minus
+    // later removes), then read ONLY the active files. Staged commits:
+    // v0 initial load (one file per granule), v1 delta append (new
+    // files only), v2 a copy-on-write delete (remove f(g=0), add its
+    // even-id rewrite) — the three commit kinds every delta-log table
+    // sees. The gate emits per version its file count, row count,
+    // char sum, and q267's order-independent key checksum — the
+    // per-version integrity artifact a replication/time-travel reader
+    // verifies against. The oracle CASE-reconstructs each version's
+    // logical content from the staging rules; matching ALL of them
+    // through real file reads proves the resolution: a wrong fold
+    // (remove ignored, version boundary off by one) shifts rows,
+    // checksum, or file count loudly. At 100 TB: the log is KBs
+    // however large the table; as-of cost = manifest fold + reading
+    // the active files — never a table scan to reconstruct history.
+    "q274_lake_time_travel" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q274-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val out = (0 to 2).map(v => lakeRollup(s, stage.toString, v))
+          .reduce(_ unionByName _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // Compaction as a METADATA SWAP — the second half of the
+    // commit-log contract (q176 executes a rewrite; this proves the
+    // reader-facing semantics): v3 rewrites v2's 10 active files into
+    // ONE compacted file and commits (remove all old, add compacted)
+    // — and the as-of(2) and as-of(3) reads are CONTENT-IDENTICAL
+    // (same rows, chars, key checksum; only n_files changes), read
+    // through the resolved file sets, not assumed. That identity is
+    // what lets a 100 TB deployment compact continuously under live
+    // readers: a reader pinned to v2 and one at v3 see the same
+    // table, and the swap itself touched only the manifest.
+    "q275_lake_compaction_swap" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q275-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        val out = Seq(2, 3).map(v => lakeRollup(s, stage.toString, v))
+          .reduce(_ unionByName _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
+
+  /** q274/q275 file granule: docs per staged lake file. */
+  private val lakeGran = 100L
+
+  /** The staged v2 logical content, as a predicate both engines
+    * share: v2 = everything except the odd ids the copy-on-write
+    * delete dropped from the g=0 base file.
+    */
+  private val sqlLakeV2Pred =
+    s"NOT (doc_id // $lakeGran = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 1)"
+
+  /** Stage the delta-log fixture: granule-sized parquet files derived
+    * from `documents` plus one manifest per version under `_log/`
+    * (rows: action ∈ add|remove, path). v0: initial load = docs with
+    * doc_id % 3 ≠ 2, one file per granule. v1: the % 3 = 2 delta,
+    * new files only. v2: copy-on-write delete — remove base g=0, add
+    * its even-id rewrite. v3 (optional): compaction — remove all
+    * v2-active files, add ONE compacted file holding the SAME rows.
+    * File writes are data-scale (once, like any ingest); every
+    * manifest is O(files), never O(rows).
+    */
+  private def stageLakeLog(s: SparkSession, dir: String, stage: String,
+      withCompaction: Boolean): Unit = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"doc_id div $lakeGran").as("g"))
+    val v0 = d.where(col("doc_id") % 3 =!= 2)
+    val delta = d.where(col("doc_id") % 3 === 2)
+    v0.write.partitionBy("g").mode("overwrite").parquet(s"$stage/base")
+    delta.write.partitionBy("g").mode("overwrite").parquet(s"$stage/delta")
+    v0.where(col("g") === 0 && col("doc_id") % 2 === 0).drop("g")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/f0r")
+    import s.implicits._
+    val v0gs = v0.select("g").distinct().collect().map(_.getLong(0)).sorted
+    val dgs = delta.select("g").distinct().collect().map(_.getLong(0)).sorted
+    def writeLog(v: Int, rows: Seq[(String, String)]): Unit =
+      rows.toDF("action", "path").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/_log/v$v")
+    writeLog(0, v0gs.map(g => ("add", s"$stage/base/g=$g")).toSeq)
+    writeLog(1, dgs.map(g => ("add", s"$stage/delta/g=$g")).toSeq)
+    writeLog(2, Seq(("remove", s"$stage/base/g=0"), ("add", s"$stage/f0r")))
+    if (withCompaction) {
+      val active = asOfFiles(s, stage, 2)
+      s.read.parquet(active: _*).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/compact")
+      writeLog(3, active.map(p => ("remove", p)) :+
+        (("add", s"$stage/compact")))
+    }
+  }
+
+  /** The as-of(v) resolution — the delta-log fold: active files =
+    * adds in manifests ≤ v minus paths removed in manifests ≤ v.
+    * Pure metadata work (the manifests are O(files)); the driver-side
+    * fold is exactly where a lake's snapshot resolution runs.
+    */
+  private def asOfFiles(
+      s: SparkSession, stage: String, v: Int): Seq[String] = {
+    val entries = (0 to v).flatMap(i =>
+      s.read.parquet(s"$stage/_log/v$i").collect()
+        .map(r => (r.getString(0), r.getString(1))))
+    val removed = entries.collect { case ("remove", p) => p }.toSet
+    entries.collect { case ("add", p) if !removed(p) => p }
+  }
+
+  /** One version's gated rollup over its RESOLVED file set: row
+    * count, char sum, and the q267 key checksum (the per-version
+    * integrity artifact), plus the active file count.
+    */
+  private def lakeRollup(
+      s: SparkSession, stage: String, v: Int): DataFrame = {
+    val files = asOfFiles(s, stage, v)
+    s.read.parquet(files: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+      .select(lit(v.toLong).as("version"),
+        lit(files.length.toLong).as("n_files"),
+        col("n_rows"), col("sum_chars"), col("key_checksum"))
+  }
 
   private def rmTree(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p))
@@ -558,7 +690,42 @@ object ShapeOpsQueries {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** One version row of the q274/q275 oracle: the version's logical
+    * content CASE-reconstructed from the staging rules, rolled up
+    * with the same stats as [[lakeRollup]].
+    */
+  private def sqlLakeRow(v: Int, pred: String, nFiles: String): String =
+    s"""SELECT CAST($v AS BIGINT) AS version,
+       |  CAST(($nFiles) AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+       |FROM documents WHERE $pred""".stripMargin
+
+  private val sqlLakeF0 =
+    s"SELECT COUNT(DISTINCT doc_id // $lakeGran) FROM documents " +
+      "WHERE doc_id % 3 <> 2"
+  private val sqlLakeFd =
+    s"SELECT COUNT(DISTINCT doc_id // $lakeGran) FROM documents " +
+      "WHERE doc_id % 3 = 2"
+
   def oracle: Map[String, String] = Map(
+    "q274_lake_time_travel" ->
+      s"""SELECT * FROM (
+         |${sqlLakeRow(0, "doc_id % 3 <> 2", s"($sqlLakeF0)")}
+         |UNION ALL
+         |${sqlLakeRow(1, "TRUE", s"($sqlLakeF0) + ($sqlLakeFd)")}
+         |UNION ALL
+         |${sqlLakeRow(2, sqlLakeV2Pred, s"($sqlLakeF0) + ($sqlLakeFd)")}
+         |) ORDER BY version""".stripMargin,
+    // v3's content IS v2's (the metadata swap); only n_files drops,
+    // to the single compacted file
+    "q275_lake_compaction_swap" ->
+      s"""SELECT * FROM (
+         |${sqlLakeRow(2, sqlLakeV2Pred, s"($sqlLakeF0) + ($sqlLakeFd)")}
+         |UNION ALL
+         |${sqlLakeRow(3, sqlLakeV2Pred, "1")}
+         |) ORDER BY version""".stripMargin,
     "q266_dict_audit" -> dictCols.map { cname =>
       s"""SELECT '$cname' AS "column", n_rows, n_distinct, plain_chars,
          |  dict_value_chars,
