@@ -29,6 +29,14 @@ object CorpusOpsQueries {
     */
   private val dupN = 5
 
+  /** q276: Lee et al. 2022's operative duplicate-span threshold
+    * (tokens), and the stop-gram anchor cap — grams in more than
+    * `spanDfCap` distinct docs are too frequent to anchor positional
+    * alignment (fan-out guard; never binds on the fixture, max df 3).
+    */
+  private val spanL = 50L
+  private val spanDfCap = 8L
+
   /** q98 postings shard width: each (term, shard) posting list holds at
     * most this many doc ids, so no term — however hot — ever builds an
     * unbounded list on one reducer.
@@ -219,6 +227,75 @@ object CorpusOpsQueries {
           (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
           polyHash(array_join(transform(col("kept"), s => s("t")), " "))
             .as("cleaned_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicate-SPAN extent — the large-L face of exact substring
+    // dedup (Lee et al. 2022, arXiv:2107.06499, §4: the paper's
+    // operative threshold is 50-token spans; q97/q161 only see fixed
+    // 5-grams, so a 400-token verbatim duplication and five scattered
+    // 5-grams score alike). Anchors are the SAME (doc, pos, gram)
+    // relation as q161; cross-doc matches align POSITIONALLY: a
+    // shared span between docs A and B is a maximal run of
+    // consecutive matched grams on one diagonal (pos_A − pos_B
+    // constant), detected with the standard islands device (pos −
+    // row_number per (A, B, diagonal)), run of R grams = R+4 shared
+    // tokens. Per doc: the longest shared span with ANY partner, the
+    // count of spans ≥ L, and the token coverage of those spans — the
+    // report that decides whether to run removal at L. Scale shape:
+    // the gram-match join is keyed on the gram hash with a
+    // df ≤ spanDfCap guard (corpus-frequent "stop grams" cannot
+    // anchor alignment — the fan-out cap that keeps match rows ∝
+    // true near-duplication, the suffix-array literature's
+    // frequency-cutoff analogue; at the fixture's max df 3 the cap
+    // never binds, so the gate is unaffected), island detection
+    // shuffles on (docA, docB, diagonal) — rows ∝ matched grams,
+    // never corpus² — and coverage explodes only tokens inside ≥L
+    // spans (∝ the duplication being measured).
+    "q276_dup_span_extent" -> ((s, dir) => {
+      val toked = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val occ = toked.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHash(col("toks"), dupN)))
+        .select(col("doc_id"), col("pos"), col("col").as("h"))
+      val gdf = occ.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= spanDfCap)
+        .select("h")
+      // both joins unhinted: gdf and the matched-gram relation are
+      // corpus fractions (the q161 convention)
+      val anchored = occ.join(gdf, Seq("h"))
+      val m = anchored
+        .join(anchored.select(col("h"), col("doc_id").as("doc_b"),
+          col("pos").as("pos_b")), Seq("h"))
+        .where(col("doc_id") =!= col("doc_b"))
+        .select(col("doc_id"), col("doc_b"), col("pos"),
+          (col("pos") - col("pos_b")).as("diag"))
+      val wd = Window.partitionBy("doc_id", "doc_b", "diag")
+        .orderBy("pos")
+      val spans = m.withColumn("grp", col("pos") - row_number().over(wd))
+        .groupBy("doc_id", "doc_b", "diag", "grp")
+        .agg((count(lit(1)) + lit(dupN - 1).cast("long")).as("span"),
+          min(col("pos")).as("p0"))
+      val stats = spans.groupBy("doc_id")
+        .agg(max(col("span")).as("max_span"),
+          sum(when(col("span") >= spanL, 1L).otherwise(0L))
+            .as("n_spans_ge_l"))
+      val cov = spans.where(col("span") >= spanL)
+        .select(col("doc_id"),
+          explode(sequence(col("p0"), col("p0") + col("span") - 1))
+            .as("cp"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("cp")).as("covered_tokens"))
+      toked.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+        .join(stats, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"),
+          coalesce(col("n_spans_ge_l"), lit(0L)).as("n_spans_ge_l"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+        .withColumn("covered_permille",
+          expr("covered_tokens * 1000 div n_tok"))
         .orderBy("doc_id")
     }),
 
@@ -914,6 +991,49 @@ object CorpusOpsQueries {
            |  CAST(len(d.toks) - COALESCE(per.n_kept, 0) AS BIGINT) AS n_removed,
            |  ${sqlPolyHash("COALESCE(per.ctext, '')")} AS cleaned_fp
            |FROM d LEFT JOIN per USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
+      // the same (doc, pos, gram-hash) relation as q161; diagonals
+      // and island grouping are base-offset invariant, so the 1-based
+      // SQL positions and 0-based Spark positions agree on every
+      // emitted count
+      "q276_dup_span_extent" -> {
+        val gram =
+          s"array_to_string(toks[CAST(i AS INT):CAST(i + ${dupN - 1} AS INT)], ' ')"
+        s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+           |g AS (SELECT doc_id, i, ${sqlPolyHash(gram)} AS h
+           |      FROM (SELECT doc_id, toks,
+           |              unnest(range(1, len(toks) - ${dupN - 2})) AS i FROM d)),
+           |gd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+           |       GROUP BY h HAVING COUNT(*) >= 2 AND COUNT(*) <= $spanDfCap),
+           |a AS (SELECT g.doc_id, g.i, g.h FROM g JOIN gd USING (h)),
+           |m AS (SELECT a.doc_id, b.doc_id AS doc_b, a.i AS pa,
+           |        a.i - b.i AS diag
+           |      FROM a JOIN a b ON b.h = a.h AND b.doc_id <> a.doc_id),
+           |runs AS (SELECT doc_id, doc_b, diag, pa,
+           |        pa - ROW_NUMBER() OVER (PARTITION BY doc_id, doc_b, diag
+           |          ORDER BY pa) AS grp
+           |      FROM m),
+           |sp AS (SELECT doc_id, doc_b, diag, grp,
+           |        CAST(COUNT(*) + ${dupN - 1} AS BIGINT) AS span,
+           |        MIN(pa) AS p0
+           |      FROM runs GROUP BY 1, 2, 3, 4),
+           |st AS (SELECT doc_id, CAST(MAX(span) AS BIGINT) AS max_span,
+           |        CAST(SUM(CASE WHEN span >= $spanL THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS n_spans_ge_l
+           |      FROM sp GROUP BY 1),
+           |cov AS (SELECT doc_id,
+           |        CAST(COUNT(DISTINCT cp) AS BIGINT) AS covered_tokens
+           |      FROM (SELECT doc_id, unnest(range(p0, p0 + span)) AS cp
+           |            FROM sp WHERE span >= $spanL)
+           |      GROUP BY 1)
+           |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tok,
+           |  CAST(COALESCE(st.max_span, 0) AS BIGINT) AS max_span,
+           |  CAST(COALESCE(st.n_spans_ge_l, 0) AS BIGINT) AS n_spans_ge_l,
+           |  CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           |  CAST(COALESCE(cov.covered_tokens, 0) * 1000 // len(d.toks)
+           |    AS BIGINT) AS covered_permille
+           |FROM d LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
       },
       "q98_inverted_index" -> fromScratchIndexSql,
