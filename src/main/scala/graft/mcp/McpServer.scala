@@ -11,10 +11,13 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
 
 /** MCP-shaped stdio transport — the reference's server surface
   * (`cassandra_log_analyzer.py:331,863-881`): newline-delimited
-  * JSON-RPC 2.0 over stdin/stdout dispatching the nine tool names and
-  * two resources to the engine's query layer
+  * JSON-RPC 2.0 over stdin/stdout dispatching the nine parity tool
+  * names and two resources to the engine's query layer
   * ([[graft.query.LogQueries]] via [[Reports]], [[RemoteFetcher]],
-  * [[LogCatalog]]).
+  * [[LogCatalog]]), plus three engine-extension tools
+  * (`mine_templates`, `detect_slot_anomalies`, `deduplicate_lines`)
+  * that surface the library's log-mining tier — capabilities the
+  * reference does not have — to the same MCP clients.
   *
   * The transport is deliberately thin: every tool body is one call
   * into the library — the computations are the oracle-gated operators;
@@ -106,6 +109,21 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
       case "detect_issues" =>
         Right(Reports.renderIssues(catalog,
           str(args, "severity").getOrElse("all")))
+      // engine-extension tools (no reference analog): the library's
+      // log-mining tier surfaced to MCP clients — template mining
+      // (q183), slot-anomaly screening (q191), exact-dedup (q25),
+      // each through the same shared expressions its gate executes
+      case "mine_templates" =>
+        Right(if (catalog.isEmpty) "Aucun log chargé. Utilisez load_logs d'abord."
+        else Reports.renderTemplates(catalog,
+          int(args, "limit").getOrElse(20)))
+      case "detect_slot_anomalies" =>
+        Right(if (catalog.isEmpty) "Aucun log chargé. Utilisez load_logs d'abord."
+        else Reports.renderSlotAnomalies(catalog))
+      case "deduplicate_lines" =>
+        Right(if (catalog.isEmpty) "Aucun log chargé. Utilisez load_logs d'abord."
+        else Reports.renderDedup(catalog,
+          int(args, "limit").getOrElse(20)))
       case other => Left((-32602, s"Outil inconnu: $other"))
     }
     text.map(t => JObject(
@@ -233,8 +251,10 @@ object McpServer {
   private[mcp] def req(j: JValue, k: String): Either[(Int, String), String] =
     str(j, k).toRight((-32602, s"Argument requis manquant: $k"))
 
-  /** The nine tools with the reference's names, descriptions, and input
-    * schemas (`cassandra_log_analyzer.py:383-575`), as a parsed JSON
+  /** The nine parity tools with the reference's names, descriptions,
+    * and input schemas (`cassandra_log_analyzer.py:383-575`) — the
+    * wire contract, byte-stable — followed by the three
+    * engine-extension tools (marked `[Extension]`), as a parsed JSON
     * constant.
     */
   private[mcp] val toolList: JValue = parse(
@@ -283,7 +303,15 @@ object McpServer {
       |   "nodes":{"type":"array","items":{"type":"string"}}}}},
       |{"name":"detect_issues","description":"Détecte les problèmes connus.",
       | "inputSchema":{"type":"object","properties":{
-      |   "severity":{"type":"string","enum":["all","critical","high","medium"],"default":"all"}}}}
+      |   "severity":{"type":"string","enum":["all","critical","high","medium"],"default":"all"}}}},
+      |{"name":"mine_templates","description":"[Extension] Extrait les templates structurels des logs chargés (masquage des nombres, minage Drain).",
+      | "inputSchema":{"type":"object","properties":{
+      |   "limit":{"type":"integer","description":"Nombre max de templates","default":20}}}},
+      |{"name":"detect_slot_anomalies","description":"[Extension] Détecte les valeurs de paramètres hors de leur enveloppe historique par (template, slot).",
+      | "inputSchema":{"type":"object","properties":{}}},
+      |{"name":"deduplicate_lines","description":"[Extension] Rapport de déduplication exacte des lignes chargées.",
+      | "inputSchema":{"type":"object","properties":{
+      |   "limit":{"type":"integer","description":"Nombre max de groupes","default":20}}}}
       |]""".stripMargin)
 
   /** The two resources (`cassandra_log_analyzer.py:342-357`). */

@@ -62,6 +62,18 @@ object LogDomainQueries {
           (col("user_id") % 8).cast("string"), lit("] app.Handler:"),
           (col("event_id") % 997).cast("string"), lit(" - "), col("message")))
 
+    /** ONE template/parameter extraction for the whole mining tier —
+      * the q183/q187/q190/q191 gates, the q188 streaming screen, the
+      * LogOps pipeline, and the MCP `mine_templates` /
+      * `detect_slot_anomalies` tools all mask digit runs and pull
+      * parameters through these two expressions, so the template a
+      * tool reports IS the gated one.
+      */
+    def templateOf(line: Column): Column =
+      regexp_replace(line, "[0-9]+", "<N>")
+    def numRuns(line: Column): Column =
+      call_function("regexp_extract_all", line, lit("[0-9]+"), lit(0))
+
     /** The same corpus as a DuckDB CTE (`ev`). */
     val sqlCte: String = {
       val buckets = bucketMessages.zipWithIndex.map { case (m, i) =>
@@ -184,9 +196,8 @@ object LogDomainQueries {
     "q183_log_templates" -> ((s, dir) => {
       logs(s, dir)
         .select(col("node"), col("event_id"),
-          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
-          size(expr("regexp_extract_all(line, '[0-9]+', 0)"))
-            .cast("long").as("n_params"))
+          templateOf(col("line")).as("template"),
+          size(numRuns(col("line"))).cast("long").as("n_params"))
         .groupBy("template")
         .agg(count(lit(1)).as("n_lines"),
           countDistinct(col("node")).as("n_nodes"),
@@ -211,9 +222,8 @@ object LogDomainQueries {
     "q187_template_params" -> ((s, dir) => {
       logs(s, dir)
         .select(
-          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
-          posexplode(expr("regexp_extract_all(line, '[0-9]+', 0)"))
-            .as(Seq("slot", "v")))
+          templateOf(col("line")).as("template"),
+          posexplode(numRuns(col("line"))).as(Seq("slot", "v")))
         .select(col("template"), col("slot").cast("long").as("slot"),
           col("v").cast("long").as("v"))
         .groupBy("template", "slot")
@@ -239,9 +249,8 @@ object LogDomainQueries {
     "q190_template_catalog_refresh" -> ((s, dir) => {
       val lines = logs(s, dir).withColumn("us", expr("ts_ns div 1000"))
         .select(col("node"), col("event_id"), col("us"),
-          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
-          size(expr("regexp_extract_all(line, '[0-9]+', 0)"))
-            .cast("long").as("n_params"))
+          templateOf(col("line")).as("template"),
+          size(numRuns(col("line"))).cast("long").as("n_params"))
       val mm = lines.agg(min(col("us")), max(col("us"))).head()
       val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 3
       def grainAgg(df: DataFrame) = df.groupBy("template", "node")
@@ -279,9 +288,8 @@ object LogDomainQueries {
       val mm = lines.agg(min(col("us")), max(col("us"))).head()
       val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 3
       def slots(df: DataFrame) = df.select(
-          regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
-          posexplode(expr("regexp_extract_all(line, '[0-9]+', 0)"))
-            .as(Seq("slot", "v")))
+          templateOf(col("line")).as("template"),
+          posexplode(numRuns(col("line"))).as(Seq("slot", "v")))
         .select(col("template"), col("slot").cast("long").as("slot"),
           col("v").cast("long").as("v"))
       val isAnom = col("v") < col("lo") || col("v") > col("hi")

@@ -144,4 +144,111 @@ object Reports {
     val keys = catalog.nodeKeys
     keys.map(k => "\"" + k + "\"").mkString("{\"nodes\": [", ", ", s"], \"count\": ${keys.size}}")
   }
+
+  // ---- engine-extension tools (no reference analog) -------------------
+  // The engine's own log-mining capabilities surfaced to an MCP client
+  // beside the nine parity tools. Every computation runs through the
+  // SAME shared expressions its oracle gate executes
+  // (LogDomainQueries.Corpus.templateOf / numRuns — the q183/q187/q191
+  // definitions) over the loaded catalog.
+
+  import graft.queries.LogDomainQueries.Corpus.{numRuns, templateOf}
+
+  /** `mine_templates` — q183's Drain-style mining over the loaded
+    * lines: digit runs mask to `<N>`, templates roll up with volume,
+    * node spread, and parameter-slot count.
+    */
+  def renderTemplates(catalog: LogCatalog, limit: Int = 20): String = {
+    val rows = catalog.raw
+      .where(length(trim(col("value"))) > 0)
+      .select(col("node"), templateOf(col("value")).as("template"),
+        size(numRuns(col("value"))).cast("long").as("n_params"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("node")).as("n_nodes"),
+        max(col("n_params")).as("n_params"))
+      .orderBy(desc("n_lines"), asc("template"))
+      .limit(limit).collect()
+    val sb = new StringBuilder("# Templates de logs\n\n")
+    sb ++= s"Templates distincts (top ${rows.length}):\n"
+    rows.foreach { r =>
+      sb ++= s"\n- `${r.getString(0)}`\n"
+      sb ++= s"  lignes: ${r.getLong(1)}, nodes: ${r.getLong(2)}, " +
+        s"paramètres: ${r.getLong(3)}\n"
+    }
+    sb.result()
+  }
+
+  /** `detect_slot_anomalies` — the q191 screen over the loaded lines:
+    * per (template, slot) [min, max] envelopes from each node's first
+    * two line-thirds screen the most recent third (the q191 history/
+    * recent split, in line order since inline logs carry no event
+    * time). The envelope relation is (template × slot)-bounded, so it
+    * broadcasts, exactly as the gate's plan does.
+    */
+  def renderSlotAnomalies(catalog: LogCatalog): String = {
+    val wmax = org.apache.spark.sql.expressions.Window.partitionBy("node")
+    val lines = catalog.raw
+      .where(length(trim(col("value"))) > 0)
+      .withColumn("maxln", max(col("line_number")).over(wmax))
+      .withColumn("is_hist", col("line_number") * 3 <= col("maxln") * 2)
+    def slots(df: org.apache.spark.sql.DataFrame) = df
+      .select(templateOf(col("value")).as("template"),
+        posexplode(numRuns(col("value"))).as(Seq("slot", "v")))
+      .select(col("template"), col("slot").cast("long").as("slot"),
+        col("v").cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val hist = slots(lines.where(col("is_hist")))
+      .groupBy("template", "slot")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val isAnom = col("v") < col("lo") || col("v") > col("hi")
+    val rows = slots(lines.where(!col("is_hist")))
+      .join(broadcast(hist), Seq("template", "slot"))  // hint audit: (template x slot)-bounded (log formats are finite)
+      .groupBy("template", "slot", "lo", "hi")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(isAnom, 1L).otherwise(0L)).as("n_anomalous"))
+      .where(col("n_anomalous") > 0)
+      .orderBy(desc("n_anomalous"), asc("template"), asc("slot"))
+      .collect()
+    val sb = new StringBuilder("# Anomalies de paramètres\n\n")
+    if (rows.isEmpty)
+      sb ++= "Aucune valeur hors enveloppe historique.\n"
+    else {
+      sb ++= "Valeurs hors de l'enveloppe historique [min, max] " +
+        "(fenêtre récente = dernier tiers des lignes):\n"
+      rows.foreach { r =>
+        sb ++= s"\n- `${r.getString(0)}` slot ${r.getLong(1)}\n"
+        sb ++= s"  enveloppe [${r.getLong(2)}, ${r.getLong(3)}], " +
+          s"vérifiées: ${r.getLong(4)}, anomalies: ${r.getLong(5)}\n"
+      }
+    }
+    sb.result()
+  }
+
+  /** `deduplicate_lines` — the exact-dedup report (q25's
+    * canonical-key shape) over the loaded lines: identical trimmed
+    * lines grouped, repeated ones listed most-frequent first.
+    */
+  def renderDedup(catalog: LogCatalog, limit: Int = 20): String = {
+    val grouped = catalog.raw
+      .where(length(trim(col("value"))) > 0)
+      .groupBy(trim(col("value")).as("content"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("node")).as("n_nodes"))
+    val total = grouped.agg(
+      sum(col("n_occurrences")).as("n_lines"),
+      count(lit(1)).as("n_distinct")).head()
+    val dups = grouped.where(col("n_occurrences") >= 2)
+      .orderBy(desc("n_occurrences"), asc("content"))
+      .limit(limit).collect()
+    val sb = new StringBuilder("# Lignes dupliquées\n\n")
+    sb ++= s"Lignes non vides: ${total.getLong(0)}, " +
+      s"distinctes: ${total.getLong(1)}\n"
+    if (dups.isEmpty) sb ++= "\nAucune ligne répétée.\n"
+    else dups.foreach { r =>
+      sb ++= s"\n- ${r.getLong(1)}x (${r.getLong(2)} nodes): " +
+        s"`${r.getString(0)}`\n"
+    }
+    sb.result()
+  }
 }

@@ -1074,7 +1074,7 @@ object StreamingQueries {
         val cut = tmin + (tmax - tmin) * 2 / 3
         // the catalog: history-window templates with >= 1% support
         val histT = lines.where(col("us") < cut)
-          .select(regexp_replace(col("line"), "[0-9]+", "<N>").as("template"))
+          .select(LogDomainQueries.Corpus.templateOf(col("line")).as("template"))
           .groupBy("template").agg(count(lit(1)).as("n_lines"))
         val totalHist = histT.agg(sum(col("n_lines"))).head().getLong(0)
         val catalog = histT.where(col("n_lines") * 100L >= totalHist)
@@ -1100,7 +1100,7 @@ object StreamingQueries {
         }
         val emergent = LogDomainQueries.Corpus.logsOf(streamNorm)
           .select(col("node"), col("event_id"),
-            regexp_replace(col("line"), "[0-9]+", "<N>").as("template"))
+            LogDomainQueries.Corpus.templateOf(col("line")).as("template"))
           .join(broadcast(catalog), Seq("template"), "left_anti")  // hint audit: template-catalog-bounded (log formats are finite)
         val query = emergent.writeStream.format("memory").queryName(sink)
           .outputMode(OutputMode.Append)
@@ -1555,8 +1555,8 @@ object StreamingQueries {
         val mm = lines.agg(min(col("us")), max(col("us"))).head()
         val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 2 / 3
         def slots(df: DataFrame) = df.select(
-            regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
-            posexplode(expr("regexp_extract_all(line, '[0-9]+', 0)"))
+            LogDomainQueries.Corpus.templateOf(col("line")).as("template"),
+            posexplode(LogDomainQueries.Corpus.numRuns(col("line")))
               .as(Seq("slot", "v")))
           .select(col("template"), col("slot").cast("long").as("slot"),
             col("v").cast("long").as("v"))

@@ -65,17 +65,64 @@ class McpServerSpec extends SparkSuite {
     assert(report.contains("timeout: 1 occurrences")) // classifier hit
   }
 
-  test("tools/list exposes the reference's nine tools; unknown tool errors") {
+  test("tools/list exposes the nine parity tools first, then the three " +
+      "extension tools; unknown tool errors") {
     val d = newDispatcher
     val Seq(tools, bad) = roundTrip(d,
       """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""",
       """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"nope"}}""")
     val JArray(list) = (tools \ "result" \ "tools"): @unchecked
+    // the reference's wire contract is a PREFIX: parity tools keep
+    // their exact names and order, extensions append after
     assert(list.map(t => (t \ "name")) === Seq(
       "configure_ssh_node", "load_logs_from_ssh", "load_logs_from_all_nodes",
       "load_logs", "analyze_cluster", "search_logs", "get_errors",
-      "compare_nodes", "detect_issues").map(JString(_)))
+      "compare_nodes", "detect_issues",
+      "mine_templates", "detect_slot_anomalies", "deduplicate_lines")
+      .map(JString(_)))
+    // extensions are marked so a client can tell them from parity
+    assert(list.drop(9).forall(t => (t \ "description") match {
+      case JString(s) => s.startsWith("[Extension]")
+      case _ => false
+    }))
     assert((bad \ "error" \ "code") === JInt(-32602))
+  }
+
+  test("extension tools mine templates, screen slots, and dedup lines " +
+      "over the loaded catalog") {
+    val d = newDispatcher
+    // 9 lines per node: the first 6 (history thirds) establish latency
+    // slot envelopes, the last 3 (recent third) carry one out-of-range
+    // latency; one line is repeated verbatim across both nodes
+    def lines(node: Int, spike: Int) = (1 to 9).map { i =>
+      val lat = if (i <= 6) 100 + i else if (i == 9) spike else 105
+      s"INFO  [main] op $i done in ${lat}ms"
+    }.mkString("\\n") + "\\nshutdown hook invoked"
+    val responses = roundTrip(d,
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"load_logs","arguments":{"node_name":"node1","log_content":"${lines(1, 9000)}"}}}""",
+      s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"load_logs","arguments":{"node_name":"node2","log_content":"${lines(2, 104)}"}}}""",
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"mine_templates","arguments":{"limit":5}}}""",
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"detect_slot_anomalies","arguments":{}}}""",
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"deduplicate_lines","arguments":{}}}""")
+    val mined = resultText(responses(2))
+    // the q183 masking collapses all 18 op lines into one template
+    assert(mined.contains("`INFO  [main] op <N> done in <N>ms`"))
+    assert(mined.contains("lignes: 18, nodes: 2"))
+    // node1's 9000ms spike is outside the history envelope; node2's
+    // 104 is inside — exactly one anomalous (template, slot) pair
+    val anomalies = resultText(responses(3))
+    assert(anomalies.contains("anomalies: 1"))
+    assert(!anomalies.contains("Aucune valeur"))
+    // the verbatim repeated line dedups across nodes
+    val dedup = resultText(responses(4))
+    assert(dedup.contains("2x (2 nodes): `shutdown hook invoked`"))
+  }
+
+  test("extension tools refuse politely when no logs are loaded") {
+    val d = newDispatcher
+    val responses = roundTrip(d,
+      """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"mine_templates","arguments":{}}}""")
+    assert(resultText(responses.head).contains("Aucun log chargé"))
   }
 
   test("configure_ssh_node previews the first five files; auth line has reference parity") {

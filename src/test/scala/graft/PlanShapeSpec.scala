@@ -114,6 +114,11 @@ class PlanShapeSpec extends SparkSuite {
     // the broadcast-probe inequality join IS the exact side measured
     "q131_ann_recall", "q180_pq_recall", "q185_pq_recall_nprobe",
     "q194_multiprobe_recall", "q197_res_pq_recall",
+    // q270/q271: the planted-probe batch (corpus sample + integer
+    // milli-noise) broadcasts against the corpus — q29's deliberate
+    // probe shape, for the exact ground-truth scan and each tier's
+    // exact/rerank side
+    "q270_planted_truth", "q271_planted_scoreboard",
     // q208's/q215's ground truth is q29's exact broadcast-probe scan
     // (the recall evals' shape); the ranked-list attach is an equi BHJ
     "q208_ann_mrr", "q215_ann_ndcg",
@@ -197,7 +202,13 @@ class PlanShapeSpec extends SparkSuite {
           "q236_corpus_diff",
           // q268 is q115's positional-neighbor join over the
           // GlobalIndex order — same corpus-scaled equi-join class
-          "q268_edit_distance_join")(name))
+          "q268_edit_distance_join",
+          // q276's per-doc span stats and coverage rejoin the doc
+          // grain UNHINTED (both are corpus fractions — the q161
+          // convention), so the static pass plans the production
+          // sort-merge; left-outer with a corpus-scaled build side
+          // must not broadcast
+          "q276_dup_span_extent")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
