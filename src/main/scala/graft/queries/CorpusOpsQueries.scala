@@ -37,6 +37,14 @@ object CorpusOpsQueries {
   private val spanL = 50L
   private val spanDfCap = 8L
 
+  /** q280 SymSpell: minimum vocab-term length (1-deletes of very
+    * short terms are too ambiguous to index) and minimum typo-source
+    * length — every vocab term of typo length sources one
+    * deterministic query (deletion position = polyHash mod length).
+    */
+  private val symTermLen = 4
+  private val symTypoLen = 5
+
   /** q98 postings shard width: each (term, shard) posting list holds at
     * most this many doc ids, so no term — however hot — ever builds an
     * unbounded list on one reducer.
@@ -90,6 +98,44 @@ object CorpusOpsQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+
+  /** The q276/q277 duplicate-span relation — ONE definition for the
+    * measurement and removal faces: (doc, 0-based pos, 5-gram hash)
+    * occurrences, anchors df-capped (grams in > spanDfCap docs are
+    * stop-grams that cannot anchor positional alignment), cross-doc
+    * matches aligned per (doc_id, doc_b, diagonal), maximal
+    * consecutive runs via the islands device. Returns (toked docs,
+    * spans): spans carries one row per maximal shared span with its
+    * token length (`span` = run + dupN − 1) and 0-based start `p0`.
+    * Both joins unhinted: the df-filtered anchor set and the matched
+    * relation are corpus fractions (the q161 convention).
+    */
+  private def dupSpanFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val toked = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val occ = toked.select(col("doc_id"),
+      posexplode(graft.functions.ShingleHash(col("toks"), dupN)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val gdf = occ.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= spanDfCap)
+      .select("h")
+    val anchored = occ.join(gdf, Seq("h"))
+    val m = anchored
+      .join(anchored.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), Seq("h"))
+      .where(col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id"), col("doc_b"), col("pos"),
+        (col("pos") - col("pos_b")).as("diag"))
+    val wd = Window.partitionBy("doc_id", "doc_b", "diag")
+      .orderBy("pos")
+    val spans = m.withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "doc_b", "diag", "grp")
+      .agg((count(lit(1)) + lit(dupN - 1).cast("long")).as("span"),
+        min(col("pos")).as("p0"))
+    (toked, spans)
+  }
 
   /** q198 continuation-ratio fixed-point scale. */
   private val fluencyScale = 1000000L
@@ -253,30 +299,7 @@ object CorpusOpsQueries {
     // never corpus² — and coverage explodes only tokens inside ≥L
     // spans (∝ the duplication being measured).
     "q276_dup_span_extent" -> ((s, dir) => {
-      val toked = docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val occ = toked.select(col("doc_id"),
-        posexplode(graft.functions.ShingleHash(col("toks"), dupN)))
-        .select(col("doc_id"), col("pos"), col("col").as("h"))
-      val gdf = occ.select("doc_id", "h").distinct()
-        .groupBy("h").agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2 && col("df") <= spanDfCap)
-        .select("h")
-      // both joins unhinted: gdf and the matched-gram relation are
-      // corpus fractions (the q161 convention)
-      val anchored = occ.join(gdf, Seq("h"))
-      val m = anchored
-        .join(anchored.select(col("h"), col("doc_id").as("doc_b"),
-          col("pos").as("pos_b")), Seq("h"))
-        .where(col("doc_id") =!= col("doc_b"))
-        .select(col("doc_id"), col("doc_b"), col("pos"),
-          (col("pos") - col("pos_b")).as("diag"))
-      val wd = Window.partitionBy("doc_id", "doc_b", "diag")
-        .orderBy("pos")
-      val spans = m.withColumn("grp", col("pos") - row_number().over(wd))
-        .groupBy("doc_id", "doc_b", "diag", "grp")
-        .agg((count(lit(1)) + lit(dupN - 1).cast("long")).as("span"),
-          min(col("pos")).as("p0"))
+      val (toked, spans) = dupSpanFrames(s, dir)
       val stats = spans.groupBy("doc_id")
         .agg(max(col("span")).as("max_span"),
           sum(when(col("span") >= spanL, 1L).otherwise(0L))
@@ -296,6 +319,103 @@ object CorpusOpsQueries {
           coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
         .withColumn("covered_permille",
           expr("covered_tokens * 1000 div n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // Long-span REMOVAL — the action face of q276's measurement (Lee
+    // et al. 2022, §4: deduplicate exact substrings ≥ 50 tokens,
+    // keeping one occurrence). Keep-FIRST at span grain: a token is
+    // removed iff it sits inside a ≥L-token span shared with a
+    // LOWER-id partner doc, so the lowest-id occurrence of any span
+    // always survives (the q172 keep-first convention lifted from
+    // chunk grain to maximal spans). Contrast with q161, which
+    // removes EVERY duplicated 5-gram from EVERY doc — the blunt
+    // instrument; this removes only long verbatim copies and only
+    // from the later docs, which is what the paper actually ships.
+    // The gate emits q161's artifact shape (n_tok, n_removed, and
+    // the cleaned-sequence fingerprint — the hash proves the exact
+    // kept token sequence, not just counts). Scale: the span
+    // relation is q276's (shared helper — anchors df-capped, islands
+    // shuffle ∝ matched grams); the keep-first predicate then
+    // FILTERS it (removal-side rows only), coverage explodes only
+    // tokens actually removed, and the final rejoin to the doc grain
+    // is one unhinted corpus-fraction left join (the q161
+    // convention).
+    // SymSpell-style spell correction (Garbe's symmetric-delete
+    // device, the production spell-correct at vocabulary scale):
+    // candidates come from an EQUI-join on shared 1-delete keys —
+    // every vocab term indexes itself plus its |term| single-char
+    // deletes, every query does the same, and two strings within
+    // edit distance 1 MUST share a key (the pigeonhole that replaces
+    // scanning the vocabulary with edit distance per query). The
+    // exact `levenshtein <= 1` verify then prunes the distance-2
+    // pairs a shared delete admits. Query batch: a deterministic
+    // typo per long vocab term (drop the char at polyHash(term)
+    // mod |term| — both engines derive the identical batch), so the
+    // source term is known per query. Per (src, typo): the best
+    // correction (highest corpus count, lexical tiebreak) and the
+    // candidate count. Scale shape: the delete index explodes
+    // |term|+1 keys per DISTINCT term (vocab-bounded, not
+    // corpus-bounded); the candidate join is equi on the delete key
+    // with fan-out ∝ true near-collisions; the verify is one codegen
+    // levenshtein per candidate, never per (query × vocab) pair; the
+    // rank window partitions per query term.
+    "q280_symspell_correct" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("term"))
+        .where(length(col("term")) >= symTermLen)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      def dels(c: String) = expr(
+        s"array_union(array($c), transform(sequence(0, length($c) - 1), " +
+          s"i -> concat(substr($c, 1, i), substr($c, i + 2, length($c)))))")
+      val index = vocab.select(col("term"), col("cnt"),
+        explode(dels("term")).as("k"))
+      val p = (polyHash(col("term")) % length(col("term"))).cast("int")
+      val typos = vocab
+        .where(length(col("term")) >= symTypoLen)
+        .select(col("term").as("src"),
+          concat(substr(col("term"), lit(1), p),
+            substr(col("term"), p + 2, length(col("term")))).as("typo"))
+      val qdel = typos.select(col("src"), col("typo"),
+        explode(dels("typo")).as("k"))
+      // both joins unhinted: the delete index is vocab-scaled (at a
+      // web-corpus vocabulary it no longer broadcasts), the candidate
+      // set is collision-scaled
+      val cand = qdel.join(index, Seq("k"))
+        .where(levenshtein(col("typo"), col("term")) <= 1)
+        .select("src", "typo", "term", "cnt").distinct()
+      val w = Window.partitionBy("src", "typo")
+        .orderBy(desc("cnt"), asc("term"))
+      cand
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_candidates", count(lit(1)).over(
+          Window.partitionBy("src", "typo")))
+        .where(col("rn") === 1)
+        .select(col("src"), col("typo"), col("term").as("correction"),
+          col("cnt").as("correction_count"), col("n_candidates"))
+        .orderBy("src", "typo")
+    }),
+
+    "q277_long_span_removal" -> ((s, dir) => {
+      val (toked, spans) = dupSpanFrames(s, dir)
+      val covered = spans
+        .where(col("span") >= spanL && col("doc_b") < col("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(col("p0"), col("p0") + col("span") - 1))
+            .as("cp"))
+        .groupBy("doc_id").agg(collect_set(col("cp")).as("cov"))
+      toked.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("toks"),
+          coalesce(col("cov"), array().cast("array<long>")).as("cov"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          filter(transform(col("toks"),
+              (t, i) => struct(t.as("t"), i.cast("long").as("i"))),
+            s => !array_contains(col("cov"), s("i"))).as("kept"))
+        .select(col("doc_id"), col("n_tok"),
+          (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+          polyHash(array_join(transform(col("kept"), s => s("t")), " "))
+            .as("cleaned_fp"))
         .orderBy("doc_id")
     }),
 
@@ -1034,6 +1154,83 @@ object CorpusOpsQueries {
            |  CAST(COALESCE(cov.covered_tokens, 0) * 1000 // len(d.toks)
            |    AS BIGINT) AS covered_permille
            |FROM d LEFT JOIN st USING (doc_id) LEFT JOIN cov USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
+      // the identical symmetric-delete sets (term + its single-char
+      // deletes, deduped) and typo derivation on both engines; the
+      // levenshtein verify is the same standard distance in both
+      "q280_symspell_correct" -> {
+        def sqlDels(t: String) =
+          s"list_distinct(list_append(list_transform(range(0, length($t)), " +
+            s"i -> substr($t, 1, CAST(i AS INT)) || " +
+            s"substr($t, CAST(i + 2 AS INT), length($t))), $t))"
+        val pp = s"CAST(${sqlPolyHash("term")} % length(term) AS INT)"
+        s"""WITH v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM (SELECT unnest(${sqlTokens("text")}) AS term
+           |            FROM documents)
+           |      WHERE length(term) >= $symTermLen GROUP BY term),
+           |idx AS (SELECT term, cnt, unnest(${sqlDels("term")}) AS k FROM v),
+           |q AS (SELECT term AS src,
+           |        substr(term, 1, $pp) ||
+           |          substr(term, $pp + 2, length(term)) AS typo
+           |      FROM v WHERE length(term) >= $symTypoLen),
+           |qd AS (SELECT src, typo, unnest(${sqlDels("typo")}) AS k FROM q),
+           |cand AS (SELECT DISTINCT src, typo, term, cnt
+           |         FROM qd JOIN idx USING (k)
+           |         WHERE levenshtein(typo, term) <= 1),
+           |r AS (SELECT src, typo, term, cnt,
+           |        ROW_NUMBER() OVER (PARTITION BY src, typo
+           |          ORDER BY cnt DESC, term) AS rn,
+           |        CAST(COUNT(*) OVER (PARTITION BY src, typo) AS BIGINT)
+           |          AS n_candidates
+           |      FROM cand)
+           |SELECT src, typo, term AS correction, cnt AS correction_count,
+           |  n_candidates
+           |FROM r WHERE rn = 1 ORDER BY src, typo""".stripMargin
+      },
+      // q276's span CTEs with the keep-first predicate (partner id <
+      // mine) pushed into the match — islands partition by (doc,
+      // partner, diagonal), so filtering partners before or after run
+      // detection yields identical spans — then q161's kept-token
+      // fold; 1-based SQL positions vs 0-based Spark positions cancel
+      // in every emitted value
+      "q277_long_span_removal" -> {
+        val gram =
+          s"array_to_string(toks[CAST(i AS INT):CAST(i + ${dupN - 1} AS INT)], ' ')"
+        s"""WITH d AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+           |g AS (SELECT doc_id, i, ${sqlPolyHash(gram)} AS h
+           |      FROM (SELECT doc_id, toks,
+           |              unnest(range(1, len(toks) - ${dupN - 2})) AS i FROM d)),
+           |gd AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+           |       GROUP BY h HAVING COUNT(*) >= 2 AND COUNT(*) <= $spanDfCap),
+           |a AS (SELECT g.doc_id, g.i, g.h FROM g JOIN gd USING (h)),
+           |m AS (SELECT a.doc_id, b.doc_id AS doc_b, a.i AS pa,
+           |        a.i - b.i AS diag
+           |      FROM a JOIN a b ON b.h = a.h AND b.doc_id < a.doc_id),
+           |runs AS (SELECT doc_id, doc_b, diag, pa,
+           |        pa - ROW_NUMBER() OVER (PARTITION BY doc_id, doc_b, diag
+           |          ORDER BY pa) AS grp
+           |      FROM m),
+           |sp AS (SELECT doc_id, doc_b, diag, grp,
+           |        CAST(COUNT(*) + ${dupN - 1} AS BIGINT) AS span,
+           |        MIN(pa) AS p0
+           |      FROM runs GROUP BY 1, 2, 3, 4),
+           |cov AS (SELECT DISTINCT doc_id, cp
+           |      FROM (SELECT doc_id, unnest(range(p0, p0 + span)) AS cp
+           |            FROM sp WHERE span >= $spanL)),
+           |tok AS (SELECT doc_id, i, toks[CAST(i AS INT)] AS w
+           |        FROM (SELECT doc_id, toks,
+           |                unnest(range(1, len(toks) + 1)) AS i FROM d)),
+           |kept AS (SELECT t.doc_id, t.i, t.w FROM tok t
+           |         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.cp = t.i
+           |         WHERE cov.cp IS NULL),
+           |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |          string_agg(w, ' ' ORDER BY i) AS ctext
+           |        FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tok,
+           |  CAST(len(d.toks) - COALESCE(per.n_kept, 0) AS BIGINT) AS n_removed,
+           |  ${sqlPolyHash("COALESCE(per.ctext, '')")} AS cleaned_fp
+           |FROM d LEFT JOIN per USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin
       },
       "q98_inverted_index" -> fromScratchIndexSql,

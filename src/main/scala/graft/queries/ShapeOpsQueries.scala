@@ -603,10 +603,100 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // Lake VACUUM — the retention planner that closes the commit-log
+    // lifecycle (q274 reads history, q275 swaps metadata, this
+    // reclaims storage): a physical file is safe to delete iff NO
+    // retained snapshot references it, i.e. it is outside the union
+    // of active sets of every version ≥ the retention boundary. The
+    // gate prices BOTH interesting boundaries on the compacted log
+    // (v0–v3): boundary 2 (readers may still pin v2) frees only the
+    // copy-on-write-replaced base file; boundary 3 (latest only)
+    // frees every pre-compaction file. Emitted per boundary: the
+    // deletable file count and the reclaimed rows/chars, priced by
+    // reading the doomed files themselves — matching the oracle's
+    // CASE-reconstruction proves the safety fold (a file wrongly
+    // freed or wrongly kept shifts every number). At 100 TB the
+    // decision is a pure manifest fold (O(files) driver work, the
+    // same place a lake's snapshot resolution runs); only the
+    // reclaim PRICING touches file contents, and a deployment would
+    // take those numbers from manifest stats instead.
+    "q278_lake_vacuum" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q278-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        val allAdds = (0 to 3).flatMap(v =>
+          s.read.parquet(s"$stage/_log/v$v").collect()
+            .collect { case r if r.getString(0) == "add" => r.getString(1) })
+        val out = Seq(2, 3).map { boundary =>
+          val retained = (boundary to 3)
+            .flatMap(v => asOfFiles(s, stage.toString, v)).toSet
+          val deletable = allAdds.filterNot(retained)
+          s.read.parquet(deletable: _*)
+            .agg(count(lit(1)).as("reclaim_rows"),
+              sum(col("n_chars").cast("long")).as("reclaim_chars"))
+            .select(lit(boundary.toLong).as("boundary"),
+              lit(deletable.size.toLong).as("n_deletable"),
+              col("reclaim_rows"), col("reclaim_chars"))
+        }.reduce(_ unionByName _).orderBy("boundary")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // Stats-PRUNED time-travel read — manifests carry per-file
+    // (min, max) key stats recorded at write time (what Delta/Iceberg
+    // store as file statistics), so a predicate as-of read prunes
+    // files BEFORE opening any: resolve the v2 active set from the
+    // log, keep only files whose [min, max] overlaps the requested
+    // key range, read those. The gate emits the active count, the
+    // pruned read count, and the matching rows' count/chars/key
+    // checksum; the oracle reconstructs the per-file stats and the
+    // v2 content from the staging rules, so a pruning bug in either
+    // direction (file skipped that held matching rows — rows drop;
+    // file read that stats exclude — n_files_read shifts) fails the
+    // gate. The q153 zonemap device lifted into the snapshot layer:
+    // at 100 TB this is the difference between touching 4 files and
+    // touching 10⁶ for a key-range restore.
+    "q279_lake_pruned_read" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q279-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val entries = (0 to 2).flatMap(v =>
+          s.read.parquet(s"$stage/_log/v$v").collect()
+            .map(r => (r.getString(0), r.getString(1),
+              r.getLong(2), r.getLong(3))))
+        val removed = entries.collect { case ("remove", p, _, _) => p }.toSet
+        val active = entries.collect {
+          case ("add", p, mn, mx) if !removed(p) => (p, mn, mx) }
+        val pruned = active.filter { case (_, mn, mx) =>
+          mn <= lakePruneHi && mx >= lakePruneLo }
+        val out = s.read.parquet(pruned.map(_._1): _*)
+          .where(col("doc_id").between(lakePruneLo, lakePruneHi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+          .select(lit(2L).as("version"),
+            lit(active.size.toLong).as("n_active"),
+            lit(pruned.size.toLong).as("n_files_read"),
+            col("n_rows"), col("sum_chars"), col("key_checksum"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
 
   /** q274/q275 file granule: docs per staged lake file. */
   private val lakeGran = 100L
+
+  /** q279 pruned-read key range: overlaps exactly the g=1 and g=2
+    * base+delta files at every SF (f0r's [0, 98] and g ≥ 3 are
+    * stats-excluded), so the prune is non-trivial in both directions.
+    */
+  private val lakePruneLo = 150L
+  private val lakePruneHi = 249L
 
   /** The staged v2 logical content, as a predicate both engines
     * share: v2 = everything except the odd ids the copy-on-write
@@ -634,23 +724,42 @@ object ShapeOpsQueries {
     val delta = d.where(col("doc_id") % 3 === 2)
     v0.write.partitionBy("g").mode("overwrite").parquet(s"$stage/base")
     delta.write.partitionBy("g").mode("overwrite").parquet(s"$stage/delta")
-    v0.where(col("g") === 0 && col("doc_id") % 2 === 0).drop("g")
+    val f0r = v0.where(col("g") === 0 && col("doc_id") % 2 === 0)
+    f0r.drop("g")
       .coalesce(1).write.mode("overwrite").parquet(s"$stage/f0r")
     import s.implicits._
-    val v0gs = v0.select("g").distinct().collect().map(_.getLong(0)).sorted
-    val dgs = delta.select("g").distinct().collect().map(_.getLong(0)).sorted
-    def writeLog(v: Int, rows: Seq[(String, String)]): Unit =
-      rows.toDF("action", "path").coalesce(1)
+    // per-file (min, max) doc_id — the stats a delta-log manifest
+    // records at write time so readers can prune files by predicate
+    // without opening them (q279); one metadata-sized agg per commit
+    def keyStats(df: DataFrame): Map[Long, (Long, Long)] =
+      df.groupBy("g").agg(min(col("doc_id")), max(col("doc_id")))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val v0st = keyStats(v0)
+    val dst = keyStats(delta)
+    val v0gs = v0st.keys.toSeq.sorted
+    val dgs = dst.keys.toSeq.sorted
+    // remove entries carry no stats (only adds are ever pruned) — the
+    // -1 sentinel keeps the manifest schema flat
+    def writeLog(v: Int, rows: Seq[(String, String, Long, Long)]): Unit =
+      rows.toDF("action", "path", "min_id", "max_id").coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/_log/v$v")
-    writeLog(0, v0gs.map(g => ("add", s"$stage/base/g=$g")).toSeq)
-    writeLog(1, dgs.map(g => ("add", s"$stage/delta/g=$g")).toSeq)
-    writeLog(2, Seq(("remove", s"$stage/base/g=0"), ("add", s"$stage/f0r")))
+    def rm(p: String) = (("remove", p, -1L, -1L))
+    writeLog(0, v0gs.map(g =>
+      ("add", s"$stage/base/g=$g", v0st(g)._1, v0st(g)._2)))
+    writeLog(1, dgs.map(g =>
+      ("add", s"$stage/delta/g=$g", dst(g)._1, dst(g)._2)))
+    val f0rMm = f0r.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    writeLog(2, Seq(rm(s"$stage/base/g=0"),
+      ("add", s"$stage/f0r", f0rMm.getLong(0), f0rMm.getLong(1))))
     if (withCompaction) {
       val active = asOfFiles(s, stage, 2)
       s.read.parquet(active: _*).coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/compact")
-      writeLog(3, active.map(p => ("remove", p)) :+
-        (("add", s"$stage/compact")))
+      val cMm = s.read.parquet(s"$stage/compact")
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      writeLog(3, active.map(rm) :+
+        (("add", s"$stage/compact", cMm.getLong(0), cMm.getLong(1))))
     }
   }
 
@@ -726,6 +835,51 @@ object ShapeOpsQueries {
          |UNION ALL
          |${sqlLakeRow(3, sqlLakeV2Pred, "1")}
          |) ORDER BY version""".stripMargin,
+    // boundary 2 (v2 and v3 retained): only the copy-on-write-replaced
+    // base g=0 file frees; boundary 3 (latest only): every
+    // pre-compaction file frees — all of base and delta plus the g=0
+    // rewrite, whose physical rows the inner UNION ALL double-counts
+    // exactly as the files duplicate them on disk
+    "q278_lake_vacuum" ->
+      s"""SELECT * FROM (
+         |SELECT CAST(2 AS BIGINT) AS boundary, CAST(1 AS BIGINT) AS n_deletable,
+         |  CAST(COUNT(*) AS BIGINT) AS reclaim_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS reclaim_chars
+         |FROM documents WHERE doc_id // $lakeGran = 0 AND doc_id % 3 <> 2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), ($sqlLakeF0) + ($sqlLakeFd) + 1,
+         |  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+         |FROM (SELECT n_chars FROM documents
+         |      UNION ALL
+         |      SELECT n_chars FROM documents
+         |      WHERE doc_id // $lakeGran = 0 AND doc_id % 3 <> 2
+         |        AND doc_id % 2 = 0)
+         |) ORDER BY boundary""".stripMargin,
+    // per-file stats reconstructed from the staging rules (base per
+    // granule sans g=0, delta per granule, the g=0 even-id rewrite);
+    // a file is read iff its [min, max] overlaps the probe range
+    "q279_lake_pruned_read" ->
+      s"""WITH fl AS (
+         |  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+         |  WHERE doc_id % 3 <> 2 AND doc_id // $lakeGran <> 0
+         |  GROUP BY doc_id // $lakeGran
+         |  UNION ALL
+         |  SELECT MIN(doc_id), MAX(doc_id) FROM documents
+         |  WHERE doc_id % 3 = 2 GROUP BY doc_id // $lakeGran
+         |  UNION ALL
+         |  SELECT MIN(doc_id), MAX(doc_id) FROM documents
+         |  WHERE doc_id // $lakeGran = 0 AND doc_id % 3 <> 2
+         |    AND doc_id % 2 = 0)
+         |SELECT CAST(2 AS BIGINT) AS version,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fl) AS n_active,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fl
+         |   WHERE mn <= $lakePruneHi AND mx >= $lakePruneLo) AS n_files_read,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+         |FROM documents
+         |WHERE $sqlLakeV2Pred
+         |  AND doc_id BETWEEN $lakePruneLo AND $lakePruneHi""".stripMargin,
     "q266_dict_audit" -> dictCols.map { cname =>
       s"""SELECT '$cname' AS "column", n_rows, n_distinct, plain_chars,
          |  dict_value_chars,

@@ -4,9 +4,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** Oracle-gated Structured Streaming: the windowed-count plan from
@@ -81,6 +81,70 @@ object StreamingQueries {
   case class SessionOut(
       user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
+
+  /** q281 state: q70's session accumulator plus the registered
+    * timer's expiry — the new API allows MANY timers per key (where
+    * GroupState.setTimeoutTimestamp silently replaced), so an update
+    * must delete the stale timer explicitly, and the expiry lives in
+    * state to know which one.
+    */
+  case class TwsSession(
+      startUs: Long, lastUs: Long, n: Long, sid: Long, expiryMs: Long)
+
+  /** q70's gap-session semantics re-expressed in Spark 4's
+    * StatefulProcessor API (`transformWithState` — the successor to
+    * flatMapGroupsWithState: named state variables, explicit
+    * event-time timers, RocksDB-backed): ValueState holds the open
+    * session, one registered timer per open session replaces
+    * setTimeoutTimestamp, and the expired-timer callback is the
+    * timeout flush. Gated against q70's oracle VERBATIM — same
+    * semantics, different stateful operator, the q154-vs-q70
+    * cross-proof extended to the third session implementation.
+    */
+  private class TwsSessionProcessor extends StatefulProcessor[
+      Long, (Long, Long, java.sql.Timestamp), SessionOut] {
+    @transient private var st: ValueState[TwsSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("session",
+        Encoders.product[TwsSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[SessionOut] = {
+      // the grouped iterator has no order contract (q70's rule)
+      val times = rows.map(_._2).toSeq.sorted
+      val prev = if (st.exists()) Some(st.get()) else None
+      prev.foreach(s => getHandle.deleteTimer(s.expiryMs))
+      val (closed, open) = times.foldLeft(
+        (List.empty[SessionOut], prev)) {
+        case ((done, Some(s)), t) if t - s.lastUs > gapUs =>
+          (SessionOut(user, s.sid, s.n, s.startUs, s.lastUs) :: done,
+            Some(TwsSession(t, t, 1, s.sid + 1, 0L)))
+        case ((done, Some(s)), t) =>
+          (done, Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1)))
+        case ((done, None), t) =>
+          (done, Some(TwsSession(t, t, 1, 1, 0L)))
+      }
+      open.foreach { s =>
+        val expiry = s.lastUs / 1000L + gapMs
+        st.update(s.copy(expiryMs = expiry))
+        getHandle.registerTimer(expiry)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // guard against a stale timer surviving a missed delete: only
+      // the expiry recorded in state flushes
+      if (st.exists() && st.get().expiryMs == info.getExpiryTimeInMs) {
+        val s = st.get()
+        st.clear()
+        Iterator(SessionOut(user, s.sid, s.n, s.startUs, s.lastUs))
+      } else Iterator.empty
+    }
+  }
 
   /** q130's custom state: open (unflushed) window counts for one event
     * type plus the running count/sum of already-flushed windows — the
@@ -400,6 +464,154 @@ object StreamingQueries {
           .start()
         query.awaitTermination()
         val out = s.table(sink).orderBy("user_id", "session_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
+    // q70's sessions through Spark 4's transformWithState (the
+    // THIRD session implementation, after flatMapGroupsWithState and
+    // the built-in session_window): named ValueState + explicit
+    // event-time timers in a StatefulProcessor, RocksDB state store
+    // (the new operator supports no other provider). The oracle is
+    // q70's VERBATIM — operator-vs-operator equivalence, hash-gated:
+    // gap-closed sessions emit in the data batch, each open session
+    // emits iff its timer (end_ms + gap) fires before the final
+    // watermark. State per key is one open session + one timer,
+    // watermark-bounded exactly like q70's.
+    "q281_tws_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q281-src")
+      val ckpt = tmpDir("graft-q281-ckpt")
+      val sink = s"graft_q281_sink_${runSeq.incrementAndGet()}"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        val sessions = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts_us", tsUs(schema))
+          .withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "10 minutes")
+          .select(col("user_id").as[Long], col("ts_us").as[Long],
+            col("event_time").as[java.sql.Timestamp])
+          .groupByKey(_._1)
+          .transformWithState(new TwsSessionProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+        // provider conf is read at stream start and pinned in the
+        // checkpoint — set RocksDB for this stream only, restore after
+        val prevProv = s.conf.getOption(provKey)
+        val query =
+          try {
+            s.conf.set(provKey, "org.apache.spark.sql.execution." +
+              "streaming.state.RocksDBStateStoreProvider")
+            sessions.toDF().writeStream.format("memory")
+              .queryName(sink)
+              .outputMode(OutputMode.Append)
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+          } finally {
+            prevProv match {
+              case Some(v) => s.conf.set(provKey, v)
+              case None => s.conf.unset(provKey)
+            }
+          }
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("user_id", "session_id")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
+    // LATE-DATA semantics, gated: every other streaming gate's fixture
+    // arrives time-ordered, so the watermark's actual JOB — dropping
+    // rows that arrive after their window closed — never fires. Here
+    // the corpus's OLDEST third arrives LAST (file order: middle
+    // third, last third, then the stragglers; maxFilesPerTrigger=1
+    // makes each its own micro-batch). Engine rule, measured then
+    // mirrored: in batch N the LATE-EVENT filter uses the watermark
+    // derived from stats through batch N-2, while EVICTION/emission
+    // uses stats through batch N-1 — the filter lags one batch behind
+    // eviction (a two-file staging drops nothing: the stragglers'
+    // batch still sees late-watermark 0). So: batch 0 (middle) builds
+    // state; batch 1 (last) evicts middle windows at wm1 =
+    // floor-ms(max middle) - delay; batch 2 (first third) is screened
+    // against that same wm1 — every straggler's window closed long
+    // ago, all dropped. The oracle mirrors BOTH watermarks exactly: a
+    // first-third row survives iff its window end > wm1; a window
+    // emits iff its end <= wm2 = floor-ms(global max) - delay. A row
+    // wrongly admitted or wrongly dropped shifts a count and fails
+    // the hash. At scale this is the correctness contract of every
+    // streaming agg fed by an out-of-order transport; state stays
+    // (window × type)-bounded exactly as q59.
+    "q282_stream_late_data" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q282-src")
+      val ckpt = tmpDir("graft-q282-ckpt")
+      val sink = s"graft_q282_sink_${runSeq.incrementAndGet()}"
+      try {
+        val batch = s.read.parquet(src.toString)
+        val schema = batch.schema
+        val withUs = batch.withColumn("us", tsUs(schema))
+        val mm = withUs.agg(min(col("us")), max(col("us"))).head()
+        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+        val t1 = tmin + (tmax - tmin) / 3
+        val t2 = tmin + (tmax - tmin) * 2 / 3
+        // stage three files via the q178 device (one task writes the
+        // directories, mtimes order the source's processing): arrival
+        // order = middle third, last third, FIRST third (the
+        // stragglers)
+        val tmp = tmpDir("graft-q282-w")
+        val now = System.currentTimeMillis()
+        try {
+          withUs
+            .withColumn("arr", when(col("us") < t1, 2)
+              .when(col("us") < t2, 0).otherwise(1))
+            .select((schema.fieldNames.map(col) :+ col("arr") :+ col("us")).toSeq: _*)
+            .coalesce(1)
+            .sortWithinPartitions(col("arr"), col("us"))
+            .drop("us")
+            .write.partitionBy("arr").mode("overwrite")
+            .parquet(tmp.toString)
+          for (i <- 0 to 2) {
+            val part = Files.list(tmp.resolve(s"arr=$i"))
+              .filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            Files.move(part, stage.resolve(s"a$i.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(stage.resolve(s"a$i.parquet"),
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - i) * 60000L))
+          }
+        } finally deleteRecursively(tmp)
+        val agg = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .withColumn("event_time", timestamp_micros(tsUs(schema)))
+          .withWatermark("event_time", "10 minutes")
+          .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_micros(col("window.start")).as("window_us"),
+            col("event_type"), col("n_events"))
+        val query = agg.writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("window_us", "event_type")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally {
@@ -1648,6 +1860,40 @@ object StreamingQueries {
       }
     }))
 
+  /** The gap-session twin shared by q70 (flatMapGroupsWithState) and
+    * q281 (transformWithState): gaps-and-islands sessions plus the
+    * streaming emission predicate — matching it from BOTH stateful
+    * operators is the operator-equivalence proof.
+    */
+  private def gapSessionsSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |m AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL
+       |      OR ts_us - prev_us > $gapUs THEN 1 ELSE 0 END AS ns
+       |  FROM t),
+       |sess AS (
+       |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_id
+       |  FROM m),
+       |agg AS (
+       |  SELECT user_id, session_id, COUNT(*) AS n_events,
+       |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+       |  FROM sess GROUP BY user_id, session_id),
+       |mx AS (SELECT user_id, MAX(session_id) AS max_sid FROM agg
+       |       GROUP BY user_id),
+       |wm AS (SELECT MAX(epoch_ms(ts)) - ${delayUs / 1000} AS w FROM events)
+       |SELECT a.user_id, a.session_id, a.n_events, a.start_us, a.end_us
+       |FROM agg a JOIN mx ON a.user_id = mx.user_id
+       |WHERE a.session_id < mx.max_sid
+       |   OR (a.end_us // 1000) + $gapMs < (SELECT w FROM wm)
+       |ORDER BY a.user_id, a.session_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the q163/q186 convention taken one step further: the oracle IS
     // the batch twin's SQL VERBATIM (one definition, zero drift) —
@@ -1765,34 +2011,36 @@ object StreamingQueries {
     // (end_ms + gap) has passed the final watermark (ms-floored max
     // event time minus the delay) — Spark fires the timeout when the
     // watermark advances STRICTLY beyond the set timestamp.
-    "q70_stream_sessions" ->
-      s"""WITH t AS (
-         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
-         |      ORDER BY epoch_us(ts), event_id) AS prev_us
-         |  FROM events),
-         |m AS (
-         |  SELECT *, CASE WHEN prev_us IS NULL
-         |      OR ts_us - prev_us > $gapUs THEN 1 ELSE 0 END AS ns
-         |  FROM t),
-         |sess AS (
-         |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
-         |    ORDER BY ts_us, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS session_id
-         |  FROM m),
-         |agg AS (
-         |  SELECT user_id, session_id, COUNT(*) AS n_events,
-         |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
-         |  FROM sess GROUP BY user_id, session_id),
-         |mx AS (SELECT user_id, MAX(session_id) AS max_sid FROM agg
-         |       GROUP BY user_id),
-         |wm AS (SELECT MAX(epoch_ms(ts)) - ${delayUs / 1000} AS w FROM events)
-         |SELECT a.user_id, a.session_id, a.n_events, a.start_us, a.end_us
-         |FROM agg a JOIN mx ON a.user_id = mx.user_id
-         |WHERE a.session_id < mx.max_sid
-         |   OR (a.end_us // 1000) + $gapMs < (SELECT w FROM wm)
-         |ORDER BY a.user_id, a.session_id""".stripMargin,
+    "q70_stream_sessions" -> gapSessionsSql,
+    // q281 is gated against q70's oracle VERBATIM: transformWithState
+    // timers fire under the same strict-< watermark rule as
+    // GroupState timeouts, so the two stateful operators must emit
+    // the identical session set — the incremental-API cross-proof
+    "q281_tws_sessions" -> gapSessionsSql,
+    // both engine watermarks mirrored (see the q282 builder comment):
+    // wm1 = floor-ms(max MIDDLE-third us) - delay is the late filter
+    // the stragglers' batch sees (stats lag one batch behind
+    // eviction); wm2 = floor-ms(global max) - delay is the final
+    // emission horizon. A first-third (late) row survives iff its
+    // window end > wm1; a window emits iff end <= wm2.
+    "q282_stream_late_data" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+         |mm AS (SELECT MIN(us) AS tmin, MAX(us) AS tmax FROM e),
+         |c AS (SELECT tmin + (tmax - tmin) // 3 AS t1,
+         |        tmin + (tmax - tmin) * 2 // 3 AS t2, tmax FROM mm),
+         |w1 AS (SELECT (MAX(us) // 1000) * 1000 - $delayUs AS wm
+         |       FROM e, c WHERE us >= t1 AND us < t2),
+         |w2 AS (SELECT (tmax // 1000) * 1000 - $delayUs AS wm FROM c),
+         |r AS (SELECT us, event_type,
+         |        (us // $windowUs) * $windowUs AS wstart,
+         |        us >= (SELECT t1 FROM c) AS on_time FROM e),
+         |kept AS (SELECT * FROM r
+         |         WHERE on_time
+         |            OR wstart + $windowUs > (SELECT wm FROM w1))
+         |SELECT wstart AS window_us, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events
+         |FROM kept WHERE wstart + $windowUs <= (SELECT wm FROM w2)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q79_stream_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),
