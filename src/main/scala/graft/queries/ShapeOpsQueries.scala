@@ -688,12 +688,31 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }))
 
-  /** q274/q275 file granule: docs per staged lake file. */
+  /** q274/q275 file granule floor: docs per staged lake file at the
+    * gate SFs. Above ~5000 docs the granule grows with the corpus
+    * ([[lakeGranFor]]) so the staged FILE COUNT stays ~50 per table —
+    * real lakes size files in GBs for exactly this reason: the
+    * manifest fold and the driver's file listing must grow
+    * sublinearly with data. (A fixed granule made the sf1 staging
+    * list 5000 directories per read — measured 13-26× at 10× data;
+    * bounded-count granules restore ~linear.) Both engines derive the
+    * same granule: max(100, n_docs div 50).
+    */
   private val lakeGran = 100L
+  private def lakeGranFor(nDocs: Long): Long =
+    math.max(lakeGran, nDocs / 50L)
 
-  /** q279 pruned-read key range: overlaps exactly the g=1 and g=2
-    * base+delta files at every SF (f0r's [0, 98] and g ≥ 3 are
-    * stats-excluded), so the prune is non-trivial in both directions.
+  /** The granule as a DuckDB scalar subquery — the oracle's twin of
+    * [[lakeGranFor]].
+    */
+  private val sqlLakeG =
+    s"(SELECT GREATEST($lakeGran, COUNT(*) // 50) FROM documents)"
+
+  /** q279 pruned-read key range: at the gate SFs (granule 100) it
+    * overlaps exactly the g=1 and g=2 base+delta files (f0r's [0, 98]
+    * and g ≥ 3 are stats-excluded), so the prune is non-trivial in
+    * both directions; at larger granules the oracle reconstructs the
+    * same overlap rule, whatever files it selects.
     */
   private val lakePruneLo = 150L
   private val lakePruneHi = 249L
@@ -703,7 +722,7 @@ object ShapeOpsQueries {
     * delete dropped from the g=0 base file.
     */
   private val sqlLakeV2Pred =
-    s"NOT (doc_id // $lakeGran = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 1)"
+    s"NOT (doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 1)"
 
   /** Stage the delta-log fixture: granule-sized parquet files derived
     * from `documents` plus one manifest per version under `_log/`
@@ -717,13 +736,21 @@ object ShapeOpsQueries {
     */
   private def stageLakeLog(s: SparkSession, dir: String, stage: String,
       withCompaction: Boolean): Unit = {
+    val gran = lakeGranFor(docs(s, dir).count())
     val d = docs(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        expr(s"doc_id div $lakeGran").as("g"))
+        expr(s"doc_id div $gran").as("g"))
     val v0 = d.where(col("doc_id") % 3 =!= 2)
     val delta = d.where(col("doc_id") % 3 === 2)
-    v0.write.partitionBy("g").mode("overwrite").parquet(s"$stage/base")
-    delta.write.partitionBy("g").mode("overwrite").parquet(s"$stage/delta")
+    // repartition on the granule key so each g directory is written
+    // by ONE task (one file per granule): without it every task owning
+    // rows of a granule emits its own part-file — 32 × #granules tiny
+    // files whose open/close overhead made the staging superlinear at
+    // 10× (measured 12-24×; ~linear after)
+    v0.repartition(col("g"))
+      .write.partitionBy("g").mode("overwrite").parquet(s"$stage/base")
+    delta.repartition(col("g"))
+      .write.partitionBy("g").mode("overwrite").parquet(s"$stage/delta")
     val f0r = v0.where(col("g") === 0 && col("doc_id") % 2 === 0)
     f0r.drop("g")
       .coalesce(1).write.mode("overwrite").parquet(s"$stage/f0r")
@@ -812,10 +839,10 @@ object ShapeOpsQueries {
        |FROM documents WHERE $pred""".stripMargin
 
   private val sqlLakeF0 =
-    s"SELECT COUNT(DISTINCT doc_id // $lakeGran) FROM documents " +
+    s"SELECT COUNT(DISTINCT doc_id // $sqlLakeG) FROM documents " +
       "WHERE doc_id % 3 <> 2"
   private val sqlLakeFd =
-    s"SELECT COUNT(DISTINCT doc_id // $lakeGran) FROM documents " +
+    s"SELECT COUNT(DISTINCT doc_id // $sqlLakeG) FROM documents " +
       "WHERE doc_id % 3 = 2"
 
   def oracle: Map[String, String] = Map(
@@ -845,14 +872,14 @@ object ShapeOpsQueries {
          |SELECT CAST(2 AS BIGINT) AS boundary, CAST(1 AS BIGINT) AS n_deletable,
          |  CAST(COUNT(*) AS BIGINT) AS reclaim_rows,
          |  CAST(SUM(n_chars) AS BIGINT) AS reclaim_chars
-         |FROM documents WHERE doc_id // $lakeGran = 0 AND doc_id % 3 <> 2
+         |FROM documents WHERE doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2
          |UNION ALL
          |SELECT CAST(3 AS BIGINT), ($sqlLakeF0) + ($sqlLakeFd) + 1,
          |  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
          |FROM (SELECT n_chars FROM documents
          |      UNION ALL
          |      SELECT n_chars FROM documents
-         |      WHERE doc_id // $lakeGran = 0 AND doc_id % 3 <> 2
+         |      WHERE doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2
          |        AND doc_id % 2 = 0)
          |) ORDER BY boundary""".stripMargin,
     // per-file stats reconstructed from the staging rules (base per
@@ -861,14 +888,14 @@ object ShapeOpsQueries {
     "q279_lake_pruned_read" ->
       s"""WITH fl AS (
          |  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
-         |  WHERE doc_id % 3 <> 2 AND doc_id // $lakeGran <> 0
-         |  GROUP BY doc_id // $lakeGran
+         |  WHERE doc_id % 3 <> 2 AND doc_id // $sqlLakeG <> 0
+         |  GROUP BY doc_id // $sqlLakeG
          |  UNION ALL
          |  SELECT MIN(doc_id), MAX(doc_id) FROM documents
-         |  WHERE doc_id % 3 = 2 GROUP BY doc_id // $lakeGran
+         |  WHERE doc_id % 3 = 2 GROUP BY doc_id // $sqlLakeG
          |  UNION ALL
          |  SELECT MIN(doc_id), MAX(doc_id) FROM documents
-         |  WHERE doc_id // $lakeGran = 0 AND doc_id % 3 <> 2
+         |  WHERE doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2
          |    AND doc_id % 2 = 0)
          |SELECT CAST(2 AS BIGINT) AS version,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fl) AS n_active,
