@@ -622,6 +622,71 @@ object StreamingQueries {
       }
     }),
 
+    // CHAINED stateful operators — q79's stream-stream interval join
+    // feeding a windowed aggregation in ONE streaming query (the
+    // multi-stateful-operator support real attribution pipelines
+    // need: match, then roll up, without landing the matches). The
+    // engine simulates per-operator output watermarks: the join's
+    // output watermark is its input watermark MINUS the right side's
+    // state-retention delay (a click is held until the watermark
+    // passes c_time + 30min — the interval bound — so the join can
+    // still emit rows that old), and the downstream agg evicts
+    // against THAT delayed value. Measured then mirrored: windows
+    // emit iff end <= wm − 30min, where wm = min over both sides of
+    // floor-ms(side max) − the 10-min delay (at sf0.1 exactly one
+    // boundary window distinguishes this from plain wm — 179 vs 180).
+    // State: join buffers a 30-min horizon per user; agg holds open
+    // windows — both watermark-bounded.
+    "q283_stream_join_agg" -> ((s, dir) => {
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q283-src")
+      val ckpt = tmpDir("graft-q283-ckpt")
+      val sink = s"graft_q283_sink_${runSeq.incrementAndGet()}"
+      try {
+        Files.copy(src, stage.resolve("events.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val schema = s.read.parquet(src.toString).schema
+        def side(evType: String, prefix: String) =
+          s.readStream.schema(schema).parquet(stage.toString)
+            .where(col("event_type") === evType)
+            .withColumn(s"${prefix}_us", tsUs(schema))
+            .withColumn(s"${prefix}_time",
+              timestamp_micros(col(s"${prefix}_us")))
+            .withWatermark(s"${prefix}_time", "10 minutes")
+            .select(col("user_id").as(s"${prefix}_user"),
+              col("event_id").as(s"${prefix}_event"),
+              col(s"${prefix}_us"), col(s"${prefix}_time"))
+        val joined = side("purchase", "p").join(side("click", "c"),
+          col("p_user") === col("c_user") &&
+            col("c_time") >= col("p_time") - expr("INTERVAL 30 MINUTES") &&
+            col("c_time") <= col("p_time"))
+        val agg = joined
+          .groupBy(window(col("p_time"), "5 minutes"))
+          .agg(count(lit(1)).as("n_matches"))
+          .select(unix_micros(col("window.start")).as("window_us"),
+            col("n_matches"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val query =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            agg.writeStream.format("memory").queryName(sink)
+              .outputMode(OutputMode.Append)
+              .option("checkpointLocation", ckpt.toString)
+              .trigger(Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        query.awaitTermination()
+        val out = s.table(sink).orderBy("window_us")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.catalog.dropTempView(sink)
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming rate-anomaly alerting with CROSS-WINDOW state: per
     // event type, each closed 5-minute window's count is compared
     // against the running mean of the type's previously-closed windows
@@ -2041,6 +2106,27 @@ object StreamingQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_events
          |FROM kept WHERE wstart + $windowUs <= (SELECT wm FROM w2)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the q79 match set rolled into 5-min windows of purchase time;
+    // emission mirrors the SIMULATED downstream watermark — the
+    // join's output watermark is wm − 30min (the right side's state
+    // retention), wm = min over sides of floor-ms(side max) − delay
+    "q283_stream_join_agg" ->
+      s"""WITH p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+         |      WHERE event_type = 'click'),
+         |m AS (SELECT p.p_us FROM p JOIN c USING (user_id)
+         |      WHERE c.c_us BETWEEN p.p_us - 1800000000 AND p.p_us),
+         |wm AS (SELECT LEAST(
+         |    (SELECT (MAX(p_us) // 1000) * 1000 FROM p),
+         |    (SELECT (MAX(c_us) // 1000) * 1000 FROM c))
+         |    - $delayUs - 1800000000 AS w)
+         |SELECT (p_us // $windowUs) * $windowUs AS window_us,
+         |  CAST(COUNT(*) AS BIGINT) AS n_matches
+         |FROM m
+         |WHERE (p_us // $windowUs) * $windowUs + $windowUs
+         |  <= (SELECT w FROM wm)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q79_stream_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),
