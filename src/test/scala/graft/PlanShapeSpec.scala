@@ -208,8 +208,9 @@ class PlanShapeSpec extends SparkSuite {
           // grain UNHINTED (both are corpus fractions — the q161
           // convention), so the static pass plans the production
           // sort-merge; left-outer with a corpus-scaled build side
-          // must not broadcast
-          "q276_dup_span_extent")(name))
+          // must not broadcast; q277's covered-set rejoin is the same
+          // class through the same shared span relation
+          "q276_dup_span_extent", "q277_long_span_removal")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
