@@ -686,6 +686,55 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // CHANGE DATA FEED between two lake versions — the incremental-
+    // consumption face of the commit log (how a downstream index /
+    // replica / aggregate keeps up WITHOUT rescanning the table):
+    // changes(w → v) come from the file-set DIFF alone — rows of
+    // files added minus rows of files removed are the inserts, the
+    // reverse are the deletes, with a key anti-join netting out the
+    // rows a copy-on-write rewrite carries unchanged through both
+    // sides. Gated for BOTH interesting pairs: v0→v2 (a delta append
+    // + a CoW delete: inserts = the delta batch, deletes = exactly
+    // the odd g=0 ids the rewrite dropped) and v2→v3 (compaction:
+    // ZERO changes both directions — the metadata swap is invisible
+    // to a CDF consumer, the identity that lets compaction run under
+    // live incremental readers). At 100 TB the cost is ∝ the files
+    // the two commits touched, never the table; the anti-joins are
+    // UNHINTED (both sides are touched-file row sets — corpus
+    // fractions).
+    "q284_lake_change_feed" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q284-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        def cdf(w: Int, v: Int): DataFrame = {
+          val a = asOfFiles(s, stage.toString, w).toSet
+          val b = asOfFiles(s, stage.toString, v).toSet
+          // both diffs are non-empty for the staged commit kinds (a
+          // CoW delete and a compaction each add AND remove files)
+          val added = s.read.parquet((b -- a).toSeq: _*)
+          val removed = s.read.parquet((a -- b).toSeq: _*)
+          def roll(df: DataFrame, ct: String) = df
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(w.toLong).as("from_version"),
+              lit(v.toLong).as("to_version"), lit(ct).as("change_type"),
+              col("n_rows"),
+              coalesce(col("sum_chars"), lit(0L)).as("sum_chars"),
+              coalesce(col("key_checksum"), lit(0L)).as("key_checksum"))
+          roll(added.join(removed.select("doc_id"), Seq("doc_id"),
+            "left_anti"), "insert")
+            .unionByName(roll(removed.join(added.select("doc_id"),
+              Seq("doc_id"), "left_anti"), "delete"))
+        }
+        val out = cdf(0, 2).unionByName(cdf(2, 3))
+          .orderBy("from_version", "change_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
 
   /** q274/q275 file granule floor: docs per staged lake file at the
@@ -882,6 +931,30 @@ object ShapeOpsQueries {
          |      WHERE doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2
          |        AND doc_id % 2 = 0)
          |) ORDER BY boundary""".stripMargin,
+    // v0→v2: inserts = the delta batch (the CoW rewrite's carried
+    // rows net out by key), deletes = the odd g=0 ids the rewrite
+    // dropped; v2→v3: compaction is invisible to a CDF consumer —
+    // zero changes both directions
+    "q284_lake_change_feed" -> {
+      def row(w: Int, v: Int, ct: String, pred: String) =
+        s"""SELECT CAST($w AS BIGINT) AS from_version,
+           |  CAST($v AS BIGINT) AS to_version, '$ct' AS change_type,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+           |  CAST(COALESCE(SUM(${manifestTerm("doc_id")}), 0) AS BIGINT)
+           |    AS key_checksum
+           |FROM documents WHERE $pred""".stripMargin
+      s"""SELECT * FROM (
+         |${row(0, 2, "insert", "doc_id % 3 = 2")}
+         |UNION ALL
+         |${row(0, 2, "delete",
+          s"doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 1")}
+         |UNION ALL
+         |${row(2, 3, "insert", "FALSE")}
+         |UNION ALL
+         |${row(2, 3, "delete", "FALSE")}
+         |) ORDER BY from_version, change_type""".stripMargin
+    },
     // per-file stats reconstructed from the staging rules (base per
     // granule sans g=0, delta per granule, the g=0 even-id rewrite);
     // a file is read iff its [min, max] overlaps the probe range
