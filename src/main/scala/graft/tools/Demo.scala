@@ -197,6 +197,27 @@ object Demo {
           s"${fp.embargoRows}/${fp.testRows}; next-event top-1 " +
           s"${fp.overallAccPermille} permille over ${fp.evalTypes} types")
       } finally graft.util.FileUtils.deleteRecursively(fpDir)
+      println("-- lake commit log (q274 time travel / q278 vacuum / q284 CDF) --")
+      graft.queries.ShapeOpsQueries
+        .queries("q274_lake_time_travel")(spark, sfDir)
+        .show(truncate = false)
+      graft.queries.ShapeOpsQueries
+        .queries("q284_lake_change_feed")(spark, sfDir)
+        .show(truncate = false)
+      println("-- SymSpell spell correction (q280) --")
+      graft.queries.CorpusOpsQueries
+        .queries("q280_symspell_correct")(spark, sfDir)
+        .show(5, truncate = false)
+      println("-- log-analytics loop (tools/LogOpsPipeline) --")
+      val loDir = java.nio.file.Files.createTempDirectory("graft-demo-logops")
+      try {
+        val lo = LogOpsPipeline.run(spark, sfDir, loDir.toString)
+        println(s"lines ${lo.totalLines} (parsed ${lo.parsedLines}) over " +
+          s"${lo.nodes} nodes; ${lo.errors} errors / ${lo.warnings} " +
+          s"warnings; ${lo.nTemplates} templates, ${lo.nSlots} slots " +
+          s"(${lo.anomalousSlots} anomalous), ${lo.emergentTemplates} " +
+          s"emergent (streaming)")
+      } finally graft.util.FileUtils.deleteRecursively(loDir)
     }
     spark.stop()
   }
