@@ -45,6 +45,82 @@ object CorpusOpsQueries {
   private val symTermLen = 4
   private val symTypoLen = 5
 
+  /** The q280/q286 DuckDB twin — from-scratch SymSpell; q286 matching
+    * it exactly is the incremental-equals-from-scratch proof.
+    */
+  private lazy val sqlSymspell: String = {
+    def sqlDels(t: String) =
+      s"list_distinct(list_append(list_transform(range(0, length($t)), " +
+        s"i -> substr($t, 1, CAST(i AS INT)) || " +
+        s"substr($t, CAST(i + 2 AS INT), length($t))), $t))"
+    val pp = s"CAST(${sqlPolyHash("term")} % length(term) AS INT)"
+    s"""WITH v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM (SELECT unnest(${sqlTokens("text")}) AS term
+       |            FROM documents)
+       |      WHERE length(term) >= $symTermLen GROUP BY term),
+       |idx AS (SELECT term, cnt, unnest(${sqlDels("term")}) AS k FROM v),
+       |q AS (SELECT term AS src,
+       |        substr(term, 1, $pp) ||
+       |          substr(term, $pp + 2, length(term)) AS typo
+       |      FROM v WHERE length(term) >= $symTypoLen),
+       |qd AS (SELECT src, typo, unnest(${sqlDels("typo")}) AS k FROM q),
+       |cand AS (SELECT DISTINCT src, typo, term, cnt
+       |         FROM qd JOIN idx USING (k)
+       |         WHERE levenshtein(typo, term) <= 1),
+       |r AS (SELECT src, typo, term, cnt,
+       |        ROW_NUMBER() OVER (PARTITION BY src, typo
+       |          ORDER BY cnt DESC, term) AS rn,
+       |        CAST(COUNT(*) OVER (PARTITION BY src, typo) AS BIGINT)
+       |          AS n_candidates
+       |      FROM cand)
+       |SELECT src, typo, term AS correction, cnt AS correction_count,
+       |  n_candidates
+       |FROM r WHERE rn = 1 ORDER BY src, typo""".stripMargin
+  }
+
+  /** The q280/q286 term-count relation: one scan of `part`'s text. */
+  private def symspellVocab(part: DataFrame): DataFrame = part
+    .select(explode(tokens(col("text"))).as("term"))
+    .where(length(col("term")) >= symTermLen)
+    .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** The SymSpell chain over a (term, cnt) vocabulary — ONE
+    * definition for the from-scratch (q280) and incremental (q286)
+    * builds, so the index contract (delete-key set, typo derivation,
+    * verify rule, ranking) cannot drift between the two paths.
+    */
+  private def symspellFrom(vocab: DataFrame): DataFrame = {
+    def dels(c: String) = expr(
+      s"array_union(array($c), transform(sequence(0, length($c) - 1), " +
+        s"i -> concat(substr($c, 1, i), substr($c, i + 2, length($c)))))")
+    val index = vocab.select(col("term"), col("cnt"),
+      explode(dels("term")).as("k"))
+    val p = (polyHash(col("term")) % length(col("term"))).cast("int")
+    val typos = vocab
+      .where(length(col("term")) >= symTypoLen)
+      .select(col("term").as("src"),
+        concat(substr(col("term"), lit(1), p),
+          substr(col("term"), p + 2, length(col("term")))).as("typo"))
+    val qdel = typos.select(col("src"), col("typo"),
+      explode(dels("typo")).as("k"))
+    // both joins unhinted: the delete index is vocab-scaled (at a
+    // web-corpus vocabulary it no longer broadcasts), the candidate
+    // set is collision-scaled
+    val cand = qdel.join(index, Seq("k"))
+      .where(levenshtein(col("typo"), col("term")) <= 1)
+      .select("src", "typo", "term", "cnt").distinct()
+    val w = Window.partitionBy("src", "typo")
+      .orderBy(desc("cnt"), asc("term"))
+    cand
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(
+        Window.partitionBy("src", "typo")))
+      .where(col("rn") === 1)
+      .select(col("src"), col("typo"), col("term").as("correction"),
+        col("cnt").as("correction_count"), col("n_candidates"))
+      .orderBy("src", "typo")
+  }
+
   /** q98 postings shard width: each (term, shard) posting list holds at
     * most this many doc ids, so no term — however hot — ever builds an
     * unbounded list on one reducer.
@@ -360,40 +436,28 @@ object CorpusOpsQueries {
     // with fan-out ∝ true near-collisions; the verify is one codegen
     // levenshtein per candidate, never per (query × vocab) pair; the
     // rank window partitions per query term.
-    "q280_symspell_correct" -> ((s, dir) => {
-      val vocab = docs(s, dir)
-        .select(explode(tokens(col("text"))).as("term"))
-        .where(length(col("term")) >= symTermLen)
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-      def dels(c: String) = expr(
-        s"array_union(array($c), transform(sequence(0, length($c) - 1), " +
-          s"i -> concat(substr($c, 1, i), substr($c, i + 2, length($c)))))")
-      val index = vocab.select(col("term"), col("cnt"),
-        explode(dels("term")).as("k"))
-      val p = (polyHash(col("term")) % length(col("term"))).cast("int")
-      val typos = vocab
-        .where(length(col("term")) >= symTypoLen)
-        .select(col("term").as("src"),
-          concat(substr(col("term"), lit(1), p),
-            substr(col("term"), p + 2, length(col("term")))).as("typo"))
-      val qdel = typos.select(col("src"), col("typo"),
-        explode(dels("typo")).as("k"))
-      // both joins unhinted: the delete index is vocab-scaled (at a
-      // web-corpus vocabulary it no longer broadcasts), the candidate
-      // set is collision-scaled
-      val cand = qdel.join(index, Seq("k"))
-        .where(levenshtein(col("typo"), col("term")) <= 1)
-        .select("src", "typo", "term", "cnt").distinct()
-      val w = Window.partitionBy("src", "typo")
-        .orderBy(desc("cnt"), asc("term"))
-      cand
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n_candidates", count(lit(1)).over(
-          Window.partitionBy("src", "typo")))
-        .where(col("rn") === 1)
-        .select(col("src"), col("typo"), col("term").as("correction"),
-          col("cnt").as("correction_count"), col("n_candidates"))
-        .orderBy("src", "typo")
+    "q280_symspell_correct" -> ((s, dir) =>
+      symspellFrom(symspellVocab(docs(s, dir)))),
+
+    // INCREMENTAL SymSpell maintenance — the E124/E148 delta
+    // convention on the spell-correction index: the established
+    // corpus's term counts are a persisted artifact; a delta doc
+    // batch is counted with ONE scan of ITS OWN text (old text never
+    // re-read), and the refresh merges the two count relations by
+    // SUM on the term key (associativity ⇒ merged ≡ from-scratch);
+    // delete keys re-explode only for the merged vocab relation —
+    // vocab-bounded, never corpus-bounded. The oracle IS q280's
+    // from-scratch twin VERBATIM: incremental ≡ from-scratch,
+    // hash-proven (the q163/q186 device applied to the serving
+    // dictionary).
+    "q286_delta_symspell" -> ((s, dir) => {
+      def inDelta(c: Column) =
+        c >= ModelOpsQueries.deltaLo && c < ModelOpsQueries.deltaHi
+      val old = symspellVocab(docs(s, dir).where(!inDelta(col("doc_id"))))
+      val delta = symspellVocab(docs(s, dir).where(inDelta(col("doc_id"))))
+      val merged = old.unionByName(delta)
+        .groupBy("term").agg(sum(col("cnt")).as("cnt"))
+      symspellFrom(merged)
     }),
 
     "q277_long_span_removal" -> ((s, dir) => {
@@ -1159,35 +1223,10 @@ object CorpusOpsQueries {
       // the identical symmetric-delete sets (term + its single-char
       // deletes, deduped) and typo derivation on both engines; the
       // levenshtein verify is the same standard distance in both
-      "q280_symspell_correct" -> {
-        def sqlDels(t: String) =
-          s"list_distinct(list_append(list_transform(range(0, length($t)), " +
-            s"i -> substr($t, 1, CAST(i AS INT)) || " +
-            s"substr($t, CAST(i + 2 AS INT), length($t))), $t))"
-        val pp = s"CAST(${sqlPolyHash("term")} % length(term) AS INT)"
-        s"""WITH v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
-           |      FROM (SELECT unnest(${sqlTokens("text")}) AS term
-           |            FROM documents)
-           |      WHERE length(term) >= $symTermLen GROUP BY term),
-           |idx AS (SELECT term, cnt, unnest(${sqlDels("term")}) AS k FROM v),
-           |q AS (SELECT term AS src,
-           |        substr(term, 1, $pp) ||
-           |          substr(term, $pp + 2, length(term)) AS typo
-           |      FROM v WHERE length(term) >= $symTypoLen),
-           |qd AS (SELECT src, typo, unnest(${sqlDels("typo")}) AS k FROM q),
-           |cand AS (SELECT DISTINCT src, typo, term, cnt
-           |         FROM qd JOIN idx USING (k)
-           |         WHERE levenshtein(typo, term) <= 1),
-           |r AS (SELECT src, typo, term, cnt,
-           |        ROW_NUMBER() OVER (PARTITION BY src, typo
-           |          ORDER BY cnt DESC, term) AS rn,
-           |        CAST(COUNT(*) OVER (PARTITION BY src, typo) AS BIGINT)
-           |          AS n_candidates
-           |      FROM cand)
-           |SELECT src, typo, term AS correction, cnt AS correction_count,
-           |  n_candidates
-           |FROM r WHERE rn = 1 ORDER BY src, typo""".stripMargin
-      },
+      "q280_symspell_correct" -> sqlSymspell,
+      // the from-scratch twin VERBATIM (the q98↔q163 convention): the
+      // SUM-merged delta build must equal the one-scan dictionary
+      "q286_delta_symspell" -> sqlSymspell,
       // q276's span CTEs with the keep-first predicate (partner id <
       // mine) pushed into the match — islands partition by (doc,
       // partner, diagonal), so filtering partners before or after run

@@ -735,6 +735,55 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // DELETION VECTORS — the merge-on-read delete strategy proven
+    // read-equivalent to copy-on-write (the strategy choice every
+    // modern lake exposes): the SAME v2 delete executed both ways —
+    // CoW rewrites the g=0 file without the odd ids (stageLakeLog's
+    // v2, paid at WRITE time), MoR leaves the file untouched and
+    // commits a deletion-vector sidecar of the dropped keys, paid at
+    // READ time as one key anti-join per scan. The gate rolls up both
+    // reads: rows, chars, and the key checksum must be IDENTICAL
+    // (the oracle emits the same v2 content twice), which is the
+    // contract that lets a writer pick per-commit — DV for a few
+    // deletes in a huge file, rewrite when the vector grows — without
+    // readers seeing strategy. At 100 TB: the DV sidecar is ∝ deleted
+    // keys; the read-side anti-join is unhinted (a real vector can be
+    // a corpus fraction).
+    "q285_lake_deletion_vectors" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q285-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val gran = lakeGranFor(docs(s, dir).count())
+        // the MoR commit: no file rewrite — a sidecar of deleted keys
+        docs(s, dir)
+          .where(expr(s"doc_id div $gran") === 0 &&
+            col("doc_id") % 3 =!= 2 && col("doc_id") % 2 === 1)
+          .select("doc_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stage/_dv/v2")
+        def roll(df: DataFrame, strategy: String, nFiles: Long) = df
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+          .select(lit(strategy).as("strategy"),
+            lit(nFiles).as("n_files"),
+            col("n_rows"), col("sum_chars"), col("key_checksum"))
+        val cowFiles = asOfFiles(s, stage.toString, 2)
+        val cow = s.read.parquet(cowFiles: _*)
+        // MoR reads v1's file set (nothing removed) minus the vector
+        val morFiles = asOfFiles(s, stage.toString, 1)
+        val mor = s.read.parquet(morFiles: _*)
+          .join(s.read.parquet(s"$stage/_dv/v2"), Seq("doc_id"),
+            "left_anti")
+        val out = roll(cow, "cow", cowFiles.length.toLong)
+          .unionByName(roll(mor, "mor", morFiles.length.toLong))
+          .orderBy("strategy")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
 
   /** q274/q275 file granule floor: docs per staged lake file at the
@@ -954,6 +1003,24 @@ object ShapeOpsQueries {
          |UNION ALL
          |${row(2, 3, "delete", "FALSE")}
          |) ORDER BY from_version, change_type""".stripMargin
+    },
+    // both strategies must read the SAME v2 content — the oracle is
+    // the same rollup twice; only n_files differs by construction
+    // (CoW: base sans g=0 + delta + the rewrite; MoR: all base +
+    // delta, vector excluded at read time)
+    "q285_lake_deletion_vectors" -> {
+      def row(strategy: String, nFiles: String) =
+        s"""SELECT '$strategy' AS strategy,
+           |  CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $sqlLakeV2Pred""".stripMargin
+      s"""SELECT * FROM (
+         |${row("cow", s"($sqlLakeF0) + ($sqlLakeFd)")}
+         |UNION ALL
+         |${row("mor", s"($sqlLakeF0) + ($sqlLakeFd)")}
+         |) ORDER BY strategy""".stripMargin
     },
     // per-file stats reconstructed from the staging rules (base per
     // granule sans g=0, delta per granule, the g=0 even-id rewrite);
