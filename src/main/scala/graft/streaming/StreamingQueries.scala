@@ -687,6 +687,98 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING LAKE INGEST — the commit-log sink pattern (how a
+    // Delta-style streaming writer gets exactly-once): each
+    // micro-batch lands as ONE data file plus ONE appended manifest
+    // (version = batch id), so a reader pinned to any version sees a
+    // consistent prefix of the stream and a restart can no-op replay
+    // a committed batch by checking the log. The corpus arrives as 3
+    // time-ordered files (maxFilesPerTrigger=1 → 3 batches); the gate
+    // resolves as-of(v) from the MANIFESTS for each version and rolls
+    // up rows + the E254 key checksum — the oracle reconstructs each
+    // version as the cumulative time-thirds, so a batch→commit
+    // mapping error (row lost, doubled, or landed under the wrong
+    // version) shifts a checksum. At scale: the sink writes each
+    // batch once (data bandwidth) + an O(1) manifest append; as-of
+    // reads stay metadata-resolved exactly as q274.
+    "q287_stream_lake_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val src = Paths.get(s"$dir/events.parquet")
+      val stage = tmpDir("graft-q287-src")
+      val lake = tmpDir("graft-q287-lake")
+      val ckpt = tmpDir("graft-q287-ckpt")
+      try {
+        val batch = s.read.parquet(src.toString)
+        val schema = batch.schema
+        val withUs = batch.withColumn("us", tsUs(schema))
+        val mm = withUs.agg(min(col("us")), max(col("us"))).head()
+        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+        val t1 = tmin + (tmax - tmin) / 3
+        val t2 = tmin + (tmax - tmin) * 2 / 3
+        val tmp = tmpDir("graft-q287-w")
+        val now = System.currentTimeMillis()
+        try {
+          withUs
+            .withColumn("third",
+              when(col("us") < t1, 0).when(col("us") < t2, 1).otherwise(2))
+            .select((schema.fieldNames.map(col) :+ col("third") :+ col("us")).toSeq: _*)
+            .coalesce(1)
+            .sortWithinPartitions(col("third"), col("us"))
+            .drop("us")
+            .write.partitionBy("third").mode("overwrite")
+            .parquet(tmp.toString)
+          for (i <- 0 to 2) {
+            val part = Files.list(tmp.resolve(s"third=$i"))
+              .filter(p => p.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            Files.move(part, stage.resolve(s"t$i.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(stage.resolve(s"t$i.parquet"),
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - i) * 60000L))
+          }
+        } finally deleteRecursively(tmp)
+        val query = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            if (!df.isEmpty) {
+              val dataPath = s"$lake/data/b$batchId"
+              df.coalesce(1).write.mode("overwrite").parquet(dataPath)
+              Seq(("add", dataPath)).toDF("action", "path").coalesce(1)
+                .write.mode("overwrite").parquet(s"$lake/_log/v$batchId")
+            }
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // as-of(v) resolved from the committed manifests, as a lake
+        // reader would
+        val out = (0 to 2).map { v =>
+          val files = (0 to v).flatMap(i =>
+            s.read.parquet(s"$lake/_log/v$i").collect()
+              .collect { case r if r.getString(0) == "add" => r.getString(1) })
+          s.read.parquet(files: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr(graft.queries.ShapeOpsQueries
+                .manifestTerm("event_id"))).as("key_checksum"))
+            .select(lit(v.toLong).as("version"),
+              lit(files.length.toLong).as("n_files"),
+              col("n_rows"), col("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(lake)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming rate-anomaly alerting with CROSS-WINDOW state: per
     // event type, each closed 5-minute window's count is compared
     // against the running mean of the type's previously-closed windows
@@ -2127,6 +2219,25 @@ object StreamingQueries {
          |WHERE (p_us // $windowUs) * $windowUs + $windowUs
          |  <= (SELECT w FROM wm)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // each version = the cumulative time-thirds prefix of the stream
+    "q287_stream_lake_ingest" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, event_id FROM events),
+         |mm AS (SELECT MIN(us) AS tmin, MAX(us) AS tmax FROM e),
+         |c AS (SELECT tmin + (tmax - tmin) // 3 AS t1,
+         |        tmin + (tmax - tmin) * 2 // 3 AS t2 FROM mm),
+         |r AS (
+         |  SELECT 0 AS version, 1 AS n_files, us, event_id FROM e
+         |  WHERE us < (SELECT t1 FROM c)
+         |  UNION ALL
+         |  SELECT 1, 2, us, event_id FROM e WHERE us < (SELECT t2 FROM c)
+         |  UNION ALL
+         |  SELECT 2, 3, us, event_id FROM e)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(n_files AS BIGINT) AS n_files,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${graft.queries.ShapeOpsQueries.manifestTerm("event_id")})
+         |    AS BIGINT) AS key_checksum
+         |FROM r GROUP BY version, n_files ORDER BY version""".stripMargin,
     "q79_stream_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),

@@ -29,7 +29,8 @@ class PlanShapeSpec extends SparkSuite {
       "q146_stream_outer_join", "q154_stream_session_window",
       "q158_stream_delta_dedup", "q164_stream_index",
       "q173_stream_update_mode", "q281_tws_sessions",
-      "q282_stream_late_data", "q283_stream_join_agg")
+      "q282_stream_late_data", "q283_stream_join_agg",
+      "q287_stream_lake_ingest")
 
   /** Run `body` with AQE off, restoring the PRIOR value (not a literal)
     * so a future suite default can't be leaked over (judge r10 advice).
