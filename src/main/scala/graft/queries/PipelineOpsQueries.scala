@@ -218,6 +218,41 @@ object PipelineOpsQueries {
     */
   private val quantScale = 1000000.0
 
+  /** The q153/q288 per-(layout, file) zone-map relation: insertion
+    * order (l_orderkey ranges) vs z-order (q75's Morton ranges), with
+    * each file's min/max box on both scan dimensions — ONE definition
+    * so the skip audit and the clustering-depth metric describe the
+    * same files.
+    */
+  private def zonemapZones(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("qb"),
+        (col("l_partkey") % 64).as("pb"))
+      .withColumn("z", mortonCode(col("qb"), col("pb")).cast("long"))
+    d.select(lit("insertion").as("layout"),
+        expr("l_orderkey div 512").as("file_id"), col("qb"), col("pb"))
+      .unionByName(d.select(lit("zorder").as("layout"),
+        expr("z div 64").as("file_id"), col("qb"), col("pb")))
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("qb")).as("min_q"), max(col("qb")).as("max_q"),
+        min(col("pb")).as("min_p"), max(col("pb")).as("max_p"))
+  }
+
+  /** The zones CTE chain shared by the q153 and q288 oracles. */
+  private def sqlZonesCte: String =
+    s"""d AS (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qb,
+       |                  l_partkey % 64 AS pb FROM lineitem),
+       |zsrc AS (SELECT 'insertion' AS layout, l_orderkey // 512 AS file_id,
+       |           qb, pb FROM d
+       |         UNION ALL
+       |         SELECT 'zorder' AS layout,
+       |           (${sqlMorton("qb", "pb")}) // 64 AS file_id, qb, pb FROM d),
+       |zones AS (SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |            MIN(qb) AS min_q, MAX(qb) AS max_q,
+       |            MIN(pb) AS min_p, MAX(pb) AS max_p
+       |          FROM zsrc GROUP BY 1, 2)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: which TRAIN docs share enough word
     // 3-shingles with any TEST doc to be contaminated, and by which
@@ -308,18 +343,7 @@ object PipelineOpsQueries {
     // ∝ #files (corpus/512 — always ≪ rows), the probe grid is a
     // 9-row broadcast, and everything is integer arithmetic.
     "q153_zonemap_skip" -> ((s, dir) => {
-      val d = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qb"),
-          (col("l_partkey") % 64).as("pb"))
-        .withColumn("z", mortonCode(col("qb"), col("pb")).cast("long"))
-      val zones = d.select(lit("insertion").as("layout"),
-          expr("l_orderkey div 512").as("file_id"), col("qb"), col("pb"))
-        .unionByName(d.select(lit("zorder").as("layout"),
-          expr("z div 64").as("file_id"), col("qb"), col("pb")))
-        .groupBy("layout", "file_id")
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("qb")).as("min_q"), max(col("qb")).as("max_q"),
-          min(col("pb")).as("min_p"), max(col("pb")).as("max_p"))
+      val zones = zonemapZones(s, dir)
       val probeRows = (for (i <- 0 until 3; j <- 0 until 3) yield
         s"(${i * 3 + j}, ${5 + 10 * i}, ${14 + 10 * i}, ${16 * j}, ${15 + 16 * j})")
         .mkString(", ")
@@ -337,6 +361,42 @@ object PipelineOpsQueries {
         .select(col("layout"), col("pid"), col("n_files"),
           col("files_touched"), col("rows_total"), col("rows_scanned"))
         .orderBy("layout", "pid")
+    }),
+
+    // CLUSTERING DEPTH — the probe-independent layout-quality metric
+    // (what a lakehouse OPTIMIZE reports): for each point of the sort
+    // dimension's value domain, how many files' [min, max] ranges
+    // cover it — peak and span-weighted average per layout. Computed
+    // by the SWEEP-LINE device (+1 at each file's min, −1 past its
+    // max, running sum over the ordered boundaries), NOT the O(F²)
+    // pairwise overlap join — at 10⁶ files the sweep is a
+    // boundary-sort, the pair join is 10¹² rows. The gate contrasts
+    // q153's two layouts on the quantity dimension: insertion-order
+    // files each span nearly the whole domain (depth ≈ n_files);
+    // z-ordered files nest tightly (depth ≈ a few) — the number that
+    // says "this table needs re-clustering" BEFORE any probe runs.
+    "q288_clustering_depth" -> ((s, dir) => {
+      val zones = zonemapZones(s, dir)
+      val ev = zones.select(col("layout"), col("min_q").as("x"),
+          lit(1L).as("d"))
+        .unionByName(zones.select(col("layout"),
+          (col("max_q") + 1).as("x"), lit(-1L).as("d")))
+        .groupBy("layout", "x").agg(sum(col("d")).as("d"))
+      val w = Window.partitionBy("layout").orderBy("x")
+      val sw = ev
+        .withColumn("depth", sum(col("d")).over(w))
+        .withColumn("next_x", lead(col("x"), 1).over(w))
+        .where(col("next_x").isNotNull)
+      val stats = sw.groupBy("layout")
+        .agg(max(col("depth")).as("peak_depth"),
+          expr("sum(depth * (next_x - x)) * 1000 div sum(next_x - x)")
+            .as("avg_depth_permille"))
+      val tot = zones.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"))
+      stats.join(broadcast(tot), Seq("layout"))  // hint audit: dimension-bounded (one row per layout)
+        .select(col("layout"), col("n_files"), col("peak_depth"),
+          col("avg_depth_permille"))
+        .orderBy("layout")
     }),
 
     // Bloom-filter skip audit — q153's companion for POINT lookups on
@@ -871,17 +931,7 @@ object PipelineOpsQueries {
          |  MIN(pb) AS min_p, MAX(pb) AS max_p
          |FROM d GROUP BY z_range ORDER BY z_range""".stripMargin,
     "q153_zonemap_skip" ->
-      s"""WITH d AS (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qb,
-         |                  l_partkey % 64 AS pb FROM lineitem),
-         |zsrc AS (SELECT 'insertion' AS layout, l_orderkey // 512 AS file_id,
-         |           qb, pb FROM d
-         |         UNION ALL
-         |         SELECT 'zorder' AS layout,
-         |           (${sqlMorton("qb", "pb")}) // 64 AS file_id, qb, pb FROM d),
-         |zones AS (SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |            MIN(qb) AS min_q, MAX(qb) AS max_q,
-         |            MIN(pb) AS min_p, MAX(pb) AS max_p
-         |          FROM zsrc GROUP BY 1, 2),
+      s"""WITH $sqlZonesCte,
          |probes AS (SELECT i * 3 + j AS pid, 5 + 10 * i AS qlo,
          |             14 + 10 * i AS qhi, 16 * j AS plo, 15 + 16 * j AS phi
          |           FROM range(0, 3) a(i), range(0, 3) b(j)),
@@ -896,6 +946,29 @@ object PipelineOpsQueries {
          |JOIN tot ON tot.layout = zones.layout
          |GROUP BY zones.layout, pid, n_files, rows_total
          |ORDER BY zones.layout, pid""".stripMargin,
+    // the sweep-line depth over the shared zones relation: +1 at each
+    // file's min_q, −1 past its max_q, running sum per layout
+    "q288_clustering_depth" ->
+      s"""WITH $sqlZonesCte,
+         |ev AS (SELECT layout, x, SUM(d) AS d FROM (
+         |    SELECT layout, min_q AS x, 1 AS d FROM zones
+         |    UNION ALL
+         |    SELECT layout, max_q + 1 AS x, -1 AS d FROM zones)
+         |  GROUP BY 1, 2),
+         |sw AS (SELECT layout, x,
+         |    SUM(d) OVER (PARTITION BY layout ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+         |    LEAD(x) OVER (PARTITION BY layout ORDER BY x) AS next_x
+         |  FROM ev),
+         |st AS (SELECT layout, CAST(MAX(depth) AS BIGINT) AS peak_depth,
+         |    CAST(SUM(depth * (next_x - x)) * 1000 // SUM(next_x - x)
+         |      AS BIGINT) AS avg_depth_permille
+         |  FROM sw WHERE next_x IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files
+         |        FROM zones GROUP BY 1)
+         |SELECT st.layout AS layout, n_files, peak_depth, avg_depth_permille
+         |FROM st JOIN tot ON tot.layout = st.layout
+         |ORDER BY layout""".stripMargin,
     "q156_bloom_skip" -> {
       val p = graft.functions.TextFunctions.P
       val probeRows = bloomProbeKeys.map { v =>
