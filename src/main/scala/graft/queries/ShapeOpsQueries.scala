@@ -184,6 +184,42 @@ object ShapeOpsQueries {
       }.reduce(_ unionByName _).orderBy("column")
     }),
 
+    // RLE-encoding audit — q266's sibling for the OTHER parquet
+    // encoding decision: run-length encoding pays off exactly when
+    // the write order clusters equal values, so the audit counts the
+    // value RUNS each column has UNDER THE CURRENT ORDER (doc_id) and
+    // prices RLE (per run: the value once + a 4-byte run length)
+    // against plain. Run detection is the q115/q268 positional-
+    // neighbor device — ONE doc_id+1 equi self-join marks run heads
+    // (prev differs, or no predecessor) — never a global-order
+    // window, which would single-partition the corpus. The punchline
+    // the two audits make together: `lang`/`source` dict-encode well
+    // ANYWHERE (q266) but RLE-encode well only if you sort by them —
+    // the "sort before writing" decision, priced in exact chars.
+    "q289_rle_audit" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      dictCols.map { cname =>
+        val v = d.select(col("doc_id"), col(cname).as("v"))
+        // unhinted: both sides are the corpus (the q115 convention)
+        val heads = v.join(
+          v.select((col("doc_id") + 1).as("doc_id"), col("v").as("prev")),
+          Seq("doc_id"), "left")
+          .withColumn("is_head",
+            col("prev").isNull || col("v") =!= col("prev"))
+        heads.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(when(col("is_head"), 1L).otherwise(0L)).as("n_runs"),
+          sum(length(col("v")).cast("long")).as("plain_chars"),
+          sum(when(col("is_head"), length(col("v")).cast("long") + 4L)
+            .otherwise(0L)).as("rle_chars"))
+          .select(lit(cname).as("column"), col("n_rows"),
+            col("n_distinct"), col("n_runs"), col("plain_chars"),
+            col("rle_chars"))
+          .withColumn("recommend_rle",
+            (col("rle_chars") < col("plain_chars")).cast("int"))
+      }.reduce(_ unionByName _).orderBy("column")
+    }),
+
     // Replication / disaster-recovery manifest: per table its row
     // count and an ORDER-INDEPENDENT primary-key checksum (commuting
     // modular sum of a multiplicative hash) — the artifact a copy job
@@ -1047,6 +1083,26 @@ object ShapeOpsQueries {
          |FROM documents
          |WHERE $sqlLakeV2Pred
          |  AND doc_id BETWEEN $lakePruneLo AND $lakePruneHi""".stripMargin,
+    // the same run-head detection (doc_id+1 neighbor, null or changed
+    // value) and the same per-run pricing as the Spark side
+    "q289_rle_audit" -> dictCols.map { cname =>
+      s"""SELECT '$cname' AS "column", n_rows, n_distinct, n_runs,
+         |  plain_chars, rle_chars,
+         |  CASE WHEN rle_chars < plain_chars THEN 1 ELSE 0 END
+         |    AS recommend_rle
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |        CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+         |        CAST(SUM(CASE WHEN is_head THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_runs,
+         |        CAST(SUM(length(v)) AS BIGINT) AS plain_chars,
+         |        CAST(SUM(CASE WHEN is_head THEN length(v) + 4 ELSE 0 END)
+         |          AS BIGINT) AS rle_chars
+         |      FROM (SELECT a.v, (b.v IS NULL OR a.v <> b.v) AS is_head
+         |            FROM (SELECT doc_id, $cname AS v FROM documents) a
+         |            LEFT JOIN (SELECT doc_id + 1 AS doc_id, $cname AS v
+         |                       FROM documents) b USING (doc_id)))""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY \"column\""),
     "q266_dict_audit" -> dictCols.map { cname =>
       s"""SELECT '$cname' AS "column", n_rows, n_distinct, plain_chars,
          |  dict_value_chars,

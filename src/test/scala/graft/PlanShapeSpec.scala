@@ -211,7 +211,12 @@ class PlanShapeSpec extends SparkSuite {
           // sort-merge; left-outer with a corpus-scaled build side
           // must not broadcast; q277's covered-set rejoin is the same
           // class through the same shared span relation
-          "q276_dup_span_extent", "q277_long_span_removal")(name))
+          "q276_dup_span_extent", "q277_long_span_removal",
+          // q289's doc_id+1 neighbor join is q115's corpus-scaled
+          // positional class, deliberately unhinted — stats broadcast
+          // it at gate scale today, and a flip to the production
+          // merge is the intended regime, not a regression
+          "q289_rle_audit")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
