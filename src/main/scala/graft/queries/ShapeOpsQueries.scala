@@ -820,6 +820,134 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // CONCURRENT-WRITER COMMIT CONFLICTS — the optimistic-concurrency
+    // contract every multi-job lake hits in week one (the Delta/
+    // Iceberg core guarantee the single-writer lifecycle q274-q287
+    // left open): a commit is a PUT-IF-ABSENT of the next version
+    // manifest (an atomic rename — the manifest CAS), so two writers
+    // prepared against the same snapshot cannot both win a version.
+    // The loser reads ONLY the commit that beat it and decides:
+    // DISJOINT footprint (pure appends, or removes the winner never
+    // touched) → rebase and retry at the next version; OVERLAPPING
+    // footprint (a file it removes was already removed) → abort —
+    // retrying would silently undo the winner's rewrite. Staged dance
+    // on the v0–v2 log, all four writers prepared at snapshot v2:
+    // A appends (wins v3, attempt 1); B appends (loses v3's CAS,
+    // appends never conflict, wins v4 at attempt 2); D rewrites the
+    // f0r file (loses v3 and v4, both rebases disjoint, wins v5 at
+    // attempt 3); E ALSO rewrites f0r (loses v3/v4/v5, and v5 removed
+    // the very file E removes → abort at attempt 3). Gated per
+    // writer: outcome, version, attempts, and the table rollup AS OF
+    // its committed version through the real manifest fold + file
+    // reads — a CAS that lets both rewrites through doubles the
+    // delete, a rebase that re-resolves from the writer's stale
+    // snapshot loses the interleaved appends; every such error shifts
+    // a checksum. At 100 TB: the CAS is one atomic metadata op per
+    // commit (exactly Delta's _delta_log put-if-absent); conflict
+    // analysis reads only the manifests committed since the writer's
+    // snapshot — O(files touched), never table data. E's orphaned
+    // staged file is precisely what the unreferenced-file sweep
+    // (q278 plans it, q291 executes it) exists to collect.
+    "q290_lake_concurrent_commit" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q290-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val gran = lakeGranFor(docs(s, dir).count())
+        val d = docs(s, dir)
+        // each writer stages its data file BEFORE the dance — data
+        // writes are invisible until a committed manifest references
+        // them, so staging order cannot race
+        def stageFile(name: String, df: DataFrame): (String, Long, Long) = {
+          val p = s"$stage/$name"
+          df.coalesce(1).write.mode("overwrite").parquet(p)
+          val mm = s.read.parquet(p)
+            .agg(min(col("doc_id")), max(col("doc_id"))).head()
+          (p, mm.getLong(0), mm.getLong(1))
+        }
+        val wA = stageFile("wA", d.where(col("doc_id") % 7 === 0))
+        val wB = stageFile("wB", d.where(col("doc_id") % 7 === 3))
+        val f0r = d.where(expr(s"doc_id div $gran") === 0 &&
+          col("doc_id") % 3 =!= 2 && col("doc_id") % 2 === 0)
+        val f0rD = stageFile("f0rD", f0r.where(col("doc_id") % 5 =!= 0))
+        val f0rE = stageFile("f0rE", f0r.where(col("doc_id") % 11 =!= 0))
+        def add(t: (String, Long, Long)) = ("add", t._1, t._2, t._3)
+        val writers = Seq(
+          ("A", Seq(add(wA))),
+          ("B", Seq(add(wB))),
+          ("D", Seq(("remove", s"$stage/f0r", -1L, -1L), add(f0rD))),
+          ("E", Seq(("remove", s"$stage/f0r", -1L, -1L), add(f0rE))))
+        val out = writers.map { case (w, entries) =>
+          val (outcome, v, attempts) =
+            commitLoop(s, stage.toString, 2, entries)
+          if (v >= 0)
+            lakeRollup(s, stage.toString, v.toInt)
+              .select(lit(w).as("writer"), lit(outcome).as("outcome"),
+                col("version"), lit(attempts).as("n_attempts"),
+                col("n_files"), col("n_rows"), col("sum_chars"),
+                col("key_checksum"))
+          else
+            s.range(1).select(lit(w).as("writer"),
+              lit(outcome).as("outcome"), lit(-1L).as("version"),
+              lit(attempts).as("n_attempts"), lit(0L).as("n_files"),
+              lit(0L).as("n_rows"), lit(0L).as("sum_chars"),
+              lit(0L).as("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("writer")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // VACUUM EXECUTION — the act face of q278's plan (the suite's
+    // measure→act convention: q85→q176, q97→q161): physically delete
+    // every file outside the retention boundary's (= 3, latest only)
+    // retained active sets, then PROVE both post-vacuum contracts by
+    // reading: the retained snapshot as-of(3) is still hash-exact
+    // (rows/chars/checksum through the real file reads — a wrongly
+    // freed file would shift or fail it), and the pre-boundary
+    // as-of(2) fails LOUDLY — its resolution still works (the log is
+    // intact; history metadata survives vacuum exactly as in Delta)
+    // but the read must surface the missing files, never return a
+    // silent partial result. Gated: per probe its readability, file/
+    // missing counts, and the rollup. At 100 TB the deletes are one
+    // metadata-scale sweep (the doomed list is a manifest fold);
+    // nothing rescans surviving data.
+    "q291_lake_vacuum_exec" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q291-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        val allAdds = (0 to 3).flatMap(v =>
+          s.read.parquet(s"$stage/_log/v$v").collect()
+            .collect { case r if r.getString(0) == "add" => r.getString(1) })
+        val retained = asOfFiles(s, stage.toString, 3).toSet
+        allAdds.filterNot(retained)
+          .foreach(p => rmTree(java.nio.file.Paths.get(p)))
+        val v3 = asOfFiles(s, stage.toString, 3)
+        val ok = s.read.parquet(v3: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+          .select(lit("as_of_3").as("probe"), lit(true).as("readable"),
+            lit(v3.length.toLong).as("n_files"), lit(0L).as("n_missing"),
+            col("n_rows"), col("sum_chars"), col("key_checksum"))
+        val v2 = asOfFiles(s, stage.toString, 2)
+        val missing = v2.count(p =>
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        // the read itself must throw (PATH_NOT_FOUND), not silently
+        // skip — `readable` is MEASURED from the attempt
+        val failed = scala.util.Try(
+          s.read.parquet(v2: _*).agg(count(lit(1))).head()).isFailure
+        val gone = s.range(1).select(lit("as_of_2").as("probe"),
+          lit(!failed).as("readable"), lit(v2.length.toLong).as("n_files"),
+          lit(missing.toLong).as("n_missing"), lit(0L).as("n_rows"),
+          lit(0L).as("sum_chars"), lit(0L).as("key_checksum"))
+        val out = gone.unionByName(ok).orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
 
   /** q274/q275 file granule floor: docs per staged lake file at the
@@ -922,6 +1050,70 @@ object ShapeOpsQueries {
       writeLog(3, active.map(rm) :+
         (("add", s"$stage/compact", cMm.getLong(0), cMm.getLong(1))))
     }
+  }
+
+  /** q290's manifest CAS: put-if-absent of the version manifest via an
+    * ATOMIC RENAME of a staged directory onto `_log/v<v>` — what
+    * Delta's LogStore does with put-if-absent on `<v>.json`. The
+    * rename either installs the whole manifest or fails because the
+    * version exists; readers never see a partial manifest. The staged
+    * write re-runs per attempt (a rebase re-writes its manifest).
+    */
+  private def tryCommit(s: SparkSession, stage: String, v: Int,
+      entries: Seq[(String, String, Long, Long)]): Boolean = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(stage), s"commit-v$v-")
+    try {
+      val staged = tmp.resolve("m")
+      entries.toDF("action", "path", "min_id", "max_id").coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
+      val target = java.nio.file.Paths.get(stage, "_log", s"v$v")
+      if (java.nio.file.Files.exists(target)) false
+      else
+        try {
+          java.nio.file.Files.move(staged, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch {
+          // lost the race to a concurrent rename — the CAS failure
+          case _: java.nio.file.FileSystemException
+              if java.nio.file.Files.exists(target) => false
+        }
+    } finally rmTree(tmp)
+  }
+
+  /** One writer's optimistic commit loop, prepared at snapshot `snap`:
+    * try the CAS at successive versions; on losing, read ONLY the
+    * winning commit's manifest and rebase when footprints are
+    * disjoint (no file this writer removes was removed by the winner
+    * — appends never conflict), abort when they overlap (both removed
+    * the same file: retrying would silently undo the winner's
+    * rewrite). Returns (outcome, version | -1, attempts). Conflict
+    * analysis cost ∝ manifests committed since the snapshot — never
+    * table data.
+    */
+  private def commitLoop(s: SparkSession, stage: String, snap: Int,
+      entries: Seq[(String, String, Long, Long)]): (String, Long, Long) = {
+    val myRemoves =
+      entries.collect { case ("remove", p, _, _) => p }.toSet
+    var v = snap + 1
+    var attempts = 0L
+    var res: Option[(String, Long, Long)] = None
+    while (res.isEmpty) {
+      attempts += 1
+      if (tryCommit(s, stage, v, entries))
+        res = Some(("committed", v.toLong, attempts))
+      else {
+        val winnerRemoves = s.read.parquet(s"$stage/_log/v$v").collect()
+          .collect { case r if r.getString(0) == "remove" => r.getString(1) }
+          .toSet
+        if ((myRemoves & winnerRemoves).nonEmpty)
+          res = Some(("aborted", -1L, attempts))
+        else v += 1
+      }
+    }
+    res.get
   }
 
   /** The as-of(v) resolution — the delta-log fold: active files =
@@ -1058,6 +1250,61 @@ object ShapeOpsQueries {
          |${row("mor", s"($sqlLakeF0) + ($sqlLakeFd)")}
          |) ORDER BY strategy""".stripMargin
     },
+    // the serialized outcome reconstructed from the staging rules:
+    // v3 = v2 + A's append, v4 = v3 + B's append, v5 = v4 with the
+    // f0r rows D's rewrite dropped (% 5 = 0) removed; E contributes
+    // nothing (aborted). Physical-row multiset semantics throughout —
+    // appended duplicates double-count exactly as the files do.
+    "q290_lake_concurrent_commit" -> {
+      val g0even =
+        s"doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 0"
+      def row(w: String, v: Int, attempts: Int, nFiles: String,
+          body: String) =
+        s"""SELECT '$w' AS writer, 'committed' AS outcome,
+           |  CAST($v AS BIGINT) AS version,
+           |  CAST($attempts AS BIGINT) AS n_attempts,
+           |  CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM ($body)""".stripMargin
+      def sel(pred: String) =
+        s"SELECT doc_id, n_chars FROM documents WHERE $pred"
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      s"""SELECT * FROM (
+         |${row("A", 3, 1, s"$act + 1",
+          s"${sel(sqlLakeV2Pred)} UNION ALL ${sel("doc_id % 7 = 0")}")}
+         |UNION ALL
+         |${row("B", 4, 2, s"$act + 2",
+          s"${sel(sqlLakeV2Pred)} UNION ALL ${sel("doc_id % 7 = 0")}" +
+            s" UNION ALL ${sel("doc_id % 7 = 3")}")}
+         |UNION ALL
+         |${row("D", 5, 3, s"$act + 2",
+          s"${sel(s"$sqlLakeV2Pred AND NOT ($g0even AND doc_id % 5 = 0)")}" +
+            s" UNION ALL ${sel("doc_id % 7 = 0")}" +
+            s" UNION ALL ${sel("doc_id % 7 = 3")}")}
+         |UNION ALL
+         |SELECT 'E', 'aborted', CAST(-1 AS BIGINT), CAST(3 AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT)
+         |) ORDER BY writer""".stripMargin
+    },
+    // boundary 3 keeps only the compacted file: as-of(3) reads the v2
+    // content from it; as-of(2)'s whole active set (all pre-compaction
+    // files) is gone — unreadable, every file missing
+    "q291_lake_vacuum_exec" ->
+      s"""SELECT * FROM (
+         |SELECT 'as_of_2' AS probe, FALSE AS readable,
+         |  CAST(($sqlLakeF0) + ($sqlLakeFd) AS BIGINT) AS n_files,
+         |  CAST(($sqlLakeF0) + ($sqlLakeFd) AS BIGINT) AS n_missing,
+         |  CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_chars,
+         |  CAST(0 AS BIGINT) AS key_checksum
+         |UNION ALL
+         |SELECT 'as_of_3', TRUE, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
+         |FROM documents WHERE $sqlLakeV2Pred
+         |) ORDER BY probe""".stripMargin,
     // per-file stats reconstructed from the staging rules (base per
     // granule sans g=0, delta per granule, the g=0 even-id rewrite);
     // a file is read iff its [min, max] overlaps the probe range
