@@ -177,6 +177,59 @@ object StreamingQueries {
   private def tmpDir(prefix: String): Path =
     Files.createTempDirectory(tmpBase, prefix)
 
+  /** Shared multi-batch staging: split the events fixture into three
+    * TIME-thirds (t0/t1/t2, rows ts-ordered within each) and land them
+    * in `dest` with ascending mtimes in `arrivalOrder` (mtimes order
+    * FileStreamSource's processing; with maxFilesPerTrigger=1 each
+    * file is its own micro-batch). One scan, one single-task
+    * partitioned write (row order preserved per third), then the part
+    * files move into place. `arrivalOrder` lists thirds in the order
+    * they arrive — Seq(1, 2, 0) stages the corpus's OLDEST third last
+    * (q282's late-data scenario). Returns the fixture schema
+    * (readStream needs it explicitly).
+    */
+  private def stageTimeThirds(s: SparkSession, dir: String, dest: Path,
+      arrivalOrder: Seq[Int] = Seq(0, 1, 2))
+      : org.apache.spark.sql.types.StructType = {
+    val src = Paths.get(s"$dir/events.parquet")
+    val batch = s.read.parquet(src.toString)
+    val schema = batch.schema
+    val withUs = batch.withColumn("us", tsUs(schema))
+    val mm = withUs.agg(min(col("us")), max(col("us"))).head()
+    val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
+    val t1 = tmin + (tmax - tmin) / 3
+    val t2 = tmin + (tmax - tmin) * 2 / 3
+    val tmp = tmpDir("graft-thirds-w")
+    val now = System.currentTimeMillis()
+    try {
+      withUs
+        .withColumn("third",
+          when(col("us") < t1, 0).when(col("us") < t2, 1).otherwise(2))
+        .select((schema.fieldNames.map(col) :+ col("third") :+ col("us")).toSeq: _*)
+        .coalesce(1)
+        // explicit (third, us) sort: gates whose oracle derives
+        // per-key first-seen as MIN(us) need each staged third
+        // ts-ordered — a contract, not an accident (the ordering also
+        // satisfies the writer's `third` requirement, so no second
+        // sort is inserted)
+        .sortWithinPartitions(col("third"), col("us"))
+        .drop("us")
+        .write.partitionBy("third").mode("overwrite")
+        .parquet(tmp.toString)
+      arrivalOrder.zipWithIndex.foreach { case (third, pos) =>
+        val part = Files.list(tmp.resolve(s"third=$third"))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val f = dest.resolve(s"t$third.parquet")
+        Files.move(part, f, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            now - (3 - pos) * 60000L))
+      }
+    } finally deleteRecursively(tmp)
+    schema
+  }
+
   /** Unload every loaded state-store provider and stop the maintenance
     * task after a query terminates. Without this, providers accumulate
     * across queries in a long-lived session (Bench/Verify run every
@@ -557,45 +610,13 @@ object StreamingQueries {
     // streaming agg fed by an out-of-order transport; state stays
     // (window × type)-bounded exactly as q59.
     "q282_stream_late_data" -> ((s, dir) => {
-      val src = Paths.get(s"$dir/events.parquet")
       val stage = tmpDir("graft-q282-src")
       val ckpt = tmpDir("graft-q282-ckpt")
       val sink = s"graft_q282_sink_${runSeq.incrementAndGet()}"
       try {
-        val batch = s.read.parquet(src.toString)
-        val schema = batch.schema
-        val withUs = batch.withColumn("us", tsUs(schema))
-        val mm = withUs.agg(min(col("us")), max(col("us"))).head()
-        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
-        val t1 = tmin + (tmax - tmin) / 3
-        val t2 = tmin + (tmax - tmin) * 2 / 3
-        // stage three files via the q178 device (one task writes the
-        // directories, mtimes order the source's processing): arrival
-        // order = middle third, last third, FIRST third (the
+        // arrival order = middle third, last third, FIRST third (the
         // stragglers)
-        val tmp = tmpDir("graft-q282-w")
-        val now = System.currentTimeMillis()
-        try {
-          withUs
-            .withColumn("arr", when(col("us") < t1, 2)
-              .when(col("us") < t2, 0).otherwise(1))
-            .select((schema.fieldNames.map(col) :+ col("arr") :+ col("us")).toSeq: _*)
-            .coalesce(1)
-            .sortWithinPartitions(col("arr"), col("us"))
-            .drop("us")
-            .write.partitionBy("arr").mode("overwrite")
-            .parquet(tmp.toString)
-          for (i <- 0 to 2) {
-            val part = Files.list(tmp.resolve(s"arr=$i"))
-              .filter(p => p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
-            Files.move(part, stage.resolve(s"a$i.parquet"),
-              StandardCopyOption.REPLACE_EXISTING)
-            Files.setLastModifiedTime(stage.resolve(s"a$i.parquet"),
-              java.nio.file.attribute.FileTime.fromMillis(
-                now - (3 - i) * 60000L))
-          }
-        } finally deleteRecursively(tmp)
+        val schema = stageTimeThirds(s, dir, stage, Seq(1, 2, 0))
         val agg = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(stage.toString)
@@ -703,41 +724,11 @@ object StreamingQueries {
     // reads stay metadata-resolved exactly as q274.
     "q287_stream_lake_ingest" -> ((s, dir) => {
       import s.implicits._
-      val src = Paths.get(s"$dir/events.parquet")
       val stage = tmpDir("graft-q287-src")
       val lake = tmpDir("graft-q287-lake")
       val ckpt = tmpDir("graft-q287-ckpt")
       try {
-        val batch = s.read.parquet(src.toString)
-        val schema = batch.schema
-        val withUs = batch.withColumn("us", tsUs(schema))
-        val mm = withUs.agg(min(col("us")), max(col("us"))).head()
-        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
-        val t1 = tmin + (tmax - tmin) / 3
-        val t2 = tmin + (tmax - tmin) * 2 / 3
-        val tmp = tmpDir("graft-q287-w")
-        val now = System.currentTimeMillis()
-        try {
-          withUs
-            .withColumn("third",
-              when(col("us") < t1, 0).when(col("us") < t2, 1).otherwise(2))
-            .select((schema.fieldNames.map(col) :+ col("third") :+ col("us")).toSeq: _*)
-            .coalesce(1)
-            .sortWithinPartitions(col("third"), col("us"))
-            .drop("us")
-            .write.partitionBy("third").mode("overwrite")
-            .parquet(tmp.toString)
-          for (i <- 0 to 2) {
-            val part = Files.list(tmp.resolve(s"third=$i"))
-              .filter(p => p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
-            Files.move(part, stage.resolve(s"t$i.parquet"),
-              StandardCopyOption.REPLACE_EXISTING)
-            Files.setLastModifiedTime(stage.resolve(s"t$i.parquet"),
-              java.nio.file.attribute.FileTime.fromMillis(
-                now - (3 - i) * 60000L))
-          }
-        } finally deleteRecursively(tmp)
+        val schema = stageTimeThirds(s, dir, stage)
         val query = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(stage.toString)
@@ -768,6 +759,171 @@ object StreamingQueries {
             .select(lit(v.toLong).as("version"),
               lit(files.length.toLong).as("n_files"),
               col("n_rows"), col("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(lake)
+        deleteRecursively(stage)
+      }
+    }),
+
+    // RESTART-WITH-NEW-DATA recovery — exactly-once across a REAL
+    // resume, the property every production deployment exercises on
+    // every deploy (StreamingSinkSpec pins the weaker no-new-data
+    // idempotence; this gates the full cycle): run 1 processes the
+    // first two time-thirds through q59's windowed agg into a FILE
+    // sink (the durable sink whose _spark_metadata commit log IS the
+    // exactly-once surface) and terminates; the third file lands
+    // while the stream is DOWN; run 2 restarts from the SAME
+    // checkpoint over the SAME sink. The union of both runs'
+    // emissions, read back through the sink's commit log, must equal
+    // the one-continuous-run result — the oracle is q59's SQL
+    // VERBATIM (same agg, same emission predicate), so a window
+    // double-emitted across the resume (broken sink log), a window
+    // lost (source offsets re-read), or a boundary window's count
+    // missing its pre-restart partial (state not restored) each
+    // shifts a row and fails the hash. Restored checkpoint state
+    // carries BOTH the partial counts of windows still open at
+    // shutdown and the watermark, so run 2's emissions complete the
+    // set exactly. At 100 TB: recovery cost ∝ checkpointed state
+    // (open windows), never a source replay from origin.
+    "q292_stream_restart_recovery" -> ((s, dir) => {
+      val hold = tmpDir("graft-q292-hold")
+      val stage = tmpDir("graft-q292-src")
+      val ckpt = tmpDir("graft-q292-ckpt")
+      val sinkDir = tmpDir("graft-q292-sink")
+      try {
+        val schema = stageTimeThirds(s, dir, hold)
+        // run 1 sees only the first two thirds (mtimes travel with
+        // the rename)
+        for (i <- 0 to 1)
+          Files.move(hold.resolve(s"t$i.parquet"),
+            stage.resolve(s"t$i.parquet"))
+        def run(): Unit = {
+          val agg = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+            .withColumn("event_time", timestamp_micros(tsUs(schema)))
+            .withWatermark("event_time", "10 minutes")
+            .groupBy(window(col("event_time"), "5 minutes"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(dec2)).as("sv"))
+            .select(unix_micros(col("window.start")).as("window_us"),
+              col("event_type"), col("n_events"),
+              col("sv").cast("double").as("sum_value"))
+          val query = agg.writeStream.format("parquet")
+            .option("path", sinkDir.toString)
+            .outputMode(OutputMode.Append)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          query.awaitTermination()
+        }
+        run()
+        // the deploy window: new data arrives while the stream is down
+        Files.move(hold.resolve("t2.parquet"), stage.resolve("t2.parquet"))
+        run()
+        // read back through _spark_metadata — only committed batches
+        val out = s.read.parquet(sinkDir.toString)
+          .orderBy("window_us", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(sinkDir)
+        deleteRecursively(stage)
+        deleteRecursively(hold)
+      }
+    }),
+
+    // SINK FENCING — q287's commit-log writer hardened for the
+    // TWO-writer failure mode it assumed away: a zombie instance (the
+    // old writer a failover left running, or a retried task) replays
+    // an already-committed batch. The committer now consults the log
+    // BEFORE doing any work (idempotent no-op on a committed version)
+    // and lands the manifest with q290's put-if-absent CAS, so a
+    // replay can neither double-append nor tear a manifest. The gate
+    // runs the 3-batch ingest through the fenced committer, then
+    // REPLAYS batch 1 with the same payload as a zombie would and
+    // gates: the replay reported fenced, and every version's
+    // rows/checksum rollup (resolved from the manifests, as q287)
+    // still matches the cumulative time-thirds — an unfenced
+    // double-append shifts v1/v2's checksums, a fence that falsely
+    // no-ops a NEW version would fail q287's live path. At 100 TB
+    // this is exactly Delta's txn-version dedup: one O(1) log probe
+    // per batch, no data read.
+    "q293_stream_sink_fencing" -> ((s, dir) => {
+      import s.implicits._
+      val stage = tmpDir("graft-q293-src")
+      val lake = tmpDir("graft-q293-lake")
+      val ckpt = tmpDir("graft-q293-ckpt")
+      try {
+        val schema = stageTimeThirds(s, dir, stage)
+        // the log directory exists before any committer races to
+        // rename into it (Spark's writer creates parents; NIO's
+        // atomic move must not)
+        Files.createDirectories(Paths.get(s"$lake/_log"))
+        // the FENCED committer — one definition for the live writer
+        // and the zombie replay: log probe first, then data file +
+        // manifest CAS (atomic rename put-if-absent)
+        def fencedCommit(df: DataFrame, batchId: Long): Boolean = {
+          val target = Paths.get(s"$lake/_log/v$batchId")
+          if (Files.exists(target)) false
+          else {
+            val dataPath = s"$lake/data/b$batchId"
+            df.coalesce(1).write.mode("overwrite").parquet(dataPath)
+            val tmp = Files.createTempDirectory(lake, s"commit-b$batchId-")
+            try {
+              val staged = tmp.resolve("m")
+              Seq(("add", dataPath)).toDF("action", "path").coalesce(1)
+                .write.mode("overwrite").parquet(staged.toString)
+              try {
+                Files.move(staged, target,
+                  StandardCopyOption.ATOMIC_MOVE)
+                true
+              } catch {
+                // lost the CAS to a concurrent committer: undo the
+                // staged data file — the winner's version stands
+                case _: java.nio.file.FileSystemException
+                    if Files.exists(target) =>
+                  deleteRecursively(Paths.get(dataPath))
+                  false
+              }
+            } finally deleteRecursively(tmp)
+          }
+        }
+        val query = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            if (!df.isEmpty) { fencedCommit(df, batchId); () }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // the zombie: a second writer instance re-emits batch 1 with
+        // the same payload; the fence must no-op before any work
+        val replayFenced = !fencedCommit(
+          s.read.parquet(stage.resolve("t1.parquet").toString), 1L)
+        val out = (0 to 2).map { v =>
+          val files = (0 to v).flatMap(i =>
+            s.read.parquet(s"$lake/_log/v$i").collect()
+              .collect { case r if r.getString(0) == "add" => r.getString(1) })
+          s.read.parquet(files: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr(graft.queries.ShapeOpsQueries
+                .manifestTerm("event_id"))).as("key_checksum"))
+            .select(lit(v.toLong).as("version"),
+              lit(files.length.toLong).as("n_files"),
+              col("n_rows"), col("key_checksum"),
+              lit(v == 1 && replayFenced).as("replay_fenced"))
         }.reduce(_ unionByName _).orderBy("version")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
@@ -1337,52 +1493,11 @@ object StreamingQueries {
     // state is one (key, expiry) row ∝ keys live inside the delay
     // horizon — the production memory bound.
     "q178_stream_dedup_ttl" -> ((s, dir) => {
-      val src = Paths.get(s"$dir/events.parquet")
       val stage = tmpDir("graft-q178-src")
       val ckpt = tmpDir("graft-q178-ckpt")
       val sink = s"graft_q178_sink_${runSeq.incrementAndGet()}"
       try {
-        val batch = s.read.parquet(src.toString)
-        val schema = batch.schema
-        val withUs = batch.withColumn("us", tsUs(schema))
-        val mm = withUs.agg(min(col("us")), max(col("us"))).head()
-        val (tmin, tmax) = (mm.getLong(0), mm.getLong(1))
-        val t1 = tmin + (tmax - tmin) / 3
-        val t2 = tmin + (tmax - tmin) * 2 / 3
-        // one scan, one partitioned write (coalesce(1): a single task
-        // writes the three directories, preserving row order per
-        // third), then the part files move into mtime-ordered place
-        val tmp = tmpDir("graft-q178-w")
-        val now = System.currentTimeMillis()
-        try {
-          withUs
-            .withColumn("third",
-              when(col("us") < t1, 0).when(col("us") < t2, 1).otherwise(2))
-            .select((schema.fieldNames.map(col) :+ col("third") :+ col("us")).toSeq: _*)
-            .coalesce(1)
-            // explicit (third, us) sort: the oracle derives per-key
-            // first-seen as MIN(us), which requires each staged third
-            // to be ts-ordered — previously true only because the
-            // writer's required partition-column sort happened to be a
-            // stable no-op on the globally ts-sorted fixture; this
-            // makes the invariant a contract, not an accident (its
-            // outputOrdering also satisfies the writer's `third`
-            // requirement, so no second sort is inserted)
-            .sortWithinPartitions(col("third"), col("us"))
-            .drop("us")
-            .write.partitionBy("third").mode("overwrite")
-            .parquet(tmp.toString)
-          for (i <- 0 to 2) {
-            val part = Files.list(tmp.resolve(s"third=$i"))
-              .filter(p => p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
-            Files.move(part, stage.resolve(s"t$i.parquet"),
-              StandardCopyOption.REPLACE_EXISTING)
-            Files.setLastModifiedTime(stage.resolve(s"t$i.parquet"),
-              java.nio.file.attribute.FileTime.fromMillis(
-                now - (3 - i) * 60000L))
-          }
-        } finally deleteRecursively(tmp)
+        val schema = stageTimeThirds(s, dir, stage)
         val dedup = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(stage.toString)
@@ -2237,6 +2352,39 @@ object StreamingQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(SUM(${graft.queries.ShapeOpsQueries.manifestTerm("event_id")})
          |    AS BIGINT) AS key_checksum
+         |FROM r GROUP BY version, n_files ORDER BY version""".stripMargin,
+    // exactly-once across the resume: the split run's union must be
+    // the one-continuous-run result — q59's SQL VERBATIM (same agg,
+    // same emission predicate; one definition, zero drift)
+    "q292_stream_restart_recovery" ->
+      s"""WITH e AS (SELECT (epoch_us(ts) // $windowUs) * $windowUs AS window_us,
+         |                  event_type, value FROM events),
+         |wm AS (SELECT MAX(epoch_ms(ts)) * 1000 - $delayUs AS w FROM events)
+         |SELECT window_us, event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM e WHERE window_us + $windowUs <= (SELECT w FROM wm)
+         |GROUP BY window_us, event_type
+         |ORDER BY window_us, event_type""".stripMargin,
+    // q287's cumulative-thirds reconstruction, unchanged by the
+    // zombie replay (the fence's whole contract) + the fenced flag
+    "q293_stream_sink_fencing" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, event_id FROM events),
+         |mm AS (SELECT MIN(us) AS tmin, MAX(us) AS tmax FROM e),
+         |c AS (SELECT tmin + (tmax - tmin) // 3 AS t1,
+         |        tmin + (tmax - tmin) * 2 // 3 AS t2 FROM mm),
+         |r AS (
+         |  SELECT 0 AS version, 1 AS n_files, us, event_id FROM e
+         |  WHERE us < (SELECT t1 FROM c)
+         |  UNION ALL
+         |  SELECT 1, 2, us, event_id FROM e WHERE us < (SELECT t2 FROM c)
+         |  UNION ALL
+         |  SELECT 2, 3, us, event_id FROM e)
+         |SELECT CAST(version AS BIGINT) AS version,
+         |  CAST(n_files AS BIGINT) AS n_files,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${graft.queries.ShapeOpsQueries.manifestTerm("event_id")})
+         |    AS BIGINT) AS key_checksum,
+         |  version = 1 AS replay_fenced
          |FROM r GROUP BY version, n_files ORDER BY version""".stripMargin,
     "q79_stream_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_us
