@@ -1016,14 +1016,22 @@ object SimilarityQueries {
     * vec_id) ranking. DuckDB's indexed list lambda is 1-based, Spark's
     * transform index 0-based — the `i - 1` aligns them bit-for-bit.
     */
-  private def sqlBqChainFrom(probeCte: String): String = {
+  /** The corpus sign-bit words alone (`bc`) — shared by the BQ search
+    * chain and the q294/q295 graph build, so the banded sketch is the
+    * gated one.
+    */
+  private lazy val sqlBcCte: String = {
     def word(lo: Int): String =
       s"CAST(list_sum(list_transform(embedding[$lo:${lo + bqWordBits - 1}], " +
         "(v, i) -> CASE WHEN v >= 0 THEN 1::BIGINT << (i - 1) " +
         "ELSE 0::BIGINT END)) AS BIGINT)"
     s"""bc AS (SELECT vec_id, ${word(1)} AS w0,
        |    ${word(bqWordBits + 1)} AS w1
-       |  FROM embeddings),
+       |  FROM embeddings)""".stripMargin
+  }
+
+  private def sqlBqChainFrom(probeCte: String): String = {
+    s"""$sqlBcCte,
        |bp AS ($probeCte),
        |bs AS (SELECT p.probe_id, c.vec_id,
        |    CAST(bit_count(xor(c.w0, p.p0))
@@ -1049,6 +1057,98 @@ object SimilarityQueries {
         "ELSE 0::BIGINT END)) AS BIGINT)"
     s"SELECT probe_id, ${pvWord(1)} AS p0, " +
       s"${pvWord(bqWordBits + 1)} AS p1 FROM ppn"
+  }
+
+  /** q294/q295 — graph-based ANN (the NSW/HNSW serving family beside
+    * the quantization ladder): out-degree cap of the k-NN graph and
+    * the greedy-descent hop budget. M = 6 keeps the graph corpus×M
+    * edges (HNSW's M is 5-48 in practice); 6 hops bounds the unrolled
+    * search in BOTH engines (the walk is monotone — once no neighbor
+    * improves, every later hop is a no-op, so a fixed unroll is exact,
+    * the q257 greedy-chain device).
+    */
+  private val knnM = 6
+  private val graphHops = 6
+  /** q295 entry points per probe: the ADC (nprobe=1) top-E proposals
+    * each seed an independent walk — multi-entry NSW, the deployed
+    * shape (single-entry greedy measured FLAT on this structure-free
+    * corpus: entry recall = graph recall — a lone walk cannot
+    * navigate mutually-near-orthogonal vectors toward the query).
+    */
+  private val graphEntries = 4
+  /** q295's graph cache — the walk references the graph once per hop. */
+  private val lastKnnGraph = new graft.util.CacheSlot
+
+  /** The approximate k-NN graph (src, dst) — the navigable-small-world
+    * base layer (Malkov & Yashunin, TPAMI 2020 — public), built the
+    * way distributed graph-ANN builds actually run: candidate pairs
+    * from LSH banding over the q249 sign sketch (8 bands × 8 bits —
+    * same-bucket vectors are candidate neighbors; fan-out ∝ true
+    * sketch collisions, never corpus²), exact cosine on candidates
+    * only (two corpus-fraction equi-joins — unhinted), per-vector
+    * top-[[knnM]] via the bounded-heap TopK, then HNSW's reverse-link
+    * step (union with flipped edges, distinct) for navigability. At
+    * 100 TB every stage is a shuffle on bounded relations: bands ∝
+    * corpus×8, candidates ∝ collisions, the graph ∝ corpus×2M — a
+    * distributed artifact, never collected.
+    */
+  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val codes = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), bqWord(0).as("w0"), bqWord(bqWordBits).as("w1"))
+    val bandCols = (0 until 8).map { b =>
+      val w = if (b < 4) col("w0") else col("w1")
+      struct(lit(b).as("b"),
+        shiftright(w, 8 * (b % 4)).bitwiseAND(lit(255L)).as("bits"))
+    }
+    val bands = codes
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.b").as("band"), col("bb.bits").as("bits"))
+    val cand = bands.select(col("vec_id").as("src"), col("band"), col("bits"))
+      .join(bands.select(col("vec_id").as("dst"), col("band"), col("bits")),
+        Seq("band", "bits"))  // unhinted: both sides corpus-scale, fan-out ∝ sketch collisions
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val corpus = emb(s, dir)
+    val scored = cand
+      .join(corpus.select(col("vec_id").as("src"),
+        col("embedding").as("se"), col("n2").as("sn2")), Seq("src"))  // unhinted: candidate-side is a corpus fraction
+      .join(corpus.select(col("vec_id").as("dst"),
+        col("embedding").as("de"), col("n2").as("dn2")), Seq("dst"))  // unhinted: candidate-side is a corpus fraction
+      .select(col("src"), col("dst"),
+        cosineFrom(dot(col("se"), col("de")), col("sn2"), col("dn2"))
+          .as("cos"))
+    val topm = graft.plans.TopK.perGroup(scored, Seq("src"),
+      Seq("cos" -> true, "dst" -> false), knnM)
+    topm.select("src", "dst")
+      .unionByName(topm.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** The graph-build CTE chain (through `g`) — mirrors [[knnGraph]]
+    * stage for stage off the SHARED `bc` sign words; requires `e` in
+    * scope. MATERIALIZED: q295's six hops each reference `g`.
+    */
+  private lazy val sqlKnnGraphCtes: String = {
+    val eCos = sqlCosineFrom(
+      sqlDot("ea.embedding", "eb.embedding"), "ea.n2", "eb.n2")
+    s"""$sqlBcCte,
+       |gb AS (SELECT vec_id, t.b,
+       |    ((CASE WHEN t.b < 4 THEN w0 ELSE w1 END)
+       |      >> CAST(8 * (t.b % 4) AS INT)) & 255 AS bits
+       |  FROM bc, range(0, 8) t(b)),
+       |gc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM gb a JOIN gb b ON b.b = a.b AND b.bits = a.bits
+       |    AND b.vec_id <> a.vec_id),
+       |gs AS (SELECT src, dst, $eCos AS cos
+       |  FROM gc JOIN e ea ON ea.vec_id = gc.src
+       |  JOIN e eb ON eb.vec_id = gc.dst),
+       |gt AS (SELECT src, dst FROM (SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rn
+       |  FROM gs) WHERE rn <= $knnM),
+       |g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM gt UNION ALL SELECT dst, src FROM gt))"""
+      .stripMargin
   }
 
   /** q257 — MMR diversity re-rank (Carbonell & Goldstein, SIGIR 1998
@@ -1898,6 +1998,138 @@ object SimilarityQueries {
         .orderBy(desc("recall_permille"), asc("tier"))
     }),
 
+    // GRAPH-based ANN, build face — the k-NN graph underlying the
+    // NSW/HNSW serving family (the production-standard tier beside
+    // the gated quantization ladder): LSH-band candidates → exact
+    // cosine on candidates only → per-vector top-M → reverse links.
+    // Gated at the node grain: degree and the neighbor-id
+    // sum/min/max per vector — a wrong candidate set, a top-M
+    // misorder, or a missed reverse link shifts a row. Build cost at
+    // 100 TB: bands ∝ corpus×8, pair fan-out ∝ true sketch
+    // collisions (the q91 LSH argument — at larger corpora widen the
+    // band bits to hold bucket sizes), graph ∝ corpus×2M — every
+    // stage a bounded shuffle, nothing ever all-pairs.
+    "q294_knn_graph" -> ((s, dir) =>
+      knnGraph(s, dir)
+        .groupBy(col("src").as("vec_id"))
+        .agg(count(lit(1)).as("degree"),
+          sum(col("dst")).as("sum_dst"),
+          min(col("dst")).as("min_dst"),
+          max(col("dst")).as("max_dst"))
+        .orderBy("vec_id")),
+
+    // Graph-based ANN, serve face — MULTI-ENTRY greedy descent over
+    // the q294 graph (NSW's search primitive: hop to the neighbor
+    // closest to the query while it improves), entered from the
+    // compressed index's proposals (the IVF-PQ nprobe=1 ADC
+    // top-[[graphEntries]] — the IVF-entry + graph-refinement hybrid
+    // production systems ship; single-entry greedy on a
+    // structure-free corpus measured flat, entry recall = graph
+    // recall, so the gate prices the tier the way it is deployed:
+    // E independent walks, best endpoint by true cosine wins).
+    // Evaluated on the planted probes (q270's ground truth) with the
+    // value chain separated per probe: entry_was_source (ADC top-1
+    // alone), entryset_has_source (any of the E proposals), and
+    // found_source (after the walks) — graph recall ≥ entry-set
+    // recall is STRUCTURAL here (a walk starting at the source stays:
+    // no corpus vector beats cos ≈ 0.82), and the gap columns price
+    // exactly what each stage buys: at sf0.1 the chain reads
+    // 363 → 424 → 575‰ — the walks recover +151‰ of planted sources
+    // the compressed index missed entirely, the recall a deployment
+    // ships the graph FOR (at the small SFs the corpus is too sparse
+    // for band collisions to route and the chain measures flat —
+    // same adversarial-floor caveat as q260 vs q270). The walks are batched and
+    // DISTRIBUTED: the frontier (≤ probes × E rows) broadcast-joins
+    // the cached graph per hop — at 100 TB a hop is a batched graph
+    // lookup; the graph never leaves the cluster (the collected-model
+    // q257 serving convention is impossible here: the graph is
+    // corpus-sized). A fixed 6-hop unroll is exact because each walk
+    // is monotone (no improving neighbor → every later hop no-ops) —
+    // both engines run the identical unroll.
+    "q295_graph_search" -> ((s, dir) => {
+      val pp = plantedProbes(s, dir)
+      val g = lastKnnGraph.swap(knnGraph(s, dir).cache())
+      val corpus = emb(s, dir)
+      val entries = ivfPqTopN(s, dir, 1, probesOpt = Some(pp))
+        .where(col("rn") <= graphEntries)
+        .select(col("probe_id"), col("vec_id").as("entry_id"),
+          col("rn").as("entry_rn"))
+      var cur = corpus
+        .select(col("vec_id").as("entry_id"), col("embedding").as("ee"),
+          col("n2").as("en2"))
+        .join(broadcast(pp  // hint audit: probe-bounded (≤ probes × E entry rows)
+          .select(col("probe_id"), col("source_id"), col("pvec"),
+            col("pn2"))
+          .join(entries, Seq("probe_id"))), Seq("entry_id"))
+        .select(col("probe_id"), col("source_id"), col("pvec"), col("pn2"),
+          col("entry_id"), col("entry_rn"), col("entry_id").as("cur_id"),
+          cosineFrom(dot(col("pvec"), col("ee")), col("pn2"), col("en2"))
+            .as("cur_cos"),
+          lit(0L).as("n_moves"))
+      for (_ <- 1 to graphHops) {
+        val frontier = g
+          .join(broadcast(cur.select(col("cur_id").as("src"),  // hint audit: frontier-bounded (≤ probes × E rows)
+            col("probe_id"), col("entry_id"), col("pvec"), col("pn2"))),
+            Seq("src"))
+          .select(col("probe_id"), col("entry_id"), col("dst"),
+            col("pvec"), col("pn2"))
+        val cands = corpus
+          .select(col("vec_id").as("dst"), col("embedding").as("de"),
+            col("n2").as("dn2"))
+          .join(broadcast(frontier), Seq("dst"))  // hint audit: probe-bounded (≤ probes × E × 2M neighbor rows)
+          .select(col("probe_id"), col("entry_id"), col("dst"),
+            cosineFrom(dot(col("pvec"), col("de")), col("pn2"), col("dn2"))
+              .as("c"))
+        val w = Window.partitionBy("probe_id", "entry_id")
+          .orderBy(desc("c"), asc("dst"))
+        val best = cands.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("probe_id"), col("entry_id"),
+            col("dst").as("best_id"), col("c").as("best_cos"))
+        val moved = col("best_cos") > col("cur_cos")
+        cur = cur.join(broadcast(best), Seq("probe_id", "entry_id"), "left")  // hint audit: probe-bounded (one best row per walk)
+          .select(col("probe_id"), col("source_id"), col("pvec"),
+            col("pn2"), col("entry_id"), col("entry_rn"),
+            when(moved, col("best_id")).otherwise(col("cur_id")).as("cur_id"),
+            when(moved, col("best_cos")).otherwise(col("cur_cos")).as("cur_cos"),
+            (col("n_moves") + when(moved, 1L).otherwise(0L)).as("n_moves"))
+      }
+      // per probe: best endpoint across the E walks (cos DESC, then
+      // endpoint/entry ASC — two walks can converge to one endpoint)
+      val wWin = Window.partitionBy("probe_id")
+        .orderBy(desc("cur_cos"), asc("cur_id"), asc("entry_id"))
+      val won = cur.withColumn("wrn", row_number().over(wWin))
+      val perProbe = won
+        .groupBy("probe_id", "source_id")
+        .agg(
+          min(when(col("entry_rn") === 1, col("entry_id")))
+            .as("entry_top1_id"),
+          max((col("entry_id") === col("source_id")).cast("long"))
+            .as("entryset_has_source"),
+          min(when(col("wrn") === 1, col("cur_id"))).as("final_id"),
+          min(when(col("wrn") === 1, col("entry_id")))
+            .as("winning_entry_id"),
+          min(when(col("wrn") === 1, col("n_moves"))).as("n_moves"))
+        .withColumn("entry_was_source",
+          (col("entry_top1_id") === col("source_id")).cast("long"))
+        .withColumn("found_source",
+          (col("final_id") === col("source_id")).cast("long"))
+      val all = Window.partitionBy()
+      perProbe
+        .withColumn("n_e", sum(col("entry_was_source")).over(all))
+        .withColumn("n_s", sum(col("entryset_has_source")).over(all))
+        .withColumn("n_g", sum(col("found_source")).over(all))
+        .withColumn("n_probes", count(lit(1)).over(all))
+        .select(col("probe_id"), col("source_id"), col("entry_top1_id"),
+          col("winning_entry_id"), col("final_id"), col("n_moves"),
+          col("entry_was_source"), col("entryset_has_source"),
+          col("found_source"),
+          expr("n_e * 1000 div n_probes").as("entry_recall_permille"),
+          expr("n_s * 1000 div n_probes").as("entryset_recall_permille"),
+          expr("n_g * 1000 div n_probes").as("graph_recall_permille"))
+        .orderBy("probe_id")
+    }),
+
     // FILTERED vector search — the ubiquitous vector-DB request
     // ("nearest neighbors WHERE label IN (...)") and its standard
     // lesson: PRE-filtering (predicate inside the candidate scan)
@@ -2419,9 +2651,98 @@ object SimilarityQueries {
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY recall_permille DESC, tier")
     }
+    // q295: hop0 scores the E ADC entry proposals (one walk each, the
+    // walk key = (probe_id, entry_id)), then graphHops unrolled
+    // greedy steps (the q257 chain device) — each hop's candidates
+    // come from the MATERIALIZED graph, the argmax moves only on
+    // strict improvement (NULL best on a sink node → stay, both
+    // engines); the winner per probe is the endpoint with the best
+    // true cosine (endpoint/entry ASC tiebreak — converged walks)
+    val q295Sql = {
+      val hopCos = sqlCosineFrom(
+        sqlDot("h.pvec", "e2.embedding"), "h.pn2", "e2.n2")
+      val entryCos = sqlCosineFrom(
+        sqlDot("p.pvec", "e.embedding"), "p.pn2", "e.n2")
+      val base =
+        s"""${sqlIvfPqAdcPlantedN(1)},
+           |$sqlKnnGraphCtes,
+           |entry AS (SELECT probe_id, vec_id AS entry_id, rn AS entry_rn
+           |  FROM (
+           |    SELECT probe_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id
+           |        ORDER BY adc_dist, vec_id) AS rn
+           |    FROM adc) WHERE rn <= $graphEntries),
+           |hop0 AS (SELECT p.probe_id, p.source_id, p.pvec, p.pn2,
+           |    en.entry_id, en.entry_rn, en.entry_id AS cur_id,
+           |    $entryCos AS cur_cos, CAST(0 AS BIGINT) AS n_moves
+           |  FROM ppn p JOIN entry en USING (probe_id)
+           |  JOIN e ON e.vec_id = en.entry_id)""".stripMargin
+      val hops = (1 to graphHops).map { i =>
+        s"""cand$i AS (SELECT h.probe_id, h.entry_id, g.dst, $hopCos AS c
+           |  FROM hop${i - 1} h JOIN g ON g.src = h.cur_id
+           |  JOIN e e2 ON e2.vec_id = g.dst),
+           |best$i AS (SELECT probe_id, entry_id, dst, c FROM (
+           |    SELECT probe_id, entry_id, dst, c,
+           |      ROW_NUMBER() OVER (PARTITION BY probe_id, entry_id
+           |        ORDER BY c DESC, dst) AS rn
+           |    FROM cand$i) WHERE rn = 1),
+           |hop$i AS (SELECT h.probe_id, h.source_id, h.pvec, h.pn2,
+           |    h.entry_id, h.entry_rn,
+           |    CASE WHEN b.c > h.cur_cos THEN b.dst ELSE h.cur_id END
+           |      AS cur_id,
+           |    CASE WHEN b.c > h.cur_cos THEN b.c ELSE h.cur_cos END
+           |      AS cur_cos,
+           |    h.n_moves + CASE WHEN b.c > h.cur_cos THEN 1 ELSE 0 END
+           |      AS n_moves
+           |  FROM hop${i - 1} h
+           |  LEFT JOIN best$i b USING (probe_id, entry_id))"""
+          .stripMargin
+      }
+      val fin =
+        s"""win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+           |    ORDER BY cur_cos DESC, cur_id, entry_id) AS wrn
+           |  FROM hop$graphHops),
+           |pprobe AS (SELECT probe_id, source_id,
+           |    MIN(CASE WHEN entry_rn = 1 THEN entry_id END)
+           |      AS entry_top1_id,
+           |    MAX(CASE WHEN entry_id = source_id THEN 1 ELSE 0 END)
+           |      AS entryset_has_source,
+           |    MIN(CASE WHEN wrn = 1 THEN cur_id END) AS final_id,
+           |    MIN(CASE WHEN wrn = 1 THEN entry_id END)
+           |      AS winning_entry_id,
+           |    MIN(CASE WHEN wrn = 1 THEN n_moves END) AS n_moves
+           |  FROM win GROUP BY 1, 2)""".stripMargin
+      ("WITH " + (Seq(base) ++ hops :+ fin).mkString(",\n")) +
+        s"""
+           |SELECT probe_id, source_id, entry_top1_id, winning_entry_id,
+           |  final_id, CAST(n_moves AS BIGINT) AS n_moves,
+           |  CAST(CASE WHEN entry_top1_id = source_id THEN 1 ELSE 0 END
+           |    AS BIGINT) AS entry_was_source,
+           |  CAST(entryset_has_source AS BIGINT) AS entryset_has_source,
+           |  CAST(CASE WHEN final_id = source_id THEN 1 ELSE 0 END
+           |    AS BIGINT) AS found_source,
+           |  CAST(SUM(CASE WHEN entry_top1_id = source_id THEN 1 ELSE 0 END)
+           |      OVER () * 1000 // COUNT(*) OVER () AS BIGINT)
+           |    AS entry_recall_permille,
+           |  CAST(SUM(entryset_has_source)
+           |      OVER () * 1000 // COUNT(*) OVER () AS BIGINT)
+           |    AS entryset_recall_permille,
+           |  CAST(SUM(CASE WHEN final_id = source_id THEN 1 ELSE 0 END)
+           |      OVER () * 1000 // COUNT(*) OVER () AS BIGINT)
+           |    AS graph_recall_permille
+           |FROM pprobe ORDER BY probe_id""".stripMargin
+    }
     Map(
       "q270_planted_truth" -> q270Sql,
       "q271_planted_scoreboard" -> q271Sql,
+      "q294_knn_graph" ->
+        s"""WITH $sqlEmb,
+           |$sqlKnnGraphCtes
+           |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+           |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+           |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+           |FROM g GROUP BY src ORDER BY vec_id""".stripMargin,
+      "q295_graph_search" -> q295Sql,
       "q195_res_pq_encode" ->
         s"""WITH ${sqlResChain(1)}
            |SELECT r.vec_id, v.cell,
