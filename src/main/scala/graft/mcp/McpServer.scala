@@ -14,10 +14,12 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * JSON-RPC 2.0 over stdin/stdout dispatching the nine parity tool
   * names and two resources to the engine's query layer
   * ([[graft.query.LogQueries]] via [[Reports]], [[RemoteFetcher]],
-  * [[LogCatalog]]), plus three engine-extension tools
-  * (`mine_templates`, `detect_slot_anomalies`, `deduplicate_lines`)
-  * that surface the library's log-mining tier — capabilities the
-  * reference does not have — to the same MCP clients.
+  * [[LogCatalog]]), plus six engine-extension tools: the log-mining
+  * tier (`mine_templates`, `detect_slot_anomalies`,
+  * `deduplicate_lines`) and the lake/vector tiers (`lake_time_travel`,
+  * `lake_change_feed`, `vector_scoreboard`, each running the gated
+  * registry entry itself over a caller-supplied table directory) —
+  * capabilities the reference does not have — to the same MCP clients.
   *
   * The transport is deliberately thin: every tool body is one call
   * into the library — the computations are the oracle-gated operators;
@@ -124,6 +126,19 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
         Right(if (catalog.isEmpty) "Aucun log chargé. Utilisez load_logs d'abord."
         else Reports.renderDedup(catalog,
           int(args, "limit").getOrElse(20)))
+      // lake + vector extension tools: each runs the gated registry
+      // entry itself (q274/q284/q271+q295) over the caller's parquet
+      // table directory — the engine's lake and vector tiers surfaced
+      // to the same MCP clients
+      case "lake_time_travel" =>
+        req(args, "data_dir").map(d =>
+          Reports.renderLakeTimeTravel(catalog.spark, d))
+      case "lake_change_feed" =>
+        req(args, "data_dir").map(d =>
+          Reports.renderLakeChangeFeed(catalog.spark, d))
+      case "vector_scoreboard" =>
+        req(args, "data_dir").map(d =>
+          Reports.renderVectorScoreboard(catalog.spark, d))
       case other => Left((-32602, s"Outil inconnu: $other"))
     }
     text.map(t => JObject(
@@ -253,7 +268,7 @@ object McpServer {
 
   /** The nine parity tools with the reference's names, descriptions,
     * and input schemas (`cassandra_log_analyzer.py:383-575`) — the
-    * wire contract, byte-stable — followed by the three
+    * wire contract, byte-stable — followed by the six
     * engine-extension tools (marked `[Extension]`), as a parsed JSON
     * constant.
     */
@@ -311,7 +326,19 @@ object McpServer {
       | "inputSchema":{"type":"object","properties":{}}},
       |{"name":"deduplicate_lines","description":"[Extension] Rapport de déduplication exacte des lignes chargées.",
       | "inputSchema":{"type":"object","properties":{
-      |   "limit":{"type":"integer","description":"Nombre max de groupes","default":20}}}}
+      |   "limit":{"type":"integer","description":"Nombre max de groupes","default":20}}}},
+      |{"name":"lake_time_travel","description":"[Extension] Lectures as-of du journal de commits du lake (time travel) sur un répertoire de tables parquet.",
+      | "inputSchema":{"type":"object","properties":{
+      |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
+      |  "required":["data_dir"]}},
+      |{"name":"lake_change_feed","description":"[Extension] Change data feed entre versions du lake, dérivé du diff des ensembles de fichiers.",
+      | "inputSchema":{"type":"object","properties":{
+      |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
+      |  "required":["data_dir"]}},
+      |{"name":"vector_scoreboard","description":"[Extension] Rappel planté des tiers d'index vectoriel (échelle de compression + tier graphe).",
+      | "inputSchema":{"type":"object","properties":{
+      |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
+      |  "required":["data_dir"]}}
       |]""".stripMargin)
 
   /** The two resources (`cassandra_log_analyzer.py:342-357`). */

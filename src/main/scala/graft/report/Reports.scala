@@ -251,4 +251,89 @@ object Reports {
     }
     sb.result()
   }
+
+  /** The lake/vector extension tools' table-directory guard: the tool
+    * surface must answer in prose, never a stack trace.
+    */
+  private def missingTables(dataDir: String, tables: Seq[String])
+      : Option[String] = {
+    val missing = tables.filterNot(t =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dataDir/$t.parquet")))
+    if (missing.isEmpty) None
+    else Some(s"Répertoire de tables invalide: '$dataDir' " +
+      s"(manquant: ${missing.map(_ + ".parquet").mkString(", ")}).")
+  }
+
+  /** `lake_time_travel` — the q274 commit-log lifecycle (version →
+    * files/rows/chars/checksum) run through the gated registry entry
+    * ITSELF over the caller's table directory, so the MCP surface
+    * executes exactly what CORRECTNESS gates.
+    */
+  def renderLakeTimeTravel(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): String =
+    missingTables(dataDir, Seq("documents")).getOrElse {
+      val rows =
+        graft.SparkEntry.queries("q274_lake_time_travel")(spark, dataDir)
+          .collect()
+      val sb = new StringBuilder("# Time travel (journal de commits)\n\n")
+      sb ++= "Lectures as-of(v) résolues par repli des manifestes " +
+        "(v0 chargement initial, v1 append delta, v2 delete " +
+        "copy-on-write):\n"
+      rows.foreach { r =>
+        sb ++= s"\n- version ${r.getLong(0)}: fichiers ${r.getLong(1)}, " +
+          s"lignes ${r.getLong(2)}, caractères ${r.getLong(3)}, " +
+          s"checksum ${r.getLong(4)}\n"
+      }
+      sb.result()
+    }
+
+  /** `lake_change_feed` — q284's change-data-feed (file-set diff)
+    * through the gated registry entry; v0→v2 carries the real
+    * inserts/deletes, v2→v3 proves compaction is invisible to a CDF
+    * consumer.
+    */
+  def renderLakeChangeFeed(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): String =
+    missingTables(dataDir, Seq("documents")).getOrElse {
+      val rows =
+        graft.SparkEntry.queries("q284_lake_change_feed")(spark, dataDir)
+          .collect()
+      val sb = new StringBuilder("# Change data feed\n\n")
+      sb ++= "Changements entre versions, dérivés du seul diff des " +
+        "ensembles de fichiers (jamais un re-scan de la table):\n"
+      rows.foreach { r =>
+        sb ++= s"\n- v${r.getLong(0)} → v${r.getLong(1)} " +
+          s"${r.getString(2)}: lignes ${r.getLong(3)}, " +
+          s"caractères ${r.getLong(4)}, checksum ${r.getLong(5)}\n"
+      }
+      sb.result()
+    }
+
+  /** `vector_scoreboard` — the planted-truth recall ladder (q271) plus
+    * the graph tier's entry/entry-set/walk chain (q295), both through
+    * the gated registry entries themselves.
+    */
+  def renderVectorScoreboard(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): String =
+    missingTables(dataDir, Seq("embeddings")).getOrElse {
+      val tiers =
+        graft.SparkEntry.queries("q271_planted_scoreboard")(spark, dataDir)
+          .collect()
+      val graph =
+        graft.SparkEntry.queries("q295_graph_search")(spark, dataDir)
+          .head()
+      val sb = new StringBuilder(
+        "# Scoreboard vectoriel (rappel planté, pour mille)\n\n")
+      sb ++= "Échelle de compression (q271 — la source plantée dans " +
+        "le top-k du tier):\n"
+      tiers.foreach { r =>
+        sb ++= s"\n- ${r.getString(0)}: ${r.getLong(1)}\n"
+      }
+      sb ++= "\nTier graphe (q295, descente gloutonne multi-entrée):\n"
+      sb ++= s"\n- entrée ADC top-1: ${graph.getAs[Long]("entry_recall_permille")}\n"
+      sb ++= s"- ensemble d'entrées: ${graph.getAs[Long]("entryset_recall_permille")}\n"
+      sb ++= s"- après parcours du graphe: ${graph.getAs[Long]("graph_recall_permille")}\n"
+      sb.result()
+    }
 }

@@ -65,7 +65,7 @@ class McpServerSpec extends SparkSuite {
     assert(report.contains("timeout: 1 occurrences")) // classifier hit
   }
 
-  test("tools/list exposes the nine parity tools first, then the three " +
+  test("tools/list exposes the nine parity tools first, then the six " +
       "extension tools; unknown tool errors") {
     val d = newDispatcher
     val Seq(tools, bad) = roundTrip(d,
@@ -78,7 +78,8 @@ class McpServerSpec extends SparkSuite {
       "configure_ssh_node", "load_logs_from_ssh", "load_logs_from_all_nodes",
       "load_logs", "analyze_cluster", "search_logs", "get_errors",
       "compare_nodes", "detect_issues",
-      "mine_templates", "detect_slot_anomalies", "deduplicate_lines")
+      "mine_templates", "detect_slot_anomalies", "deduplicate_lines",
+      "lake_time_travel", "lake_change_feed", "vector_scoreboard")
       .map(JString(_)))
     // extensions are marked so a client can tell them from parity
     assert(list.drop(9).forall(t => (t \ "description") match {
@@ -123,6 +124,32 @@ class McpServerSpec extends SparkSuite {
     val responses = roundTrip(d,
       """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"mine_templates","arguments":{}}}""")
     assert(resultText(responses.head).contains("Aucun log chargé"))
+  }
+
+  test("lake + vector extension tools drive the gated registry entries " +
+      "end-to-end over a parquet table directory") {
+    val d = newDispatcher
+    val dir = "/root/testdata/sf0.001"
+    val responses = roundTrip(d,
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"lake_time_travel","arguments":{"data_dir":"$dir"}}}""",
+      s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"lake_change_feed","arguments":{"data_dir":"$dir"}}}""",
+      s"""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"vector_scoreboard","arguments":{"data_dir":"$dir"}}}""",
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"lake_time_travel","arguments":{"data_dir":"/nonexistent"}}}""",
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"lake_time_travel","arguments":{}}}""")
+    val tt = resultText(responses(0))
+    // all three staged versions rendered through the q274 gate itself
+    assert(tt.contains("version 0") && tt.contains("version 2"))
+    assert(tt.contains("checksum"))
+    val cdf = resultText(responses(1))
+    // both gated pairs present: real changes v0→v2, zero-change v2→v3
+    assert(cdf.contains("v0 → v2 insert") && cdf.contains("v2 → v3 delete"))
+    val sb = resultText(responses(2))
+    // the q270-gated ceiling and the q295 chain both rendered
+    assert(sb.contains("exact: 1000"))
+    assert(sb.contains("après parcours du graphe"))
+    // a bad directory answers in prose, a missing arg is a JSON-RPC error
+    assert(resultText(responses(3)).contains("invalide"))
+    assert((responses(4) \ "error" \ "code") === JInt(-32602))
   }
 
   test("configure_ssh_node previews the first five files; auth line has reference parity") {
