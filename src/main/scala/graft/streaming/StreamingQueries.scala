@@ -577,6 +577,10 @@ object StreamingQueries {
             }
           }
         query.awaitTermination()
+        // gate-construction cost, not data path: the oracle must see
+        // every emitted session, so the memory sink collects them all
+        // (~910k rows / 24 s at sf1 — q70's profile); a deployment
+        // writes a file sink and never materializes this on the driver
         val out = s.table(sink).orderBy("user_id", "session_id")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
