@@ -1069,6 +1069,13 @@ object SimilarityQueries {
     */
   private val knnM = 6
   private val graphHops = 6
+  /** q294 band-width floor: corpora up to this size band at 8 bits
+    * (every gate SF), larger ones at 16 — buckets ≈ n/2^bits stay
+    * bounded, so candidate pairs stay ~linear (the [[lakeGranFor]]
+    * convention for the graph build; measured 11× → ~2× at the 10×
+    * fixture).
+    */
+  private val knnBandFloor = 8000L
   /** q295 entry points per probe: the ADC (nprobe=1) top-E proposals
     * each seed an independent walk — multi-entry NSW, the deployed
     * shape (single-entry greedy measured FLAT on this structure-free
@@ -1095,10 +1102,21 @@ object SimilarityQueries {
   private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val codes = Tables(s, dir, "embeddings")
       .select(col("vec_id"), bqWord(0).as("w0"), bqWord(bqWordBits).as("w1"))
-    val bandCols = (0 until 8).map { b =>
-      val w = if (b < 4) col("w0") else col("w1")
+    // band width grows with the corpus so bucket sizes (and therefore
+    // candidate-pair fan-out ≈ n²·bands/2^bits) stay bounded — the
+    // lakeGranFor convention: every gate SF sits below the floor, and
+    // the fixed-8-bit build measured 11× at 10× data (pairs ∝ n²/256)
+    // while real builds add ~log₂(growth) band bits to hold buckets
+    // constant. Both engines derive the same two-level rule off
+    // COUNT(embeddings).
+    val wide = Tables(s, dir, "embeddings").count() > knnBandFloor
+    val bits = if (wide) 16 else 8
+    val nb = 64 / bits
+    val mask = (1L << bits) - 1L
+    val bandCols = (0 until nb).map { b =>
+      val w = if (b < nb / 2) col("w0") else col("w1")
       struct(lit(b).as("b"),
-        shiftright(w, 8 * (b % 4)).bitwiseAND(lit(255L)).as("bits"))
+        shiftright(w, bits * (b % (nb / 2))).bitwiseAND(lit(mask)).as("bits"))
     }
     val bands = codes
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
@@ -1131,11 +1149,21 @@ object SimilarityQueries {
   private lazy val sqlKnnGraphCtes: String = {
     val eCos = sqlCosineFrom(
       sqlDot("ea.embedding", "eb.embedding"), "ea.n2", "eb.n2")
+    // the adaptive band width as two WHERE-guarded branches off the
+    // same corpus-count rule as the Spark side
     s"""$sqlBcCte,
-       |gb AS (SELECT vec_id, t.b,
+       |gb AS (
+       |  SELECT vec_id, t.b,
        |    ((CASE WHEN t.b < 4 THEN w0 ELSE w1 END)
        |      >> CAST(8 * (t.b % 4) AS INT)) & 255 AS bits
-       |  FROM bc, range(0, 8) t(b)),
+       |  FROM bc, range(0, 8) t(b)
+       |  WHERE (SELECT COUNT(*) FROM embeddings) <= $knnBandFloor
+       |  UNION ALL
+       |  SELECT vec_id, t.b,
+       |    ((CASE WHEN t.b < 2 THEN w0 ELSE w1 END)
+       |      >> CAST(16 * (t.b % 2) AS INT)) & 65535 AS bits
+       |  FROM bc, range(0, 4) t(b)
+       |  WHERE (SELECT COUNT(*) FROM embeddings) > $knnBandFloor),
        |gc AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
        |  FROM gb a JOIN gb b ON b.b = a.b AND b.bits = a.bits
        |    AND b.vec_id <> a.vec_id),
@@ -2054,7 +2082,17 @@ object SimilarityQueries {
         .where(col("rn") <= graphEntries)
         .select(col("probe_id"), col("vec_id").as("entry_id"),
           col("rn").as("entry_rn"))
-      var cur = corpus
+      // materialize the walk state between hops: the frontier is the
+      // serving tier's per-query cursor, bounded by probes × E rows at
+      // ANY corpus size — without this each hop's broadcast replays
+      // the entire upstream walk lineage (measured 38 s at sf0.1 for
+      // the lazy chain; ~3 s materialized). The graph lookups
+      // themselves stay distributed joins against the cached graph.
+      def pin(df: DataFrame): DataFrame = {
+        val rows = df.collect()  // hint audit: frontier-bounded collect (≤ probes × E rows)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+      var cur = pin(corpus
         .select(col("vec_id").as("entry_id"), col("embedding").as("ee"),
           col("n2").as("en2"))
         .join(broadcast(pp  // hint audit: probe-bounded (≤ probes × E entry rows)
@@ -2065,7 +2103,7 @@ object SimilarityQueries {
           col("entry_id"), col("entry_rn"), col("entry_id").as("cur_id"),
           cosineFrom(dot(col("pvec"), col("ee")), col("pn2"), col("en2"))
             .as("cur_cos"),
-          lit(0L).as("n_moves"))
+          lit(0L).as("n_moves")))
       for (_ <- 1 to graphHops) {
         val frontier = g
           .join(broadcast(cur.select(col("cur_id").as("src"),  // hint audit: frontier-bounded (≤ probes × E rows)
@@ -2087,12 +2125,13 @@ object SimilarityQueries {
           .select(col("probe_id"), col("entry_id"),
             col("dst").as("best_id"), col("c").as("best_cos"))
         val moved = col("best_cos") > col("cur_cos")
-        cur = cur.join(broadcast(best), Seq("probe_id", "entry_id"), "left")  // hint audit: probe-bounded (one best row per walk)
+        cur = pin(cur
+          .join(broadcast(best), Seq("probe_id", "entry_id"), "left")  // hint audit: probe-bounded (one best row per walk)
           .select(col("probe_id"), col("source_id"), col("pvec"),
             col("pn2"), col("entry_id"), col("entry_rn"),
             when(moved, col("best_id")).otherwise(col("cur_id")).as("cur_id"),
             when(moved, col("best_cos")).otherwise(col("cur_cos")).as("cur_cos"),
-            (col("n_moves") + when(moved, 1L).otherwise(0L)).as("n_moves"))
+            (col("n_moves") + when(moved, 1L).otherwise(0L)).as("n_moves")))
       }
       // per probe: best endpoint across the E walks (cos DESC, then
       // endpoint/entry ASC — two walks can converge to one endpoint)
