@@ -1099,17 +1099,25 @@ object SimilarityQueries {
     * corpus×8, candidates ∝ collisions, the graph ∝ corpus×2M — a
     * distributed artifact, never collected.
     */
-  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val codes = Tables(s, dir, "embeddings")
+  /** Banded sign-sketch rows (vec_id, band, bits) — band width grows
+    * with the corpus so bucket sizes (and therefore candidate-pair
+    * fan-out ≈ n²·bands/2^bits) stay bounded: the lakeGranFor
+    * convention — every gate SF sits below the floor, and the
+    * fixed-8-bit build measured 11× at 10× data (pairs ∝ n²/256)
+    * while real builds add ~log₂(growth) band bits to hold buckets
+    * constant. Both engines derive the same two-level rule off
+    * COUNT(embeddings). Always the FULL corpus's width, whatever
+    * slice is banded (q296's incremental face must band at the same
+    * width as the artifact it patches; a width migration — the rule
+    * crossing its floor — forces a rebuild, as re-sharding does in
+    * any LSH build).
+    */
+  private def knnBands(s: SparkSession, dir: String,
+      slice: Option[Column] = None): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
+    val codes = slice.fold(base)(base.where)
       .select(col("vec_id"), bqWord(0).as("w0"), bqWord(bqWordBits).as("w1"))
-    // band width grows with the corpus so bucket sizes (and therefore
-    // candidate-pair fan-out ≈ n²·bands/2^bits) stay bounded — the
-    // lakeGranFor convention: every gate SF sits below the floor, and
-    // the fixed-8-bit build measured 11× at 10× data (pairs ∝ n²/256)
-    // while real builds add ~log₂(growth) band bits to hold buckets
-    // constant. Both engines derive the same two-level rule off
-    // COUNT(embeddings).
-    val wide = Tables(s, dir, "embeddings").count() > knnBandFloor
+    val wide = base.count() > knnBandFloor
     val bits = if (wide) 16 else 8
     val nb = 64 / bits
     val mask = (1L << bits) - 1L
@@ -1118,16 +1126,26 @@ object SimilarityQueries {
       struct(lit(b).as("b"),
         shiftright(w, bits * (b % (nb / 2))).bitwiseAND(lit(mask)).as("bits"))
     }
-    val bands = codes
+    codes
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.b").as("band"), col("bb.bits").as("bits"))
-    val cand = bands.select(col("vec_id").as("src"), col("band"), col("bits"))
-      .join(bands.select(col("vec_id").as("dst"), col("band"), col("bits")),
+  }
+
+  /** Distinct banded candidate pairs of two band relations. */
+  private def knnCandidates(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("vec_id").as("src"), col("band"), col("bits"))
+      .join(b.select(col("vec_id").as("dst"), col("band"), col("bits")),
         Seq("band", "bits"))  // unhinted: both sides corpus-scale, fan-out ∝ sketch collisions
       .where(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
+
+  /** Exact cosine on a (src, dst) candidate relation — the only place
+    * full-precision vectors are touched, candidate-bounded.
+    */
+  private def knnScored(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val corpus = emb(s, dir)
-    val scored = cand
+    cand
       .join(corpus.select(col("vec_id").as("src"),
         col("embedding").as("se"), col("n2").as("sn2")), Seq("src"))  // unhinted: candidate-side is a corpus fraction
       .join(corpus.select(col("vec_id").as("dst"),
@@ -1135,12 +1153,31 @@ object SimilarityQueries {
       .select(col("src"), col("dst"),
         cosineFrom(dot(col("se"), col("de")), col("sn2"), col("dn2"))
           .as("cos"))
-    val topm = graft.plans.TopK.perGroup(scored, Seq("src"),
+  }
+
+  private def knnTopM(scored: DataFrame): DataFrame =
+    graft.plans.TopK.perGroup(scored, Seq("src"),
       Seq("cos" -> true, "dst" -> false), knnM)
+
+  /** HNSW's reverse-link step over the directed top-M edge list. */
+  private def knnSymmetrize(topm: DataFrame): DataFrame =
     topm.select("src", "dst")
       .unionByName(topm.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+
+  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val bands = knnBands(s, dir)
+    knnSymmetrize(knnTopM(knnScored(s, dir, knnCandidates(bands, bands))))
   }
+
+  /** The q294 gate's node-grain rollup over a (src, dst) graph. */
+  private def knnRollup(g: DataFrame): DataFrame =
+    g.groupBy(col("src").as("vec_id"))
+      .agg(count(lit(1)).as("degree"),
+        sum(col("dst")).as("sum_dst"),
+        min(col("dst")).as("min_dst"),
+        max(col("dst")).as("max_dst"))
+      .orderBy("vec_id")
 
   /** The graph-build CTE chain (through `g`) — mirrors [[knnGraph]]
     * stage for stage off the SHARED `bc` sign words; requires `e` in
@@ -2037,14 +2074,47 @@ object SimilarityQueries {
     // collisions (the q91 LSH argument — at larger corpora widen the
     // band bits to hold bucket sizes), graph ∝ corpus×2M — every
     // stage a bounded shuffle, nothing ever all-pairs.
-    "q294_knn_graph" -> ((s, dir) =>
-      knnGraph(s, dir)
-        .groupBy(col("src").as("vec_id"))
-        .agg(count(lit(1)).as("degree"),
-          sum(col("dst")).as("sum_dst"),
-          min(col("dst")).as("min_dst"),
-          max(col("dst")).as("max_dst"))
-        .orderBy("vec_id")),
+    "q294_knn_graph" -> ((s, dir) => knnRollup(knnGraph(s, dir))),
+
+    // INCREMENTAL k-NN graph maintenance — the delta-face convention
+    // (q138/q258/q272/q273/q286) applied to the graph index: the
+    // stored artifact is the old corpus's DIRECTED top-M edge list
+    // (cosines included); a delta batch ([deltaLo, deltaHi), the
+    // q189 arrival slice) bands against the full corpus, and merged
+    // top-M re-cuts only over (old top-M) ∪ (pairs touching a delta
+    // vector). Correctness is a small theorem: a new vector can only
+    // displace old neighbors DOWNWARD, so any old vector surviving
+    // the from-scratch cut was already in the old top-M — merging
+    // the two bounded sets and re-cutting reproduces the from-scratch
+    // graph EXACTLY, and the oracle is q294's twin VERBATIM
+    // (incremental ≡ from-scratch, hash-proven). Maintenance cost ∝
+    // |delta| × collisions for scoring plus the index-sized edge-list
+    // regroup (the q189 rebuild class) — surviving nodes' full
+    // vectors are never re-read and old-old pairs are never
+    // re-scored; old edges reuse their STORED cosines. Both faces
+    // band at the full corpus's width (see knnBands).
+    "q296_delta_knn_graph" -> ((s, dir) => {
+      val lo = ModelOpsQueries.deltaLo
+      val hi = ModelOpsQueries.deltaHi
+      def inDelta(c: Column) = c >= lo && c < hi
+      val bandsOld = knnBands(s, dir, Some(!inDelta(col("vec_id"))))
+      val bandsNew = knnBands(s, dir, Some(inDelta(col("vec_id"))))
+      val bandsAll = knnBands(s, dir)
+      // the stored artifact (recomputed here only because gates are
+      // self-contained — q158's premise): old-corpus directed top-M
+      val oldTopM = knnTopM(
+        knnScored(s, dir, knnCandidates(bandsOld, bandsOld)))
+        .select("src", "dst", "cos")
+      // arrival candidates: every banded pair touching a delta vector
+      // (delta × full covers delta-delta and delta→old; old × delta
+      // covers the affected old nodes)
+      val newPairs = knnCandidates(bandsNew, bandsAll)
+        .unionByName(knnCandidates(bandsOld, bandsNew))
+        .distinct()
+      val merged = knnTopM(
+        oldTopM.unionByName(knnScored(s, dir, newPairs)))
+      knnRollup(knnSymmetrize(merged))
+    }),
 
     // Graph-based ANN, serve face — MULTI-ENTRY greedy descent over
     // the q294 graph (NSW's search primitive: hop to the neighbor
@@ -2775,6 +2845,14 @@ object SimilarityQueries {
       "q270_planted_truth" -> q270Sql,
       "q271_planted_scoreboard" -> q271Sql,
       "q294_knn_graph" ->
+        s"""WITH $sqlEmb,
+           |$sqlKnnGraphCtes
+           |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+           |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+           |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+           |FROM g GROUP BY src ORDER BY vec_id""".stripMargin,
+      // incremental ≡ from-scratch: q294's twin VERBATIM
+      "q296_delta_knn_graph" ->
         s"""WITH $sqlEmb,
            |$sqlKnnGraphCtes
            |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,

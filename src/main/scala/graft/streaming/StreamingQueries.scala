@@ -819,12 +819,19 @@ object StreamingQueries {
             .select(unix_micros(col("window.start")).as("window_us"),
               col("event_type"), col("n_events"),
               col("sv").cast("double").as("sum_value"))
-          val query = agg.writeStream.format("parquet")
-            .option("path", sinkDir.toString)
-            .outputMode(OutputMode.Append)
-            .option("checkpointLocation", ckpt.toString)
-            .trigger(Trigger.AvailableNow())
-            .start()
+          // 8 state partitions (the q59/q154 convention): pinned in the
+          // checkpoint at FIRST start, so both runs agree by contract
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          val query =
+            try {
+              s.conf.set("spark.sql.shuffle.partitions", "8")
+              agg.writeStream.format("parquet")
+                .option("path", sinkDir.toString)
+                .outputMode(OutputMode.Append)
+                .option("checkpointLocation", ckpt.toString)
+                .trigger(Trigger.AvailableNow())
+                .start()
+            } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
           query.awaitTermination()
         }
         run()
