@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph-ANN tier invariants (q294/q295/q296), pinned in-engine on the
+  * fixture so a semantics regression fails with a NAMED property
+  * instead of an opaque oracle hash mismatch:
+  *
+  *  - reverse-link symmetry (q294's navigability contract),
+  *  - incremental ≡ from-scratch on the SAME registry entries (the
+  *    displacement theorem q296's scaladoc states),
+  *  - the walk's recall dominance chain (graph ≥ entry-set ≥ entry is
+  *    structural: a walk starting at the planted source never leaves
+  *    it — no corpus vector beats the plant's cosine).
+  */
+class GraphAnnSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("the k-NN graph is symmetric: every edge has its reverse link") {
+    val g = graft.queries.SimilarityQueries.knnGraph(spark, dir).cache()
+    try {
+      val missing = g.select(col("dst").as("src"), col("src").as("dst"))
+        .except(g)
+      assert(missing.count() === 0, "reverse-link step dropped an edge")
+      assert(g.where(col("src") === col("dst")).count() === 0,
+        "self-loop in the graph")
+    } finally g.unpersist()
+  }
+
+  test("incremental maintenance reproduces the from-scratch graph " +
+      "exactly (q296 ≡ q294 through the registry entries)") {
+    val scratch = SparkEntry.queries("q294_knn_graph")(spark, dir)
+    val delta = SparkEntry.queries("q296_delta_knn_graph")(spark, dir)
+    assert(scratch.exceptAll(delta).count() === 0)
+    assert(delta.exceptAll(scratch).count() === 0)
+  }
+
+  test("graph-search recall chain dominates: graph >= entry-set >= " +
+      "entry, and a walk never loses cosine") {
+    val out = SparkEntry.queries("q295_graph_search")(spark, dir).cache()
+    try {
+      val r = out.head()
+      val entry = r.getAs[Long]("entry_recall_permille")
+      val eset = r.getAs[Long]("entryset_recall_permille")
+      val graph = r.getAs[Long]("graph_recall_permille")
+      assert(eset >= entry, s"entry-set recall $eset < entry recall $entry")
+      assert(graph >= eset, s"graph recall $graph < entry-set recall $eset")
+      // structural: if the source was among the entries, SOME walk
+      // started at it and stayed (nothing beats the plant's cosine),
+      // so the winning endpoint must be the source
+      val broken = out.where(col("entryset_has_source") === 1 &&
+        col("found_source") === 0).count()
+      assert(broken === 0, "a walk left the planted source")
+    } finally out.unpersist()
+  }
+}
