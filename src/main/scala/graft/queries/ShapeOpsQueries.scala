@@ -948,6 +948,73 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // ISOLATION LEVELS — the read-conflict half of optimistic
+    // concurrency (q290 gates write-write): a REWRITE is computed
+    // FROM data it read, so a concurrent APPEND into that read range
+    // invalidates it under SERIALIZABLE (the rewrite derives from a
+    // stale read) while WRITE-SERIALIZABLE — the Delta default —
+    // admits it (appends never conflict; only write sets are
+    // checked). Staged: a winner appends doc_id % 7 = 0 rows (wins
+    // v3); a rewrite of the f0r file whose read-set is the g=0 key
+    // range loses v3's CAS and resolves BOTH ways — under
+    // WriteSerializable it rebases past the append and commits v4;
+    // under Serializable the winner's manifest stats ([min,max]
+    // overlapping the read range — the conflict test runs at
+    // METADATA scale off the same stats q279 prunes with) abort it
+    // at the first check. Gated per mode: outcome, version,
+    // attempts, and the as-of rollup — an isolation check that reads
+    // data files, ignores the stats, or conflates the two levels
+    // shifts a row. At 100 TB this is the knob every multi-job lake
+    // sets per table; the check costs one manifest read per
+    // contended version.
+    "q297_lake_isolation_levels" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q297-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val gran = lakeGranFor(docs(s, dir).count())
+        val d = docs(s, dir)
+        def stageFile(name: String, df: DataFrame): (String, Long, Long) = {
+          val p = s"$stage/$name"
+          df.coalesce(1).write.mode("overwrite").parquet(p)
+          val mm = s.read.parquet(p)
+            .agg(min(col("doc_id")), max(col("doc_id"))).head()
+          (p, mm.getLong(0), mm.getLong(1))
+        }
+        val wApp = stageFile("wApp", d.where(col("doc_id") % 7 === 0))
+        val f0r = d.where(expr(s"doc_id div $gran") === 0 &&
+          col("doc_id") % 3 =!= 2 && col("doc_id") % 2 === 0)
+        val f0rW = stageFile("f0rW", f0r.where(col("doc_id") % 5 =!= 0))
+        val f0rS = stageFile("f0rS", f0r.where(col("doc_id") % 11 =!= 0))
+        def add(t: (String, Long, Long)) = ("add", t._1, t._2, t._3)
+        val rmF0r = ("remove", s"$stage/f0r", -1L, -1L)
+        // the rewrite's read-set: the g=0 key range it was computed from
+        val readRange = (0L, gran - 1L)
+        val runs = Seq(
+          ("append_winner", Seq(add(wApp)), None),
+          ("rewrite_write_serializable", Seq(rmF0r, add(f0rW)), None),
+          ("rewrite_serializable", Seq(rmF0r, add(f0rS)), Some(readRange)))
+        val out = runs.map { case (mode, entries, rr) =>
+          val (outcome, v, attempts) =
+            commitLoop(s, stage.toString, 2, entries, rr)
+          if (v >= 0)
+            lakeRollup(s, stage.toString, v.toInt)
+              .select(lit(mode).as("mode"), lit(outcome).as("outcome"),
+                col("version"), lit(attempts).as("n_attempts"),
+                col("n_files"), col("n_rows"), col("sum_chars"),
+                col("key_checksum"))
+          else
+            s.range(1).select(lit(mode).as("mode"),
+              lit(outcome).as("outcome"), lit(-1L).as("version"),
+              lit(attempts).as("n_attempts"), lit(0L).as("n_files"),
+              lit(0L).as("n_rows"), lit(0L).as("sum_chars"),
+              lit(0L).as("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("mode")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
 
   /** q274/q275 file granule floor: docs per staged lake file at the
@@ -1094,7 +1161,8 @@ object ShapeOpsQueries {
     * table data.
     */
   private def commitLoop(s: SparkSession, stage: String, snap: Int,
-      entries: Seq[(String, String, Long, Long)]): (String, Long, Long) = {
+      entries: Seq[(String, String, Long, Long)],
+      readRange: Option[(Long, Long)] = None): (String, Long, Long) = {
     val myRemoves =
       entries.collect { case ("remove", p, _, _) => p }.toSet
     var v = snap + 1
@@ -1105,10 +1173,24 @@ object ShapeOpsQueries {
       if (tryCommit(s, stage, v, entries))
         res = Some(("committed", v.toLong, attempts))
       else {
-        val winnerRemoves = s.read.parquet(s"$stage/_log/v$v").collect()
-          .collect { case r if r.getString(0) == "remove" => r.getString(1) }
-          .toSet
-        if ((myRemoves & winnerRemoves).nonEmpty)
+        val winner = s.read.parquet(s"$stage/_log/v$v").collect()
+          .map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3)))
+        val winnerRemoves =
+          winner.collect { case ("remove", p, _, _) => p }.toSet
+        // write-write conflict (both isolation levels): a file this
+        // writer removes was already removed
+        val writeConflict = (myRemoves & winnerRemoves).nonEmpty
+        // read-write conflict (SERIALIZABLE only, via readRange —
+        // q297): the winner ADDED rows into the key range this
+        // writer's rewrite was computed from (the manifest min/max
+        // stats answer it at metadata scale), so the rewrite derives
+        // from a stale read
+        val readConflict = readRange.exists { case (lo, hi) =>
+          winner.exists { case (a, _, mn, mx) =>
+            a == "add" && mn <= hi && mx >= lo }
+        }
+        if (writeConflict || readConflict)
           res = Some(("aborted", -1L, attempts))
         else v += 1
       }
@@ -1288,6 +1370,40 @@ object ShapeOpsQueries {
          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
          |  CAST(0 AS BIGINT)
          |) ORDER BY writer""".stripMargin
+    },
+    // the serialized outcomes: the append wins v3; the
+    // WriteSerializable rewrite rebases past it to v4 (content = v2
+    // with the f0r rows its rewrite dropped removed, plus the append);
+    // the Serializable rewrite aborts on its first conflict check
+    // (the append's stats overlap its read range)
+    "q297_lake_isolation_levels" -> {
+      val g0even =
+        s"doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 0"
+      def row(mode: String, v: Int, attempts: Int, nFiles: String,
+          body: String) =
+        s"""SELECT '$mode' AS mode, 'committed' AS outcome,
+           |  CAST($v AS BIGINT) AS version,
+           |  CAST($attempts AS BIGINT) AS n_attempts,
+           |  CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM ($body)""".stripMargin
+      def sel(pred: String) =
+        s"SELECT doc_id, n_chars FROM documents WHERE $pred"
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      s"""SELECT * FROM (
+         |${row("append_winner", 3, 1, s"$act + 1",
+          s"${sel(sqlLakeV2Pred)} UNION ALL ${sel("doc_id % 7 = 0")}")}
+         |UNION ALL
+         |${row("rewrite_write_serializable", 4, 2, s"$act + 1",
+          s"${sel(s"$sqlLakeV2Pred AND NOT ($g0even AND doc_id % 5 = 0)")}" +
+            s" UNION ALL ${sel("doc_id % 7 = 0")}")}
+         |UNION ALL
+         |SELECT 'rewrite_serializable', 'aborted', CAST(-1 AS BIGINT),
+         |  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |) ORDER BY mode""".stripMargin
     },
     // boundary 3 keeps only the compacted file: as-of(3) reads the v2
     // content from it; as-of(2)'s whole active set (all pre-compaction
