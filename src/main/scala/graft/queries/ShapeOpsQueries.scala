@@ -1015,6 +1015,167 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN — the governance composition every lake
+    // with user data must run, end to end: (1) the takedown lands
+    // FAST as a deletion vector (v3 — q285's MoR path, no file
+    // rewritten), (2) hard deletion materializes it (v4 — rewrite
+    // ONLY the files holding forgotten keys, remove them + retire
+    // the DV; v4 reads ≡ v3 reads, gated identical), (3) vacuum at
+    // boundary 4 deletes the originals, and (4) the guarantee is
+    // proven AT THE BYTES: every parquet file still on disk is read
+    // back — zero forgotten keys anywhere, and the disk total equals
+    // exactly the retained snapshot (no orphan file lingers holding
+    // the data "deleted" rows). Masking (DV) and forgetting (bytes
+    // gone) are different promises; this gate prices and proves
+    // both. The forget set spans two granules, so the CoW step
+    // rewrites 4 files, not the table — cost ∝ touched files. At
+    // 100 TB: the DV lands in seconds, the rewrite is bounded by
+    // stats-located files (the q279 prune), vacuum is a manifest
+    // fold; only THIS gate's final audit reads everything, which is
+    // what a compliance audit does.
+    "q298_lake_forget" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q298-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val gran = lakeGranFor(docs(s, dir).count())
+        val d = docs(s, dir)
+        val inForget = (expr(s"doc_id div $gran") === 1 ||
+          expr(s"doc_id div $gran") === 3) && col("doc_id") % 13 === 3
+        // v3: the DV commit — the key sidecar plus a manifest entry
+        // referencing it (action "dv": invisible to the add/remove
+        // fold, so the active FILE set is v2's; readers apply the
+        // vector at scan time)
+        d.where(inForget).select("doc_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$stage/_dv/v3")
+        require(tryCommit(s, stage.toString, 3,
+          Seq(("dv", s"$stage/_dv/v3", -1L, -1L))))
+        val v2Files = asOfFiles(s, stage.toString, 2)
+        def rollOver(df: DataFrame, phase: String, nFiles: Long) = df
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+          .select(lit(phase).as("phase"), lit(nFiles).as("n_files"),
+            col("n_rows"),
+            coalesce(col("sum_chars"), lit(0L)).as("sum_chars"),
+            coalesce(col("key_checksum"), lit(0L)).as("key_checksum"))
+        // each phase row is materialized WHEN it happens — the later
+        // vacuum deletes the very files the earlier reads scanned
+        def snap(df: DataFrame): DataFrame = {
+          val rows = df.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        }
+        val dv = s.read.parquet(s"$stage/_dv/v3")
+        val v3Read = s.read.parquet(v2Files: _*)
+          .join(dv, Seq("doc_id"), "left_anti")
+        // v4: hard deletion — rewrite ONLY the files whose key range
+        // holds forgotten ids (located from manifest stats, the q279
+        // prune), retire the DV
+        val touched = Seq(s"$stage/base/g=1", s"$stage/base/g=3",
+          s"$stage/delta/g=1", s"$stage/delta/g=3")
+        val rewrites = touched.map { p =>
+          val rp = p.replace("/base/", "/fbase/")
+            .replace("/delta/", "/fdelta/")
+          s.read.parquet(p).where(!inForget)
+            .coalesce(1).write.mode("overwrite").parquet(rp)
+          rp
+        }
+        val v4Entries = touched.map(p => ("remove", p, -1L, -1L)) ++
+          rewrites.map { p =>
+            val mm = s.read.parquet(p)
+              .agg(min(col("doc_id")), max(col("doc_id"))).head()
+            ("add", p, mm.getLong(0), mm.getLong(1))
+          }
+        val aRow = snap(rollOver(v3Read, "a_v3_masked_read",
+          v2Files.length.toLong))
+        require(tryCommit(s, stage.toString, 4, v4Entries))
+        val v4Files = asOfFiles(s, stage.toString, 4)
+        val v4Read = s.read.parquet(v4Files: _*)
+        val bRow = snap(rollOver(v4Read, "b_v4_hard_delete_read",
+          v4Files.length.toLong))
+        // vacuum at boundary 4: the originals (and the retired DV) go
+        val retained = v4Files.toSet
+        val allAdds = (0 to 4).flatMap(v =>
+          s.read.parquet(s"$stage/_log/v$v").collect()
+            .collect { case r if r.getString(0) == "add" => r.getString(1) })
+        allAdds.filterNot(retained)
+          .foreach(p => rmTree(java.nio.file.Paths.get(p)))
+        rmTree(java.nio.file.Paths.get(s"$stage/_dv"))
+        val postVacuum = s.read.parquet(asOfFiles(s, stage.toString, 4): _*)
+        // the compliance audit: EVERY parquet file still under the
+        // table root (the log excluded), read back
+        val remaining = {
+          val root = java.nio.file.Paths.get(stage.toString)
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          def walk(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p)) {
+              if (p.getFileName.toString != "_log")
+                java.nio.file.Files.list(p).forEach(walk(_))
+            } else if (p.toString.endsWith(".parquet")) acc += p.toString
+          }
+          walk(root)
+          acc.toSeq
+        }
+        val disk = s.read.parquet(remaining: _*)
+        aRow.unionByName(bRow)
+          .unionByName(snap(rollOver(postVacuum, "c_post_vacuum_read",
+            v4Files.length.toLong)))
+          .unionByName(snap(rollOver(disk, "d_disk_total",
+            remaining.length.toLong)))
+          .unionByName(snap(rollOver(disk.where(inForget),
+            "e_forgotten_residual", 0L)))
+          .orderBy("phase")
+      } finally rmTree(stage)
+    }),
+
+    // CDF APPLY — the CONSUMER side of q284 (that gate derives the
+    // change feed; this proves a downstream replica can live off it):
+    // a per-source aggregate materialized at v0 is advanced to v2 by
+    // folding the CDF alone — inserts add, deletes subtract (COUNT /
+    // SUM / the q267 checksum are all abelian, the property that
+    // makes aggregates CDF-maintainable) — and the result must equal
+    // the from-scratch as-of(2) aggregate EXACTLY (the oracle). A
+    // wrong change type, a CoW-carried row not netted out, or a
+    // missed file shifts a source's checksum. At 100 TB this is how
+    // every downstream index/rollup keeps up: cost ∝ the files the
+    // commits touched plus the aggregate's own size — the table is
+    // never rescanned.
+    "q299_lake_cdf_apply" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q299-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        def roll(df: DataFrame, sign: Int) = df
+          .groupBy("source")
+          .agg((count(lit(1)) * sign).as("n_docs"),
+            (sum(col("n_chars").cast("long")) * sign).as("sum_chars"),
+            (sum(expr(manifestTerm("doc_id"))) * sign).as("key_checksum"))
+        // the replica's stored aggregate, materialized at v0
+        val v0Agg = roll(
+          s.read.parquet(asOfFiles(s, stage.toString, 0): _*), 1)
+        // CDF(v0→v2) from the file-set diff (q284's construction)
+        val a = asOfFiles(s, stage.toString, 0).toSet
+        val b = asOfFiles(s, stage.toString, 2).toSet
+        val added = s.read.parquet((b -- a).toSeq: _*)
+        val removed = s.read.parquet((a -- b).toSeq: _*)
+        val inserts = added.join(removed.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val deletes = removed.join(added.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        // apply: fold the signed change rollups into the aggregate
+        val out = v0Agg
+          .unionByName(roll(inserts, 1)).unionByName(roll(deletes, -1))
+          .groupBy("source")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_chars")).as("sum_chars"),
+            sum(col("key_checksum")).as("key_checksum"))
+          .orderBy("source")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
     }))
 
   /** q274/q275 file granule floor: docs per staged lake file at the
@@ -1404,6 +1565,41 @@ object ShapeOpsQueries {
          |  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |) ORDER BY mode""".stripMargin
+    },
+    // the incrementally-maintained aggregate must equal the
+    // from-scratch as-of(2) rollup exactly
+    "q299_lake_cdf_apply" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+         |FROM documents WHERE $sqlLakeV2Pred
+         |GROUP BY source ORDER BY source""".stripMargin,
+    // phases a-d all read the SAME logical content (v2 minus the
+    // forget set — masking, hard deletion, vacuum, and the disk audit
+    // must agree exactly); e is the zero-residual guarantee
+    "q298_lake_forget" -> {
+      val forget =
+        s"(doc_id // $sqlLakeG IN (1, 3) AND doc_id % 13 = 3)"
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      def row(phase: String, nFiles: String, pred: String) =
+        s"""SELECT '$phase' AS phase, CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+           |  CAST(COALESCE(SUM(${manifestTerm("doc_id")}), 0) AS BIGINT)
+           |    AS key_checksum
+           |FROM documents WHERE $pred""".stripMargin
+      val kept = s"$sqlLakeV2Pred AND NOT $forget"
+      s"""SELECT * FROM (
+         |${row("a_v3_masked_read", act, kept)}
+         |UNION ALL
+         |${row("b_v4_hard_delete_read", act, kept)}
+         |UNION ALL
+         |${row("c_post_vacuum_read", act, kept)}
+         |UNION ALL
+         |${row("d_disk_total", act, kept)}
+         |UNION ALL
+         |${row("e_forgotten_residual", "0", "FALSE")}
+         |) ORDER BY phase""".stripMargin
     },
     // boundary 3 keeps only the compacted file: as-of(3) reads the v2
     // content from it; as-of(2)'s whole active set (all pre-compaction
