@@ -1071,14 +1071,25 @@ object ShapeOpsQueries {
         val dv = s.read.parquet(s"$stage/_dv/v3")
         val v3Read = s.read.parquet(v2Files: _*)
           .join(dv, Seq("doc_id"), "left_anti")
-        // v4: hard deletion — rewrite ONLY the files whose key range
-        // holds forgotten ids (located from manifest stats, the q279
-        // prune), retire the DV
-        val touched = Seq(s"$stage/base/g=1", s"$stage/base/g=3",
-          s"$stage/delta/g=1", s"$stage/delta/g=3")
-        val rewrites = touched.map { p =>
-          val rp = p.replace("/base/", "/fbase/")
-            .replace("/delta/", "/fdelta/")
+        // v4: hard deletion — rewrite ONLY the files whose key-range
+        // stats overlap a forgotten-key range (the q279 prune, run
+        // against the v2-active manifest entries; at the gate SFs this
+        // resolves to the 4 base/delta g=1 and g=3 files, and it stays
+        // correct under any fixture size or forget predicate), then
+        // retire the DV
+        val forgetRanges = Seq((gran, 2 * gran - 1), (3 * gran, 4 * gran - 1))
+        val v2Entries = (0 to 2).flatMap(v =>
+          s.read.parquet(s"$stage/_log/v$v").collect()
+            .map(r => (r.getString(0), r.getString(1),
+              r.getLong(2), r.getLong(3))))
+        val v2Removed =
+          v2Entries.collect { case ("remove", p, _, _) => p }.toSet
+        val touched = v2Entries.collect {
+          case ("add", p, mn, mx) if !v2Removed(p) &&
+            forgetRanges.exists { case (lo, hi) => mn <= hi && mx >= lo } => p
+        }
+        val rewrites = touched.zipWithIndex.map { case (p, i) =>
+          val rp = s"$stage/fw$i"
           s.read.parquet(p).where(!inForget)
             .coalesce(1).write.mode("overwrite").parquet(rp)
           rp
@@ -1113,7 +1124,7 @@ object ShapeOpsQueries {
           def walk(p: java.nio.file.Path): Unit = {
             if (java.nio.file.Files.isDirectory(p)) {
               if (p.getFileName.toString != "_log")
-                java.nio.file.Files.list(p).forEach(walk(_))
+                graft.util.FileUtils.listDir(p).foreach(walk)
             } else if (p.toString.endsWith(".parquet")) acc += p.toString
           }
           walk(root)
@@ -1343,13 +1354,21 @@ object ShapeOpsQueries {
         // writer removes was already removed
         val writeConflict = (myRemoves & winnerRemoves).nonEmpty
         // read-write conflict (SERIALIZABLE only, via readRange —
-        // q297): the winner ADDED rows into the key range this
-        // writer's rewrite was computed from (the manifest min/max
-        // stats answer it at metadata scale), so the rewrite derives
-        // from a stale read
+        // q297): the winner changed rows in the key range this
+        // writer's rewrite was computed from, so the rewrite derives
+        // from a stale read. Adds are tested against their manifest
+        // [min, max] stats (metadata scale); removes carry no stats
+        // (-1 sentinels — Delta would resolve the removed file's
+        // stats from its add entry), so an unknown-range removal is
+        // conservatively a conflict: a winner that deleted data the
+        // rewrite read invalidates it exactly as an insert does.
         val readConflict = readRange.exists { case (lo, hi) =>
-          winner.exists { case (a, _, mn, mx) =>
-            a == "add" && mn <= hi && mx >= lo }
+          winner.exists {
+            case ("add", _, mn, mx) => mn <= hi && mx >= lo
+            case ("remove", _, mn, mx) =>
+              mn < 0 || (mn <= hi && mx >= lo)
+            case _ => false
+          }
         }
         if (writeConflict || readConflict)
           res = Some(("aborted", -1L, attempts))
@@ -1389,11 +1408,8 @@ object ShapeOpsQueries {
         col("n_rows"), col("sum_chars"), col("key_checksum"))
   }
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(rmTree(_))
-    java.nio.file.Files.deleteIfExists(p)
-  }
+  private def rmTree(p: java.nio.file.Path): Unit =
+    graft.util.FileUtils.deleteRecursively(p)
 
   /** One version row of the q274/q275 oracle: the version's logical
     * content CASE-reconstructed from the staging rules, rolled up

@@ -265,6 +265,24 @@ object Reports {
       s"(manquant: ${missing.map(_ + ".parquet").mkString(", ")}).")
   }
 
+  /** Full prose contract for the extension tools: the presence check
+    * above, AND any execution failure (present-but-corrupt parquet,
+    * wrong schema) rendered as a one-line prose error — a raw Spark
+    * stack trace never crosses the tool surface.
+    */
+  private def guardedTool(dataDir: String, tables: Seq[String])(
+      body: => String): String =
+    missingTables(dataDir, tables).getOrElse(
+      try body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          val detail = Option(e.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .map(m => s" — $m").getOrElse("")
+          s"Tables illisibles dans '$dataDir' (fichier corrompu ou " +
+            s"schéma inattendu): ${e.getClass.getSimpleName}$detail"
+      })
+
   /** `lake_time_travel` — the q274 commit-log lifecycle (version →
     * files/rows/chars/checksum) run through the gated registry entry
     * ITSELF over the caller's table directory, so the MCP surface
@@ -272,7 +290,7 @@ object Reports {
     */
   def renderLakeTimeTravel(spark: org.apache.spark.sql.SparkSession,
       dataDir: String): String =
-    missingTables(dataDir, Seq("documents")).getOrElse {
+    guardedTool(dataDir, Seq("documents")) {
       val rows =
         graft.SparkEntry.queries("q274_lake_time_travel")(spark, dataDir)
           .collect()
@@ -295,7 +313,7 @@ object Reports {
     */
   def renderLakeChangeFeed(spark: org.apache.spark.sql.SparkSession,
       dataDir: String): String =
-    missingTables(dataDir, Seq("documents")).getOrElse {
+    guardedTool(dataDir, Seq("documents")) {
       val rows =
         graft.SparkEntry.queries("q284_lake_change_feed")(spark, dataDir)
           .collect()
@@ -316,7 +334,7 @@ object Reports {
     */
   def renderVectorScoreboard(spark: org.apache.spark.sql.SparkSession,
       dataDir: String): String =
-    missingTables(dataDir, Seq("embeddings")).getOrElse {
+    guardedTool(dataDir, Seq("embeddings")) {
       val tiers =
         graft.SparkEntry.queries("q271_planted_scoreboard")(spark, dataDir)
           .collect()

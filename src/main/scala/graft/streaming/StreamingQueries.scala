@@ -217,9 +217,7 @@ object StreamingQueries {
         .write.partitionBy("third").mode("overwrite")
         .parquet(tmp.toString)
       arrivalOrder.zipWithIndex.foreach { case (third, pos) =>
-        val part = Files.list(tmp.resolve(s"third=$third"))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val part = graft.util.FileUtils.firstParquet(tmp.resolve(s"third=$third"))
         val f = dest.resolve(s"t$third.parquet")
         Files.move(part, f, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(f,
@@ -860,12 +858,17 @@ object StreamingQueries {
     // and lands the manifest with q290's put-if-absent CAS, so a
     // replay can neither double-append nor tear a manifest. The gate
     // runs the 3-batch ingest through the fenced committer, then
-    // REPLAYS batch 1 with the same payload as a zombie would and
-    // gates: the replay reported fenced, and every version's
-    // rows/checksum rollup (resolved from the manifests, as q287)
-    // still matches the cumulative time-thirds — an unfenced
-    // double-append shifts v1/v2's checksums, a fence that falsely
-    // no-ops a NEW version would fail q287's live path. At 100 TB
+    // REPLAYS batch 1 as a zombie would — with a DISTINGUISHABLE
+    // payload (t2's rows claiming batch 1: a real zombie is an OLD
+    // writer, so what it re-emits need not byte-match the committed
+    // batch) — and gates three ways: replay_fenced is the direct
+    // signal (the probe no-oped before any work); if the probe were
+    // skipped, the zombie's overwrite of the committed data file
+    // either survives (v1/v2's rollups shift to t2's checksums) or
+    // is deleted by the CAS-loss cleanup (the rollup read fails
+    // LOUDLY on the missing file) — wrong in either direction is
+    // visible. A fence that falsely no-ops a NEW version would fail
+    // q287's live path. At 100 TB
     // this is exactly Delta's txn-version dedup: one O(1) log probe
     // per batch, no data read.
     "q293_stream_sink_fencing" -> ((s, dir) => {
@@ -919,10 +922,12 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        // the zombie: a second writer instance re-emits batch 1 with
-        // the same payload; the fence must no-op before any work
+        // the zombie: an old writer instance re-emits batch 1 — with
+        // t2's payload, so a broken fence cannot hide behind an
+        // idempotent byte-identical overwrite; the fence must no-op
+        // before any work
         val replayFenced = !fencedCommit(
-          s.read.parquet(stage.resolve("t1.parquet").toString), 1L)
+          s.read.parquet(stage.resolve("t2.parquet").toString), 1L)
         val out = (0 to 2).map { v =>
           val files = (0 to v).flatMap(i =>
             s.read.parquet(s"$lake/_log/v$i").collect()
@@ -1430,9 +1435,7 @@ object StreamingQueries {
           try {
             batch.where(col("user_id") % 2 === rem).coalesce(1)
               .write.mode("overwrite").parquet(tmp.toString)
-            val part = Files.list(tmp)
-              .filter(p => p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
+            val part = graft.util.FileUtils.firstParquet(tmp)
             Files.move(part, stage.resolve(name),
               StandardCopyOption.REPLACE_EXISTING)
             Files.setLastModifiedTime(stage.resolve(name),
@@ -1581,9 +1584,7 @@ object StreamingQueries {
             .withColumn("us", tsUs(schema)).where(col("us") >= cut)
             .select(schema.fieldNames.map(col).toSeq: _*)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val part = graft.util.FileUtils.firstParquet(tmp)
           Files.move(part, stage.resolve("t2.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         } finally deleteRecursively(tmp)
@@ -1649,9 +1650,7 @@ object StreamingQueries {
           s.read.parquet(src.toString)
             .where(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val part = graft.util.FileUtils.firstParquet(tmp)
           Files.move(part, stage.resolve("delta.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         } finally deleteRecursively(tmp)
@@ -1715,9 +1714,7 @@ object StreamingQueries {
           s.read.parquet(src.toString)
             .where(inDelta(col("doc_id")))
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val part = graft.util.FileUtils.firstParquet(tmp)
           Files.move(part, stage.resolve("delta.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         } finally deleteRecursively(tmp)
@@ -1775,9 +1772,7 @@ object StreamingQueries {
           s.read.parquet(src.toString)
             .where(inDelta(col("doc_id")))
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val part = graft.util.FileUtils.firstParquet(tmp)
           Files.move(part, stage.resolve("delta.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         } finally deleteRecursively(tmp)
@@ -1834,9 +1829,7 @@ object StreamingQueries {
           s.read.parquet(src.toString)
             .where(inDelta(col("vec_id")))
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val part = graft.util.FileUtils.firstParquet(tmp)
           Files.move(part, stage.resolve("delta.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         } finally deleteRecursively(tmp)
@@ -1892,9 +1885,7 @@ object StreamingQueries {
           s.read.parquet(src.toString)
             .where(col("vec_id") >= lo && col("vec_id") < hi)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val part = graft.util.FileUtils.firstParquet(tmp)
           Files.move(part, stage.resolve("delta.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         } finally deleteRecursively(tmp)
@@ -1978,9 +1969,7 @@ object StreamingQueries {
             .write.partitionBy("third").mode("overwrite")
             .parquet(tmp.toString)
           for (i <- 0 to 2) {
-            val part = Files.list(tmp.resolve(s"third=$i"))
-              .filter(p => p.getFileName.toString.endsWith(".parquet"))
-              .findFirst().get()
+            val part = graft.util.FileUtils.firstParquet(tmp.resolve(s"third=$i"))
             Files.move(part, stage.resolve(s"t$i.parquet"),
               StandardCopyOption.REPLACE_EXISTING)
             Files.setLastModifiedTime(stage.resolve(s"t$i.parquet"),
@@ -2064,9 +2053,7 @@ object StreamingQueries {
             .withColumn("us", tsUs(schema)).where(col("us") >= cut)
             .select(schema.fieldNames.map(col).toSeq: _*)
             .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = Files.list(tmp)
-            .filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val part = graft.util.FileUtils.firstParquet(tmp)
           Files.move(part, stage.resolve("t2.parquet"),
             StandardCopyOption.REPLACE_EXISTING)
         } finally deleteRecursively(tmp)

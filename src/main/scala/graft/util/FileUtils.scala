@@ -16,4 +16,26 @@ object FileUtils {
         .forEach(f => Files.deleteIfExists(f))
       finally walk.close()
     }
+
+  /** The single `part-*.parquet` file of a one-partition Spark write;
+    * closes the listing stream (Files.list holds a directory fd until
+    * closed — leaked fds accumulate across the hundreds of staged
+    * writes a Bench/Verify session performs).
+    */
+  def firstParquet(dir: Path): Path = {
+    val listing = Files.list(dir)
+    try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    finally listing.close()
+  }
+
+  /** Directory children, materialized so the stream can be closed. */
+  def listDir(p: Path): Seq[Path] = {
+    val listing = Files.list(p)
+    try {
+      val b = Seq.newBuilder[Path]
+      listing.forEach(c => b += c)
+      b.result()
+    } finally listing.close()
+  }
 }
