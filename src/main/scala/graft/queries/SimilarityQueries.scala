@@ -1165,9 +1165,152 @@ object SimilarityQueries {
       .unionByName(topm.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
 
-  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** The banded build's DIRECTED per-vector top-M edge list (src,
+    * dst, cos) — the stored artifact the symmetrized graph, the q296
+    * incremental face, and the q300 refinement all derive from.
+    */
+  private[graft] def knnBaseTopM(s: SparkSession, dir: String): DataFrame = {
     val bands = knnBands(s, dir)
-    knnSymmetrize(knnTopM(knnScored(s, dir, knnCandidates(bands, bands))))
+    knnTopM(knnScored(s, dir, knnCandidates(bands, bands)))
+  }
+
+  private[graft] def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnSymmetrize(knnBaseTopM(s, dir))
+
+  /** One NN-descent refinement round (Dong, Charikar & Li, WWW 2011 —
+    * public; the step production NSW builds run when wider LSH bands
+    * thin the initial candidates): each node scores its current
+    * neighbors' NEIGHBORS — "a neighbor of my neighbor is likely my
+    * neighbor" — and the per-node top-M is re-cut over (stored edges ∪
+    * fresh candidates). Old edges reuse their STORED cosines (the q296
+    * merge-and-recut device); only never-seen pairs touch full
+    * vectors. Cost at any corpus size: the candidate set is one
+    * self-join on the corpus×2M edge list — fan-out ≤ (2M)² = 144
+    * pairs per node, independent of both corpus size and band width,
+    * which is why this step restores NEIGHBORHOOD QUALITY at
+    * production band widths where collision candidates alone go thin
+    * (what it does and does not buy for walk recall is measured in
+    * SCALE.md — see the q300 gate comment).
+    */
+  private[graft] def knnRefineTopM(s: SparkSession, dir: String,
+      topm: DataFrame): DataFrame = {
+    val g = knnSymmetrize(topm)
+    val nn = g.select(col("src"), col("dst").as("mid"))
+      .join(g.select(col("src").as("mid"), col("dst")),
+        Seq("mid"))  // unhinted: both sides are the corpus×2M edge list
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val fresh = nn.join(topm.select("src", "dst"),
+      Seq("src", "dst"), "left_anti")
+    knnTopM(topm.unionByName(knnScored(s, dir, fresh)))
+  }
+
+  /** The refined k-NN graph: q294's banded build + one NN-descent
+    * round, re-symmetrized.
+    */
+  private[graft] def knnRefinedGraph(
+      s: SparkSession, dir: String): DataFrame =
+    knnSymmetrize(knnRefineTopM(s, dir, knnBaseTopM(s, dir)))
+
+  /** q295's multi-entry greedy walk over an arbitrary (src, dst)
+    * graph relation — shared by the gated q295 (the banded q294
+    * graph) and the SCALE.md recall-chain measurement over the q300
+    * refined graph (tools.GraphChain). `g` should be cached by the
+    * caller: each hop references it once.
+    */
+  private[graft] def graphSearchOver(s: SparkSession, dir: String,
+      g: DataFrame): DataFrame = {
+    val pp = plantedProbes(s, dir)
+    val corpus = emb(s, dir)
+    val entries = ivfPqTopN(s, dir, 1, probesOpt = Some(pp))
+      .where(col("rn") <= graphEntries)
+      .select(col("probe_id"), col("vec_id").as("entry_id"),
+        col("rn").as("entry_rn"))
+    // materialize the walk state between hops: the frontier is the
+    // serving tier's per-query cursor, bounded by probes × E rows at
+    // ANY corpus size — without this each hop's broadcast replays
+    // the entire upstream walk lineage (measured 38 s at sf0.1 for
+    // the lazy chain; ~3 s materialized). The graph lookups
+    // themselves stay distributed joins against the cached graph.
+    def pin(df: DataFrame): DataFrame = {
+      val rows = df.collect()  // hint audit: frontier-bounded collect (≤ probes × E rows)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    }
+    var cur = pin(corpus
+      .select(col("vec_id").as("entry_id"), col("embedding").as("ee"),
+        col("n2").as("en2"))
+      .join(broadcast(pp  // hint audit: probe-bounded (≤ probes × E entry rows)
+        .select(col("probe_id"), col("source_id"), col("pvec"),
+          col("pn2"))
+        .join(entries, Seq("probe_id"))), Seq("entry_id"))
+      .select(col("probe_id"), col("source_id"), col("pvec"), col("pn2"),
+        col("entry_id"), col("entry_rn"), col("entry_id").as("cur_id"),
+        cosineFrom(dot(col("pvec"), col("ee")), col("pn2"), col("en2"))
+          .as("cur_cos"),
+        lit(0L).as("n_moves")))
+    for (_ <- 1 to graphHops) {
+      val frontier = g
+        .join(broadcast(cur.select(col("cur_id").as("src"),  // hint audit: frontier-bounded (≤ probes × E rows)
+          col("probe_id"), col("entry_id"), col("pvec"), col("pn2"))),
+          Seq("src"))
+        .select(col("probe_id"), col("entry_id"), col("dst"),
+          col("pvec"), col("pn2"))
+      val cands = corpus
+        .select(col("vec_id").as("dst"), col("embedding").as("de"),
+          col("n2").as("dn2"))
+        .join(broadcast(frontier), Seq("dst"))  // hint audit: probe-bounded (≤ probes × E × 2M neighbor rows)
+        .select(col("probe_id"), col("entry_id"), col("dst"),
+          cosineFrom(dot(col("pvec"), col("de")), col("pn2"), col("dn2"))
+            .as("c"))
+      val w = Window.partitionBy("probe_id", "entry_id")
+        .orderBy(desc("c"), asc("dst"))
+      val best = cands.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("probe_id"), col("entry_id"),
+          col("dst").as("best_id"), col("c").as("best_cos"))
+      val moved = col("best_cos") > col("cur_cos")
+      cur = pin(cur
+        .join(broadcast(best), Seq("probe_id", "entry_id"), "left")  // hint audit: probe-bounded (one best row per walk)
+        .select(col("probe_id"), col("source_id"), col("pvec"),
+          col("pn2"), col("entry_id"), col("entry_rn"),
+          when(moved, col("best_id")).otherwise(col("cur_id")).as("cur_id"),
+          when(moved, col("best_cos")).otherwise(col("cur_cos")).as("cur_cos"),
+          (col("n_moves") + when(moved, 1L).otherwise(0L)).as("n_moves")))
+    }
+    // per probe: best endpoint across the E walks (cos DESC, then
+    // endpoint/entry ASC — two walks can converge to one endpoint)
+    val wWin = Window.partitionBy("probe_id")
+      .orderBy(desc("cur_cos"), asc("cur_id"), asc("entry_id"))
+    val won = cur.withColumn("wrn", row_number().over(wWin))
+    val perProbe = won
+      .groupBy("probe_id", "source_id")
+      .agg(
+        min(when(col("entry_rn") === 1, col("entry_id")))
+          .as("entry_top1_id"),
+        max((col("entry_id") === col("source_id")).cast("long"))
+          .as("entryset_has_source"),
+        min(when(col("wrn") === 1, col("cur_id"))).as("final_id"),
+        min(when(col("wrn") === 1, col("entry_id")))
+          .as("winning_entry_id"),
+        min(when(col("wrn") === 1, col("n_moves"))).as("n_moves"))
+      .withColumn("entry_was_source",
+        (col("entry_top1_id") === col("source_id")).cast("long"))
+      .withColumn("found_source",
+        (col("final_id") === col("source_id")).cast("long"))
+    val all = Window.partitionBy()
+    perProbe
+      .withColumn("n_e", sum(col("entry_was_source")).over(all))
+      .withColumn("n_s", sum(col("entryset_has_source")).over(all))
+      .withColumn("n_g", sum(col("found_source")).over(all))
+      .withColumn("n_probes", count(lit(1)).over(all))
+      .select(col("probe_id"), col("source_id"), col("entry_top1_id"),
+        col("winning_entry_id"), col("final_id"), col("n_moves"),
+        col("entry_was_source"), col("entryset_has_source"),
+        col("found_source"),
+        expr("n_e * 1000 div n_probes").as("entry_recall_permille"),
+        expr("n_s * 1000 div n_probes").as("entryset_recall_permille"),
+        expr("n_g * 1000 div n_probes").as("graph_recall_permille"))
+      .orderBy("probe_id")
   }
 
   /** The q294 gate's node-grain rollup over a (src, dst) graph. */
@@ -1207,12 +1350,41 @@ object SimilarityQueries {
        |gs AS (SELECT src, dst, $eCos AS cos
        |  FROM gc JOIN e ea ON ea.vec_id = gc.src
        |  JOIN e eb ON eb.vec_id = gc.dst),
-       |gt AS (SELECT src, dst FROM (SELECT src, dst,
+       |gt AS (SELECT src, dst, cos FROM (SELECT src, dst, cos,
        |    ROW_NUMBER() OVER (PARTITION BY src
        |      ORDER BY cos DESC, dst) AS rn
        |  FROM gs) WHERE rn <= $knnM),
        |g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM gt UNION ALL SELECT dst, src FROM gt))"""
+      .stripMargin
+  }
+
+  /** q300's oracle chain: one NN-descent refinement round over the
+    * q294 graph — neighbors-of-neighbors candidates (≤ (2M)² per
+    * node), fresh pairs scored exactly, merged with the directed
+    * top-M's STORED cosines, re-cut, re-symmetrized. Extends
+    * [[sqlKnnGraphCtes]] stage for stage with the Spark build.
+    */
+  private lazy val sqlKnnRefineCtes: String = {
+    val rCos = sqlCosineFrom(
+      sqlDot("ea.embedding", "eb.embedding"), "ea.n2", "eb.n2")
+    s"""$sqlKnnGraphCtes,
+       |rnn AS (SELECT DISTINCT g1.src AS src, g2.dst AS dst
+       |  FROM g g1 JOIN g g2 ON g2.src = g1.dst
+       |  WHERE g2.dst <> g1.src),
+       |rfr AS (SELECT src, dst FROM rnn
+       |  EXCEPT SELECT src, dst FROM gt),
+       |rsc AS (SELECT src, dst, $rCos AS cos
+       |  FROM rfr JOIN e ea ON ea.vec_id = rfr.src
+       |  JOIN e eb ON eb.vec_id = rfr.dst),
+       |rme AS (SELECT src, dst, cos FROM gt
+       |  UNION ALL SELECT src, dst, cos FROM rsc),
+       |rt AS (SELECT src, dst FROM (SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rn
+       |  FROM rme) WHERE rn <= $knnM),
+       |rg AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM rt UNION ALL SELECT dst, src FROM rt))"""
       .stripMargin
   }
 
@@ -2076,6 +2248,27 @@ object SimilarityQueries {
     // stage a bounded shuffle, nothing ever all-pairs.
     "q294_knn_graph" -> ((s, dir) => knnRollup(knnGraph(s, dir))),
 
+    // NN-DESCENT refinement of the k-NN graph — the quality-restoring
+    // build step for production band widths (see [[knnRefineTopM]]):
+    // at sf1 the corpus-scaled 16-bit bands keep the BUILD linear but
+    // thin the collision candidates to ~3-entry buckets; one bounded
+    // neighbors-of-neighbors round restores per-node neighborhood
+    // quality without ever widening the pair fan-out past (2M)² per
+    // node. Gated at q294's node grain — degree + neighbor-id
+    // sum/min/max per vector — so a missed candidate, a stale stored
+    // cosine, or a re-cut misorder shifts a row. The improvement
+    // invariant (per-node summed neighbor cosine only rises: the
+    // re-cut optimizes over a SUPERSET of pairs) is pinned in
+    // GraphAnnSpec. What it buys for SEARCH is measured honestly in
+    // SCALE.md (tools.GraphChain, both builds at sf0.1 and sf1):
+    // neighborhood quality and walk navigability are DIFFERENT
+    // objectives — pure closest-M re-cutting clusters the graph,
+    // which is exactly why HNSW ships a diversifying neighbor-select
+    // heuristic on top of candidates like these (Malkov & Yashunin
+    // 2020 §4, algorithm 4); on the driver's structure-free random
+    // embeddings the walk chain is entry-limited at sf1 either way.
+    "q300_knn_refine" -> ((s, dir) => knnRollup(knnRefinedGraph(s, dir))),
+
     // INCREMENTAL k-NN graph maintenance — the delta-face convention
     // (q138/q258/q272/q273/q286) applied to the graph index: the
     // stored artifact is the old corpus's DIRECTED top-M edge list
@@ -2144,100 +2337,8 @@ object SimilarityQueries {
     // corpus-sized). A fixed 6-hop unroll is exact because each walk
     // is monotone (no improving neighbor → every later hop no-ops) —
     // both engines run the identical unroll.
-    "q295_graph_search" -> ((s, dir) => {
-      val pp = plantedProbes(s, dir)
-      val g = lastKnnGraph.swap(knnGraph(s, dir).cache())
-      val corpus = emb(s, dir)
-      val entries = ivfPqTopN(s, dir, 1, probesOpt = Some(pp))
-        .where(col("rn") <= graphEntries)
-        .select(col("probe_id"), col("vec_id").as("entry_id"),
-          col("rn").as("entry_rn"))
-      // materialize the walk state between hops: the frontier is the
-      // serving tier's per-query cursor, bounded by probes × E rows at
-      // ANY corpus size — without this each hop's broadcast replays
-      // the entire upstream walk lineage (measured 38 s at sf0.1 for
-      // the lazy chain; ~3 s materialized). The graph lookups
-      // themselves stay distributed joins against the cached graph.
-      def pin(df: DataFrame): DataFrame = {
-        val rows = df.collect()  // hint audit: frontier-bounded collect (≤ probes × E rows)
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      }
-      var cur = pin(corpus
-        .select(col("vec_id").as("entry_id"), col("embedding").as("ee"),
-          col("n2").as("en2"))
-        .join(broadcast(pp  // hint audit: probe-bounded (≤ probes × E entry rows)
-          .select(col("probe_id"), col("source_id"), col("pvec"),
-            col("pn2"))
-          .join(entries, Seq("probe_id"))), Seq("entry_id"))
-        .select(col("probe_id"), col("source_id"), col("pvec"), col("pn2"),
-          col("entry_id"), col("entry_rn"), col("entry_id").as("cur_id"),
-          cosineFrom(dot(col("pvec"), col("ee")), col("pn2"), col("en2"))
-            .as("cur_cos"),
-          lit(0L).as("n_moves")))
-      for (_ <- 1 to graphHops) {
-        val frontier = g
-          .join(broadcast(cur.select(col("cur_id").as("src"),  // hint audit: frontier-bounded (≤ probes × E rows)
-            col("probe_id"), col("entry_id"), col("pvec"), col("pn2"))),
-            Seq("src"))
-          .select(col("probe_id"), col("entry_id"), col("dst"),
-            col("pvec"), col("pn2"))
-        val cands = corpus
-          .select(col("vec_id").as("dst"), col("embedding").as("de"),
-            col("n2").as("dn2"))
-          .join(broadcast(frontier), Seq("dst"))  // hint audit: probe-bounded (≤ probes × E × 2M neighbor rows)
-          .select(col("probe_id"), col("entry_id"), col("dst"),
-            cosineFrom(dot(col("pvec"), col("de")), col("pn2"), col("dn2"))
-              .as("c"))
-        val w = Window.partitionBy("probe_id", "entry_id")
-          .orderBy(desc("c"), asc("dst"))
-        val best = cands.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("probe_id"), col("entry_id"),
-            col("dst").as("best_id"), col("c").as("best_cos"))
-        val moved = col("best_cos") > col("cur_cos")
-        cur = pin(cur
-          .join(broadcast(best), Seq("probe_id", "entry_id"), "left")  // hint audit: probe-bounded (one best row per walk)
-          .select(col("probe_id"), col("source_id"), col("pvec"),
-            col("pn2"), col("entry_id"), col("entry_rn"),
-            when(moved, col("best_id")).otherwise(col("cur_id")).as("cur_id"),
-            when(moved, col("best_cos")).otherwise(col("cur_cos")).as("cur_cos"),
-            (col("n_moves") + when(moved, 1L).otherwise(0L)).as("n_moves")))
-      }
-      // per probe: best endpoint across the E walks (cos DESC, then
-      // endpoint/entry ASC — two walks can converge to one endpoint)
-      val wWin = Window.partitionBy("probe_id")
-        .orderBy(desc("cur_cos"), asc("cur_id"), asc("entry_id"))
-      val won = cur.withColumn("wrn", row_number().over(wWin))
-      val perProbe = won
-        .groupBy("probe_id", "source_id")
-        .agg(
-          min(when(col("entry_rn") === 1, col("entry_id")))
-            .as("entry_top1_id"),
-          max((col("entry_id") === col("source_id")).cast("long"))
-            .as("entryset_has_source"),
-          min(when(col("wrn") === 1, col("cur_id"))).as("final_id"),
-          min(when(col("wrn") === 1, col("entry_id")))
-            .as("winning_entry_id"),
-          min(when(col("wrn") === 1, col("n_moves"))).as("n_moves"))
-        .withColumn("entry_was_source",
-          (col("entry_top1_id") === col("source_id")).cast("long"))
-        .withColumn("found_source",
-          (col("final_id") === col("source_id")).cast("long"))
-      val all = Window.partitionBy()
-      perProbe
-        .withColumn("n_e", sum(col("entry_was_source")).over(all))
-        .withColumn("n_s", sum(col("entryset_has_source")).over(all))
-        .withColumn("n_g", sum(col("found_source")).over(all))
-        .withColumn("n_probes", count(lit(1)).over(all))
-        .select(col("probe_id"), col("source_id"), col("entry_top1_id"),
-          col("winning_entry_id"), col("final_id"), col("n_moves"),
-          col("entry_was_source"), col("entryset_has_source"),
-          col("found_source"),
-          expr("n_e * 1000 div n_probes").as("entry_recall_permille"),
-          expr("n_s * 1000 div n_probes").as("entryset_recall_permille"),
-          expr("n_g * 1000 div n_probes").as("graph_recall_permille"))
-        .orderBy("probe_id")
-    }),
+    "q295_graph_search" -> ((s, dir) =>
+      graphSearchOver(s, dir, lastKnnGraph.swap(knnGraph(s, dir).cache()))),
 
     // FILTERED vector search — the ubiquitous vector-DB request
     // ("nearest neighbors WHERE label IN (...)") and its standard
@@ -2860,6 +2961,14 @@ object SimilarityQueries {
            |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
            |FROM g GROUP BY src ORDER BY vec_id""".stripMargin,
       "q295_graph_search" -> q295Sql,
+      // the refined graph's node-grain rollup — q294's twin over rg
+      "q300_knn_refine" ->
+        s"""WITH $sqlEmb,
+           |$sqlKnnRefineCtes
+           |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+           |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+           |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+           |FROM rg GROUP BY src ORDER BY vec_id""".stripMargin,
       "q195_res_pq_encode" ->
         s"""WITH ${sqlResChain(1)}
            |SELECT r.vec_id, v.cell,

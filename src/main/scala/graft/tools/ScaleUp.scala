@@ -29,8 +29,18 @@ import org.apache.spark.sql.functions._
   *    the same transform) while cross-copy shingle overlap is
   *    destroyed, so LSH candidate pairs scale ×factor instead of the
   *    ×factor² a verbatim copy would fabricate;
-  *  - embeddings: vec_id shifts, vectors copied (cell/bucket sizes
-  *    scale uniformly; identical distances only add ties).
+  *  - embeddings: vec_id shifts and copy i's vectors get a cyclic
+  *    rotation of their dimensions by i positions — the documents
+  *    convention applied to vectors: a rotation preserves EVERY
+  *    within-copy dot product and norm exactly (planted probe→source
+  *    geometry, cell shapes, quantization errors all carry over)
+  *    while cross-copy vectors decorrelate, so LSH/IVF bucket
+  *    populations scale ×factor instead of ×factor² and no vector
+  *    acquires factor−1 exact duplicates. (Verbatim copies made every
+  *    sf1 recall number a fixture artifact: each planted source tied
+  *    with 9 identical twins that no index — exact scan included —
+  *    could legitimately separate, and every node's k-NN top-M
+  *    filled with its own cos=1 clones.)
   *
   * Usage: `runMain graft.tools.ScaleUp <srcDir> <destDir> <factor>`.
   */
@@ -119,8 +129,14 @@ object ScaleUp {
     })
 
     val vecShift = shiftOf(table("embeddings"), "vec_id")
-    replicate("embeddings", (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * vecShift)))
+    replicate("embeddings", (df, i) => {
+      val rotated =
+        if (i == 0) col("embedding")
+        else concat(expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
+          expr(s"slice(embedding, 1, $i)"))
+      df.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
+        .withColumn("embedding", rotated)
+    })
 
     if (!preexisting) spark.stop()
   }

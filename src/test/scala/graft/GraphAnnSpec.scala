@@ -36,6 +36,30 @@ class GraphAnnSpec extends SparkSuite {
     assert(delta.exceptAll(scratch).count() === 0)
   }
 
+  test("NN-descent refinement only improves neighborhoods: per-node " +
+      "summed neighbor cosine of the refined top-M >= the base top-M " +
+      "(the re-cut optimizes over a superset of pairs), and the " +
+      "refined graph keeps symmetry") {
+    import graft.queries.SimilarityQueries._
+    val base = knnBaseTopM(spark, dir).cache()
+    try {
+      val refinedTopM = knnRefineTopM(spark, dir, base)
+      // quality invariant on the DIRECTED lists (what the re-cut
+      // optimizes): the refined per-src cosine sum can never drop
+      def qual(g: org.apache.spark.sql.DataFrame, name: String) =
+        g.groupBy("src").agg(sum(col("cos")).as(name))
+      val worse = qual(base, "base_q")
+        .join(qual(refinedTopM, "ref_q"), Seq("src"))
+        .where(col("ref_q") < col("base_q") - lit(1e-9))
+        .count()
+      assert(worse === 0, "refinement degraded a node's neighborhood")
+      // symmetry carries through the refinement's re-symmetrize
+      val refined = knnRefinedGraph(spark, dir)
+      assert(refined.select(col("dst").as("src"), col("src").as("dst"))
+        .except(refined).count() === 0)
+    } finally { base.unpersist(); () }
+  }
+
   test("graph-search recall chain dominates: graph >= entry-set >= " +
       "entry, and a walk never loses cosine") {
     val out = SparkEntry.queries("q295_graph_search")(spark, dir).cache()
