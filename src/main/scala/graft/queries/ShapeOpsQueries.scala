@@ -1187,7 +1187,275 @@ object ShapeOpsQueries {
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
+    }),
+
+    // COMMIT-LOG CHECKPOINTING — the device that keeps snapshot
+    // resolution O(1) however long the table lives (Delta writes a
+    // checkpoint parquet every 10 commits; the round-14 lake tier's
+    // asOfFiles folded v0..vN on the driver — fine at 3-6 staged
+    // versions, structurally unbounded at the thousands of commits a
+    // production table accumulates). Staged: the v0-v2 log plus SIX
+    // more commits (v3-v8, one residue-slice append each, landed
+    // through the real q290 CAS), a checkpoint of the RESOLVED
+    // active set + its file stats written after every 3rd commit
+    // (ckpt-v3, ckpt-v6). The checkpointed reader resolves as-of(v)
+    // from the newest checkpoint ≤ v plus the manifest TAIL only.
+    // Gated at three probe versions spanning the interesting cases —
+    // before any checkpoint (v2: plain fold), between checkpoints
+    // (v5: ckpt-v3 + 2 tail manifests), after the last (v8: ckpt-v6
+    // + 2) — with the manifests-actually-read counts (the full fold
+    // GROWS 3→6→9 while the checkpoint path stays at 3), a
+    // Spark-side set-equality proof against the full fold, and the
+    // content rollup read THROUGH the checkpoint-resolved file set:
+    // a checkpoint that loses a remove, double-counts an add, or
+    // drops stats shifts a row. At 100 TB: checkpoint size ∝ active
+    // FILES (metadata), written incrementally off the previous
+    // checkpoint — never a table scan; resolution cost is 1 + (v mod
+    // cadence) manifest reads, independent of table age.
+    "q301_lake_checkpoint" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q301-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val d = docs(s, dir)
+        // v3-v8: residue-slice appends (physical-row multiset
+        // semantics, the q290 convention — duplicates of rows already
+        // present double-count exactly as the files do)
+        for (r <- 0 to 5) {
+          val v = r + 3
+          val p = s"$stage/app_r$r"
+          d.where(col("doc_id") % 7 === r)
+            .coalesce(1).write.mode("overwrite").parquet(p)
+          val mm = s.read.parquet(p)
+            .agg(min(col("doc_id")), max(col("doc_id"))).head()
+          require(tryCommit(s, stage.toString, v,
+            Seq(("add", p, mm.getLong(0), mm.getLong(1)))))
+          // the committer's checkpoint cadence: every 3rd version
+          // snapshots the resolved active set (stats carried forward)
+          // — itself resolved THROUGH the previous checkpoint, so
+          // checkpointing cost never re-folds the whole log either
+          if (v % 3 == 0) {
+            import s.implicits._
+            val (active, _) = ckptResolve(s, stage.toString, v)
+            active.map { case (p2, mn, mx) => ("add", p2, mn, mx) }
+              .toDF("action", "path", "min_id", "max_id").coalesce(1)
+              .write.mode("overwrite").parquet(s"$stage/_log/ckpt-v$v")
+          }
+        }
+        val out = Seq(2, 5, 8).map { v =>
+          val (active, nCkptReads) = ckptResolve(s, stage.toString, v)
+          val matches =
+            active.map(_._1).toSet == asOfFiles(s, stage.toString, v).toSet
+          s.read.parquet(active.map(_._1): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(v.toLong).as("version"),
+              lit((v + 1).toLong).as("n_manifests_full"),
+              lit(nCkptReads).as("n_manifests_ckpt"),
+              lit(matches).as("ckpt_matches_fold"),
+              lit(active.size.toLong).as("n_files"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // MULTI-COLUMN FILE STATS + NON-KEY DATA SKIPPING — the round-14
+    // lake manifests carried only (min, max) doc_id, so the first
+    // non-key predicate a user writes got ZERO skipping; real lakes
+    // record per-column min/max at write time and prune on every
+    // conjunct. Staged: a source-clustered layout (cells = 4
+    // source-groups × key buckets of 2 granules — clustering is what
+    // MAKES non-key stats selective, the reason Z-order exists;
+    // ~12-100 files at any SF), one manifest carrying THREE stat
+    // pairs per file (doc_id, source, n_chars). A three-conjunct read
+    // (source = 'src12' AND doc_id BETWEEN max/4 AND max/2 AND
+    // n_chars >= 100) is pruned dimension by dimension and the gate
+    // emits each stage's surviving-file count: the key range drops a
+    // bucket, the source range drops two of four groups — INCLUDING
+    // an honest lexicographic false positive ('src12' sorts inside
+    // [src0, src4], so group 0 survives its stats and contributes
+    // zero rows, counted in f_false_positive_files) — and the
+    // n_chars conjunct drops nothing on this corpus (every cell's
+    // max exceeds 100: conservative stats prune only what they can
+    // prove, also measured, not hidden). The rollup reads ONLY the
+    // surviving cells with the residual predicate; the oracle
+    // reconstructs cells, stats (DuckDB's string MIN/MAX is the same
+    // code-unit order), every overlap rule, and the content — a
+    // prune wrong in either direction shifts a stage row. At 100 TB
+    // this is the difference between touching 2 cells and scanning
+    // the table for every dashboard filter; the stats cost one
+    // metadata-sized agg per commit, exactly like the key stats.
+    "q302_lake_column_skip" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q302-lake")
+      try {
+        val n = docs(s, dir).count()
+        val kGran = 2L * lakeGranFor(n)
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            ((col("doc_id") % 20) / lit(5)).cast("long").as("sg"),
+            (col("doc_id") / lit(kGran)).cast("long").as("kb"))
+        d.repartition(col("sg"), col("kb"))
+          .write.partitionBy("sg", "kb").mode("overwrite")
+          .parquet(s"$stage/data")
+        // the commit's per-file stats: one metadata-sized agg
+        val cells = d.groupBy("sg", "kb")
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+            min(col("source")).as("msrc"), max(col("source")).as("xsrc"),
+            min(col("n_chars")).as("mch"), max(col("n_chars")).as("xch"))
+          .collect()
+          .map(r => (s"$stage/data/sg=${r.getLong(0)}/kb=${r.getLong(1)}",
+            r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+            r.getLong(6), r.getLong(7)))
+        import s.implicits._
+        cells.toSeq.map { case (p, mn, mx, ms, xs, mc, xc) =>
+          ("add", p, mn, mx, ms, xs, mc, xc) }
+          .toDF("action", "path", "min_id", "max_id", "min_src",
+            "max_src", "min_chars", "max_chars").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/_log/v0")
+        // the read's three conjuncts (bounds derived from the corpus
+        // so the key prune is non-trivial at every SF)
+        val maxId = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+        val (lo, hi) = (maxId / 4, maxId / 2)
+        val srcP = "src12"
+        val chP = 100L
+        // dimension-by-dimension pruning over the manifest (driver,
+        // metadata scale — the manifest is O(files))
+        val manifest = s.read.parquet(s"$stage/_log/v0").collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+            r.getString(4), r.getString(5), r.getLong(6), r.getLong(7)))
+        val keyKept = manifest.filter { case (_, mn, mx, _, _, _, _) =>
+          mn <= hi && mx >= lo }
+        val srcKept = keyKept.filter { case (_, _, _, ms, xs, _, _) =>
+          ms <= srcP && xs >= srcP }
+        val chKept = srcKept.filter { case (_, _, _, _, _, _, xc) =>
+          xc >= chP }
+        val matched = s.read.parquet(chKept.map(_._1): _*)
+          .where(col("source") === srcP &&
+            col("doc_id").between(lo, hi) && col("n_chars") >= chP)
+        // contributing cells recomputed from the keys (each cell is a
+        // (sg, kb) function of doc_id): false positives = survivors
+        // that contribute nothing — the honest price of conservative
+        // stats
+        val contributing = matched
+          .select(((col("doc_id") % 20) / lit(5)).cast("long"),
+            (col("doc_id") / lit(kGran)).cast("long"))
+          .distinct().count()
+        def statRow(name: String, nFiles: Long) =
+          s.range(1).select(lit(name).as("stage"),
+            lit(nFiles).as("n_files"), lit(0L).as("n_rows"),
+            lit(0L).as("sum_chars"), lit(0L).as("key_checksum"))
+        val readRow = matched
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+          .select(lit("e_read").as("stage"),
+            lit(chKept.length.toLong).as("n_files"), col("n_rows"),
+            coalesce(col("sum_chars"), lit(0L)).as("sum_chars"),
+            coalesce(col("key_checksum"), lit(0L)).as("key_checksum"))
+        val out = statRow("a_all_files", manifest.length.toLong)
+          .unionByName(statRow("b_key_pruned", keyKept.length.toLong))
+          .unionByName(statRow("c_source_pruned", srcKept.length.toLong))
+          .unionByName(statRow("d_chars_pruned", chKept.length.toLong))
+          .unionByName(readRow)
+          .unionByName(statRow("f_false_positive_files",
+            chKept.length.toLong - contributing))
+          .orderBy("stage")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // VACUUM RETENTION SAFETY — the concurrency contract that makes
+    // q291's sweep safe to RUN while readers are live (Delta: vacuum
+    // must not free a file any snapshot within the retention window
+    // still references; its check is retention ≥ max reader snapshot
+    // age): before deleting, the sweep intersects its doomed list
+    // with each ACTIVE reader snapshot's resolved file set — pure
+    // manifest work, O(files), never data. Staged on the compaction
+    // log (v0-v3): a vacuum at boundary 3 against a reader pinned at
+    // v2 finds every one of the reader's files doomed and REFUSES
+    // (scenario a — and the reader's read afterwards is gated intact:
+    // refusal preserved the bytes); the same vacuum against a reader
+    // pinned at v3 finds zero conflicts and EXECUTES (scenario b —
+    // the reader's post-delete read is gated hash-exact off the one
+    // compacted file). A sweep that ignores the reader set, resolves
+    // it from the wrong manifests, or deletes despite conflicts
+    // shifts a row or kills a gated read. At 100 TB the check costs
+    // one set intersection per active reader over manifest-resolved
+    // paths — the cheap insurance against the most expensive failure
+    // a lake has (a long query's files freed mid-read).
+    "q303_lake_vacuum_retention" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q303-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        val retained = asOfFiles(s, stage.toString, 3).toSet
+        val doomed = (0 to 3).flatMap(v =>
+          s.read.parquet(s"$stage/_log/v$v").collect()
+            .collect { case r if r.getString(0) == "add" => r.getString(1) })
+          .filterNot(retained)
+        def scenario(name: String, readerV: Int): DataFrame = {
+          val readerFiles = asOfFiles(s, stage.toString, readerV)
+          val doomedSet = doomed.toSet
+          val conflicts = readerFiles.count(doomedSet)
+          val outcome = if (conflicts > 0) "refused" else "executed"
+          if (conflicts == 0)
+            doomed.foreach(p => rmTree(java.nio.file.Paths.get(p)))
+          // the reader's read AFTER the decision — intact on refusal,
+          // intact on execution (its snapshot was conflict-free)
+          s.read.parquet(readerFiles: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(name).as("scenario"), lit(3L).as("boundary"),
+              lit(readerV.toLong).as("reader_version"),
+              lit(doomed.size.toLong).as("n_doomed"),
+              lit(conflicts.toLong).as("n_conflicts"),
+              lit(outcome).as("outcome"),
+              lit(readerFiles.size.toLong).as("n_files"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }
+        def snap(df: DataFrame): DataFrame = {
+          val rows = df.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        }
+        // scenario a materializes BEFORE scenario b's sweep deletes
+        // the very files it read
+        val a = snap(scenario("a_reader_v2", 2))
+        val b = snap(scenario("b_reader_v3", 3))
+        a.unionByName(b).orderBy("scenario")
+      } finally rmTree(stage)
     }))
+
+  /** q301's checkpointed snapshot resolution: newest checkpoint ≤ v
+    * (one existence probe per version walking back — Delta makes this
+    * O(1) with `_last_checkpoint`; either way it is metadata work),
+    * then the manifest TAIL only. Returns the active (path, min, max)
+    * entries and the number of manifest files actually read (the
+    * gate's growth-vs-constant evidence). Falls back to the full fold
+    * when no checkpoint exists yet.
+    */
+  private def ckptResolve(s: SparkSession, stage: String, v: Int)
+      : (Seq[(String, Long, Long)], Long) = {
+    val ckpt = (v to 0 by -1).find(c => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stage, "_log", s"ckpt-v$c")))
+    val base: Seq[(String, Long, Long)] = ckpt.toSeq.flatMap(c =>
+      s.read.parquet(s"$stage/_log/ckpt-v$c").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))))
+    val lo = ckpt.map(_ + 1).getOrElse(0)
+    val tail = (lo to v).flatMap(i =>
+      s.read.parquet(s"$stage/_log/v$i").collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))))
+    val removed = tail.collect { case ("remove", p, _, _) => p }.toSet
+    val active = base.filterNot(e => removed(e._1)) ++
+      tail.collect { case ("add", p, mn, mx) if !removed(p) => (p, mn, mx) }
+    (active, (v - lo + 1).toLong + ckpt.size.toLong)
+  }
 
   /** q274/q275 file granule floor: docs per staged lake file at the
     * gate SFs. Above ~5000 docs the granule grows with the corpus
@@ -1581,6 +1849,112 @@ object ShapeOpsQueries {
          |  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
          |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          |) ORDER BY mode""".stripMargin
+    },
+    // the three probe versions reconstructed from the staging rules:
+    // v2 = the CoW content, v5/v8 add the committed residue slices
+    // (multiset semantics); the manifest counts are structural — the
+    // full fold grows with the version, the checkpoint path reads
+    // exactly 3 manifests at every probe (1 checkpoint + <=2 tail, or
+    // the v0-v2 fold before any checkpoint exists)
+    "q301_lake_checkpoint" -> {
+      def row(v: Int, nFull: Int, nCkpt: Int, nFiles: String,
+          body: String) =
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |  CAST($nFull AS BIGINT) AS n_manifests_full,
+           |  CAST($nCkpt AS BIGINT) AS n_manifests_ckpt,
+           |  TRUE AS ckpt_matches_fold,
+           |  CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM ($body)""".stripMargin
+      def sel(pred: String) =
+        s"SELECT doc_id, n_chars FROM documents WHERE $pred"
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      s"""SELECT * FROM (
+         |${row(2, 3, 3, act, sel(sqlLakeV2Pred))}
+         |UNION ALL
+         |${row(5, 6, 3, s"$act + 3",
+          s"${sel(sqlLakeV2Pred)} UNION ALL ${sel("doc_id % 7 <= 2")}")}
+         |UNION ALL
+         |${row(8, 9, 3, s"$act + 6",
+          s"${sel(sqlLakeV2Pred)} UNION ALL ${sel("doc_id % 7 <= 5")}")}
+         |) ORDER BY version""".stripMargin
+    },
+    // cells, three stat pairs, and every overlap rule reconstructed
+    // from the clustering rules; string MIN/MAX comparisons are the
+    // same code-unit order in both engines, so the lexicographic
+    // false positive (group 0's [src0, src4] containing 'src12')
+    // reproduces exactly
+    "q302_lake_column_skip" -> {
+      val kg = s"(2 * $sqlLakeG)"
+      s"""WITH b AS (SELECT MAX(doc_id) // 4 AS lo, MAX(doc_id) // 2 AS hi
+         |    FROM documents),
+         |cells AS (SELECT (doc_id % 20) // 5 AS sg, doc_id // $kg AS kb,
+         |    MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+         |    MIN(source) AS msrc, MAX(source) AS xsrc,
+         |    MAX(n_chars) AS xch
+         |  FROM documents GROUP BY 1, 2),
+         |kk AS (SELECT cells.* FROM cells, b WHERE mn <= hi AND mx >= lo),
+         |sk AS (SELECT * FROM kk
+         |  WHERE msrc <= 'src12' AND xsrc >= 'src12'),
+         |ck AS (SELECT * FROM sk WHERE xch >= 100),
+         |m AS (SELECT doc_id, n_chars FROM documents, b
+         |  WHERE source = 'src12' AND doc_id BETWEEN lo AND hi
+         |    AND n_chars >= 100),
+         |contrib AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM
+         |  (SELECT DISTINCT (doc_id % 20) // 5, doc_id // $kg FROM m))
+         |SELECT * FROM (
+         |SELECT 'a_all_files' AS stage,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_files,
+         |  CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_chars,
+         |  CAST(0 AS BIGINT) AS key_checksum
+         |UNION ALL
+         |SELECT 'b_key_pruned', (SELECT CAST(COUNT(*) AS BIGINT) FROM kk),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'c_source_pruned',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sk),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'd_chars_pruned', (SELECT CAST(COUNT(*) AS BIGINT) FROM ck),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'e_read', (SELECT CAST(COUNT(*) AS BIGINT) FROM ck),
+         |  CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+         |  CAST(COALESCE(SUM(${manifestTerm("doc_id")}), 0) AS BIGINT)
+         |FROM m
+         |UNION ALL
+         |SELECT 'f_false_positive_files',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) - (SELECT c FROM contrib),
+         |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |) ORDER BY stage""".stripMargin
+    },
+    // both readers see the v2 content (compaction is a metadata
+    // swap); the counts are structural: boundary 3 dooms every
+    // pre-compaction file (F0 + Fd + 1, q278's boundary-3 row), all
+    // F0 + Fd of the v2 reader's files conflict, none of the v3
+    // reader's single compacted file does
+    "q303_lake_vacuum_retention" -> {
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      def row(name: String, readerV: Int, nConf: String, outcome: String,
+          nFiles: String) =
+        s"""SELECT '$name' AS scenario, CAST(3 AS BIGINT) AS boundary,
+           |  CAST($readerV AS BIGINT) AS reader_version,
+           |  CAST(($act) + 1 AS BIGINT) AS n_doomed,
+           |  CAST(($nConf) AS BIGINT) AS n_conflicts,
+           |  '$outcome' AS outcome,
+           |  CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $sqlLakeV2Pred""".stripMargin
+      s"""SELECT * FROM (
+         |${row("a_reader_v2", 2, act, "refused", act)}
+         |UNION ALL
+         |${row("b_reader_v3", 3, "0", "executed", "1")}
+         |) ORDER BY scenario""".stripMargin
     },
     // the incrementally-maintained aggregate must equal the
     // from-scratch as-of(2) rollup exactly

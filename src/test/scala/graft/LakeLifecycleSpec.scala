@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 lake-tier invariants (q301/q302/q303), pinned in-engine so
+  * a semantics regression fails with a NAMED property instead of an
+  * opaque oracle hash mismatch:
+  *
+  *  - q301: checkpointed snapshot resolution is exact (set-equal to
+  *    the full fold at every probe) while its manifest-read cost stays
+  *    CONSTANT as the full fold's grows — the scaling claim itself;
+  *  - q302: pruning is COMPLETE — the stats-pruned read returns
+  *    exactly the rows a full-table predicate scan returns (a file
+  *    wrongly skipped would lose rows; this is the direction stats
+  *    bugs hide in);
+  *  - q303: the refusal/execution decision is exactly the conflict
+  *    test (refused iff conflicts > 0), and both readers observe the
+  *    SAME logical content (compaction is a metadata swap), refusal
+  *    having preserved the bytes.
+  */
+class LakeLifecycleSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q301: checkpoint resolution is fold-exact and constant-cost " +
+      "while the full fold grows") {
+    val rows = SparkEntry.queries("q301_lake_checkpoint")(spark, dir)
+      .orderBy("version").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[Boolean]("ckpt_matches_fold")),
+      "checkpoint path diverged from the full fold")
+    val full = rows.map(_.getAs[Long]("n_manifests_full")).toSeq
+    val ckpt = rows.map(_.getAs[Long]("n_manifests_ckpt")).toSeq
+    assert(full === Seq(3L, 6L, 9L), s"full-fold counts: $full")
+    assert(ckpt.forall(_ <= 3L), s"checkpoint path read more than 3: $ckpt")
+  }
+
+  test("q302: the stats-pruned read is complete — row-identical to a " +
+      "full-table predicate scan") {
+    val out = SparkEntry.queries("q302_lake_column_skip")(spark, dir)
+    val read = out.where(col("stage") === "e_read").head()
+    val full = graft.queries.Tables(spark, dir, "documents")
+    val maxId = full.agg(max(col("doc_id"))).head().getLong(0)
+    val expected = full
+      .where(col("source") === "src12" &&
+        col("doc_id").between(maxId / 4, maxId / 2) &&
+        col("n_chars") >= 100)
+      .agg(count(lit(1)), coalesce(sum(col("n_chars")), lit(0L))).head()
+    assert(read.getAs[Long]("n_rows") === expected.getLong(0))
+    assert(read.getAs[Long]("sum_chars") === expected.getLong(1))
+  }
+
+  test("q303: refused iff conflicts, and both readers see the same " +
+      "logical content") {
+    val rows = SparkEntry.queries("q303_lake_vacuum_retention")(spark, dir)
+      .orderBy("scenario").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("n_conflicts") > 0) "refused"
+        else "executed"
+      assert(r.getAs[String]("outcome") === expected)
+    }
+    // same content through different physical layouts (F0+Fd files
+    // vs the 1 compacted file) — and scenario a's read ran AFTER the
+    // refusal, so equality also proves refusal preserved the bytes
+    assert(rows(0).getAs[Long]("key_checksum") ===
+      rows(1).getAs[Long]("key_checksum"))
+    assert(rows(0).getAs[Long]("n_rows") === rows(1).getAs[Long]("n_rows"))
+    assert(rows(0).getAs[Long]("n_files") > rows(1).getAs[Long]("n_files"))
+  }
+}
