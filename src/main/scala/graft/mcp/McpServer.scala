@@ -14,11 +14,12 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * JSON-RPC 2.0 over stdin/stdout dispatching the nine parity tool
   * names and two resources to the engine's query layer
   * ([[graft.query.LogQueries]] via [[Reports]], [[RemoteFetcher]],
-  * [[LogCatalog]]), plus six engine-extension tools: the log-mining
+  * [[LogCatalog]]), plus seven engine-extension tools: the log-mining
   * tier (`mine_templates`, `detect_slot_anomalies`,
-  * `deduplicate_lines`) and the lake/vector tiers (`lake_time_travel`,
-  * `lake_change_feed`, `vector_scoreboard`, each running the gated
-  * registry entry itself over a caller-supplied table directory) —
+  * `deduplicate_lines`) and the lake/vector/streaming tiers
+  * (`lake_time_travel`, `lake_change_feed`, `vector_scoreboard`,
+  * `stream_recovery_report`, each running the gated registry entry
+  * itself over a caller-supplied table directory) —
   * capabilities the reference does not have — to the same MCP clients.
   *
   * The transport is deliberately thin: every tool body is one call
@@ -139,6 +140,9 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
       case "vector_scoreboard" =>
         req(args, "data_dir").map(d =>
           Reports.renderVectorScoreboard(catalog.spark, d))
+      case "stream_recovery_report" =>
+        req(args, "data_dir").map(d =>
+          Reports.renderStreamRecovery(catalog.spark, d))
       case other => Left((-32602, s"Outil inconnu: $other"))
     }
     text.map(t => JObject(
@@ -268,7 +272,7 @@ object McpServer {
 
   /** The nine parity tools with the reference's names, descriptions,
     * and input schemas (`cassandra_log_analyzer.py:383-575`) — the
-    * wire contract, byte-stable — followed by the six
+    * wire contract, byte-stable — followed by the seven
     * engine-extension tools (marked `[Extension]`), as a parsed JSON
     * constant.
     */
@@ -336,6 +340,10 @@ object McpServer {
       |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
       |  "required":["data_dir"]}},
       |{"name":"vector_scoreboard","description":"[Extension] Rappel planté des tiers d'index vectoriel (échelle de compression + tier graphe).",
+      | "inputSchema":{"type":"object","properties":{
+      |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
+      |  "required":["data_dir"]}},
+      |{"name":"stream_recovery_report","description":"[Extension] Preuve de reprise exactly-once du streaming: cycle arrêt/arrivée/reprise (q292) comparé à l'exécution continue de référence (q59).",
       | "inputSchema":{"type":"object","properties":{
       |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
       |  "required":["data_dir"]}}

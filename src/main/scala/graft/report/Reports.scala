@@ -328,6 +328,46 @@ object Reports {
       sb.result()
     }
 
+  /** `stream_recovery_report` — the streaming tier's observability
+    * face: runs q292's REAL restart-with-new-data cycle (run 1 over
+    * two time-thirds → shutdown → the third lands → resume from the
+    * same checkpoint, read back through the file sink's commit log)
+    * through the gated registry entry, then proves continuity at the
+    * tool surface by comparing against the one-continuous-run q59
+    * result row for row (q292's oracle is q59's SQL verbatim; here
+    * the engine checks itself end-to-end for the MCP client).
+    */
+  def renderStreamRecovery(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): String =
+    guardedTool(dataDir, Seq("events")) {
+      val rec =
+        graft.SparkEntry.queries("q292_stream_restart_recovery")(
+          spark, dataDir).collect()
+      val cont =
+        graft.SparkEntry.queries("q59_stream_window")(spark, dataDir)
+          .collect()
+      // both frames are ordered by (window_us, event_type); equality
+      // on every column is the continuity proof
+      def key(r: Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val continuous = rec.length == cont.length &&
+        rec.map(key).sameElements(cont.map(key))
+      val sb = new StringBuilder(
+        "# Reprise du streaming (exactly-once)\n\n")
+      sb ++= "Cycle réel rejoué: exécution 1 (deux premiers tiers) → " +
+        "arrêt → arrivée du troisième tiers → reprise depuis le MÊME " +
+        "checkpoint, relecture via le journal de commits du sink " +
+        "fichier.\n"
+      sb ++= s"\n- fenêtres émises (union des deux exécutions): " +
+        s"${rec.length}, événements agrégés: ${rec.map(_.getLong(2)).sum}\n"
+      sb ++= s"- exécution continue de référence: ${cont.length} " +
+        s"fenêtres, ${cont.map(_.getLong(2)).sum} événements\n"
+      sb ++= s"- continuité exacte (aucune fenêtre perdue ou émise deux " +
+        s"fois, comptes et sommes identiques): " +
+        s"${if (continuous) "OUI" else "NON"}\n"
+      sb.result()
+    }
+
   /** `vector_scoreboard` — the planted-truth recall ladder (q271) plus
     * the graph tier's entry/entry-set/walk chain (q295), both through
     * the gated registry entries themselves.

@@ -65,7 +65,7 @@ class McpServerSpec extends SparkSuite {
     assert(report.contains("timeout: 1 occurrences")) // classifier hit
   }
 
-  test("tools/list exposes the nine parity tools first, then the six " +
+  test("tools/list exposes the nine parity tools first, then the seven " +
       "extension tools; unknown tool errors") {
     val d = newDispatcher
     val Seq(tools, bad) = roundTrip(d,
@@ -79,7 +79,8 @@ class McpServerSpec extends SparkSuite {
       "load_logs", "analyze_cluster", "search_logs", "get_errors",
       "compare_nodes", "detect_issues",
       "mine_templates", "detect_slot_anomalies", "deduplicate_lines",
-      "lake_time_travel", "lake_change_feed", "vector_scoreboard")
+      "lake_time_travel", "lake_change_feed", "vector_scoreboard",
+      "stream_recovery_report")
       .map(JString(_)))
     // extensions are marked so a client can tell them from parity
     assert(list.drop(9).forall(t => (t \ "description") match {
@@ -150,6 +151,20 @@ class McpServerSpec extends SparkSuite {
     // a bad directory answers in prose, a missing arg is a JSON-RPC error
     assert(resultText(responses(3)).contains("invalide"))
     assert((responses(4) \ "error" \ "code") === JInt(-32602))
+  }
+
+  test("stream_recovery_report drives the q292 restart cycle and " +
+      "proves continuity against the continuous run") {
+    val d = newDispatcher
+    val dir = "/root/testdata/sf0.001"
+    val responses = roundTrip(d,
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"stream_recovery_report","arguments":{"data_dir":"$dir"}}}""")
+    val text = resultText(responses.head)
+    assert(text.contains("reprise depuis le MÊME checkpoint"))
+    // the continuity verdict must be the affirmative one — a lost or
+    // double-emitted window across the restart would render NON
+    assert(text.contains("continuité exacte") && text.contains("OUI"))
+    assert(!text.contains("NON"))
   }
 
   test("configure_ssh_node previews the first five files; auth line has reference parity") {
