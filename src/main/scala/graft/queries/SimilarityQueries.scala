@@ -1142,7 +1142,7 @@ object SimilarityQueries {
   /** Exact cosine on a (src, dst) candidate relation — the only place
     * full-precision vectors are touched, candidate-bounded.
     */
-  private def knnScored(s: SparkSession, dir: String,
+  private[graft] def knnScored(s: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
     val corpus = emb(s, dir)
     cand
@@ -1193,6 +1193,15 @@ object SimilarityQueries {
     * SCALE.md — see the q300 gate comment).
     */
   private[graft] def knnRefineTopM(s: SparkSession, dir: String,
+      topm: DataFrame): DataFrame =
+    knnTopM(knnMergedPool(s, dir, topm))
+
+  /** The NN-descent candidate pool BEFORE any cut: (stored directed
+    * edges with their cosines) ∪ (exactly-scored fresh
+    * neighbors-of-neighbors pairs). q300 top-M-cuts it; q304 feeds it
+    * to the diversifying selection.
+    */
+  private[graft] def knnMergedPool(s: SparkSession, dir: String,
       topm: DataFrame): DataFrame = {
     val g = knnSymmetrize(topm)
     val nn = g.select(col("src"), col("dst").as("mid"))
@@ -1202,7 +1211,7 @@ object SimilarityQueries {
       .select("src", "dst").distinct()
     val fresh = nn.join(topm.select("src", "dst"),
       Seq("src", "dst"), "left_anti")
-    knnTopM(topm.unionByName(knnScored(s, dir, fresh)))
+    topm.unionByName(knnScored(s, dir, fresh))
   }
 
   /** The refined k-NN graph: q294's banded build + one NN-descent
@@ -1211,6 +1220,87 @@ object SimilarityQueries {
   private[graft] def knnRefinedGraph(
       s: SparkSession, dir: String): DataFrame =
     knnSymmetrize(knnRefineTopM(s, dir, knnBaseTopM(s, dir)))
+
+  /** q304 candidate-pool width: the heuristic considers the top-2M
+    * pool candidates per node (HNSW's efConstruction-style slack over
+    * the M it will keep); pairwise scoring is ≤ R(R−1)/2 = 66 pairs
+    * per node, independent of corpus size.
+    */
+  private val knnDivR = 2 * knnM
+
+  /** HNSW's SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin, TPAMI 2020
+    * §4 algorithm 4 — public), distributed: per node, walk the top-R
+    * candidate pool in (cos DESC, id) order and KEEP a candidate only
+    * if it is closer to the node than to every already-kept neighbor
+    * (cos(c, node) > max over kept s of cos(c, s)) — the
+    * relative-neighborhood-style pruning that trades raw neighbor
+    * quality for DIVERSITY, preserving the long edges greedy descent
+    * climbs through (the q300 finding: pure closest-M re-cutting
+    * raises neighbor cosines yet clusters the graph). The selection
+    * is PER-NODE-LOCAL over bounded state (R candidates + R(R−1)/2
+    * pair cosines, both independent of corpus size), so the Spark
+    * shape is ONE shuffle to the node grain and a higher-order
+    * `aggregate` fold down each node's rank-ordered candidate array —
+    * not an iterated join (a 6-round materialized-loop formulation
+    * measured 25 s at sf0.1; this single-pass shape ~4 s on the same
+    * plans' inputs). Pairwise cosines are scored once per unordered
+    * pool pair — the only place vectors are touched. The oracle runs
+    * the equivalent unrolled rounds: round-wise
+    * lowest-rank-still-eligible ≡ the single pass because
+    * ineligibility is monotone (the kept set only grows, so a
+    * candidate rejected once is rejected forever).
+    */
+  private[graft] def knnDiversifiedTopM(
+      s: SparkSession, dir: String): DataFrame = {
+    val pool0 = knnMergedPool(s, dir, knnBaseTopM(s, dir))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    val pool = pool0.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= knnDivR)
+    // pairwise cosines among each node's pool, each unordered pair
+    // scored once ((x, y) with x < y)
+    val pairXY = pool.select(col("src"), col("dst").as("x"))
+      .join(pool.select(col("src"), col("dst").as("y")),
+        Seq("src"))  // unhinted: both sides are the corpus×R pool
+      .where(col("x") < col("y"))
+    val pcs = knnScored(s, dir,
+      pairXY.select("x", "y").distinct()
+        .select(col("x").as("src"), col("y").as("dst")))
+      .select(col("src").as("x"), col("dst").as("y"),
+        col("cos").as("cxy"))
+    // per node: the pair-cosine lookup map (≤ 66 entries) and the
+    // rank-ordered candidate array (≤ 12 entries) — bounded state at
+    // any corpus size, then the sequential keep/discard pass as an
+    // `aggregate` fold (size-capped at M, domination checked against
+    // the kept accumulator via the pair map)
+    val pairsPerSrc = pairXY.join(pcs, Seq("x", "y"))  // unhinted: both sides corpus-scaled pair relations
+      .groupBy("src")
+      .agg(map_from_entries(collect_list(struct(
+        concat_ws("_", col("x"), col("y")).as("k"), col("cxy"))))
+        .as("pc"))
+    val cands = pool.groupBy("src")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("dst"), col("cos")))).as("cands"))
+    // left join: a node whose pool has a single candidate has no pairs
+    cands.join(pairsPerSrc, Seq("src"), "left")
+      .select(col("src"), explode(expr(
+        s"""aggregate(cands,
+           |  cast(array() as array<struct<dst:bigint,cos:double>>),
+           |  (acc, c) -> IF(size(acc) < $knnM AND forall(acc,
+           |      s -> coalesce(element_at(pc, concat_ws('_',
+           |        least(c.dst, s.dst), greatest(c.dst, s.dst))),
+           |        cast(-2.0 as double)) < c.cos),
+           |    array_append(acc,
+           |      named_struct('dst', c.dst, 'cos', c.cos)),
+           |    acc))""".stripMargin)).as("kc"))
+      .select(col("src"), col("kc.dst").as("dst"), col("kc.cos").as("cos"))
+  }
+
+  /** The diversified k-NN graph: heuristic-selected directed edges,
+    * re-symmetrized (HNSW keeps reverse links too).
+    */
+  private[graft] def knnDiversifiedGraph(
+      s: SparkSession, dir: String): DataFrame =
+    knnSymmetrize(knnDiversifiedTopM(s, dir))
 
   /** q295's multi-entry greedy walk over an arbitrary (src, dst)
     * graph relation — shared by the gated q295 (the banded q294
@@ -1385,6 +1475,48 @@ object SimilarityQueries {
        |  FROM rme) WHERE rn <= $knnM),
        |rg AS (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM rt UNION ALL SELECT dst, src FROM rt))"""
+      .stripMargin
+  }
+
+  /** q304's oracle chain: the heuristic selection over the q300
+    * merged pool (`rme`), unrolled exactly as the Spark rounds —
+    * pool top-R ranking, pairwise cosines scored once per unordered
+    * pair, then per round "lowest-rank candidate neither kept nor
+    * dominated by a kept neighbor".
+    */
+  private lazy val sqlKnnDiversifyCtes: String = {
+    val pairCos = sqlCosineFrom(
+      sqlDot("ea.embedding", "eb.embedding"), "ea.n2", "eb.n2")
+    val rounds = (2 to knnM).map { k =>
+      s"""el$k AS (SELECT pl.* FROM pl
+         |  WHERE NOT EXISTS (SELECT 1 FROM ka${k - 1} k2
+         |    WHERE k2.src = pl.src AND k2.sel_id = pl.dst)
+         |    AND NOT EXISTS (SELECT 1 FROM ka${k - 1} k2
+         |      JOIN dpc ON dpc.x = LEAST(pl.dst, k2.sel_id)
+         |        AND dpc.y = GREATEST(pl.dst, k2.sel_id)
+         |      WHERE k2.src = pl.src AND dpc.cxy >= pl.cos)),
+         |ks$k AS (SELECT src, dst AS sel_id, cos AS sel_cos FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY rank) AS rr FROM el$k) WHERE rr = 1),
+         |ka$k AS MATERIALIZED (SELECT * FROM ka${k - 1}
+         |  UNION ALL SELECT * FROM ks$k)""".stripMargin
+    }.mkString(",\n")
+    s"""$sqlKnnRefineCtes,
+       |pl AS MATERIALIZED (SELECT src, dst, cos, rank FROM (
+       |  SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src
+       |    ORDER BY cos DESC, dst) AS rank
+       |  FROM rme) WHERE rank <= $knnDivR),
+       |dpx AS (SELECT DISTINCT a.dst AS x, b.dst AS y
+       |  FROM pl a JOIN pl b ON b.src = a.src AND a.dst < b.dst),
+       |dpc AS MATERIALIZED (SELECT x, y, $pairCos AS cxy
+       |  FROM dpx JOIN e ea ON ea.vec_id = dpx.x
+       |  JOIN e eb ON eb.vec_id = dpx.y),
+       |ka1 AS (SELECT src, dst AS sel_id, cos AS sel_cos FROM pl
+       |  WHERE rank = 1),
+       |$rounds,
+       |dg AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, sel_id AS dst FROM ka$knnM
+       |  UNION ALL SELECT sel_id AS src, src AS dst FROM ka$knnM))"""
       .stripMargin
   }
 
@@ -2269,6 +2401,22 @@ object SimilarityQueries {
     // embeddings the walk chain is entry-limited at sf1 either way.
     "q300_knn_refine" -> ((s, dir) => knnRollup(knnRefinedGraph(s, dir))),
 
+    // DIVERSIFIED neighbor selection — the production answer to
+    // q300's measured finding (quality ≠ navigability): HNSW's
+    // select-neighbors heuristic over the SAME merged candidate pool
+    // keeps a candidate only when it is closer to the node than to
+    // every already-kept neighbor, trading raw neighbor cosine for
+    // the spread that preserves greedy descent's long edges (see
+    // [[knnDiversifiedTopM]]). Gated at q294's node grain; the
+    // sequential pass runs as M bounded distributed rounds
+    // (ineligibility is monotone, so round-wise lowest-rank-eligible
+    // ≡ the single pass), with pairwise cosines scored once per
+    // unordered pool pair (≤ R(R−1)/2 per node at any corpus size).
+    // What the diversified graph buys the walk is measured beside
+    // the other two builds in SCALE.md (tools.GraphChain).
+    "q304_knn_diversify" ->
+      ((s, dir) => knnRollup(knnDiversifiedGraph(s, dir))),
+
     // INCREMENTAL k-NN graph maintenance — the delta-face convention
     // (q138/q258/q272/q273/q286) applied to the graph index: the
     // stored artifact is the old corpus's DIRECTED top-M edge list
@@ -2969,6 +3117,14 @@ object SimilarityQueries {
            |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
            |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
            |FROM rg GROUP BY src ORDER BY vec_id""".stripMargin,
+      // the diversified graph's node-grain rollup — q294's twin over dg
+      "q304_knn_diversify" ->
+        s"""WITH $sqlEmb,
+           |$sqlKnnDiversifyCtes
+           |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+           |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+           |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+           |FROM dg GROUP BY src ORDER BY vec_id""".stripMargin,
       "q195_res_pq_encode" ->
         s"""WITH ${sqlResChain(1)}
            |SELECT r.vec_id, v.cell,

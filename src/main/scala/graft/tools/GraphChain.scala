@@ -43,6 +43,7 @@ object GraphChain {
     }
     chain("banded (q294)", knnGraph(spark, dir))
     chain("refined (q300)", knnRefinedGraph(spark, dir))
+    chain("diversified (q304)", knnDiversifiedGraph(spark, dir))
     spark.stop()
   }
 }

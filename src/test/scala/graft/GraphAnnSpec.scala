@@ -60,6 +60,38 @@ class GraphAnnSpec extends SparkSuite {
     } finally { base.unpersist(); () }
   }
 
+  test("diversified selection satisfies the heuristic invariant: " +
+      "every kept neighbor is closer to its node than to any " +
+      "earlier-kept neighbor, and per-node degree <= M") {
+    import graft.queries.SimilarityQueries._
+    val kept = knnDiversifiedTopM(spark, dir).cache()
+    try {
+      val degrees = kept.groupBy("src").count()
+      assert(degrees.where(col("count") > 6).count() === 0,
+        "a node kept more than M neighbors")
+      // kept order within a node = (cos DESC, dst ASC) — the pool's
+      // rank order restricted to kept rows; the heuristic demands
+      // that for earlier s and later c: cos(c, node) > cos(c, s)
+      val later = kept.select(col("src"), col("dst").as("c"),
+        col("cos").as("c_cos"))
+      val earlier = kept.select(col("src"), col("dst").as("sjoin"),
+        col("cos").as("s_cos"))
+      val ordered = later.join(earlier, Seq("src"))
+        .where(col("s_cos") > col("c_cos") ||
+          (col("s_cos") === col("c_cos") && col("sjoin") < col("c")))
+      val pairCos = knnScored(spark, dir,
+        ordered.select(col("c").as("src"), col("sjoin").as("dst"))
+          .distinct())
+        .select(col("src").as("c"), col("dst").as("sjoin"),
+          col("cos").as("cs_cos"))
+      val violations = ordered.join(pairCos, Seq("c", "sjoin"))
+        .where(col("cs_cos") >= col("c_cos"))
+        .count()
+      assert(violations === 0,
+        "a kept neighbor is dominated by an earlier-kept one")
+    } finally { kept.unpersist(); () }
+  }
+
   test("graph-search recall chain dominates: graph >= entry-set >= " +
       "entry, and a walk never loses cosine") {
     val out = SparkEntry.queries("q295_graph_search")(spark, dir).cache()

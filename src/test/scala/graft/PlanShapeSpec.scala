@@ -216,7 +216,15 @@ class PlanShapeSpec extends SparkSuite {
           // positional class, deliberately unhinted — stats broadcast
           // it at gate scale today, and a flip to the production
           // merge is the intended regime, not a regression
-          "q289_rle_audit")(name))
+          "q289_rle_audit",
+          // q300/q304 self-join the corpus×2M edge list (nn-of-nn
+          // candidates) and anti-join it against the stored top-M —
+          // both sides corpus-scaled, deliberately unhinted; the
+          // static size-only estimate of the multi-stage derived
+          // edge relation is pessimistic (the q103 rule), so the
+          // static pass plans the production sort-merge and AQE
+          // promotes at gate scale from real sizes
+          "q300_knn_refine", "q304_knn_diversify")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
