@@ -1220,16 +1220,25 @@ object ShapeOpsQueries {
         val d = docs(s, dir)
         // v3-v8: residue-slice appends (physical-row multiset
         // semantics, the q290 convention — duplicates of rows already
-        // present double-count exactly as the files do)
+        // present double-count exactly as the files do). All six
+        // files land in ONE partitioned write and their stats in ONE
+        // metadata-sized agg (six coalesce(1) write+read-back jobs
+        // made this the suite's slowest staging: 9.6 → ~5 s); the
+        // six COMMITS stay sequential — that ordering is the log.
+        val app = d.where(col("doc_id") % 7 <= 5)
+          .withColumn("r", col("doc_id") % 7)
+        app.repartition(col("r"))
+          .write.partitionBy("r").mode("overwrite")
+          .parquet(s"$stage/app")
+        val appStats = app.groupBy("r")
+          .agg(min(col("doc_id")), max(col("doc_id"))).collect()
+          .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+          .toMap
         for (r <- 0 to 5) {
           val v = r + 3
-          val p = s"$stage/app_r$r"
-          d.where(col("doc_id") % 7 === r)
-            .coalesce(1).write.mode("overwrite").parquet(p)
-          val mm = s.read.parquet(p)
-            .agg(min(col("doc_id")), max(col("doc_id"))).head()
+          val p = s"$stage/app/r=$r"
           require(tryCommit(s, stage.toString, v,
-            Seq(("add", p, mm.getLong(0), mm.getLong(1)))))
+            Seq(("add", p, appStats(r.toLong)._1, appStats(r.toLong)._2))))
           // the committer's checkpoint cadence: every 3rd version
           // snapshots the resolved active set (stats carried forward)
           // — itself resolved THROUGH the previous checkpoint, so
