@@ -1085,6 +1085,8 @@ object SimilarityQueries {
   private val graphEntries = 4
   /** q295's graph cache — the walk references the graph once per hop. */
   private val lastKnnGraph = new graft.util.CacheSlot
+  /** q305's graph cache — the diversified serve face's walk. */
+  private val lastDivKnnGraph = new graft.util.CacheSlot
 
   /** The approximate k-NN graph (src, dst) — the navigable-small-world
     * base layer (Malkov & Yashunin, TPAMI 2020 — public), built the
@@ -1514,7 +1516,7 @@ object SimilarityQueries {
        |ka1 AS (SELECT src, dst AS sel_id, cos AS sel_cos FROM pl
        |  WHERE rank = 1),
        |$rounds,
-       |dg AS (SELECT DISTINCT src, dst FROM (
+       |dg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, sel_id AS dst FROM ka$knnM
        |  UNION ALL SELECT sel_id AS src, src AS dst FROM ka$knnM))"""
       .stripMargin
@@ -2488,6 +2490,19 @@ object SimilarityQueries {
     "q295_graph_search" -> ((s, dir) =>
       graphSearchOver(s, dir, lastKnnGraph.swap(knnGraph(s, dir).cache()))),
 
+    // The serve face over the DIVERSIFIED build — the shape that
+    // ships at production band widths (q304's graph under q295's
+    // identical multi-entry walk, same entries, same unroll, same
+    // evaluation): gating it end-to-end means the full
+    // build-then-serve path a deployment runs is hash-exact, not
+    // just its parts. Recall chains for all three builds are in
+    // SCALE.md (tools.GraphChain); at the gate SFs the chain is
+    // band-collision-limited exactly as q295's (the q260-vs-q270
+    // adversarial-floor caveat).
+    "q305_graph_search_diversified" -> ((s, dir) =>
+      graphSearchOver(s, dir,
+        lastDivKnnGraph.swap(knnDiversifiedGraph(s, dir).cache()))),
+
     // FILTERED vector search — the ubiquitous vector-DB request
     // ("nearest neighbors WHERE label IN (...)") and its standard
     // lesson: PRE-filtering (predicate inside the candidate scan)
@@ -3016,14 +3031,14 @@ object SimilarityQueries {
     // strict improvement (NULL best on a sink node → stay, both
     // engines); the winner per probe is the endpoint with the best
     // true cosine (endpoint/entry ASC tiebreak — converged walks)
-    val q295Sql = {
+    def graphSearchSqlOver(graphCtes: String, gName: String) = {
       val hopCos = sqlCosineFrom(
         sqlDot("h.pvec", "e2.embedding"), "h.pn2", "e2.n2")
       val entryCos = sqlCosineFrom(
         sqlDot("p.pvec", "e.embedding"), "p.pn2", "e.n2")
       val base =
         s"""${sqlIvfPqAdcPlantedN(1)},
-           |$sqlKnnGraphCtes,
+           |$graphCtes,
            |entry AS (SELECT probe_id, vec_id AS entry_id, rn AS entry_rn
            |  FROM (
            |    SELECT probe_id, vec_id,
@@ -3036,9 +3051,9 @@ object SimilarityQueries {
            |  FROM ppn p JOIN entry en USING (probe_id)
            |  JOIN e ON e.vec_id = en.entry_id)""".stripMargin
       val hops = (1 to graphHops).map { i =>
-        s"""cand$i AS (SELECT h.probe_id, h.entry_id, g.dst, $hopCos AS c
-           |  FROM hop${i - 1} h JOIN g ON g.src = h.cur_id
-           |  JOIN e e2 ON e2.vec_id = g.dst),
+        s"""cand$i AS (SELECT h.probe_id, h.entry_id, $gName.dst, $hopCos AS c
+           |  FROM hop${i - 1} h JOIN $gName ON $gName.src = h.cur_id
+           |  JOIN e e2 ON e2.vec_id = $gName.dst),
            |best$i AS (SELECT probe_id, entry_id, dst, c FROM (
            |    SELECT probe_id, entry_id, dst, c,
            |      ROW_NUMBER() OVER (PARTITION BY probe_id, entry_id
@@ -3090,6 +3105,10 @@ object SimilarityQueries {
            |    AS graph_recall_permille
            |FROM pprobe ORDER BY probe_id""".stripMargin
     }
+    val q295Sql = graphSearchSqlOver(sqlKnnGraphCtes, "g")
+    // the serve face over the DIVERSIFIED build: the identical walk,
+    // entered and evaluated the same way, over dg
+    val q305Sql = graphSearchSqlOver(sqlKnnDiversifyCtes, "dg")
     Map(
       "q270_planted_truth" -> q270Sql,
       "q271_planted_scoreboard" -> q271Sql,
@@ -3109,6 +3128,7 @@ object SimilarityQueries {
            |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
            |FROM g GROUP BY src ORDER BY vec_id""".stripMargin,
       "q295_graph_search" -> q295Sql,
+      "q305_graph_search_diversified" -> q305Sql,
       // the refined graph's node-grain rollup — q294's twin over rg
       "q300_knn_refine" ->
         s"""WITH $sqlEmb,

@@ -110,4 +110,20 @@ class GraphAnnSpec extends SparkSuite {
       assert(broken === 0, "a walk left the planted source")
     } finally out.unpersist()
   }
+
+  test("the diversified serve face (q305) satisfies the same " +
+      "dominance chain over the q304 graph") {
+    val out = SparkEntry.queries("q305_graph_search_diversified")(
+      spark, dir).cache()
+    try {
+      val r = out.head()
+      assert(r.getAs[Long]("entryset_recall_permille") >=
+        r.getAs[Long]("entry_recall_permille"))
+      assert(r.getAs[Long]("graph_recall_permille") >=
+        r.getAs[Long]("entryset_recall_permille"))
+      val broken = out.where(col("entryset_has_source") === 1 &&
+        col("found_source") === 0).count()
+      assert(broken === 0, "a walk left the planted source")
+    } finally out.unpersist()
+  }
 }
