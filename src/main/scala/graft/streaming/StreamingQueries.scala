@@ -951,6 +951,101 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING MATERIALIZED VIEW — the composition production
+    // pipelines actually deploy on top of q287/q293/q299's parts: a
+    // per-event-type aggregate TABLE maintained incrementally by the
+    // stream itself, exactly-once. Each micro-batch folds its own
+    // delta rollup into the previous version's STORED aggregate
+    // (decimal value sums — the fold is exact, so incremental ≡
+    // from-scratch bit-for-bit) and lands version b via the q293
+    // fenced committer (log probe before any work, manifest CAS);
+    // a zombie replay of batch 1 must no-op. Gated: EVERY version's
+    // full aggregate table read back from its stored file — each
+    // version must equal the cumulative-thirds rollup (the q287
+    // reconstruction, at the (version, event_type) grain with value
+    // sums), so a missed batch, a double-fold, a broken fence, or a
+    // float-associativity drift in the fold shifts a row. At 100 TB
+    // this is how every dashboard stays current: per batch the work
+    // is batch-delta + aggregate-sized fold — the events table is
+    // never rescanned; recovery is the checkpoint + the last
+    // committed version, exactly Delta's streaming-upsert pattern.
+    "q306_stream_matview" -> ((s, dir) => {
+      import s.implicits._
+      val stage = tmpDir("graft-q306-src")
+      val lake = tmpDir("graft-q306-mv")
+      val ckpt = tmpDir("graft-q306-ckpt")
+      try {
+        val schema = stageTimeThirds(s, dir, stage)
+        Files.createDirectories(Paths.get(s"$lake/_log"))
+        // the MV committer — one definition for the live writer and
+        // the zombie replay (q293's fence shape, with the fold)
+        def mvCommit(df: DataFrame, batchId: Long): Boolean = {
+          val target = Paths.get(s"$lake/_log/v$batchId")
+          if (Files.exists(target)) false
+          else {
+            val delta = df.groupBy("event_type")
+              .agg(count(lit(1)).as("n_events"),
+                sum(col("value").cast(dec2)).as("sv"))
+            val merged =
+              if (batchId == 0) delta
+              else s.read.parquet(s"$lake/agg/v${batchId - 1}")
+                .select(col("event_type"), col("n_events"), col("sv"))
+                .unionByName(delta, allowMissingColumns = false)
+                .groupBy("event_type")
+                .agg(sum(col("n_events")).as("n_events"),
+                  sum(col("sv")).as("sv"))
+            val aggPath = s"$lake/agg/v$batchId"
+            merged.coalesce(1).write.mode("overwrite").parquet(aggPath)
+            val tmp = Files.createTempDirectory(lake, s"commit-b$batchId-")
+            try {
+              val staged = tmp.resolve("m")
+              Seq(("add", aggPath)).toDF("action", "path").coalesce(1)
+                .write.mode("overwrite").parquet(staged.toString)
+              try {
+                Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+                true
+              } catch {
+                case _: java.nio.file.FileSystemException
+                    if Files.exists(target) =>
+                  deleteRecursively(Paths.get(aggPath))
+                  false
+              }
+            } finally deleteRecursively(tmp)
+          }
+        }
+        val query = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            if (!df.isEmpty) { mvCommit(df, batchId); () }
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // the zombie: an old writer re-emits batch 1 with t2's
+        // payload (distinguishable — q293's convention); the fence
+        // must no-op before any fold or file write
+        val replayFenced = !mvCommit(
+          s.read.parquet(stage.resolve("t2.parquet").toString), 1L)
+        val out = (0 to 2).map { v =>
+          s.read.parquet(s"$lake/agg/v$v")
+            .select(lit(v.toLong).as("version"), col("event_type"),
+              col("n_events"),
+              col("sv").cast("double").as("sum_value"),
+              lit(v == 1 && replayFenced).as("replay_fenced"))
+        }.reduce(_ unionByName _).orderBy("version", "event_type")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(lake)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming rate-anomaly alerting with CROSS-WINDOW state: per
     // event type, each closed 5-minute window's count is compared
     // against the running mean of the type's previously-closed windows
@@ -2351,6 +2446,30 @@ object StreamingQueries {
          |  CAST(SUM(${graft.queries.ShapeOpsQueries.manifestTerm("event_id")})
          |    AS BIGINT) AS key_checksum
          |FROM r GROUP BY version, n_files ORDER BY version""".stripMargin,
+    // each version of the materialized view = the cumulative-thirds
+    // rollup at the (version, event_type) grain; the fold's decimal
+    // exactness is what lets a value SUM hash-gate across three
+    // incremental generations
+    "q306_stream_matview" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, event_type, value
+         |           FROM events),
+         |mm AS (SELECT MIN(us) AS tmin, MAX(us) AS tmax FROM e),
+         |c AS (SELECT tmin + (tmax - tmin) // 3 AS t1,
+         |        tmin + (tmax - tmin) * 2 // 3 AS t2 FROM mm),
+         |r AS (
+         |  SELECT 0 AS version, us, event_type, value FROM e
+         |  WHERE us < (SELECT t1 FROM c)
+         |  UNION ALL
+         |  SELECT 1, us, event_type, value FROM e
+         |  WHERE us < (SELECT t2 FROM c)
+         |  UNION ALL
+         |  SELECT 2, us, event_type, value FROM e)
+         |SELECT CAST(version AS BIGINT) AS version, event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  version = 1 AS replay_fenced
+         |FROM r GROUP BY version, event_type
+         |ORDER BY version, event_type""".stripMargin,
     // exactly-once across the resume: the split run's union must be
     // the one-continuous-run result — q59's SQL VERBATIM (same agg,
     // same emission predicate; one definition, zero drift)
