@@ -1242,13 +1242,20 @@ object ShapeOpsQueries {
           // the committer's checkpoint cadence: every 3rd version
           // snapshots the resolved active set (stats carried forward)
           // — itself resolved THROUGH the previous checkpoint, so
-          // checkpointing cost never re-folds the whole log either
+          // checkpointing cost never re-folds the whole log either —
+          // and advances the `_last_checkpoint` pointer (Delta's O(1)
+          // discovery device: readers jump straight to the newest
+          // checkpoint instead of probing versions backwards)
           if (v % 3 == 0) {
             import s.implicits._
             val (active, _) = ckptResolve(s, stage.toString, v)
             active.map { case (p2, mn, mx) => ("add", p2, mn, mx) }
               .toDF("action", "path", "min_id", "max_id").coalesce(1)
               .write.mode("overwrite").parquet(s"$stage/_log/ckpt-v$v")
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(stage.toString, "_log",
+                "_last_checkpoint"),
+              v.toString)
           }
         }
         val out = Seq(2, 5, 8).map { v =>
@@ -1440,18 +1447,26 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }))
 
-  /** q301's checkpointed snapshot resolution: newest checkpoint ≤ v
-    * (one existence probe per version walking back — Delta makes this
-    * O(1) with `_last_checkpoint`; either way it is metadata work),
-    * then the manifest TAIL only. Returns the active (path, min, max)
-    * entries and the number of manifest files actually read (the
-    * gate's growth-vs-constant evidence). Falls back to the full fold
-    * when no checkpoint exists yet.
+  /** q301's checkpointed snapshot resolution: newest checkpoint ≤ v —
+    * discovered O(1) through the `_last_checkpoint` pointer when it
+    * helps (Delta's device), walking back version probes only when
+    * the pointer is ahead of the requested as-of (time travel BEFORE
+    * the newest checkpoint) — then the manifest TAIL only. Returns
+    * the active (path, min, max) entries and the number of manifest
+    * files actually read (the gate's growth-vs-constant evidence).
+    * Falls back to the full fold when no checkpoint exists yet.
     */
   private def ckptResolve(s: SparkSession, stage: String, v: Int)
       : (Seq[(String, Long, Long)], Long) = {
-    val ckpt = (v to 0 by -1).find(c => java.nio.file.Files.exists(
-      java.nio.file.Paths.get(stage, "_log", s"ckpt-v$c")))
+    val lastPtr = java.nio.file.Paths.get(stage, "_log", "_last_checkpoint")
+    val pointed =
+      if (java.nio.file.Files.exists(lastPtr))
+        Some(java.nio.file.Files.readString(lastPtr).trim.toInt)
+          .filter(_ <= v)
+      else None
+    val ckpt = pointed.orElse(
+      (v to 0 by -1).find(c => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stage, "_log", s"ckpt-v$c"))))
     val base: Seq[(String, Long, Long)] = ckpt.toSeq.flatMap(c =>
       s.read.parquet(s"$stage/_log/ckpt-v$c").collect()
         .map(r => (r.getString(1), r.getLong(2), r.getLong(3))))
