@@ -1261,7 +1261,8 @@ object ShapeOpsQueries {
         val out = Seq(2, 5, 8).map { v =>
           val (active, nCkptReads) = ckptResolve(s, stage.toString, v)
           val matches =
-            active.map(_._1).toSet == asOfFiles(s, stage.toString, v).toSet
+            active.map(_._1).toSet ==
+              fullFoldFiles(s, stage.toString, v).toSet
           s.read.parquet(active.map(_._1): _*)
             .agg(count(lit(1)).as("n_rows"),
               sum(col("n_chars").cast("long")).as("sum_chars"),
@@ -1456,7 +1457,7 @@ object ShapeOpsQueries {
     * files actually read (the gate's growth-vs-constant evidence).
     * Falls back to the full fold when no checkpoint exists yet.
     */
-  private def ckptResolve(s: SparkSession, stage: String, v: Int)
+  private[graft] def ckptResolve(s: SparkSession, stage: String, v: Int)
       : (Seq[(String, Long, Long)], Long) = {
     val lastPtr = java.nio.file.Paths.get(stage, "_log", "_last_checkpoint")
     val pointed =
@@ -1649,16 +1650,31 @@ object ShapeOpsQueries {
         // q297): the winner changed rows in the key range this
         // writer's rewrite was computed from, so the rewrite derives
         // from a stale read. Adds are tested against their manifest
-        // [min, max] stats (metadata scale); removes carry no stats
-        // (-1 sentinels — Delta would resolve the removed file's
-        // stats from its add entry), so an unknown-range removal is
-        // conservatively a conflict: a winner that deleted data the
-        // rewrite read invalidates it exactly as an insert does.
+        // [min, max] stats (metadata scale); a remove carrying the
+        // -1 sentinels has its [min, max] RESOLVED from the removed
+        // file's original add entry (exactly Delta's rule — the add
+        // that introduced a file always carries its stats), so
+        // compaction/forget traffic only aborts rebases whose read
+        // range it actually touched. Only a genuinely stat-less
+        // file (no add entry anywhere in the log — impossible for a
+        // well-formed manifest chain) stays a conservative conflict.
+        // Resolution cost ∝ manifests ≤ v — metadata, never data —
+        // and is paid only when a sentinel remove appears.
+        lazy val addStatsByPath: Map[String, (Long, Long)] =
+          (0 until v).flatMap(i =>
+            s.read.parquet(s"$stage/_log/v$i").collect()
+              .collect { case r if r.getString(0) == "add" =>
+                r.getString(1) -> ((r.getLong(2), r.getLong(3))) })
+            .toMap ++
+            winner.collect { case ("add", p, mn, mx) => p -> ((mn, mx)) }
         val readConflict = readRange.exists { case (lo, hi) =>
           winner.exists {
             case ("add", _, mn, mx) => mn <= hi && mx >= lo
-            case ("remove", _, mn, mx) =>
-              mn < 0 || (mn <= hi && mx >= lo)
+            case ("remove", p, mn, mx) =>
+              val (rmn, rmx) =
+                if (mn >= 0) (mn, mx)
+                else addStatsByPath.getOrElse(p, (-1L, -1L))
+              rmn < 0 || (rmn <= hi && rmx >= lo)
             case _ => false
           }
         }
@@ -1670,12 +1686,28 @@ object ShapeOpsQueries {
     res.get
   }
 
-  /** The as-of(v) resolution — the delta-log fold: active files =
-    * adds in manifests ≤ v minus paths removed in manifests ≤ v.
-    * Pure metadata work (the manifests are O(files)); the driver-side
-    * fold is exactly where a lake's snapshot resolution runs.
+  /** The as-of(v) resolution — the SHARED snapshot path every lake
+    * gate goes through: delegate to [[ckptResolve]], which jumps to
+    * the newest checkpoint ≤ v via `_last_checkpoint` when one exists
+    * (O(1 + v mod cadence) manifest reads however old the table) and
+    * falls back to the full v0..v delta-log fold otherwise. Pure
+    * metadata work (the manifests are O(files)); the driver-side fold
+    * is exactly where a lake's snapshot resolution runs. The two
+    * paths resolve identically because staged logs never re-add a
+    * removed path (the convention every gate's staging follows —
+    * rewrites and compactions always mint fresh paths).
     */
-  private def asOfFiles(
+  private[graft] def asOfFiles(
+      s: SparkSession, stage: String, v: Int): Seq[String] =
+    ckptResolve(s, stage, v)._1.map(_._1)
+
+  /** The reference full fold — v0..v, no checkpoint shortcut. Kept as
+    * an explicitly separate implementation so q301's
+    * `ckpt_matches_fold` proof compares the checkpoint path against
+    * an INDEPENDENT resolution (after [[asOfFiles]] adopted
+    * [[ckptResolve]], comparing them would be a self-comparison).
+    */
+  private def fullFoldFiles(
       s: SparkSession, stage: String, v: Int): Seq[String] = {
     val entries = (0 to v).flatMap(i =>
       s.read.parquet(s"$stage/_log/v$i").collect()

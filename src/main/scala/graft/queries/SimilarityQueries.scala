@@ -1067,7 +1067,7 @@ object SimilarityQueries {
     * improves, every later hop is a no-op, so a fixed unroll is exact,
     * the q257 greedy-chain device).
     */
-  private val knnM = 6
+  private[graft] val knnM = 6
   private val graphHops = 6
   /** q294 band-width floor: corpora up to this size band at 8 bits
     * (every gate SF), larger ones at 16 — buckets ≈ n/2^bits stay

@@ -977,8 +977,21 @@ object StreamingQueries {
       try {
         val schema = stageTimeThirds(s, dir, stage)
         Files.createDirectories(Paths.get(s"$lake/_log"))
+        // a version's committed aggregate file, resolved THROUGH its
+        // manifest (never a guessed path): data files are uniquely
+        // named per ATTEMPT, so only the manifest knows the winner's
+        def aggPathOf(v: Long): String =
+          s.read.parquet(s"$lake/_log/v$v").collect()
+            .collectFirst { case r if r.getString(0) == "add" =>
+              r.getString(1) }.get
         // the MV committer — one definition for the live writer and
-        // the zombie replay (q293's fence shape, with the fold)
+        // the zombie replay (q293's fence shape, with the fold).
+        // Each attempt writes its aggregate under a UNIQUE nonce path
+        // recorded in that attempt's staged manifest — Delta's
+        // uniquely-named-data-files rule — so two attempts racing
+        // past the log probe can never touch each other's files: the
+        // CAS loser deletes only its own nonce file and the winner's
+        // committed data survives intact.
         def mvCommit(df: DataFrame, batchId: Long): Boolean = {
           val target = Paths.get(s"$lake/_log/v$batchId")
           if (Files.exists(target)) false
@@ -988,13 +1001,14 @@ object StreamingQueries {
                 sum(col("value").cast(dec2)).as("sv"))
             val merged =
               if (batchId == 0) delta
-              else s.read.parquet(s"$lake/agg/v${batchId - 1}")
+              else s.read.parquet(aggPathOf(batchId - 1))
                 .select(col("event_type"), col("n_events"), col("sv"))
                 .unionByName(delta, allowMissingColumns = false)
                 .groupBy("event_type")
                 .agg(sum(col("n_events")).as("n_events"),
                   sum(col("sv")).as("sv"))
-            val aggPath = s"$lake/agg/v$batchId"
+            val nonce = java.util.UUID.randomUUID().toString
+            val aggPath = s"$lake/agg/v$batchId-$nonce"
             merged.coalesce(1).write.mode("overwrite").parquet(aggPath)
             val tmp = Files.createTempDirectory(lake, s"commit-b$batchId-")
             try {
@@ -1030,7 +1044,7 @@ object StreamingQueries {
         val replayFenced = !mvCommit(
           s.read.parquet(stage.resolve("t2.parquet").toString), 1L)
         val out = (0 to 2).map { v =>
-          s.read.parquet(s"$lake/agg/v$v")
+          s.read.parquet(aggPathOf(v.toLong))
             .select(lit(v.toLong).as("version"), col("event_type"),
               col("n_events"),
               col("sv").cast("double").as("sum_value"),

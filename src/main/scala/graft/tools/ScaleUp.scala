@@ -130,10 +130,25 @@ object ScaleUp {
 
     val vecShift = shiftOf(table("embeddings"), "vec_id")
     replicate("embeddings", (df, i) => {
+      // copy-i decorrelation = a SIGNED PERMUTATION (rotate by
+      // i mod dim, then flip the sign of dimension j when bit
+      // (j mod 31) of i is set). Orthogonal, so within-copy
+      // geometry — every inner product and cosine — is preserved
+      // exactly; cross-copy vectors decorrelate. The mod keeps the
+      // slice lengths non-negative at any factor, and the sign mask
+      // makes every copy i >= 1 distinct even when i mod dim == 0
+      // (a bare full rotation is the identity — the exact-clone
+      // artifact round 15 removed would silently return).
       val rotated =
         if (i == 0) col("embedding")
-        else concat(expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
-          expr(s"slice(embedding, 1, $i)"))
+        else expr(
+          s"""transform(
+             |  concat(
+             |    slice(embedding, pmod($i, size(embedding)) + 1,
+             |          size(embedding) - pmod($i, size(embedding))),
+             |    slice(embedding, 1, pmod($i, size(embedding)))),
+             |  (x, j) -> IF((shiftright($i, j % 31) & 1) = 1, -x, x))
+             |""".stripMargin)
       df.withColumn("vec_id", col("vec_id") + lit(i * vecShift))
         .withColumn("embedding", rotated)
     })

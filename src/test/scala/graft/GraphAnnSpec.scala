@@ -67,7 +67,8 @@ class GraphAnnSpec extends SparkSuite {
     val kept = knnDiversifiedTopM(spark, dir).cache()
     try {
       val degrees = kept.groupBy("src").count()
-      assert(degrees.where(col("count") > 6).count() === 0,
+      assert(degrees.where(col("count") >
+        graft.queries.SimilarityQueries.knnM).count() === 0,
         "a node kept more than M neighbors")
       // kept order within a node = (cos DESC, dst ASC) — the pool's
       // rank order restricted to kept rows; the heuristic demands

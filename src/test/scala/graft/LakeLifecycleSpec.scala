@@ -68,4 +68,44 @@ class LakeLifecycleSpec extends SparkSuite {
     assert(rows(0).getAs[Long]("n_rows") === rows(1).getAs[Long]("n_rows"))
     assert(rows(0).getAs[Long]("n_files") > rows(1).getAs[Long]("n_files"))
   }
+
+  test("the SHARED snapshot path (asOfFiles) is checkpoint-aware: a " +
+      "checkpointed stage resolves from <= 1 checkpoint + tail " +
+      "manifests, set-equal to the full fold") {
+    import spark.implicits._
+    import graft.queries.ShapeOpsQueries.{asOfFiles, ckptResolve}
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-spec-ckpt").toString
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(stage, "_log"))
+      // v0..v5: one add each; v4 also removes v1's file (so the
+      // checkpoint base must carry v0..v3's fold and the tail's
+      // remove must still apply through the shared path)
+      for (v <- 0 to 5) {
+        val entries = Seq(("add", s"$stage/f$v", v.toLong, v.toLong)) ++
+          (if (v == 4) Seq(("remove", s"$stage/f1", 1L, 1L)) else Nil)
+        entries.toDF("action", "path", "min_id", "max_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/_log/v$v")
+      }
+      // checkpoint at v3 (the fold of v0..v3) + the pointer
+      Seq(("add", s"$stage/f0", 0L, 0L), ("add", s"$stage/f1", 1L, 1L),
+        ("add", s"$stage/f2", 2L, 2L), ("add", s"$stage/f3", 3L, 3L))
+        .toDF("action", "path", "min_id", "max_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/_log/ckpt-v3")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stage, "_log", "_last_checkpoint"), "3")
+      val expected = Set(0, 2, 3, 4, 5).map(v => s"$stage/f$v")
+      assert(asOfFiles(spark, stage, 5).toSet === expected,
+        "shared path lost the checkpoint base or the tail remove")
+      val (_, nReads) = ckptResolve(spark, stage, 5)
+      assert(nReads === 3L, // ckpt-v3 + v4 + v5
+        s"checkpointed stage read $nReads manifests, want 1 ckpt + 2 tail")
+      // time travel BEFORE the newest checkpoint still resolves
+      // (pointer is ahead of the as-of — the walk-back path)
+      assert(asOfFiles(spark, stage, 2).toSet ===
+        Set(0, 1, 2).map(v => s"$stage/f$v"))
+    } finally graft.util.FileUtils.deleteRecursively(
+      java.nio.file.Paths.get(stage))
+  }
 }
