@@ -14,12 +14,12 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * JSON-RPC 2.0 over stdin/stdout dispatching the nine parity tool
   * names and two resources to the engine's query layer
   * ([[graft.query.LogQueries]] via [[Reports]], [[RemoteFetcher]],
-  * [[LogCatalog]]), plus seven engine-extension tools: the log-mining
+  * [[LogCatalog]]), plus eight engine-extension tools: the log-mining
   * tier (`mine_templates`, `detect_slot_anomalies`,
   * `deduplicate_lines`) and the lake/vector/streaming tiers
   * (`lake_time_travel`, `lake_change_feed`, `vector_scoreboard`,
-  * `stream_recovery_report`, each running the gated registry entry
-  * itself over a caller-supplied table directory) —
+  * `stream_recovery_report`, `graph_search`, each running the gated
+  * registry entry itself over a caller-supplied table directory) —
   * capabilities the reference does not have — to the same MCP clients.
   *
   * The transport is deliberately thin: every tool body is one call
@@ -143,6 +143,9 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
       case "stream_recovery_report" =>
         req(args, "data_dir").map(d =>
           Reports.renderStreamRecovery(catalog.spark, d))
+      case "graph_search" =>
+        req(args, "data_dir").map(d =>
+          Reports.renderGraphSearch(catalog.spark, d))
       case other => Left((-32602, s"Outil inconnu: $other"))
     }
     text.map(t => JObject(
@@ -344,6 +347,10 @@ object McpServer {
       |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
       |  "required":["data_dir"]}},
       |{"name":"stream_recovery_report","description":"[Extension] Preuve de reprise exactly-once du streaming: cycle arrêt/arrivée/reprise (q292) comparé à l'exécution continue de référence (q59).",
+      | "inputSchema":{"type":"object","properties":{
+      |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
+      |  "required":["data_dir"]}},
+      |{"name":"graph_search","description":"[Extension] Recherche vectorielle par graphe (build diversifié + descente gloutonne multi-entrée, q305) avec la chaîne de rappel par sonde, plus la fixture structurée (q307).",
       | "inputSchema":{"type":"object","properties":{
       |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
       |  "required":["data_dir"]}}

@@ -104,6 +104,18 @@ object ShapeOpsQueries {
     * partitioning- and layout-independent (what a replication check
     * needs). ONE term renderer feeds both engines' plans.
     */
+  /** Deterministic per-version commit timestamps (epoch millis) —
+    * every manifest carries its version's `commit_ts` column so
+    * timestamp-based time travel (q308) has real metadata to resolve
+    * against. Staged, not wall-clock (the fixture-determinism rule):
+    * strictly increasing by construction (hourly spacing dominates
+    * the sub-spacing jitter), unevenly spaced so an off-by-one
+    * resolution (`<` vs `<=`, wrong boundary version) shifts a gated
+    * row instead of hiding in a uniform grid.
+    */
+  private[graft] def commitTsOf(v: Int): Long =
+    1700000000000L + v.toLong * 3600000L + (v.toLong * 7919L) % 600000L
+
   private val manifestP = 1000000007L
   private val manifestP2 = 998244353L
   private val manifestA = 2654435761L
@@ -1246,17 +1258,7 @@ object ShapeOpsQueries {
           // and advances the `_last_checkpoint` pointer (Delta's O(1)
           // discovery device: readers jump straight to the newest
           // checkpoint instead of probing versions backwards)
-          if (v % 3 == 0) {
-            import s.implicits._
-            val (active, _) = ckptResolve(s, stage.toString, v)
-            active.map { case (p2, mn, mx) => ("add", p2, mn, mx) }
-              .toDF("action", "path", "min_id", "max_id").coalesce(1)
-              .write.mode("overwrite").parquet(s"$stage/_log/ckpt-v$v")
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(stage.toString, "_log",
-                "_last_checkpoint"),
-              v.toString)
-          }
+          if (v % 3 == 0) writeCheckpoint(s, stage.toString, v)
         }
         val out = Seq(2, 5, 8).map { v =>
           val (active, nCkptReads) = ckptResolve(s, stage.toString, v)
@@ -1446,6 +1448,256 @@ object ShapeOpsQueries {
         val b = snap(scenario("b_reader_v3", 3))
         a.unionByName(b).orderBy("scenario")
       } finally rmTree(stage)
+    }),
+
+    // TIMESTAMP-BASED TIME TRAVEL — the first thing a human asks a
+    // production table (`AS OF '2026-08-01'`): every manifest carries
+    // its deterministic `commit_ts` (see [[commitTsOf]]), resolution
+    // is max version with ts ≤ t, and the resolved version's file set
+    // comes through the SHARED checkpoint-aware path (a checkpoint at
+    // v3 + `_last_checkpoint`, so the after-last probe reads exactly
+    // ONE manifest — n_manifests_ckpt in the gate). Probes span the
+    // Delta cases: before the first commit (the error case rendered
+    // as an explicit `no_snapshot_at_ts` row, not an exception),
+    // exactly AT a commit's ts (inclusive bound), strictly BETWEEN
+    // two commits (floor resolution — v2's content, distinguishable
+    // from v3's only by n_files since v3 is the compaction swap), and
+    // after the last. At 100 TB the ts index is one column over the
+    // manifest listing — metadata the driver already folds; the data
+    // read is the same pruned snapshot read every other gate prices.
+    "q308_lake_time_travel_ts" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q308-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        // checkpoint the latest version + pointer (q301's convention)
+        writeCheckpoint(s, stage.toString, 3)
+        // the ts index: version -> commit_ts read off the manifests
+        // themselves (Delta reads commit-file timestamps the same
+        // way) — one metadata-sized read per version
+        val versions = Iterator.from(0).takeWhile(v =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(
+            stage.toString, "_log", s"v$v"))).toSeq
+        val tsIdx = versions.map(v => v ->
+          s.read.parquet(s"$stage/_log/v$v")
+            .select(col("commit_ts")).head().getLong(0))
+        def resolveTs(t: Long): Int =
+          tsIdx.filter(_._2 <= t).map(_._1).maxOption.getOrElse(-1)
+        val probes = Seq(
+          ("a_before_first", commitTsOf(0) - 1L),
+          ("b_exact_v1", commitTsOf(1)),
+          ("c_between_v2_v3", commitTsOf(3) - 1L),
+          ("d_after_last", commitTsOf(3) + 86400000L))
+        val out = probes.map { case (name, t) =>
+          val v = resolveTs(t)
+          if (v < 0)
+            s.range(1).select(lit(name).as("probe"),
+              lit(t).as("probe_ts"), lit(-1L).as("version"),
+              lit("no_snapshot_at_ts").as("outcome"),
+              lit(0L).as("n_manifests_ckpt"), lit(0L).as("n_files"),
+              lit(0L).as("n_rows"), lit(0L).as("sum_chars"),
+              lit(0L).as("key_checksum"))
+          else {
+            val (files, nReads) = ckptResolve(s, stage.toString, v)
+            s.read.parquet(files.map(_._1): _*)
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("n_chars").cast("long")).as("sum_chars"),
+                sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+              .select(lit(name).as("probe"), lit(t).as("probe_ts"),
+                lit(v.toLong).as("version"),
+                lit("resolved").as("outcome"),
+                lit(nReads).as("n_manifests_ckpt"),
+                lit(files.size.toLong).as("n_files"),
+                col("n_rows"), col("sum_chars"), col("key_checksum"))
+          }
+        }.reduce(_ unionByName _).orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // PER-FILE BLOOM FILTERS in the manifest — point-lookup skipping
+    // for HIGH-CARDINALITY NON-KEY equality predicates, the gap q302
+    // names explicitly: min/max stats prune ranges on clustered
+    // dimensions, but `WHERE url = 'x'` against an unclustered
+    // high-cardinality column gets nothing from them (every file's
+    // [min_url, max_url] spans the probe). The Delta/Iceberg answer:
+    // at write time each file records a small bloom (here
+    // max(4, granule/8) 64-bit words, two Kirsch-Mitzenmacher probes
+    // off the shared [[graft.functions.PolyHash]] — both engines run
+    // the identical integer arithmetic); a point lookup tests its two
+    // bits per file and reads only the passing files. Gated per
+    // probe (two real urls from different granules + one absent):
+    // files-total → files-passing-bloom, the MEASURED false-positive
+    // file count (a bloom promises no false negatives, never no
+    // false positives — the gate counts them the way q302 counts its
+    // lexicographic survivor), and the residual read's row/char
+    // result off ONLY the passing files. At 100 TB the bloom adds
+    // ~bits-per-row metadata per file and turns a needle lookup from
+    // a full scan into ~(1 + fpp·files) file reads.
+    "q309_lake_bloom_skip" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q309-lake")
+      try {
+        val d = docs(s, dir)
+        val gran = lakeGranFor(d.count())
+        val mWords = math.max(4L, gran / 8L)
+        val mBits = mWords * 64L
+        val url = concat(lit("doc://"), col("source"), lit("/"),
+          col("doc_id").cast("string"))
+        val withG = d.withColumn("g", expr(s"doc_id div $gran"))
+          .withColumn("url", url)
+        withG.repartition(col("g"))
+          .write.partitionBy("g").mode("overwrite")
+          .parquet(s"$stage/data")
+        // write-time bloom: h1 = polyHash(url), h2 derived (squared
+        // mix), two probe bits per key; one metadata-sized aggregate
+        val h1c = graft.functions.TextFunctions.polyHash(col("url"))
+        val hashed = withG.select(col("g"), h1c.as("h1"))
+          .withColumn("h2",
+            expr(s"(h1 * h1 + $manifestA) % ${graft.functions.PolyHash.P}"))
+        val bloomRows = (1 to 2).map(i =>
+            hashed.select(col("g"),
+              expr(s"(h1 + $i * h2) % $mBits").as("pos")))
+          .reduce(_ unionByName _)
+          .select(col("g"), expr("pos div 63").as("w"),
+            // 63 bits per word: the sign bit is never set, so both
+            // engines' checked shifts stay in range
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+              .as("m"))
+          .groupBy("g", "w").agg(expr("bit_or(m)").as("mask"))
+          .collect()  // hint audit: manifest-sized (files × words rows)
+        val bloom = bloomRows.map(r =>
+          (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val nFiles = withG.select("g").distinct().count()
+        val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+        // probes: two real urls from different granules + one absent
+        def urlOf(id: Long): String = d.where(col("doc_id") === id)
+          .select(url).head().getString(0)
+        val probes = Seq(
+          ("a_hit_mid", urlOf(maxId / 2)),
+          ("b_hit_low", urlOf(maxId / 5)),
+          ("c_miss", "doc://void/424242"))
+        val out = probes.map { case (name, pu) =>
+          val h1 = s.range(1)
+            .select(graft.functions.TextFunctions.polyHash(lit(pu)))
+            .head().getLong(0)
+          val h2 = (h1 * h1 + manifestA) % graft.functions.PolyHash.P
+          val bits = (1 to 2).map(i => (h1 + i * h2) % mBits)
+          val passing = (0L until nFiles).filter(g => bits.forall(b =>
+            (bloom.getOrElse((g, b / 63), 0L) & (1L << (b % 63).toInt))
+              != 0L)).sorted
+          val found =
+            if (passing.isEmpty) s.range(1)
+              .select(lit(0L).as("n_rows"), lit(0L).as("sum_chars"),
+                lit(0L).as("n_containing"))
+            else s.read
+              .parquet(passing.map(g => s"$stage/data/g=$g"): _*)
+              .where(col("url") === pu)
+              .agg(count(lit(1)).as("n_rows"),
+                coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+                countDistinct(expr(s"doc_id div $gran"))
+                  .as("n_containing"))
+          found.select(lit(name).as("probe"),
+            lit(nFiles).as("n_files_total"),
+            lit(passing.size.toLong).as("n_files_bloom_pass"),
+            (lit(passing.size.toLong) - col("n_containing"))
+              .as("n_false_positive_files"),
+            col("n_rows"), col("sum_chars"))
+        }.reduce(_ unionByName _).orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // VACUUM × CHECKPOINT — the interaction q301 and q303 leave
+    // unpriced: checkpoints REFERENCE files, so a sweep that deletes
+    // a file still listed in the LIVE checkpoint (the one
+    // `_last_checkpoint` points to) leaves O(1) discovery landing on
+    // metadata that names missing data. The rule gated here: vacuum
+    // intersects its doomed set with the live checkpoint's references
+    // and REWRITES the checkpoint at the latest version first
+    // (resolved through the old one — q301's incremental rule — and
+    // advancing the pointer) before deleting; a sweep whose live
+    // checkpoint is already clean executes directly. Two scenarios:
+    // (a) checkpoint at v2, vacuum to boundary 3 (the compaction
+    // swap) — every ckpt-v2 reference is doomed, so the sweep must
+    // rewrite ckpt-v3 and then delete; (b) another swap lands v4 WITH
+    // its cadence checkpoint, vacuum to boundary 4 — doomed = the old
+    // compacted file, absent from ckpt-v4, direct execution. Both
+    // scenarios end with a gated read THROUGH the (possibly
+    // rewritten) checkpoint: one manifest read, content hash-exact,
+    // zero doomed references. At 100 TB the check is one set
+    // intersection over two manifest-sized lists per sweep.
+    "q310_lake_vacuum_ckpt" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q310-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        def ckptFiles(): Set[String] = {
+          val ptr = java.nio.file.Files.readString(java.nio.file.Paths
+            .get(stage.toString, "_log", "_last_checkpoint")).trim
+          s.read.parquet(s"$stage/_log/ckpt-v$ptr").collect()
+            .map(_.getString(1)).toSet
+        }
+        def allAdds(v: Int): Seq[String] = (0 to v).flatMap(i =>
+          s.read.parquet(s"$stage/_log/v$i").collect()
+            .collect { case r if r.getString(0) == "add" => r.getString(1) })
+        def sweep(name: String, boundary: Int): DataFrame = {
+          val retained = asOfFiles(s, stage.toString, boundary).toSet
+          // a real sweep lists the store: doomed = on disk, below the
+          // boundary's retained set (already-freed paths don't recount)
+          val doomed = allAdds(boundary).filterNot(retained).distinct
+            .filter(p => java.nio.file.Files.exists(
+              java.nio.file.Paths.get(p)))
+          val live = ckptFiles()
+          val conflicted = doomed.count(live)
+          val action =
+            if (conflicted > 0) {
+              // rewrite-then-sweep: checkpoint the latest version
+              // (through the old checkpoint), advance the pointer
+              writeCheckpoint(s, stage.toString, boundary)
+              "rewrote_checkpoint"
+            } else "executed_direct"
+          doomed.foreach(p => rmTree(java.nio.file.Paths.get(p)))
+          val residue = doomed.count(ckptFiles())
+          val (files, nReads) = ckptResolve(s, stage.toString, boundary)
+          s.read.parquet(files.map(_._1): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(name).as("scenario"),
+              lit(boundary.toLong).as("boundary"),
+              lit(doomed.size.toLong).as("n_doomed"),
+              lit(conflicted.toLong).as("n_doomed_in_live_ckpt"),
+              lit(action).as("action"),
+              lit(residue.toLong).as("n_doomed_in_ckpt_after"),
+              lit(nReads).as("n_manifests_ckpt"),
+              lit(files.size.toLong).as("n_files"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }
+        def snap(df: DataFrame): DataFrame = {
+          val rows = df.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        }
+        // scenario a: the committer checkpointed at v2; the v3
+        // compaction swap then dooms every file ckpt-v2 references
+        writeCheckpoint(s, stage.toString, 2)
+        val a = snap(sweep("a_rewrite_then_sweep", 3))
+        // scenario b: another swap (v4) lands WITH its cadence
+        // checkpoint; the doomed old compact file is absent from it
+        val compact2 = s"$stage/compact2"
+        s.read.parquet(s"$stage/compact").coalesce(1)
+          .write.mode("overwrite").parquet(compact2)
+        val mm = s.read.parquet(compact2)
+          .agg(min(col("doc_id")), max(col("doc_id"))).head()
+        require(tryCommit(s, stage.toString, 4,
+          Seq(("remove", s"$stage/compact", -1L, -1L),
+            ("add", compact2, mm.getLong(0), mm.getLong(1)))))
+        writeCheckpoint(s, stage.toString, 4)
+        val b = snap(sweep("b_direct", 4))
+        a.unionByName(b).orderBy("scenario")
+      } finally rmTree(stage)
     }))
 
   /** q301's checkpointed snapshot resolution: newest checkpoint ≤ v —
@@ -1457,6 +1709,23 @@ object ShapeOpsQueries {
     * files actually read (the gate's growth-vs-constant evidence).
     * Falls back to the full fold when no checkpoint exists yet.
     */
+  /** Write the checkpoint of version `v` (the RESOLVED active set
+    * with stats, itself resolved through the previous checkpoint so
+    * checkpointing never re-folds the whole log) and advance the
+    * `_last_checkpoint` pointer — the committer-cadence step q301
+    * gates, shared by q308's staging and q310's rewrite-then-sweep.
+    */
+  private def writeCheckpoint(s: SparkSession, stage: String, v: Int): Unit = {
+    import s.implicits._
+    val (active, _) = ckptResolve(s, stage, v)
+    active.map { case (p, mn, mx) => ("add", p, mn, mx) }
+      .toDF("action", "path", "min_id", "max_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/_log/ckpt-v$v")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stage, "_log", "_last_checkpoint"),
+      v.toString)
+  }
+
   private[graft] def ckptResolve(s: SparkSession, stage: String, v: Int)
       : (Seq[(String, Long, Long)], Long) = {
     val lastPtr = java.nio.file.Paths.get(stage, "_log", "_last_checkpoint")
@@ -1563,7 +1832,9 @@ object ShapeOpsQueries {
     // remove entries carry no stats (only adds are ever pruned) — the
     // -1 sentinel keeps the manifest schema flat
     def writeLog(v: Int, rows: Seq[(String, String, Long, Long)]): Unit =
-      rows.toDF("action", "path", "min_id", "max_id").coalesce(1)
+      rows.toDF("action", "path", "min_id", "max_id")
+        .withColumn("commit_ts", lit(commitTsOf(v)))
+        .coalesce(1)
         .write.mode("overwrite").parquet(s"$stage/_log/v$v")
     def rm(p: String) = (("remove", p, -1L, -1L))
     writeLog(0, v0gs.map(g =>
@@ -1598,7 +1869,9 @@ object ShapeOpsQueries {
       java.nio.file.Paths.get(stage), s"commit-v$v-")
     try {
       val staged = tmp.resolve("m")
-      entries.toDF("action", "path", "min_id", "max_id").coalesce(1)
+      entries.toDF("action", "path", "min_id", "max_id")
+        .withColumn("commit_ts", lit(commitTsOf(v)))
+        .coalesce(1)
         .write.mode("overwrite").parquet(staged.toString)
       val target = java.nio.file.Paths.get(stage, "_log", s"v$v")
       if (java.nio.file.Files.exists(target)) false
@@ -2010,6 +2283,128 @@ object ShapeOpsQueries {
          |${row("a_reader_v2", 2, act, "refused", act)}
          |UNION ALL
          |${row("b_reader_v3", 3, "0", "executed", "1")}
+         |) ORDER BY scenario""".stripMargin
+    },
+    // ts resolution floors to the newest commit at-or-before the
+    // probe: b lands ON v1 (all docs, many files), c between v2 and
+    // v3 resolves v2 (the CoW content), d after the last resolves the
+    // compaction swap — same content as c, ONE file, and exactly one
+    // manifest read (the checkpoint); a precedes every commit and is
+    // the explicit error row
+    "q308_lake_time_travel_ts" -> {
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      def row(name: String, ts: Long, v: Int, nCkpt: Int,
+          nFiles: String, pred: String) =
+        s"""SELECT '$name' AS probe, CAST($ts AS BIGINT) AS probe_ts,
+           |  CAST($v AS BIGINT) AS version, 'resolved' AS outcome,
+           |  CAST($nCkpt AS BIGINT) AS n_manifests_ckpt,
+           |  CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $pred""".stripMargin
+      s"""SELECT * FROM (
+         |SELECT 'a_before_first' AS probe,
+         |  CAST(${commitTsOf(0) - 1L} AS BIGINT) AS probe_ts,
+         |  CAST(-1 AS BIGINT) AS version,
+         |  'no_snapshot_at_ts' AS outcome,
+         |  CAST(0 AS BIGINT) AS n_manifests_ckpt,
+         |  CAST(0 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_rows,
+         |  CAST(0 AS BIGINT) AS sum_chars,
+         |  CAST(0 AS BIGINT) AS key_checksum
+         |UNION ALL
+         |${row("b_exact_v1", commitTsOf(1), 1, 2, act, "TRUE")}
+         |UNION ALL
+         |${row("c_between_v2_v3", commitTsOf(3) - 1L, 2, 3, act,
+             sqlLakeV2Pred)}
+         |UNION ALL
+         |${row("d_after_last", commitTsOf(3) + 86400000L, 3, 1, "1",
+             sqlLakeV2Pred)}
+         |) ORDER BY probe""".stripMargin
+    },
+    // the bloom reconstruction: same granule layout, same polynomial
+    // hash, same two Kirsch-Mitzenmacher probe bits, same per-file
+    // bit_or fold — so the SKIP DECISIONS (which files pass, which
+    // pass falsely) must agree file for file, not just the counts
+    "q309_lake_bloom_skip" -> {
+      val p = graft.functions.TextFunctions.P
+      val sqlPoly = graft.functions.TextFunctions.sqlPolyHash _
+      s"""WITH gp AS (SELECT GREATEST(100, COUNT(*) // 50) AS g,
+         |    GREATEST(4, GREATEST(100, COUNT(*) // 50) // 8) * 64
+         |      AS mbits FROM documents),
+         |u AS (SELECT doc_id, doc_id // gp.g AS fg,
+         |    'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+         |    n_chars FROM documents, gp),
+         |hx AS (SELECT fg, ${sqlPoly("url")} AS h1 FROM u),
+         |h2x AS (SELECT fg, h1, (h1 * h1 + $manifestA) % $p AS h2 FROM hx),
+         |pos AS (SELECT fg, (h1 + 1 * h2) % gp.mbits AS bp
+         |    FROM h2x, gp
+         |  UNION ALL
+         |  SELECT fg, (h1 + 2 * h2) % gp.mbits FROM h2x, gp),
+         |bloom AS (SELECT fg, bp // 63 AS w,
+         |    BIT_OR(1::BIGINT << CAST(bp % 63 AS INT)) AS mask
+         |  FROM pos GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT 'a_hit_mid' AS probe, (SELECT url FROM u WHERE doc_id =
+         |    (SELECT MAX(doc_id) // 2 FROM documents)) AS purl
+         |  UNION ALL
+         |  SELECT 'b_hit_low', (SELECT url FROM u WHERE doc_id =
+         |    (SELECT MAX(doc_id) // 5 FROM documents))
+         |  UNION ALL
+         |  SELECT 'c_miss', 'doc://void/424242'),
+         |ph AS (SELECT probe, purl, ${sqlPoly("purl")} AS h1 FROM pr),
+         |ph2 AS (SELECT probe, purl, h1,
+         |    (h1 * h1 + $manifestA) % $p AS h2 FROM ph),
+         |pbits AS (SELECT DISTINCT probe, bp FROM (
+         |  SELECT probe, (h1 + 1 * h2) % gp.mbits AS bp FROM ph2, gp
+         |  UNION ALL
+         |  SELECT probe, (h1 + 2 * h2) % gp.mbits FROM ph2, gp)),
+         |pass AS (SELECT pb.probe, b.fg FROM pbits pb
+         |  JOIN bloom b ON b.w = pb.bp // 63
+         |    AND (b.mask & (1::BIGINT << CAST(pb.bp % 63 AS INT))) <> 0
+         |  GROUP BY pb.probe, b.fg
+         |  HAVING COUNT(DISTINCT pb.bp) = (SELECT COUNT(*) FROM pbits x
+         |    WHERE x.probe = pb.probe)),
+         |m AS (SELECT pr.probe, u.fg, COUNT(*) AS nr,
+         |    SUM(u.n_chars) AS sc
+         |  FROM pr JOIN u ON u.url = pr.purl GROUP BY 1, 2)
+         |SELECT p.probe,
+         |  (SELECT COUNT(DISTINCT fg) FROM u) AS n_files_total,
+         |  CAST(COUNT(pa.fg) AS BIGINT) AS n_files_bloom_pass,
+         |  CAST(COUNT(pa.fg) - COUNT(m.fg) AS BIGINT)
+         |    AS n_false_positive_files,
+         |  CAST(COALESCE(SUM(m.nr), 0) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(SUM(m.sc), 0) AS BIGINT) AS sum_chars
+         |FROM pr p
+         |LEFT JOIN pass pa ON pa.probe = p.probe
+         |LEFT JOIN m ON m.probe = p.probe AND m.fg = pa.fg
+         |GROUP BY p.probe ORDER BY p.probe""".stripMargin
+    },
+    // scenario a's live checkpoint (v2) references every doomed
+    // pre-compaction file except the CoW-replaced base g=0 → the
+    // sweep must rewrite; scenario b's cadence checkpoint (v4) is
+    // already clean → direct. Both end reads: one manifest, one
+    // file, the v2 logical content
+    "q310_lake_vacuum_ckpt" -> {
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      def row(name: String, boundary: Int, nDoomed: String,
+          nLive: String, action: String) =
+        s"""SELECT '$name' AS scenario, CAST($boundary AS BIGINT) AS boundary,
+           |  CAST(($nDoomed) AS BIGINT) AS n_doomed,
+           |  CAST(($nLive) AS BIGINT) AS n_doomed_in_live_ckpt,
+           |  '$action' AS action,
+           |  CAST(0 AS BIGINT) AS n_doomed_in_ckpt_after,
+           |  CAST(1 AS BIGINT) AS n_manifests_ckpt,
+           |  CAST(1 AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $sqlLakeV2Pred""".stripMargin
+      s"""SELECT * FROM (
+         |${row("a_rewrite_then_sweep", 3, s"$act + 1", act,
+             "rewrote_checkpoint")}
+         |UNION ALL
+         |${row("b_direct", 4, "1", "0", "executed_direct")}
          |) ORDER BY scenario""".stripMargin
     },
     // the incrementally-maintained aggregate must equal the

@@ -1069,6 +1069,90 @@ object SimilarityQueries {
     */
   private[graft] val knnM = 6
   private val graphHops = 6
+  /** q307 structured-neighborhood fixture — the scale-honesty device
+    * for the graph tier: the driver's embeddings are random
+    * (structure-free), so walk-recall gains measured on them are
+    * entry-limited at large SF ("no amount of build effort conjures
+    * paths that do not exist" — SCALE.md round 15). This fixture
+    * PLANTS deterministic cluster geometry from vec_id alone, exactly
+    * reproducible in both engines with integer arithmetic:
+    *
+    *   C        = max(25, n div 200)  (bounded cluster size — the
+    *              lakeGranFor convention; pairs stay ∝ n·clusterSize,
+    *              never n²/C, at any corpus size)
+    *   t        = (v mod C)·64 + (j−1)            (j = 1..64, 1-based)
+    *   anchor   = ((t·(t+1)) mod 2503) mod 7 − 3  (cluster direction;
+    *              2503 prime > any gate/scale C, so no two clusters
+    *              share an anchor sequence; t·(t+1) is nonlinear, so
+    *              no mod-residue periodicity across dims)
+    *   perturb  = (((v+j)·(v+j+1)) mod 1021) mod 13 − 6  (per-member
+    *              jitter; the quadratic kills linear-congruence
+    *              collisions — no two members of a cluster coincide
+    *              below lcm(1021, C) ids apart)
+    *   emb[j]   = (4·anchor + perturb) / 64.0     (exact binary
+    *              fraction: m ∈ [−18, 18], /64 exact in FLOAT, so
+    *              every downstream dot/norm is bit-identical across
+    *              engines regardless of summation order)
+    *
+    * Geometry: anchor part norm² ≈ 1.0, jitter ≈ 0.22 → same-cluster
+    * cos ≈ 0.82, cross-cluster |cos| ≲ 0.3; the planted ±150-milli
+    * probe noise (norm ≈ 0.69) leaves the source the unique exact-NN
+    * of its probe by ≈ 4σ per cluster-mate, while cluster-mates sit
+    * close enough that the compressed entry stage genuinely confuses
+    * them — the regime where the graph WALK earns its keep.
+    */
+  private val structDim = 64
+  private val structClusterFloor = 25L
+  private val structClusterSize = 200L
+  private val structAnchorMod = 2503L
+  private val structPerturbMod = 1021L
+  private def structClustersFor(n: Long): Long =
+    math.max(structClusterFloor, n / structClusterSize)
+  private def structEmbedding(c: Long): Column = {
+    val t1 = s"((vec_id % $c) * 64 + (j - 1))"
+    val t2 = s"((vec_id % $c) * 64 + j)"
+    expr(
+      s"""transform(sequence(1, $structDim), j -> CAST((
+         |  4 * (((($t1 * $t2) % $structAnchorMod) % 7) - 3)
+         |  + (((((vec_id + j) * (vec_id + j + 1)) % $structPerturbMod)
+         |      % 13) - 6)
+         |) / 64.0 AS FLOAT))""".stripMargin)
+  }
+  /** q307's graph cache — the structured serve face's walk. */
+  private val lastStructGraph = new graft.util.CacheSlot
+
+  /** Stage the structured fixture (embeddings.parquet with
+    * [[structEmbedding]] vectors) under a DETERMINISTIC /tmp path
+    * keyed by corpus size, cluster count, and the formula moduli —
+    * so repeat invocations (Bench's three passes, GraphChain beside
+    * the gate) reuse the same files AND the same cached-graph plan
+    * (CacheSlot keeps equivalent plans), exactly as q305 reuses the
+    * real table. Staged once via write-to-temp + atomic rename; a
+    * concurrent stager losing the rename just discards its copy.
+    */
+  private[graft] def structFixtureDir(s: SparkSession, dir: String): String = {
+    val base = Tables(s, dir, "embeddings")
+    val n = base.count()
+    val c = structClustersFor(n)
+    val root = java.nio.file.Paths.get("/tmp",
+      s"graft-struct-$structAnchorMod-$structPerturbMod-$n-$c-" +
+        math.abs(dir.hashCode).toString)
+    if (!java.nio.file.Files.exists(
+        root.resolve("embeddings.parquet").resolve("_SUCCESS"))) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-struct-stage")
+      base.select(col("vec_id"),
+          structEmbedding(c).as("embedding"), col("label"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      try java.nio.file.Files.move(tmp, root,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(root) =>
+          graft.util.FileUtils.deleteRecursively(tmp)
+      }
+    }
+    root.toString
+  }
   /** q294 band-width floor: corpora up to this size band at 8 bits
     * (every gate SF), larger ones at 16 — buckets ≈ n/2^bits stay
     * bounded, so candidate pairs stay ~linear (the [[lakeGranFor]]
@@ -1489,14 +1573,25 @@ object SimilarityQueries {
   private lazy val sqlKnnDiversifyCtes: String = {
     val pairCos = sqlCosineFrom(
       sqlDot("ea.embedding", "eb.embedding"), "ea.n2", "eb.n2")
+    // eligibility as EXPLICIT joins, not correlated NOT EXISTS: the
+    // dominated-by-a-kept-neighbor test correlates on (src, dst, cos)
+    // through LEAST/GREATEST join keys, which defeats DuckDB's
+    // decorrelation and degenerates to a pl × dpc nested loop —
+    // harmless at the gate SFs, a measured >80 GB spill on q307's
+    // dense structured fixture at sf1. The violation set (vl$k) and
+    // two left-anti joins are hash-joins on equality keys, linear in
+    // pl + dpc, and semantically identical (the same rows survive).
     val rounds = (2 to knnM).map { k =>
-      s"""el$k AS (SELECT pl.* FROM pl
-         |  WHERE NOT EXISTS (SELECT 1 FROM ka${k - 1} k2
-         |    WHERE k2.src = pl.src AND k2.sel_id = pl.dst)
-         |    AND NOT EXISTS (SELECT 1 FROM ka${k - 1} k2
-         |      JOIN dpc ON dpc.x = LEAST(pl.dst, k2.sel_id)
-         |        AND dpc.y = GREATEST(pl.dst, k2.sel_id)
-         |      WHERE k2.src = pl.src AND dpc.cxy >= pl.cos)),
+      s"""vl$k AS (SELECT DISTINCT pl.src, pl.dst FROM pl
+         |  JOIN ka${k - 1} k2 ON k2.src = pl.src
+         |  JOIN dpc ON dpc.x = LEAST(pl.dst, k2.sel_id)
+         |    AND dpc.y = GREATEST(pl.dst, k2.sel_id)
+         |  WHERE dpc.cxy >= pl.cos),
+         |el$k AS (SELECT pl.* FROM pl
+         |  LEFT JOIN ka${k - 1} kk ON kk.src = pl.src
+         |    AND kk.sel_id = pl.dst
+         |  LEFT JOIN vl$k v ON v.src = pl.src AND v.dst = pl.dst
+         |  WHERE kk.sel_id IS NULL AND v.src IS NULL),
          |ks$k AS (SELECT src, dst AS sel_id, cos AS sel_cos FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
          |      ORDER BY rank) AS rr FROM el$k) WHERE rr = 1),
@@ -1711,8 +1806,15 @@ object SimilarityQueries {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n2"))
 
+  /** MATERIALIZED: `e` is referenced a dozen+ times by the larger
+    * chains (graph build, refine pool, diversify pairs, six walk
+    * hops, ADC); DuckDB re-evaluates plain CTEs per reference, which
+    * measured harmless on the sparse random corpus but multiplied to
+    * an OOM on q307's dense structured fixture (each copy carries
+    * 64-float lists). One evaluation is semantics-identical.
+    */
   private[queries] val sqlEmb =
-    s"e AS (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)"
+    s"e AS MATERIALIZED (SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2 FROM embeddings)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-k: broadcast the probe set, then the custom
@@ -2503,6 +2605,25 @@ object SimilarityQueries {
       graphSearchOver(s, dir,
         lastDivKnnGraph.swap(knnDiversifiedGraph(s, dir).cache()))),
 
+    // STRUCTURED-fixture serve face — q305's full build-then-serve
+    // path (diversified build, identical multi-entry walk, identical
+    // evaluation) run on the [[structEmbedding]] planted-cluster
+    // geometry instead of the driver's structure-free random
+    // vectors. This is the gate that makes the tier's headline claim
+    // ("walks recover sources the compressed entry stage missed")
+    // scale-honest: cosine neighborhoods EXIST here at every SF by
+    // construction, so entry-vs-graph recall measures the index, not
+    // the fixture (SCALE.md carries the tools.GraphChain rows for all
+    // three builds at sf0.1/sf1 on the same geometry). Staging is one
+    // projection of the embeddings table (vec_id-derived integer
+    // arithmetic, data-scale, embarrassingly parallel); every
+    // downstream stage is the gated q305 machinery verbatim.
+    "q307_graph_structured" -> ((s, dir) => {
+      val sd = structFixtureDir(s, dir)
+      graphSearchOver(s, sd,
+        lastStructGraph.swap(knnDiversifiedGraph(s, sd).cache()))
+    }),
+
     // FILTERED vector search — the ubiquitous vector-DB request
     // ("nearest neighbors WHERE label IN (...)") and its standard
     // lesson: PRE-filtering (predicate inside the candidate scan)
@@ -3030,7 +3151,12 @@ object SimilarityQueries {
     // come from the MATERIALIZED graph, the argmax moves only on
     // strict improvement (NULL best on a sink node → stay, both
     // engines); the winner per probe is the endpoint with the best
-    // true cosine (endpoint/entry ASC tiebreak — converged walks)
+    // true cosine (endpoint/entry ASC tiebreak — converged walks).
+    // hop$i is MATERIALIZED: hop$i references hop${i-1} twice (the
+    // carry row and the candidate scan), so plain CTEs inline the
+    // whole upstream tree 2^hops times — measured as an OOM on the
+    // q307 sf1 oracle; a hop is ≤ probes × E rows, so materializing
+    // is free
     def graphSearchSqlOver(graphCtes: String, gName: String) = {
       val hopCos = sqlCosineFrom(
         sqlDot("h.pvec", "e2.embedding"), "h.pn2", "e2.n2")
@@ -3045,7 +3171,7 @@ object SimilarityQueries {
            |      ROW_NUMBER() OVER (PARTITION BY probe_id
            |        ORDER BY adc_dist, vec_id) AS rn
            |    FROM adc) WHERE rn <= $graphEntries),
-           |hop0 AS (SELECT p.probe_id, p.source_id, p.pvec, p.pn2,
+           |hop0 AS MATERIALIZED (SELECT p.probe_id, p.source_id, p.pvec, p.pn2,
            |    en.entry_id, en.entry_rn, en.entry_id AS cur_id,
            |    $entryCos AS cur_cos, CAST(0 AS BIGINT) AS n_moves
            |  FROM ppn p JOIN entry en USING (probe_id)
@@ -3059,7 +3185,7 @@ object SimilarityQueries {
            |      ROW_NUMBER() OVER (PARTITION BY probe_id, entry_id
            |        ORDER BY c DESC, dst) AS rn
            |    FROM cand$i) WHERE rn = 1),
-           |hop$i AS (SELECT h.probe_id, h.source_id, h.pvec, h.pn2,
+           |hop$i AS MATERIALIZED (SELECT h.probe_id, h.source_id, h.pvec, h.pn2,
            |    h.entry_id, h.entry_rn,
            |    CASE WHEN b.c > h.cur_cos THEN b.dst ELSE h.cur_id END
            |      AS cur_id,
@@ -3129,6 +3255,32 @@ object SimilarityQueries {
            |FROM g GROUP BY src ORDER BY vec_id""".stripMargin,
       "q295_graph_search" -> q295Sql,
       "q305_graph_search_diversified" -> q305Sql,
+      // q305's twin with the corpus swapped for the structured
+      // fixture: `semb` mirrors [[structEmbedding]] (same integer
+      // arithmetic, DuckDB's 1-based list range = Spark's
+      // sequence(1, 64)), and every `FROM embeddings` in the q305
+      // chain — probes, sign sketch, IVF-PQ entries, graph build,
+      // walk — reads `semb` instead. The substitution is sound
+      // because the corpus appears in the chain ONLY as
+      // `FROM embeddings` (relation scans and the COUNT(*) width
+      // rule); both engines therefore run the identical pipeline on
+      // the identical planted geometry.
+      "q307_graph_structured" -> {
+        val t1 = "((vec_id % scc.c) * 64 + (j - 1))"
+        val t2 = "((vec_id % scc.c) * 64 + j)"
+        val sembCtes =
+          s"""scc AS (SELECT GREATEST($structClusterFloor,
+             |    COUNT(*) // $structClusterSize) AS c FROM embeddings),
+             |semb AS MATERIALIZED (SELECT vec_id,
+             |    list_transform(range(1, ${structDim + 1}), j -> CAST((
+             |      4 * (((($t1 * $t2) % $structAnchorMod) % 7) - 3)
+             |      + (((((vec_id + j) * (vec_id + j + 1))
+             |          % $structPerturbMod) % 13) - 6)
+             |    ) / 64.0 AS FLOAT)) AS embedding, label
+             |  FROM embeddings, scc)""".stripMargin
+        "WITH " + sembCtes + ",\n" +
+          q305Sql.stripPrefix("WITH ").replace("FROM embeddings", "FROM semb")
+      },
       // the refined graph's node-grain rollup — q294's twin over rg
       "q300_knn_refine" ->
         s"""WITH $sqlEmb,

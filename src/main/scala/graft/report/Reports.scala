@@ -394,4 +394,43 @@ object Reports {
       sb ++= s"- après parcours du graphe: ${graph.getAs[Long]("graph_recall_permille")}\n"
       sb.result()
     }
+
+  /** `graph_search` — the graph tier's serve face (q305: diversified
+    * build + multi-entry greedy walk) surfaced per probe, plus the
+    * structured-fixture chain (q307) whose planted cluster geometry
+    * makes the entry-vs-walk gap scale-honest. Both run the gated
+    * registry entries themselves.
+    */
+  def renderGraphSearch(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): String =
+    guardedTool(dataDir, Seq("embeddings")) {
+      val served = graft.SparkEntry
+        .queries("q305_graph_search_diversified")(spark, dataDir)
+        .collect()
+      val struct = graft.SparkEntry
+        .queries("q307_graph_structured")(spark, dataDir).head()
+      val head = served.head
+      val sb = new StringBuilder(
+        "# Recherche par graphe (NSW diversifié, q305)\n\n")
+      sb ++= "Descente gloutonne multi-entrée sur le graphe k-NN " +
+        "diversifié (heuristique HNSW), entrées = propositions ADC; " +
+        "sondes plantées = vérité terrain.\n"
+      sb ++= s"\nChaîne de rappel (pour mille): entrée " +
+        s"${head.getAs[Long]("entry_recall_permille")} → ensemble " +
+        s"${head.getAs[Long]("entryset_recall_permille")} → graphe " +
+        s"${head.getAs[Long]("graph_recall_permille")}\n"
+      sb ++= "\nPar sonde (source plantée → point final, sauts):\n"
+      served.foreach { r =>
+        val ok = if (r.getAs[Long]("found_source") == 1L) "OUI" else "non"
+        sb ++= s"\n- sonde ${r.getAs[Long]("probe_id")}: source " +
+          s"${r.getAs[Long]("source_id")} → ${r.getAs[Long]("final_id")} " +
+          s"(${r.getAs[Long]("n_moves")} sauts, trouvée: $ok)\n"
+      }
+      sb ++= "\nFixture structurée (q307 — géométrie à clusters " +
+        "plantés, la mesure honnête à l'échelle):\n"
+      sb ++= s"\n- entrée ${struct.getAs[Long]("entry_recall_permille")} " +
+        s"→ ensemble ${struct.getAs[Long]("entryset_recall_permille")} " +
+        s"→ graphe ${struct.getAs[Long]("graph_recall_permille")}\n"
+      sb.result()
+    }
 }

@@ -11,12 +11,19 @@ import org.apache.spark.sql.SparkSession
   * graph until walks add nothing over their entries; one refinement
   * round must buy that recall back (graph > entry-set).
   *
-  * Usage: `runMain graft.tools.GraphChain <sfDir>`.
+  * Usage: `runMain graft.tools.GraphChain <sfDir> [--structured]`.
+  * With `--structured` the three chains run on the q307
+  * planted-cluster fixture (structFixtureDir staged off the same
+  * corpus) instead of the driver's random embeddings — the
+  * scale-honest measurement: neighborhoods exist at every SF, so
+  * entry-vs-graph gaps read on the index.
   */
 object GraphChain {
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: GraphChain <sfDir>")
-    val dir = args(0)
+    require(args.nonEmpty && args.length <= 2,
+      "usage: GraphChain <sfDir> [--structured]")
+    val structured = args.contains("--structured")
+    val baseDir = args.filterNot(_ == "--structured").head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,6 +36,9 @@ object GraphChain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.queries.SimilarityQueries._
+    val dir =
+      if (structured) structFixtureDir(spark, baseDir) else baseDir
+    if (structured) println(s"structured fixture: $dir")
     def chain(label: String, g: org.apache.spark.sql.DataFrame): Unit = {
       val cached = g.cache()
       try {

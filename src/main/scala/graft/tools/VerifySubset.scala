@@ -47,8 +47,14 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dump the oracle for every query whose output exists in outDir
+    // (not just this run's subset): successive targeted runs into one
+    // directory accumulate a full-compare preview, and refreshing one
+    // query never drops the other 300 entries from the local gate
     val json = graft.SparkEntry.oracleSql
-      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+      .filter { case (n, _) =>
+        wanted(n) || java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(outDir, n)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -127,4 +127,58 @@ class GraphAnnSpec extends SparkSuite {
       assert(broken === 0, "a walk left the planted source")
     } finally out.unpersist()
   }
+
+  test("q307: on the structured fixture the walks STRICTLY beat the " +
+      "entry set (the tier's headline claim, on geometry where " +
+      "neighborhoods exist), and every probe's planted source is the " +
+      "unique exact-NN (the q270 premise carries over)") {
+    import graft.queries.SimilarityQueries._
+    val out = SparkEntry.queries("q307_graph_structured")(spark, dir)
+      .cache()
+    try {
+      val r = out.head()
+      assert(r.getAs[Long]("graph_recall_permille") >
+        r.getAs[Long]("entryset_recall_permille"),
+        "the walks added nothing over the entry set — the structured " +
+          "fixture exists to demonstrate exactly this gap")
+      assert(r.getAs[Long]("entryset_recall_permille") >=
+        r.getAs[Long]("entry_recall_permille"))
+      val broken = out.where(col("entryset_has_source") === 1 &&
+        col("found_source") === 0).count()
+      assert(broken === 0, "a walk left the planted source")
+      // exact-NN premise on the structured geometry: brute-force
+      // cosine argmax over the staged fixture = the planted source
+      // for (almost) every probe (spec-SF corpus: 500 × 9 — trivial).
+      // "Almost": unlike the random corpus (nearest non-source at
+      // cos ≈ 0.37, premise exact at 1000‰ — q270), cluster-mates
+      // here sit at cos ≈ 0.82 BY DESIGN, so the fixed ±150-milli
+      // probe noise makes mate-vs-source ordering a ~2.5σ event per
+      // mate — about one flip per ~200 (probe, mate) comparisons is
+      // intrinsic to the geometry, not an index defect. The gate's
+      // recall is measured against the planted source either way
+      // (deterministic, oracle-hashed); the premise bound here pins
+      // that flips stay at the noise floor (≤ 1 of 9 probes).
+      val sd = structFixtureDir(spark, dir)
+      val corpus = graft.queries.Tables(spark, sd, "embeddings")
+      val pp = plantedProbes(spark, sd)
+      val dotc = expr("aggregate(zip_with(pvec, e2, (a, b) -> " +
+        "a * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x)")
+      val n2c = expr("aggregate(e2, CAST(0 AS DOUBLE), " +
+        "(s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+      val scored = corpus.select(col("vec_id"),
+          col("embedding").as("e2"))
+        .crossJoin(pp.select(col("probe_id"), col("source_id"),
+          col("pvec"), col("pn2")))  // hint audit: probe-bounded (9 probes)
+        .select(col("probe_id"), col("source_id"), col("vec_id"),
+          (dotc / sqrt(col("pn2") * n2c)).as("cos"))
+      val top = scored.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("probe_id").orderBy(desc("cos"), asc("vec_id"))))
+        .where(col("rn") === 1)
+      assert(top.where(col("vec_id") =!= col("source_id")).count() <= 1,
+        "more than one probe's exact-NN is not its source — the " +
+          "structured geometry premise drifted past its noise floor")
+    } finally { out.unpersist(); () }
+  }
 }

@@ -69,6 +69,68 @@ class LakeLifecycleSpec extends SparkSuite {
     assert(rows(0).getAs[Long]("n_files") > rows(1).getAs[Long]("n_files"))
   }
 
+  test("q308: ts resolution floors to the newest commit <= t, renders " +
+      "before-first as the explicit error row, and the after-last " +
+      "probe reads exactly one manifest") {
+    val rows = SparkEntry.queries("q308_lake_time_travel_ts")(spark, dir)
+      .orderBy("probe").collect()
+    assert(rows.length === 4)
+    val byName = rows.map(r => r.getAs[String]("probe") -> r).toMap
+    assert(byName("a_before_first").getAs[Long]("version") === -1L)
+    assert(byName("a_before_first").getAs[String]("outcome") ===
+      "no_snapshot_at_ts")
+    assert(byName("b_exact_v1").getAs[Long]("version") === 1L)
+    assert(byName("c_between_v2_v3").getAs[Long]("version") === 2L)
+    assert(byName("d_after_last").getAs[Long]("version") === 3L)
+    // c and d are the same logical content through different layouts
+    // (v3 is the compaction swap) — the ts floor must land on each
+    assert(byName("c_between_v2_v3").getAs[Long]("key_checksum") ===
+      byName("d_after_last").getAs[Long]("key_checksum"))
+    assert(byName("c_between_v2_v3").getAs[Long]("n_files") >
+      byName("d_after_last").getAs[Long]("n_files"))
+    assert(byName("d_after_last").getAs[Long]("n_manifests_ckpt") === 1L,
+      "after-last must resolve through the checkpoint alone")
+  }
+
+  test("q309: the bloom never false-negatives (every hit probe finds " +
+      "its row through the pruned read) and the fp count is " +
+      "pass-minus-containing") {
+    val rows = SparkEntry.queries("q309_lake_bloom_skip")(spark, dir)
+      .orderBy("probe").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val pass = r.getAs[Long]("n_files_bloom_pass")
+      assert(pass <= r.getAs[Long]("n_files_total"))
+      assert(r.getAs[Long]("n_false_positive_files") ===
+        pass - r.getAs[Long]("n_rows"),
+        "fp must be passing files minus the (single-file) hit")
+    }
+    val hits = rows.filter(_.getAs[String]("probe").startsWith("a_") )++
+      rows.filter(_.getAs[String]("probe").startsWith("b_"))
+    hits.foreach(r => assert(r.getAs[Long]("n_rows") === 1L,
+      s"${r.getAs[String]("probe")}: a bloom false negative lost the row"))
+    val miss = rows.find(_.getAs[String]("probe") == "c_miss").get
+    assert(miss.getAs[Long]("n_rows") === 0L)
+  }
+
+  test("q310: the sweep rewrites the checkpoint exactly when the live " +
+      "one references doomed files, never leaves a doomed reference, " +
+      "and both scenarios read one manifest after") {
+    val rows = SparkEntry.queries("q310_lake_vacuum_ckpt")(spark, dir)
+      .orderBy("scenario").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val expected = if (r.getAs[Long]("n_doomed_in_live_ckpt") > 0)
+        "rewrote_checkpoint" else "executed_direct"
+      assert(r.getAs[String]("action") === expected)
+      assert(r.getAs[Long]("n_doomed_in_ckpt_after") === 0L)
+      assert(r.getAs[Long]("n_manifests_ckpt") === 1L)
+    }
+    assert(rows(0).getAs[Long]("key_checksum") ===
+      rows(1).getAs[Long]("key_checksum"),
+      "the two sweeps' end states must hold the same logical content")
+  }
+
   test("the SHARED snapshot path (asOfFiles) is checkpoint-aware: a " +
       "checkpointed stage resolves from <= 1 checkpoint + tail " +
       "manifests, set-equal to the full fold") {

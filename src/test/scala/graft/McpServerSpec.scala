@@ -65,7 +65,7 @@ class McpServerSpec extends SparkSuite {
     assert(report.contains("timeout: 1 occurrences")) // classifier hit
   }
 
-  test("tools/list exposes the nine parity tools first, then the seven " +
+  test("tools/list exposes the nine parity tools first, then the eight " +
       "extension tools; unknown tool errors") {
     val d = newDispatcher
     val Seq(tools, bad) = roundTrip(d,
@@ -80,7 +80,7 @@ class McpServerSpec extends SparkSuite {
       "compare_nodes", "detect_issues",
       "mine_templates", "detect_slot_anomalies", "deduplicate_lines",
       "lake_time_travel", "lake_change_feed", "vector_scoreboard",
-      "stream_recovery_report")
+      "stream_recovery_report", "graph_search")
       .map(JString(_)))
     // extensions are marked so a client can tell them from parity
     assert(list.drop(9).forall(t => (t \ "description") match {
@@ -151,6 +151,22 @@ class McpServerSpec extends SparkSuite {
     // a bad directory answers in prose, a missing arg is a JSON-RPC error
     assert(resultText(responses(3)).contains("invalide"))
     assert((responses(4) \ "error" \ "code") === JInt(-32602))
+  }
+
+  test("graph_search drives the diversified serve face (q305) and the " +
+      "structured-fixture chain (q307), with the prose error contract") {
+    val d = newDispatcher
+    val dir = "/root/testdata/sf0.001"
+    val responses = roundTrip(d,
+      s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"graph_search","arguments":{"data_dir":"$dir"}}}""",
+      """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"graph_search","arguments":{"data_dir":"/nonexistent"}}}""")
+    val text = resultText(responses(0))
+    assert(text.contains("Chaîne de rappel"))
+    assert(text.contains("Fixture structurée"))
+    // per-probe lines rendered off the gated q305 frame
+    assert(text.contains("sonde") && text.contains("sauts"))
+    // the bad directory answers in prose (guardedTool), not a crash
+    assert(resultText(responses(1)).contains("invalide"))
   }
 
   test("stream_recovery_report drives the q292 restart cycle and " +
