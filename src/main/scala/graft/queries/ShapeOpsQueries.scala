@@ -1516,6 +1516,92 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // METADATA RETENTION (log cleanup below the checkpoint) — the
+    // lifecycle step that keeps the `_log` directory itself bounded:
+    // q301 bounds RESOLUTION cost with checkpoints, but the manifest
+    // files still accumulate forever until something deletes them
+    // (Delta's logRetentionDuration). The rule gated here: once a
+    // checkpoint exists at v, manifests BELOW v are subsumed and may
+    // be deleted; the price is explicit — versions below the oldest
+    // checkpoint become unresolvable, including BY TIMESTAMP (the ts
+    // index lives in the deleted manifests). Probes: the latest
+    // version resolves through the checkpoint alone (1 manifest read,
+    // content exact), a version below the retention floor answers
+    // with an explicit `version_unavailable` row (not an exception),
+    // and a timestamp below the floor answers `ts_unavailable` — the
+    // exact boundary Delta documents for AS OF under log cleanup.
+    // At 100 TB: cleanup is a directory listing + unlink of v <
+    // checkpoint — metadata-scale, and the reason a table's log stays
+    // KBs after a million commits.
+    "q312_lake_log_retention" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q312-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        writeCheckpoint(s, stage.toString, 3)
+        def manifestsOnDisk(): Long =
+          (0 to 3).count(v => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(stage.toString, "_log", s"v$v")))
+            .toLong
+        val before = manifestsOnDisk()
+        // the cleanup: unlink every manifest below the checkpoint
+        val ckptV = java.nio.file.Files.readString(java.nio.file.Paths
+          .get(stage.toString, "_log", "_last_checkpoint")).trim.toInt
+        (0 until ckptV).foreach(v => rmTree(java.nio.file.Paths
+          .get(stage.toString, "_log", s"v$v")))
+        val after = manifestsOnDisk()
+        def available(v: Int): Boolean = v >= ckptV ||
+          (0 to v).forall(i => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(stage.toString, "_log", s"v$i")))
+        def row(name: String, outcome: String, v: Long,
+            content: Option[(Seq[String], Long)]): DataFrame =
+          content match {
+            case Some((files, nReads)) =>
+              s.read.parquet(files: _*)
+                .agg(count(lit(1)).as("n_rows"),
+                  sum(col("n_chars").cast("long")).as("sum_chars"),
+                  sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+                .select(lit(name).as("probe"), lit(outcome).as("outcome"),
+                  lit(v).as("version"),
+                  lit(before).as("n_manifests_before"),
+                  lit(after).as("n_manifests_after"),
+                  lit(nReads).as("n_manifests_read"),
+                  lit(files.size.toLong).as("n_files"), col("n_rows"),
+                  col("sum_chars"), col("key_checksum"))
+            case None =>
+              s.range(1).select(lit(name).as("probe"),
+                lit(outcome).as("outcome"), lit(v).as("version"),
+                lit(before).as("n_manifests_before"),
+                lit(after).as("n_manifests_after"),
+                lit(0L).as("n_manifests_read"), lit(0L).as("n_files"),
+                lit(0L).as("n_rows"), lit(0L).as("sum_chars"),
+                lit(0L).as("key_checksum"))
+          }
+        val latest = {
+          val (files, nReads) = ckptResolve(s, stage.toString, 3)
+          row("a_latest_via_ckpt", "resolved", 3L,
+            Some((files.map(_._1), nReads)))
+        }
+        val below = row("b_below_floor",
+          if (available(1)) "resolved" else "version_unavailable", 1L,
+          None)
+        // ts probe below the floor: the ts index needs the deleted
+        // manifests, so resolution must answer unavailable — checked
+        // against the manifests that REMAIN (commitTsOf(3) is still
+        // readable; anything below its floor is not)
+        val tsFloor = s.read.parquet(s"$stage/_log/v3")
+          .select(col("commit_ts")).head().getLong(0)
+        val tsProbe = commitTsOf(1)
+        val tsOut =
+          if (tsProbe >= tsFloor) "resolved" else "ts_unavailable"
+        val c = row("c_ts_below_floor", tsOut, -1L, None)
+        val out = latest.unionByName(below).unionByName(c)
+          .orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // PER-FILE BLOOM FILTERS in the manifest — point-lookup skipping
     // for HIGH-CARDINALITY NON-KEY equality predicates, the gap q302
     // names explicitly: min/max stats prune ranges on clustered
@@ -1605,6 +1691,78 @@ object ShapeOpsQueries {
               .as("n_false_positive_files"),
             col("n_rows"), col("sum_chars"))
         }.reduce(_ unionByName _).orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
+    // COLUMN MAPPING (rename as metadata) — the schema-evolution face
+    // q72 leaves unpriced: renaming a column in a raw-parquet table
+    // means rewriting every file, so real lakes store LOGICAL name →
+    // PHYSICAL id mappings in the log (Delta columnMapping mode=id /
+    // Iceberg field-ids) and a rename touches one metadata row.
+    // Staged: files written under physical ids (col_1/col_2/col_3), a
+    // per-version mapping in the log; v1 RENAMES logical n_chars →
+    // char_count (no file touched — gated by the v0/v1 reads being
+    // byte-identical in rows, sum, and checksum THROUGH different
+    // logical names); v2 appends a post-rename file under the same
+    // physical ids and the merged read stays consistent across files
+    // written before and after the rename. A reader resolving names
+    // positionally, rewriting files on rename, or losing the mapping
+    // for old files shifts a row. At 100 TB this is the difference
+    // between a rename costing one manifest row and costing a full
+    // table rewrite.
+    "q313_lake_column_mapping" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q313-lake")
+      try {
+        import s.implicits._
+        val d = docs(s, dir)
+        d.select(col("doc_id").as("col_1"), col("n_chars").as("col_2"),
+            col("source").as("col_3"))
+          .where(col("col_1") % 2 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/f0")
+        d.select(col("doc_id").as("col_1"), col("n_chars").as("col_2"),
+            col("source").as("col_3"))
+          .where(col("col_1") % 2 === 1)
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/f1")
+        def writeMapping(v: Int, m: Seq[(String, String)]): Unit =
+          m.toDF("logical", "physical").coalesce(1)
+            .write.mode("overwrite").parquet(s"$stage/_log/schema-v$v")
+        writeMapping(0, Seq(("doc_id", "col_1"), ("n_chars", "col_2"),
+          ("source", "col_3")))
+        // v1: the rename — ONE metadata row changes, zero files touched
+        writeMapping(1, Seq(("doc_id", "col_1"),
+          ("char_count", "col_2"), ("source", "col_3")))
+        // v2: same mapping as v1; the snapshot gains the f1 append
+        writeMapping(2, Seq(("doc_id", "col_1"),
+          ("char_count", "col_2"), ("source", "col_3")))
+        def readAt(v: Int, files: Seq[String]): (DataFrame, String) = {
+          val mapping = s.read.parquet(s"$stage/_log/schema-v$v")
+            .collect().map(r => r.getString(0) -> r.getString(1))
+            .sortBy(_._1)
+          val df = s.read.parquet(files: _*)
+            .select(mapping.map { case (l, p) => col(p).as(l) }: _*)
+          (df, mapping.map(_._1).mkString(","))
+        }
+        val measureOf = Map(0 -> "n_chars", 1 -> "char_count",
+          2 -> "char_count")
+        def row(name: String, v: Int, files: Seq[String]): DataFrame = {
+          val (df, schema) = readAt(v, files)
+          df.agg(count(lit(1)).as("n_rows"),
+              sum(col(measureOf(v)).cast("long")).as("sum_measure"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(name).as("probe"), lit(v.toLong).as("version"),
+              lit(schema).as("logical_schema"),
+              lit(files.size.toLong).as("n_files"), col("n_rows"),
+              col("sum_measure"), col("key_checksum"))
+        }
+        val out = row("a_v0_original_name", 0, Seq(s"$stage/f0"))
+          .unionByName(row("b_v1_renamed_same_bytes", 1,
+            Seq(s"$stage/f0")))
+          .unionByName(row("c_v2_merged_across_rename", 2,
+            Seq(s"$stage/f0", s"$stage/f1")))
+          .orderBy("probe")
         val rows = out.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       } finally rmTree(stage)
@@ -2379,6 +2537,60 @@ object ShapeOpsQueries {
          |LEFT JOIN pass pa ON pa.probe = p.probe
          |LEFT JOIN m ON m.probe = p.probe AND m.fg = pa.fg
          |GROUP BY p.probe ORDER BY p.probe""".stripMargin
+    },
+    // cleanup keeps only the checkpointed version's manifest (4 → 1);
+    // the latest resolves through the checkpoint alone; below-floor
+    // version and timestamp probes answer explicit unavailable rows
+    "q312_lake_log_retention" -> {
+      def zeroRow(name: String, outcome: String, v: Int) =
+        s"""SELECT '$name' AS probe, '$outcome' AS outcome,
+           |  CAST($v AS BIGINT) AS version,
+           |  CAST(4 AS BIGINT) AS n_manifests_before,
+           |  CAST(1 AS BIGINT) AS n_manifests_after,
+           |  CAST(0 AS BIGINT) AS n_manifests_read,
+           |  CAST(0 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS n_rows,
+           |  CAST(0 AS BIGINT) AS sum_chars,
+           |  CAST(0 AS BIGINT) AS key_checksum""".stripMargin
+      s"""SELECT * FROM (
+         |SELECT 'a_latest_via_ckpt' AS probe, 'resolved' AS outcome,
+         |  CAST(3 AS BIGINT) AS version,
+         |  CAST(4 AS BIGINT) AS n_manifests_before,
+         |  CAST(1 AS BIGINT) AS n_manifests_after,
+         |  CAST(1 AS BIGINT) AS n_manifests_read,
+         |  CAST(1 AS BIGINT) AS n_files,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+         |FROM documents WHERE $sqlLakeV2Pred
+         |UNION ALL
+         |${zeroRow("b_below_floor", "version_unavailable", 1)}
+         |UNION ALL
+         |${zeroRow("c_ts_below_floor", "ts_unavailable", -1)}
+         |) ORDER BY probe""".stripMargin
+    },
+    // the rename is metadata-only: v0 and v1 read the SAME bytes
+    // through different logical names; v2 merges files written before
+    // and after the rename under the id-based mapping
+    "q313_lake_column_mapping" -> {
+      def row(name: String, v: Int, schema: String, nFiles: Int,
+          pred: String) =
+        s"""SELECT '$name' AS probe, CAST($v AS BIGINT) AS version,
+           |  '$schema' AS logical_schema,
+           |  CAST($nFiles AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_measure,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $pred""".stripMargin
+      s"""SELECT * FROM (
+         |${row("a_v0_original_name", 0, "doc_id,n_chars,source", 1,
+             "doc_id % 2 = 0")}
+         |UNION ALL
+         |${row("b_v1_renamed_same_bytes", 1, "char_count,doc_id,source",
+             1, "doc_id % 2 = 0")}
+         |UNION ALL
+         |${row("c_v2_merged_across_rename", 2,
+             "char_count,doc_id,source", 2, "TRUE")}
+         |) ORDER BY probe""".stripMargin
     },
     // scenario a's live checkpoint (v2) references every doomed
     // pre-compaction file except the CoW-replaced base g=0 → the

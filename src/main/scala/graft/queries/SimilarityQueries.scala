@@ -2624,6 +2624,65 @@ object SimilarityQueries {
         lastStructGraph.swap(knnDiversifiedGraph(s, sd).cache()))
     }),
 
+    // ROUTER LADDER on the structured fixture — the deployment
+    // question q307 raises: the walks recover what the nprobe=1
+    // entry stage misses, but so would probing MORE CELLS; which is
+    // the better spend? This gate prices the router side: entry /
+    // entry-set recall at nprobe = 1 vs nprobe = [[ivfNprobe]] over
+    // the SAME planted probes, WITH the candidate volume each level
+    // scans (n_candidates = Σ probed-cell occupancy — the ADC scan
+    // cost, the currency the tradeoff is paid in). Read beside
+    // q307's walk numbers: at sf1 the walk's gains come at frontier
+    // cost (probes × E × M lookups per hop), while nprobe=4 pays 4×
+    // the ADC scan — the gate makes both sides of the
+    // router-vs-graph decision measured, not asserted. The recall
+    // stages run through [[ivfPqTopN]] verbatim (the gated index);
+    // the cost column reuses the same bestCell/topCellsArr
+    // expressions, so occupancy is the index's own assignment.
+    "q311_router_ladder_structured" -> ((s, dir) => {
+      val sd = structFixtureDir(s, dir)
+      val pp = plantedProbes(s, sd)
+      val corpus = emb(s, sd)
+      val centsD = corpus.where(col("vec_id").isin(centroidIds: _*))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+        .toSeq
+      val occ = corpus.select(
+          (-bestCell(col("embedding"), col("n2"), centsD)
+            .getField("nid")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("occ"))
+      def stage(nprobe: Int): DataFrame = {
+        val per = ivfPqTopN(s, sd, nprobe, probesOpt = Some(pp))
+          .where(col("rn") <= graphEntries)
+          .join(pp.select(col("probe_id"), col("source_id")),
+            Seq("probe_id"))
+          .groupBy("probe_id", "source_id")
+          .agg(
+            max((col("vec_id") === col("source_id") &&
+              col("rn") === 1).cast("long")).as("e1"),
+            max((col("vec_id") === col("source_id")).cast("long"))
+              .as("es"))
+        val pCells = pp.select(col("probe_id"),
+            explode(topCellsArr(col("pvec"), col("pn2"), centsD, nprobe))
+              .as("pc"))
+          .select(col("probe_id"), (-col("pc.nid")).as("cell"))
+        val nCand = pCells.join(occ, Seq("cell"))
+          .agg(coalesce(sum(col("occ")), lit(0L))).head().getLong(0)
+        per.agg(count(lit(1)).as("n_probes"),
+            expr("sum(e1) * 1000 div count(1)")
+              .as("entry_recall_permille"),
+            expr("sum(es) * 1000 div count(1)")
+              .as("entryset_recall_permille"))
+          .select(lit(s"np$nprobe").as("stage"),
+            lit(nprobe.toLong).as("nprobe"), col("n_probes"),
+            lit(nCand).as("n_candidates"),
+            col("entry_recall_permille"),
+            col("entryset_recall_permille"))
+      }
+      stage(1).unionByName(stage(ivfNprobe)).orderBy("stage")
+    }),
+
     // FILTERED vector search — the ubiquitous vector-DB request
     // ("nearest neighbors WHERE label IN (...)") and its standard
     // lesson: PRE-filtering (predicate inside the candidate scan)
@@ -3280,6 +3339,63 @@ object SimilarityQueries {
              |  FROM embeddings, scc)""".stripMargin
         "WITH " + sembCtes + ",\n" +
           q305Sql.stripPrefix("WITH ").replace("FROM embeddings", "FROM semb")
+      },
+      // one nprobe=4 ADC chain on semb; the nprobe=1 face is the
+      // SAME adc restricted to each probe's rank-1 cell (a vector
+      // lives in exactly one cell, so the filter reproduces the
+      // nprobe=1 scan verbatim — rows AND distances); candidate
+      // volume = COUNT(adc) because the planted probe-id offset
+      // keeps the self-exclusion from ever firing
+      "q311_router_ladder_structured" -> {
+        val t1 = "((vec_id % scc.c) * 64 + (j - 1))"
+        val t2 = "((vec_id % scc.c) * 64 + j)"
+        val sembCtes =
+          s"""scc AS (SELECT GREATEST($structClusterFloor,
+             |    COUNT(*) // $structClusterSize) AS c FROM embeddings),
+             |semb AS MATERIALIZED (SELECT vec_id,
+             |    list_transform(range(1, ${structDim + 1}), j -> CAST((
+             |      4 * (((($t1 * $t2) % $structAnchorMod) % 7) - 3)
+             |      + (((((vec_id + j) * (vec_id + j + 1))
+             |          % $structPerturbMod) % 13) - 6)
+             |    ) / 64.0 AS FLOAT)) AS embedding, label
+             |  FROM embeddings, scc)""".stripMargin
+        val pCos = sqlCosineFrom(sqlDot("p.pvec", "c.ce"), "p.pn2", "c.cn2")
+        def stageSql(name: String, np: Int, rel: String) =
+          s"""SELECT '$name' AS stage, CAST($np AS BIGINT) AS nprobe,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ppn) AS n_probes,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rel) AS n_candidates,
+             |  CAST(SUM(e1) * 1000 // COUNT(*) AS BIGINT)
+             |    AS entry_recall_permille,
+             |  CAST(SUM(es) * 1000 // COUNT(*) AS BIGINT)
+             |    AS entryset_recall_permille
+             |FROM (SELECT r.probe_id,
+             |    MAX(CASE WHEN r.rn = 1 AND r.vec_id = pn.source_id
+             |      THEN 1 ELSE 0 END) AS e1,
+             |    MAX(CASE WHEN r.vec_id = pn.source_id
+             |      THEN 1 ELSE 0 END) AS es
+             |  FROM (SELECT probe_id, vec_id,
+             |      ROW_NUMBER() OVER (PARTITION BY probe_id
+             |        ORDER BY adc_dist, vec_id) AS rn FROM $rel) r
+             |  JOIN ppn pn ON pn.probe_id = r.probe_id
+             |  WHERE r.rn <= $graphEntries
+             |  GROUP BY r.probe_id)""".stripMargin
+        val chain = sqlIvfPqAdcPlantedN(ivfNprobe)
+          .replace("FROM embeddings", "FROM semb")
+        s"""WITH $sembCtes,
+           |$chain,
+           |pcells1 AS (SELECT probe_id, cell FROM (
+           |    SELECT p.probe_id, c.c_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+           |        ORDER BY $pCos DESC, c.c_id) AS rn
+           |    FROM ppn p, c) WHERE rn = 1),
+           |adc1 AS (SELECT adc.* FROM adc
+           |  JOIN pcells1 pc ON pc.probe_id = adc.probe_id
+           |    AND pc.cell = adc.cell)
+           |SELECT * FROM (
+           |${stageSql("np1", 1, "adc1")}
+           |UNION ALL
+           |${stageSql(s"np$ivfNprobe", ivfNprobe, "adc")}
+           |) ORDER BY stage""".stripMargin
       },
       // the refined graph's node-grain rollup — q294's twin over rg
       "q300_knn_refine" ->

@@ -181,4 +181,30 @@ class GraphAnnSpec extends SparkSuite {
           "structured geometry premise drifted past its noise floor")
     } finally { out.unpersist(); () }
   }
+
+  test("q311: the router ladder is consistent with q307's serve face " +
+      "(same np1 entry set) and the walk beats BOTH router levels on " +
+      "the structured fixture") {
+    val ladder = SparkEntry.queries("q311_router_ladder_structured")(
+      spark, dir).orderBy("stage").collect()
+    assert(ladder.length === 2)
+    val np1 = ladder.find(_.getAs[String]("stage") == "np1").get
+    val np4 = ladder.find(_.getAs[String]("stage") != "np1").get
+    // more cells probed = strictly more candidates scanned
+    assert(np4.getAs[Long]("n_candidates") >
+      np1.getAs[Long]("n_candidates"))
+    val serve = SparkEntry.queries("q307_graph_structured")(spark, dir)
+      .head()
+    // q307's entry stage IS the np1 ladder rung — one index, one truth
+    assert(serve.getAs[Long]("entryset_recall_permille") ===
+      np1.getAs[Long]("entryset_recall_permille"))
+    assert(serve.getAs[Long]("entry_recall_permille") ===
+      np1.getAs[Long]("entry_recall_permille"))
+    // the router-vs-graph verdict: the walk's recall exceeds what
+    // EITHER router level reaches on its own
+    val bestRouter = math.max(np1.getAs[Long]("entryset_recall_permille"),
+      np4.getAs[Long]("entryset_recall_permille"))
+    assert(serve.getAs[Long]("graph_recall_permille") > bestRouter,
+      "the walk no longer beats the router ladder")
+  }
 }

@@ -131,6 +131,39 @@ class LakeLifecycleSpec extends SparkSuite {
       "the two sweeps' end states must hold the same logical content")
   }
 
+  test("q312: log cleanup keeps only the checkpointed tail, the latest " +
+      "resolves through the checkpoint alone, and below-floor probes " +
+      "answer explicit unavailable rows") {
+    val rows = SparkEntry.queries("q312_lake_log_retention")(spark, dir)
+      .orderBy("probe").collect()
+    assert(rows.length === 3)
+    val a = rows(0); val b = rows(1); val c = rows(2)
+    assert(a.getAs[Long]("n_manifests_before") >
+      a.getAs[Long]("n_manifests_after"))
+    assert(a.getAs[String]("outcome") === "resolved")
+    assert(a.getAs[Long]("n_manifests_read") === 1L)
+    assert(a.getAs[Long]("n_rows") > 0L)
+    assert(b.getAs[String]("outcome") === "version_unavailable")
+    assert(c.getAs[String]("outcome") === "ts_unavailable")
+  }
+
+  test("q313: the rename is metadata-only — v0 and v1 read identical " +
+      "bytes through different logical names, and the post-rename " +
+      "append merges consistently") {
+    val rows = SparkEntry.queries("q313_lake_column_mapping")(spark, dir)
+      .orderBy("probe").collect()
+    assert(rows.length === 3)
+    val a = rows(0); val b = rows(1); val c = rows(2)
+    assert(a.getAs[String]("logical_schema") !==
+      b.getAs[String]("logical_schema"))
+    assert(a.getAs[Long]("n_rows") === b.getAs[Long]("n_rows"))
+    assert(a.getAs[Long]("sum_measure") === b.getAs[Long]("sum_measure"))
+    assert(a.getAs[Long]("key_checksum") ===
+      b.getAs[Long]("key_checksum"))
+    assert(c.getAs[Long]("n_rows") > a.getAs[Long]("n_rows"))
+    assert(c.getAs[Long]("n_files") === 2L)
+  }
+
   test("the SHARED snapshot path (asOfFiles) is checkpoint-aware: a " +
       "checkpointed stage resolves from <= 1 checkpoint + tail " +
       "manifests, set-equal to the full fold") {
