@@ -1768,6 +1768,88 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // STATS SURVIVE THE RENAME — the composition q313 × q302 that
+    // makes column mapping production-safe: data-skipping stats live
+    // in manifests KEYED BY PHYSICAL ID, so a rename (one metadata
+    // row) must not invalidate a byte of skipping metadata. Staged:
+    // key-clustered physical-id files with per-file (col_1, col_2)
+    // min/max stats; the same two-conjunct read (key range + measure
+    // floor) probed BEFORE the rename (logical n_chars) and AFTER it
+    // (logical char_count), each resolving its predicate through its
+    // version's mapping to the SAME physical stats. Gated: identical
+    // per-stage surviving-file counts and identical read content
+    // across the rename — a reader that keys stats by logical name,
+    // or re-derives them on rename, shifts a row (and at 100 TB would
+    // either rescan the table to rebuild stats or silently stop
+    // skipping). The measure conjunct's (non-)pruning is emitted
+    // honestly, q302's convention.
+    "q314_lake_stats_survive_rename" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q314-lake")
+      try {
+        import s.implicits._
+        val d = docs(s, dir)
+        val gran = lakeGranFor(d.count())
+        val phys = d.select(col("doc_id").as("col_1"),
+            col("n_chars").as("col_2"), col("source").as("col_3"))
+          .withColumn("g", expr(s"col_1 div $gran"))
+        phys.repartition(col("g"))
+          .write.partitionBy("g").mode("overwrite")
+          .parquet(s"$stage/data")
+        // per-file stats keyed by PHYSICAL column name — the form a
+        // rename cannot touch
+        val stats: Map[Long, Map[String, (Long, Long)]] =
+          phys.groupBy("g")
+            .agg(min(col("col_1")), max(col("col_1")),
+              min(col("col_2")), max(col("col_2")))
+            .collect().map(r => r.getLong(0) -> Map(
+              "col_1" -> ((r.getLong(1), r.getLong(2))),
+              "col_2" -> ((r.getLong(3), r.getLong(4))))).toMap
+        def writeMapping(v: Int, measure: String): Unit =
+          Seq(("doc_id", "col_1"), (measure, "col_2"),
+            ("source", "col_3"))
+            .toDF("logical", "physical").coalesce(1)
+            .write.mode("overwrite").parquet(s"$stage/_log/schema-v$v")
+        writeMapping(0, "n_chars")
+        writeMapping(1, "char_count") // the rename — stats untouched
+        val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+        val keyLo = maxId / 4
+        val keyHi = maxId / 2
+        val measureMin = 100L
+        def probe(name: String, v: Int, measure: String): DataFrame = {
+          val mapping = s.read.parquet(s"$stage/_log/schema-v$v")
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          val keyP = mapping("doc_id")
+          val mP = mapping(measure)
+          val afterKey = stats.filter { case (_, st) =>
+            st(keyP)._1 <= keyHi && st(keyP)._2 >= keyLo }
+          val afterMeasure = afterKey.filter { case (_, st) =>
+            st(mP)._2 >= measureMin }
+          val files = afterMeasure.keys.toSeq.sorted
+            .map(g => s"$stage/data/g=$g")
+          val logical = s.read.parquet(files: _*)
+            .select(mapping.toSeq.sortBy(_._1)
+              .map { case (l, p) => col(p).as(l) }: _*)
+          logical
+            .where(col("doc_id").between(keyLo, keyHi) &&
+              col(measure) >= measureMin)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col(measure).cast("long")).as("sum_measure"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(name).as("probe"), lit(v.toLong).as("version"),
+              lit(stats.size.toLong).as("n_files_total"),
+              lit(afterKey.size.toLong).as("n_files_after_key"),
+              lit(afterMeasure.size.toLong).as("n_files_after_measure"),
+              col("n_rows"), col("sum_measure"), col("key_checksum"))
+        }
+        val out = probe("a_pre_rename", 0, "n_chars")
+          .unionByName(probe("b_post_rename", 1, "char_count"))
+          .orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // VACUUM × CHECKPOINT — the interaction q301 and q303 leave
     // unpriced: checkpoints REFERENCE files, so a sweep that deletes
     // a file still listed in the LIVE checkpoint (the one
@@ -2566,6 +2648,39 @@ object ShapeOpsQueries {
          |${zeroRow("b_below_floor", "version_unavailable", 1)}
          |UNION ALL
          |${zeroRow("c_ts_below_floor", "ts_unavailable", -1)}
+         |) ORDER BY probe""".stripMargin
+    },
+    // both probes must prune and read IDENTICALLY — the oracle
+    // reconstructs the per-stage surviving-granule counts and the
+    // predicate content once, and emits it under both versions
+    "q314_lake_stats_survive_rename" -> {
+      def row(name: String, v: Int) =
+        s"""SELECT '$name' AS probe, CAST($v AS BIGINT) AS version,
+           |  (SELECT CAST(COUNT(DISTINCT doc_id // gg.g) AS BIGINT)
+           |    FROM documents, gp gg) AS n_files_total,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM st, mx
+           |    WHERE st.mn1 <= mx.m // 2 AND st.mx1 >= mx.m // 4)
+           |    AS n_files_after_key,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM st, mx
+           |    WHERE st.mn1 <= mx.m // 2 AND st.mx1 >= mx.m // 4
+           |      AND st.mx2 >= 100) AS n_files_after_measure,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_measure,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents, mx
+           |WHERE doc_id BETWEEN mx.m // 4 AND mx.m // 2
+           |  AND n_chars >= 100""".stripMargin
+      s"""WITH gp AS (SELECT GREATEST(100, COUNT(*) // 50) AS g
+         |    FROM documents),
+         |mx AS (SELECT MAX(doc_id) AS m FROM documents),
+         |st AS (SELECT doc_id // gp.g AS fg,
+         |    MIN(doc_id) AS mn1, MAX(doc_id) AS mx1,
+         |    MIN(n_chars) AS mn2, MAX(n_chars) AS mx2
+         |  FROM documents, gp GROUP BY 1)
+         |SELECT * FROM (
+         |${row("a_pre_rename", 0)}
+         |UNION ALL
+         |${row("b_post_rename", 1)}
          |) ORDER BY probe""".stripMargin
     },
     // the rename is metadata-only: v0 and v1 read the SAME bytes

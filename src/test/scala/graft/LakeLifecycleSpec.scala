@@ -164,6 +164,23 @@ class LakeLifecycleSpec extends SparkSuite {
     assert(c.getAs[Long]("n_files") === 2L)
   }
 
+  test("q314: skipping stats keyed by physical ids survive the rename " +
+      "— identical pruning and identical content on both sides") {
+    val rows = SparkEntry.queries("q314_lake_stats_survive_rename")(
+      spark, dir).orderBy("probe").collect()
+    assert(rows.length === 2)
+    val a = rows(0); val b = rows(1)
+    Seq("n_files_total", "n_files_after_key", "n_files_after_measure",
+      "n_rows", "sum_measure", "key_checksum").foreach { c =>
+      assert(a.getAs[Long](c) === b.getAs[Long](c),
+        s"$c diverged across the rename")
+    }
+    // the key conjunct actually prunes (the gate is non-trivial)
+    assert(a.getAs[Long]("n_files_after_key") <
+      a.getAs[Long]("n_files_total"))
+    assert(a.getAs[Long]("n_rows") > 0L)
+  }
+
   test("the SHARED snapshot path (asOfFiles) is checkpoint-aware: a " +
       "checkpointed stage resolves from <= 1 checkpoint + tail " +
       "manifests, set-equal to the full fold") {
