@@ -95,17 +95,28 @@ object Bench {
       .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_sec":$passJson}"""
+    // The FULL contract line first, then a SHORT summary line last:
+    // the driver's artifact preserves only a stdout TAIL, and with
+    // 300+ queries the full line's head (including "metric"/"value")
+    // falls outside the capture window (BENCH_r15/r16 recorded
+    // parsed:null). The trailing line is complete, parseable JSON
+    // carrying the totals; the full per-query map lives in the line
+    // above AND in the machine-readable file below.
     println(line)
-    // ALSO persist the full line to a machine-readable file: the
-    // driver's artifact preserves only a stdout tail, which truncated
-    // the per-query map at 306 queries (BENCH_r15 recorded
-    // parsed:null, ~73/306 timings) — the file keeps round-over-round
-    // per-query comparison independent of tail-capture luck
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","pass_sec":$passJson,"n_queries":${results.size},"queries_file":"bench_queries.json"}""")
+    // ALSO persist the full line to a machine-readable file: the file
+    // keeps round-over-round per-query comparison independent of
+    // tail-capture luck. Path is cwd-relative by default (running
+    // Bench from another checkout must not mutate /root/repo), and a
+    // failed write warns instead of vanishing.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_queries.json")
+      "bench_queries.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
+      java.nio.file.Paths.get(outPath).toAbsolutePath, line + "\n")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN: bench output write to $outPath failed: $e")
+    }
     spark.stop()
   }
 }

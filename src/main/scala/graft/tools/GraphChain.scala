@@ -20,10 +20,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GraphChain {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty && args.length <= 2,
-      "usage: GraphChain <sfDir> [--structured]")
     val structured = args.contains("--structured")
-    val baseDir = args.filterNot(_ == "--structured").head
+    val positional = args.filterNot(_ == "--structured")
+    require(positional.nonEmpty && args.length <= 2,
+      "usage: GraphChain <sfDir> [--structured]")
+    val baseDir = positional.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
