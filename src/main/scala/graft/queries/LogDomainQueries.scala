@@ -74,6 +74,35 @@ object LogDomainQueries {
     def numRuns(line: Column): Column =
       call_function("regexp_extract_all", line, lit("[0-9]+"), lit(0))
 
+    /** q318's continuation corpus: every ERROR line is followed by a
+      * deterministic Java stack trace — the `ClassName: message`
+      * exception line plus 1–4 tab-indented `\tat ...` frames — none
+      * of which match the reference's parse regex (they are exactly
+      * the lines `cassandra_log_analyzer.py:203` drops). Class and
+      * frame count derive from event_id, so both engines render the
+      * identical byte sequences.
+      */
+    val exceptionClasses: Seq[String] = Seq(
+      "java.lang.OutOfMemoryError",
+      "org.apache.cassandra.exceptions.ReadTimeoutException",
+      "java.io.IOException")
+
+    /** The continuation-line array for one ERROR event (element 0 is
+      * the exception line, the rest are `\tat` frames).
+      */
+    def contLines: Column = {
+      val cls = element_at(
+        array(exceptionClasses.map(lit): _*),
+        (col("event_id") % 3 + 1).cast("int"))
+      val nCont = (col("event_id") % 4 + 2).cast("int")
+      transform(sequence(lit(0), nCont - 1), j =>
+        when(j === 0, concat(cls, lit(": "), col("message")))
+          .otherwise(concat(
+            lit("\tat org.apache.cassandra.service.StorageProxy." +
+              "fetchRows(StorageProxy.java:"),
+            (col("event_id") % 997 + j).cast("string"), lit(")"))))
+    }
+
     /** The same corpus as a DuckDB CTE (`ev`). */
     val sqlCte: String = {
       val buckets = bucketMessages.zipWithIndex.map { case (m, i) =>
@@ -283,6 +312,41 @@ object LogDomainQueries {
     // Monotone slots (timestamps) price themselves honestly:
     // n_anomalous = n_checked, which is exactly why deployments read
     // this table before wiring alerts.
+    // STACK-TRACE CONTINUATION GROUPING — the reference domain's most
+    // real unserved query: the CLA parser silently drops every
+    // non-matching line (CLA:203,240-241), and in real Cassandra logs
+    // those are overwhelmingly Java stack-trace continuations. This
+    // gate renders the corpus WITH deterministic stack traces after
+    // each ERROR line (Corpus.contLines), per-node line-numbers the
+    // merged stream, then runs [[graft.analyze.StackTraces]] — a
+    // gaps-and-islands pass keyed by the REAL parse flag (island id =
+    // running count of parsed lines per node, one shuffle), rolled up
+    // to the (node, exception_class) histogram with per-incident
+    // frame counts and spans. The oracle replays the identical
+    // rendering, numbering, islands, and regexp extraction, so a
+    // missed continuation, an island split on the wrong flag, or an
+    // exception-class misparse shifts a row. At 100 TB the islands
+    // pass runs per (node, log file) — file boundaries are island
+    // boundaries — so partitions stay file-sized; islands are bounded
+    // by stack-trace depth, never corpus-scaled. Surfaced over MCP as
+    // `group_stack_traces` beside `mine_templates`.
+    "q318_stack_trace_group" -> ((s, dir) => {
+      val base = logs(s, dir)
+      val heads = base.select(col("node"), col("event_id"),
+        lit(0L).as("sub"), col("line"))
+      val conts = base.where(col("level") === "ERROR")
+        .select(col("node"), col("event_id"),
+          posexplode(contLines).as(Seq("j", "cline")))
+        .select(col("node"), col("event_id"),
+          (col("j") + 1).cast("long").as("sub"), col("cline").as("line"))
+      val wNum = Window.partitionBy("node").orderBy("event_id", "sub")
+      val raw = heads.unionByName(conts)
+        .withColumn("line_no", row_number().over(wNum).cast("long"))
+        .select("node", "line_no", "line")
+      graft.analyze.StackTraces.rollup(
+        graft.analyze.StackTraces.incidents(raw))
+    }),
+
     "q191_slot_anomaly" -> ((s, dir) => {
       val lines = logs(s, dir).withColumn("us", expr("ts_ns div 1000"))
       val mm = lines.agg(min(col("us")), max(col("us"))).head()
@@ -421,6 +485,56 @@ object LogDomainQueries {
            |  MIN(event_id) AS first_event
            |FROM ev_lines
            |GROUP BY 1 ORDER BY n_lines DESC, template""".stripMargin,
+
+      // identical rendering (chr(9) = the Scala literal tab), identical
+      // (event_id, sub) numbering, identical islands over the REAL
+      // anchored parse regex, identical exception-class extraction
+      // (both engines return '' on no-match, so MAX picks the class
+      // line order-independently)
+      "q318_stack_trace_group" -> {
+        val clsArms = Corpus.exceptionClasses.zipWithIndex.map {
+          case (c, i) => s"WHEN $i THEN '$c'"
+        }.mkString(" ")
+        s"""$sqlCte,
+           |exl AS (SELECT node, event_id, level, message,
+           |    CASE CAST(event_id % 3 AS INT) $clsArms END AS excls
+           |  FROM ev_lines),
+           |conts AS (SELECT node, event_id, CAST(t.j + 1 AS BIGINT) AS sub,
+           |    CASE WHEN t.j = 0 THEN concat(excls, ': ', message)
+           |      ELSE concat(chr(9), 'at org.apache.cassandra.service.',
+           |        'StorageProxy.fetchRows(StorageProxy.java:',
+           |        CAST(event_id % 997 + t.j AS VARCHAR), ')') END AS line
+           |  FROM exl, range(0, 6) t(j)
+           |  WHERE level = 'ERROR' AND t.j <= event_id % 4 + 1),
+           |alll AS (SELECT node, event_id, CAST(0 AS BIGINT) AS sub, line
+           |    FROM ev_lines
+           |  UNION ALL SELECT node, event_id, sub, line FROM conts),
+           |num AS (SELECT node, line,
+           |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY event_id, sub)
+           |      AS line_no,
+           |    CASE WHEN regexp_matches(line, '^${LogLineParser.pattern}')
+           |      THEN 1 ELSE 0 END AS parsed,
+           |    regexp_extract(line, '^${LogLineParser.pattern}', 1) AS plevel
+           |  FROM alll),
+           |isl AS (SELECT *, SUM(parsed) OVER (PARTITION BY node
+           |    ORDER BY line_no) AS island FROM num),
+           |inc AS (SELECT node, island,
+           |    MIN(line_no) AS first_line_no, MAX(line_no) AS last_line_no,
+           |    COUNT(*) - 1 AS n_frames,
+           |    MAX(CASE WHEN parsed = 1 THEN plevel END) AS head_level,
+           |    MAX(CASE WHEN parsed = 0 THEN regexp_extract(line,
+           |      '^([A-Za-z_$$][A-Za-z0-9_$$.]*(?:Exception|Error))', 1)
+           |      END) AS exception_class
+           |  FROM isl GROUP BY 1, 2)
+           |SELECT node, exception_class,
+           |  CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           |  CAST(SUM(n_frames) AS BIGINT) AS n_frames_total,
+           |  CAST(MAX(last_line_no - first_line_no + 1) AS BIGINT)
+           |    AS max_span,
+           |  CAST(MIN(first_line_no) AS BIGINT) AS first_line
+           |FROM inc WHERE head_level = 'ERROR' AND n_frames >= 1
+           |GROUP BY 1, 2 ORDER BY node, exception_class""".stripMargin
+      },
 
       "q191_slot_anomaly" ->
         s"""$sqlCte,

@@ -1627,7 +1627,13 @@ object ShapeOpsQueries {
       try {
         val d = docs(s, dir)
         val gran = lakeGranFor(d.count())
-        val mWords = math.max(4L, gran / 8L)
+        // words-per-file ∝ rows-per-file (granule/8 longs ≈ 8 bits/row),
+        // CAPPED at 64Ki words (512 KB/file — the Parquet/Delta bloom
+        // ballpark) so per-file metadata stays bounded however large a
+        // file's granule grows; the cap binds only above ~26M docs
+        // (every gate SF and sf1 sit far below), so hashes are
+        // unaffected where gated
+        val mWords = math.min(65536L, math.max(4L, gran / 8L))
         val mBits = mWords * 64L
         val url = concat(lit("doc://"), col("source"), lit("/"),
           col("doc_id").cast("string"))
@@ -1652,7 +1658,7 @@ object ShapeOpsQueries {
             expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
               .as("m"))
           .groupBy("g", "w").agg(expr("bit_or(m)").as("mask"))
-          .collect()  // hint audit: manifest-sized (files × words rows)
+          .collect()  // hint audit: gate-scale collect — files × words/file is ROW-proportional (≈ rows/8 longs total, ~512 KB at sf1); a production reader tests blooms inside the distributed manifest scan (one file's ≤64Ki words per task), never a driver Map
         val bloom = bloomRows.map(r =>
           (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
         val nFiles = withG.select("g").distinct().count()
@@ -2024,7 +2030,7 @@ object ShapeOpsQueries {
     * share: v2 = everything except the odd ids the copy-on-write
     * delete dropped from the g=0 base file.
     */
-  private val sqlLakeV2Pred =
+  private[graft] val sqlLakeV2Pred =
     s"NOT (doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 1)"
 
   /** Stage the delta-log fixture: granule-sized parquet files derived
@@ -2037,7 +2043,7 @@ object ShapeOpsQueries {
     * File writes are data-scale (once, like any ingest); every
     * manifest is O(files), never O(rows).
     */
-  private def stageLakeLog(s: SparkSession, dir: String, stage: String,
+  private[graft] def stageLakeLog(s: SparkSession, dir: String, stage: String,
       withCompaction: Boolean): Unit = {
     val gran = lakeGranFor(docs(s, dir).count())
     val d = docs(s, dir)
@@ -2570,8 +2576,8 @@ object ShapeOpsQueries {
       val p = graft.functions.TextFunctions.P
       val sqlPoly = graft.functions.TextFunctions.sqlPolyHash _
       s"""WITH gp AS (SELECT GREATEST(100, COUNT(*) // 50) AS g,
-         |    GREATEST(4, GREATEST(100, COUNT(*) // 50) // 8) * 64
-         |      AS mbits FROM documents),
+         |    LEAST(65536, GREATEST(4, GREATEST(100, COUNT(*) // 50) // 8))
+         |      * 64 AS mbits FROM documents),
          |u AS (SELECT doc_id, doc_id // gp.g AS fg,
          |    'doc://' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
          |    n_chars FROM documents, gp),

@@ -1139,7 +1139,12 @@ object SimilarityQueries {
         math.abs(dir.hashCode).toString)
     if (!java.nio.file.Files.exists(
         root.resolve("embeddings.parquet").resolve("_SUCCESS"))) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-struct-stage")
+      // stage under the TARGET's parent (/tmp), not java.io.tmpdir: the
+      // ATOMIC_MOVE below requires same-filesystem source and target,
+      // and an overridden tmpdir on another mount would throw
+      // AtomicMoveNotSupportedException instead of staging
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-struct-stage")
       base.select(col("vec_id"),
           structEmbedding(c).as("embedding"), col("label"))
         .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
@@ -1288,16 +1293,29 @@ object SimilarityQueries {
     * to the diversifying selection.
     */
   private[graft] def knnMergedPool(s: SparkSession, dir: String,
-      topm: DataFrame): DataFrame = {
+      topm: DataFrame): DataFrame =
+    knnMergedPoolFor(s, dir, topm, None)
+
+  /** [[knnMergedPool]] restricted to an optional src set — the q315
+    * incremental face recomputes pools ONLY for touched nodes: the
+    * semi-join cuts the NoN expansion's left side before the self-join
+    * fans out, so pool cost is ∝ |touched| × (2M)², never corpus-wide.
+    * With `srcs = None` this is exactly the from-scratch pool.
+    */
+  private[graft] def knnMergedPoolFor(s: SparkSession, dir: String,
+      topm: DataFrame, srcs: Option[DataFrame]): DataFrame = {
     val g = knnSymmetrize(topm)
-    val nn = g.select(col("src"), col("dst").as("mid"))
+    val gSrc = srcs.fold(g)(f => g.join(f, Seq("src"), "left_semi"))
+    val nn = gSrc.select(col("src"), col("dst").as("mid"))
       .join(g.select(col("src").as("mid"), col("dst")),
         Seq("mid"))  // unhinted: both sides are the corpus×2M edge list
       .where(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     val fresh = nn.join(topm.select("src", "dst"),
       Seq("src", "dst"), "left_anti")
-    topm.unionByName(knnScored(s, dir, fresh))
+    val topmKept = srcs.fold(topm)(f =>
+      topm.join(f, Seq("src"), "left_semi"))
+    topmKept.unionByName(knnScored(s, dir, fresh))
   }
 
   /** The refined k-NN graph: q294's banded build + one NN-descent
@@ -1337,8 +1355,16 @@ object SimilarityQueries {
     * candidate rejected once is rejected forever).
     */
   private[graft] def knnDiversifiedTopM(
-      s: SparkSession, dir: String): DataFrame = {
-    val pool0 = knnMergedPool(s, dir, knnBaseTopM(s, dir))
+      s: SparkSession, dir: String): DataFrame =
+    diversifySelect(s, dir, knnMergedPool(s, dir, knnBaseTopM(s, dir)))
+
+  /** The selection body over an ARBITRARY merged pool — shared by the
+    * from-scratch q304 build and the q315 incremental face (which
+    * feeds it only the touched nodes' pool slice; the selection is
+    * per-src-local, so restriction commutes with it exactly).
+    */
+  private[graft] def diversifySelect(
+      s: SparkSession, dir: String, pool0: DataFrame): DataFrame = {
     val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
     val pool = pool0.withColumn("rank", row_number().over(w))
       .where(col("rank") <= knnDivR)
@@ -1387,6 +1413,96 @@ object SimilarityQueries {
   private[graft] def knnDiversifiedGraph(
       s: SparkSession, dir: String): DataFrame =
     knnSymmetrize(knnDiversifiedTopM(s, dir))
+
+  /** q315's incremental-diversify pieces: (passthrough, recomputed,
+    * touched) directed selections/ids. Exposed so GraphAnnSpec can pin
+    * the passthrough/recompute split; the gate unions the first two.
+    * The stored artifacts (old directed top-M with cosines, old
+    * diversified selection) are recomputed here only because gates
+    * are self-contained — q158's premise.
+    */
+  /** q315's pinned intermediates: the gate's DAG references each of
+    * these many times (two diversify selections + the change/touched
+    * derivations), and Spark — like any engine — re-evaluates an
+    * uncached subtree per reference: the unpinned plan measured 119 s
+    * at sf0.01 vs ~6 s for q304 (the Spark-side analog of the DuckDB
+    * CTE-reinlining cliff the q307 oracle hit). Every pinned frame is
+    * index-sized (edge lists ∝ corpus×M, id sets ≤ corpus), never
+    * vectors.
+    */
+  private val lastDdOldTopM = new graft.util.CacheSlot
+  private val lastDdNewTopM = new graft.util.CacheSlot
+  private val lastDdTouched = new graft.util.CacheSlot
+  private val lastDdOldPool = new graft.util.CacheSlot
+  private val lastDdTouchedPool = new graft.util.CacheSlot
+
+  /** q315's change derivation — the cheap (no-diversify) half:
+    * (oldTopM, newTopM, touched). Separated so GraphAnnSpec can pin
+    * the passthrough-nonempty property at sf0.1 (where the corpus
+    * dwarfs the delta) without paying either diversify selection:
+    * passthrough nonempty ⟸ some old node with stored rows is
+    * untouched, i.e. oldTopM.srcs ∖ touched ≠ ∅.
+    */
+  private[graft] def deltaDiversifyChange(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val lo = ModelOpsQueries.deltaLo
+    val hi = ModelOpsQueries.deltaHi
+    def inDelta(c: Column) = c >= lo && c < hi
+    val bandsOld = knnBands(s, dir, Some(!inDelta(col("vec_id"))))
+    val bandsNew = knnBands(s, dir, Some(inDelta(col("vec_id"))))
+    val bandsAll = knnBands(s, dir)
+    // stored artifact: the old corpus's directed top-M (cosines
+    // included)
+    val oldTopM = lastDdOldTopM.swap(knnTopM(
+      knnScored(s, dir, knnCandidates(bandsOld, bandsOld)))
+      .select("src", "dst", "cos").cache())
+    // the q296 merge theorem gives the full-corpus directed top-M
+    // without re-scoring old-old pairs
+    val newPairs = knnCandidates(bandsNew, bandsAll)
+      .unionByName(knnCandidates(bandsOld, bandsNew))
+      .distinct()
+    val newTopM = lastDdNewTopM.swap(knnTopM(
+      oldTopM.unionByName(knnScored(s, dir, newPairs))).cache())
+    // E1: endpoints of the CHANGED directed edges — the (src, dst)
+    // symmetric difference of the two top-M row sets (cosines are
+    // pair-deterministic, so the pair set is the complete change
+    // signal; delta arrivals appear because their rows exist only on
+    // the new side, and any node whose top-M changed is an endpoint
+    // of one of its own changed rows, so Δ1 ⊆ E1)
+    val e1 = oldTopM.select("src", "dst")
+      .unionByName(newTopM.select("src", "dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .where(col("n") === 1)
+      .select(explode(array(col("src"), col("dst"))).as("src"))
+      .distinct()
+    // one neighbor hop over the UNION of old and new symmetrized
+    // graphs — a sound over-approximation (recomputing an unchanged
+    // node is wasted work, never a wrong answer): pool(u) can change
+    // only via topM(u) (u ∈ E1), an edge at u (u ∈ E1 — a changed
+    // symmetrized edge names both endpoints), or an edge at some
+    // mid ∈ N(u) (then mid ∈ E1 and u ∈ N(E1))
+    val u = knnSymmetrize(oldTopM.select("src", "dst"))
+      .unionByName(knnSymmetrize(newTopM.select("src", "dst")))
+      .distinct()
+    def nbrs(ids: DataFrame): DataFrame =
+      u.join(ids.withColumnRenamed("src", "dst"), Seq("dst"))
+        .select("src").distinct()
+    val touched = lastDdTouched.swap(
+      e1.unionByName(nbrs(e1)).distinct().cache())
+    (oldTopM, newTopM, touched)
+  }
+
+  private[graft] def deltaDiversifyParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (oldTopM, newTopM, touched) = deltaDiversifyChange(s, dir)
+    // stored artifact: the old corpus's diversified selection
+    val oldDiv = diversifySelect(s, dir, lastDdOldPool.swap(
+      knnMergedPool(s, dir, oldTopM).cache()))
+    val recomputed = diversifySelect(s, dir, lastDdTouchedPool.swap(
+      knnMergedPoolFor(s, dir, newTopM, Some(touched)).cache()))
+    val passthrough = oldDiv.join(touched, Seq("src"), "left_anti")
+    (passthrough, recomputed, touched)
+  }
 
   /** q295's multi-entry greedy walk over an arbitrary (src, dst)
     * graph relation — shared by the gated q295 (the banded q294
@@ -2561,6 +2677,42 @@ object SimilarityQueries {
       knnRollup(knnSymmetrize(merged))
     }),
 
+    // INCREMENTAL maintenance for the SHIPPED (diversified) build —
+    // the q296 delta face covered only the raw banded top-M; the index
+    // a deployment actually serves is q304's diversified graph, which
+    // without this gate needs a full rebuild per embedding batch. The
+    // touched-node theorem that makes refresh ∝ |delta| exact: a
+    // node's diversified selection is a pure function of its merged
+    // pool; its pool depends on its own directed top-M plus the edges
+    // at itself and at its symmetrized neighbors; and a symmetrized
+    // edge can only change when one endpoint's directed top-M row set
+    // changed. So with E1 = endpoints of the changed directed rows
+    // (the (src,dst) symmetric difference — delta arrivals included,
+    // since their rows exist only on the new side) and N(·) =
+    // neighbors over the UNION of old and new symmetrized graphs,
+    // every node outside touched = E1 ∪ N(E1) has a bit-identical
+    // pool (stored cosines are pair-deterministic) and its STORED
+    // diversified rows pass through untouched — full vectors are
+    // never re-read for it. Touched nodes re-run the selection over
+    // the pool RESTRICTED to them ([[knnMergedPoolFor]]: the
+    // semi-join cuts the NoN fan-out before it happens, so recompute
+    // cost is |touched|·(2M)² pool pairs + |touched|·R²/2 pairwise
+    // cosines). The oracle is q304's from-scratch twin VERBATIM —
+    // incremental ≡ from-scratch, hash-proven (GraphAnnSpec
+    // additionally pins that the passthrough set is nonempty and
+    // disjoint from the recompute set). Maintenance cost at 100 TB:
+    // |changed rows| ∝ |delta| × collisions, touched ≤ 2·|changed| ×
+    // (1 + 2M) — bounded fan-out, independent of corpus size — plus
+    // the index-sized edge regroup; most of this GATE's runtime is
+    // re-deriving the stored artifacts (old top-M + old diversified
+    // build) that a deployment already has on disk, the gate
+    // self-containment premise (q158). The rebuild-nightly story
+    // becomes the same refresh-∝-delta contract as q138/q163/q296.
+    "q315_delta_knn_diversify" -> ((s, dir) => {
+      val (passthrough, recomputed, _) = deltaDiversifyParts(s, dir)
+      knnRollup(knnSymmetrize(passthrough.unionByName(recomputed)))
+    }),
+
     // Graph-based ANN, serve face — MULTI-ENTRY greedy descent over
     // the q294 graph (NSW's search primitive: hop to the neighbor
     // closest to the query while it improves), entered from the
@@ -3407,6 +3559,16 @@ object SimilarityQueries {
            |FROM rg GROUP BY src ORDER BY vec_id""".stripMargin,
       // the diversified graph's node-grain rollup — q294's twin over dg
       "q304_knn_diversify" ->
+        s"""WITH $sqlEmb,
+           |$sqlKnnDiversifyCtes
+           |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+           |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+           |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+           |FROM dg GROUP BY src ORDER BY vec_id""".stripMargin,
+      // incremental ≡ from-scratch for the SHIPPED build: q304's twin
+      // VERBATIM (the q296 convention applied to the diversified
+      // selection)
+      "q315_delta_knn_diversify" ->
         s"""WITH $sqlEmb,
            |$sqlKnnDiversifyCtes
            |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,

@@ -1060,6 +1060,152 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING CHANGE-DATA-FEED CONSUMPTION — the lake↔streaming
+    // composition edge q284/q299 leave open: q284 derives a change
+    // feed batch-side and q299 folds one precomputed CDF into an
+    // aggregate, but a real downstream index consumes the feed AS A
+    // STREAM (Delta's streaming CDF source). Staged: the q274 commit
+    // log (v0 initial load, v1 append, v2 copy-on-write delete); its
+    // three MANIFESTS then arrive as a stream (one commit per
+    // micro-batch, mtime-ordered). Each micro-batch derives THAT
+    // commit's change set from its own add/remove entries (inserts =
+    // added∖removed rows, deletes = removed∖added — CoW-carried rows
+    // net out, q284's construction), folds the signed per-source
+    // rollup into the previous version's STORED aggregate (q299's
+    // abelian fold: COUNT / SUM / the q267 checksum), and lands
+    // version v through the fenced nonce committer (q306's shape).
+    // Gated: EVERY version's maintained aggregate read back from its
+    // stored file must equal the from-scratch as-of(v) rollup — the
+    // oracle reconstructs v0/v1/v2 logical content from the staging
+    // predicates (q299's twin at every version, not just the last),
+    // so a misclassified change row, a CoW row not netted out, a
+    // version folded twice, or a commit consumed out of order shifts
+    // a row. At 100 TB this is how a downstream replica keeps up
+    // without ever rescanning the table: per commit the work is
+    // (files the commit touched) + an aggregate-sized fold, and the
+    // feed itself is just the manifests the log already wrote.
+    "q317_stream_cdf_consume" -> ((s, dir) => {
+      import s.implicits._
+      val stage = tmpDir("graft-q317-lake")
+      val arrivals = tmpDir("graft-q317-src")
+      val mv = tmpDir("graft-q317-mv")
+      val ckpt = tmpDir("graft-q317-ckpt")
+      try {
+        graft.queries.ShapeOpsQueries
+          .stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        // the feed: each commit's manifest (plus its version) staged
+        // as one arrival file, mtimes in commit order — the stream IS
+        // the log
+        val now = System.currentTimeMillis()
+        var schema: org.apache.spark.sql.types.StructType = null
+        for (v <- 0 to 2) {
+          val tmp = tmpDir("graft-q317-w")
+          try {
+            val m = s.read.parquet(s"$stage/_log/v$v")
+              .withColumn("version", lit(v.toLong))
+            schema = m.schema
+            m.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val f = arrivals.resolve(s"c$v.parquet")
+            Files.move(graft.util.FileUtils.firstParquet(tmp), f,
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - v) * 60000L))
+          } finally deleteRecursively(tmp)
+        }
+        Files.createDirectories(Paths.get(s"$mv/_log"))
+        def aggPathOf(v: Long): String =
+          s.read.parquet(s"$mv/_log/v$v").collect()
+            .collectFirst { case r if r.getString(0) == "add" =>
+              r.getString(1) }.get
+        def roll(df: DataFrame, sign: Int) = df
+          .groupBy("source")
+          .agg((count(lit(1)) * sign).as("n_docs"),
+            (sum(col("n_chars").cast("long")) * sign).as("sum_chars"),
+            (sum(expr(graft.queries.ShapeOpsQueries
+              .manifestTerm("doc_id"))) * sign).as("key_checksum"))
+        // the CDF consumer — per commit: change set from the
+        // manifest's own entries, signed fold, fenced nonce commit
+        def cdfCommit(mdf: DataFrame, batchId: Long): Boolean = {
+          val entries = mdf.collect() // manifest-sized (O(files) rows)
+          if (entries.isEmpty) false
+          else {
+            val v = entries.map(_.getAs[Long]("version")).max
+            val target = Paths.get(s"$mv/_log/v$v")
+            if (Files.exists(target)) false
+            else {
+              val added = entries.filter(_.getString(0) == "add")
+                .map(_.getString(1)).toSeq
+              val removed = entries.filter(_.getString(0) == "remove")
+                .map(_.getString(1)).toSeq
+              val addedDf = s.read.parquet(added: _*)
+              val removedDf =
+                if (removed.nonEmpty) s.read.parquet(removed: _*)
+                else addedDf.where(lit(false))
+              val inserts = addedDf.join(removedDf.select("doc_id"),
+                Seq("doc_id"), "left_anti")
+              val deletes = removedDf.join(addedDf.select("doc_id"),
+                Seq("doc_id"), "left_anti")
+              val delta =
+                roll(inserts, 1).unionByName(roll(deletes, -1))
+              val base =
+                if (v == 0L) delta
+                else s.read.parquet(aggPathOf(v - 1))
+                  .select(col("source"), col("n_docs"), col("sum_chars"),
+                    col("key_checksum"))
+                  .unionByName(delta)
+              val merged = base.groupBy("source")
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  sum(col("sum_chars")).as("sum_chars"),
+                  sum(col("key_checksum")).as("key_checksum"))
+              val nonce = java.util.UUID.randomUUID().toString
+              val aggPath = s"$mv/agg/v$v-$nonce"
+              merged.coalesce(1).write.mode("overwrite").parquet(aggPath)
+              val tmp = Files.createTempDirectory(mv, s"commit-v$v-")
+              try {
+                val staged = tmp.resolve("m")
+                Seq(("add", aggPath)).toDF("action", "path").coalesce(1)
+                  .write.mode("overwrite").parquet(staged.toString)
+                try {
+                  Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+                  true
+                } catch {
+                  case _: java.nio.file.FileSystemException
+                      if Files.exists(target) =>
+                    deleteRecursively(Paths.get(aggPath))
+                    false
+                }
+              } finally deleteRecursively(tmp)
+            }
+          }
+        }
+        val query = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(arrivals.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            cdfCommit(df, batchId); ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = (0 to 2).map { v =>
+          s.read.parquet(aggPathOf(v.toLong))
+            .select(lit(v.toLong).as("version"), col("source"),
+              col("n_docs"), col("sum_chars"), col("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("version", "source")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(mv)
+        deleteRecursively(arrivals)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming rate-anomaly alerting with CROSS-WINDOW state: per
     // event type, each closed 5-minute window's count is compared
     // against the running mean of the type's previously-closed windows
@@ -2484,6 +2630,26 @@ object StreamingQueries {
          |  version = 1 AS replay_fenced
          |FROM r GROUP BY version, event_type
          |ORDER BY version, event_type""".stripMargin,
+    // every maintained version ≡ the from-scratch as-of rollup,
+    // reconstructed from the q274 staging predicates (v0 = the
+    // doc_id%3≠2 initial load, v1 = +delta, v2 = the CoW delete) —
+    // q299's twin at EVERY version, not just the last
+    "q317_stream_cdf_consume" -> {
+      def row(v: Int, pred: String) =
+        s"""SELECT CAST($v AS BIGINT) AS version, source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${graft.queries.ShapeOpsQueries
+                 .manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $pred GROUP BY source""".stripMargin
+      s"""SELECT * FROM (
+         |${row(0, "doc_id % 3 <> 2")}
+         |UNION ALL
+         |${row(1, "TRUE")}
+         |UNION ALL
+         |${row(2, graft.queries.ShapeOpsQueries.sqlLakeV2Pred)}
+         |) ORDER BY version, source""".stripMargin
+    },
     // exactly-once across the resume: the split run's union must be
     // the one-continuous-run result — q59's SQL VERBATIM (same agg,
     // same emission predicate; one definition, zero drift)

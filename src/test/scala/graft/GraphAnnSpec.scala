@@ -36,6 +36,55 @@ class GraphAnnSpec extends SparkSuite {
     assert(delta.exceptAll(scratch).count() === 0)
   }
 
+  test("incremental diversify (q315): passthrough really passes " +
+      "through — nonempty, disjoint from the touched set, recompute " +
+      "confined to it — and the union ≡ the from-scratch q304 build") {
+    import graft.queries.SimilarityQueries._
+    val (passthrough, recomputed, touched) =
+      deltaDiversifyParts(spark, dir)
+    val t = touched.cache()
+    try {
+      // at sf0.001 the 100-vector delta legitimately saturates the
+      // 500-vector corpus (touched = everything, passthrough empty) —
+      // the nonempty-passthrough pin runs in the sf0.01 test below
+      assert(t.count() > 0, "no touched nodes — the delta vanished")
+      assert(passthrough.join(t, Seq("src"), "left_semi").count() === 0,
+        "a stored row leaked through for a touched node")
+      assert(recomputed.select("src").distinct()
+        .join(t, Seq("src"), "left_anti").count() === 0,
+        "recompute strayed outside the touched set")
+      // incremental ≡ from-scratch on the DIRECTED selections (the
+      // gate additionally hash-proves the symmetrized rollup)
+      val scratch = knnDiversifiedTopM(spark, dir)
+      val inc = passthrough.unionByName(recomputed)
+      assert(scratch.select("src", "dst")
+        .exceptAll(inc.select("src", "dst")).count() === 0)
+      assert(inc.select("src", "dst")
+        .exceptAll(scratch.select("src", "dst")).count() === 0)
+    } finally { t.unpersist(); () }
+  }
+
+  test("incremental diversify (q315): the passthrough set is NONEMPTY " +
+      "once the corpus dwarfs the delta — stored rows are reused, not " +
+      "silently recomputed (sf0.1: 60k nodes, production 16-bit bands, " +
+      "vs the 100-vector delta; checked via the cheap change half — " +
+      "passthrough nonempty ⟸ oldTopM.srcs ∖ touched ≠ ∅)") {
+    import graft.queries.SimilarityQueries._
+    val (oldTopM, _, touched) =
+      deltaDiversifyChange(spark, "/root/testdata/sf0.1")
+    val t = touched.cache()
+    try {
+      val nUntouched = oldTopM.select("src").distinct()
+        .join(t, Seq("src"), "left_anti").count()
+      assert(nUntouched > 0, "touched saturated a 60k-node corpus — " +
+        "the over-approximation lost its point")
+      // honesty number for SCALE.md: how much of the corpus a
+      // 100-vector delta touches at this SF
+      info(s"untouched old nodes at sf0.1: $nUntouched; " +
+        s"touched: ${t.count()}")
+    } finally { t.unpersist(); () }
+  }
+
   test("NN-descent refinement only improves neighborhoods: per-node " +
       "summed neighbor cosine of the refined top-M >= the base top-M " +
       "(the re-cut optimizes over a superset of pairs), and the " +
