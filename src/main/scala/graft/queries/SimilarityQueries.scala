@@ -1121,6 +1121,25 @@ object SimilarityQueries {
   /** q307's graph cache — the structured serve face's walk. */
   private val lastStructGraph = new graft.util.CacheSlot
 
+  /** The structured fixture as DuckDB CTEs (`scc` + `semb`) — the SQL
+    * twin of [[structEmbedding]], shared by every structured-fixture
+    * oracle (q307/q311/q316): the caller substitutes
+    * `FROM embeddings` → `FROM semb` in its downstream chain.
+    */
+  private lazy val sqlSembCtes: String = {
+    val t1 = "((vec_id % scc.c) * 64 + (j - 1))"
+    val t2 = "((vec_id % scc.c) * 64 + j)"
+    s"""scc AS (SELECT GREATEST($structClusterFloor,
+       |    COUNT(*) // $structClusterSize) AS c FROM embeddings),
+       |semb AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(range(1, ${structDim + 1}), j -> CAST((
+       |      4 * (((($t1 * $t2) % $structAnchorMod) % 7) - 3)
+       |      + (((((vec_id + j) * (vec_id + j + 1))
+       |          % $structPerturbMod) % 13) - 6)
+       |    ) / 64.0 AS FLOAT)) AS embedding, label
+       |  FROM embeddings, scc)""".stripMargin
+  }
+
   /** Stage the structured fixture (embeddings.parquet with
     * [[structEmbedding]] vectors) under a DETERMINISTIC /tmp path
     * keyed by corpus size, cluster count, and the formula moduli —
@@ -1204,11 +1223,22 @@ object SimilarityQueries {
     * any LSH build).
     */
   private def knnBands(s: SparkSession, dir: String,
-      slice: Option[Column] = None): DataFrame = {
+      slice: Option[Column] = None): DataFrame =
+    knnBandsW(s, dir, slice, widthFromSlice = false)
+
+  /** [[knnBands]] with the width rule evaluated on the SLICE count
+    * instead of the full corpus — q316's upper layers re-shard at
+    * their own member count (a delta/maintenance slice must NOT:
+    * q296/q315 band at the artifact's width, see the main doc).
+    */
+  private def knnBandsW(s: SparkSession, dir: String,
+      slice: Option[Column], widthFromSlice: Boolean): DataFrame = {
     val base = Tables(s, dir, "embeddings")
-    val codes = slice.fold(base)(base.where)
+    val sliced = slice.fold(base)(base.where)
+    val codes = sliced
       .select(col("vec_id"), bqWord(0).as("w0"), bqWord(bqWordBits).as("w1"))
-    val wide = base.count() > knnBandFloor
+    val wide = (if (widthFromSlice) sliced.count()
+      else base.count()) > knnBandFloor
     val bits = if (wide) 16 else 8
     val nb = 64 / bits
     val mask = (1L << bits) - 1L
@@ -1518,17 +1548,30 @@ object SimilarityQueries {
       .where(col("rn") <= graphEntries)
       .select(col("probe_id"), col("vec_id").as("entry_id"),
         col("rn").as("entry_rn"))
-    // materialize the walk state between hops: the frontier is the
-    // serving tier's per-query cursor, bounded by probes × E rows at
-    // ANY corpus size — without this each hop's broadcast replays
-    // the entire upstream walk lineage (measured 38 s at sf0.1 for
-    // the lazy chain; ~3 s materialized). The graph lookups
-    // themselves stay distributed joins against the cached graph.
-    def pin(df: DataFrame): DataFrame = {
-      val rows = df.collect()  // hint audit: frontier-bounded collect (≤ probes × E rows)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-    }
-    var cur = pin(corpus
+    val (cur, _) = walkPinned(s, corpus, g,
+      walkStart(s, pp, corpus, entries), countCands = false)
+    walkRollup(cur)
+  }
+
+  /** Materialize a walk frame between hops: the frontier is the
+    * serving tier's per-query cursor, bounded by probes × E rows at
+    * ANY corpus size — without this each hop's broadcast replays the
+    * entire upstream walk lineage (measured 38 s at sf0.1 for the
+    * lazy chain; ~3 s materialized). The graph lookups themselves
+    * stay distributed joins against the cached graph.
+    */
+  private def pinWalk(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()  // hint audit: frontier-bounded collect (≤ probes × E rows)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** hop-0 walk state for an (probe_id, entry_id, entry_rn) entry
+    * relation: each entry seeds one walk cursor at itself, scored
+    * against its probe.
+    */
+  private def walkStart(s: SparkSession, pp: DataFrame,
+      corpus: DataFrame, entries: DataFrame): DataFrame =
+    pinWalk(s, corpus
       .select(col("vec_id").as("entry_id"), col("embedding").as("ee"),
         col("n2").as("en2"))
       .join(broadcast(pp  // hint audit: probe-bounded (≤ probes × E entry rows)
@@ -1540,6 +1583,19 @@ object SimilarityQueries {
         cosineFrom(dot(col("pvec"), col("ee")), col("pn2"), col("en2"))
           .as("cur_cos"),
         lit(0L).as("n_moves")))
+
+  /** [[graphHops]] unrolled greedy steps over `g` from a pinned hop-0
+    * frame; returns the final walk frame and (when `countCands`) the
+    * total number of neighbor candidates the walks scored — the
+    * per-level cost currency q316 prices the ladder in. Counting is
+    * opt-in so the hot serve gates (q295/q305/q307) pay no extra
+    * jobs.
+    */
+  private def walkPinned(s: SparkSession, corpus: DataFrame,
+      g: DataFrame, start: DataFrame, countCands: Boolean)
+      : (DataFrame, Long) = {
+    var cur = start
+    var nCands = 0L
     for (_ <- 1 to graphHops) {
       val frontier = g
         .join(broadcast(cur.select(col("cur_id").as("src"),  // hint audit: frontier-bounded (≤ probes × E rows)
@@ -1554,6 +1610,7 @@ object SimilarityQueries {
         .select(col("probe_id"), col("entry_id"), col("dst"),
           cosineFrom(dot(col("pvec"), col("de")), col("pn2"), col("dn2"))
             .as("c"))
+      if (countCands) nCands += cands.count()
       val w = Window.partitionBy("probe_id", "entry_id")
         .orderBy(desc("c"), asc("dst"))
       val best = cands.withColumn("rn", row_number().over(w))
@@ -1561,7 +1618,7 @@ object SimilarityQueries {
         .select(col("probe_id"), col("entry_id"),
           col("dst").as("best_id"), col("c").as("best_cos"))
       val moved = col("best_cos") > col("cur_cos")
-      cur = pin(cur
+      cur = pinWalk(s, cur
         .join(broadcast(best), Seq("probe_id", "entry_id"), "left")  // hint audit: probe-bounded (one best row per walk)
         .select(col("probe_id"), col("source_id"), col("pvec"),
           col("pn2"), col("entry_id"), col("entry_rn"),
@@ -1569,8 +1626,14 @@ object SimilarityQueries {
           when(moved, col("best_cos")).otherwise(col("cur_cos")).as("cur_cos"),
           (col("n_moves") + when(moved, 1L).otherwise(0L)).as("n_moves")))
     }
-    // per probe: best endpoint across the E walks (cos DESC, then
-    // endpoint/entry ASC — two walks can converge to one endpoint)
+    (cur, nCands)
+  }
+
+  /** Per-probe evaluation over a finished walk frame: best endpoint
+    * across the E walks (cos DESC, then endpoint/entry ASC — two
+    * walks can converge to one endpoint) plus the recall columns.
+    */
+  private def walkRollup(cur: DataFrame): DataFrame = {
     val wWin = Window.partitionBy("probe_id")
       .orderBy(desc("cur_cos"), asc("cur_id"), asc("entry_id"))
     val won = cur.withColumn("wrn", row_number().over(wWin))
@@ -1604,6 +1667,45 @@ object SimilarityQueries {
         expr("n_g * 1000 div n_probes").as("graph_recall_permille"))
       .orderBy("probe_id")
   }
+
+  /** q316 — deterministic HNSW level assignment (Malkov & Yashunin,
+    * TPAMI 2020 §4: each node draws a geometric level at insert time;
+    * here the draw is a pure function of vec_id so both engines and
+    * every rebuild agree). The hash is the fixture's own quadratic
+    * device — (v·(v+5)) mod 1021, then mod 8 / mod 64 for the two
+    * upper layers — NOT plain v mod 8: the structured fixture's
+    * cluster id is v mod C, and with C ≡ 4 (mod 8) a residue-based
+    * level would populate upper layers from only 1/4 of the clusters
+    * (a navigation artifact); the quadratic mod a prime decorrelates
+    * (nonzero leading coefficient whenever 1021 ∤ C). Occupancy:
+    * P(level ≥ 1) = 128/1021 ≈ 1/8, P(level ≥ 2) = 16/1021 ≈ 1/64 —
+    * the geometric ladder, nested by construction.
+    */
+  private val hnswLevelMod = 1021L
+  private[graft] def hnswLevel(v: Column): Column = {
+    val h = (v * (v + 5L)) % hnswLevelMod
+    when(h % 64L === 0L, 2).when(h % 8L === 0L, 1).otherwise(0)
+  }
+  private def sqlHnswLevel(v: String): String =
+    s"CASE WHEN (($v * ($v + 5)) % $hnswLevelMod) % 64 = 0 THEN 2 " +
+      s"WHEN (($v * ($v + 5)) % $hnswLevelMod) % 8 = 0 THEN 1 ELSE 0 END"
+
+  /** One upper layer's graph: the banded build restricted to the
+    * layer's members, band width from the MEMBER count (each layer
+    * re-shards at its own scale — a layer is a corpus in miniature,
+    * so the same two-level width rule applies to it, not to the base
+    * corpus it is drawn from), top-M cut, reverse-linked. Cost at any
+    * corpus size: layer ℓ holds ~n/8^ℓ members and its build is the
+    * same bounded-collision shape as the base build at that size.
+    */
+  private def hnswLayerGraph(s: SparkSession, dir: String,
+      level: Int): DataFrame = {
+    val b = knnBandsW(s, dir,
+      Some(hnswLevel(col("vec_id")) >= level), widthFromSlice = true)
+    knnSymmetrize(knnTopM(knnScored(s, dir, knnCandidates(b, b))))
+  }
+  private val lastHnswL1 = new graft.util.CacheSlot
+  private val lastHnswL2 = new graft.util.CacheSlot
 
   /** The q294 gate's node-grain rollup over a (src, dst) graph. */
   private def knnRollup(g: DataFrame): DataFrame =
@@ -2835,6 +2937,77 @@ object SimilarityQueries {
       stage(1).unionByName(stage(ivfNprobe)).orderBy("stage")
     }),
 
+    // MULTI-LAYER HNSW ENTRY LADDER — the design-space answer to
+    // q311's finding (the IVF router is the inferior spend: nprobe=4
+    // costs 3.7-3.9× the ADC scan and LOWERS entry-set recall at gate
+    // SF): Malkov & Yashunin's log-layer hierarchy replaces the
+    // router entirely. Levels are a deterministic geometric draw from
+    // vec_id ([[hnswLevel]]); each upper layer gets its own banded
+    // top-M graph at its own member-count width ([[hnswLayerGraph]]);
+    // the search enters at the top layer's first node (min id — the
+    // node HNSW would have inserted first), greedily descends layer 2
+    // then layer 1 through the SAME pinned walk machinery as every
+    // serve gate, and the layer-1 endpoint — expanded with its top
+    // (E−1) diversified-graph neighbors by true cosine, HNSW's ef
+    // seeding — seeds the standard multi-entry base walk over the
+    // UNMODIFIED q307 graph. Output: q307's exact evaluation schema
+    // (entry_top1 = the ladder's endpoint, so entry/entry-set/graph
+    // recall reads directly against q307's IVF-entered rows) plus the
+    // per-level candidate volumes l2/l1_cand_rows — the ladder's
+    // entry cost in the same currency as q311's n_candidates (scored
+    // vectors), making router-vs-ladder a priced comparison: the
+    // ladder scores ≤ probes × hops × 2M vectors per level (~10²)
+    // where nprobe=1 scans a full cell (~n/16). At 100 TB the upper
+    // layers are n/8^ℓ-sized distributed relations (never collected);
+    // every hop is the same frontier-pinned broadcast lookup as
+    // q295's.
+    "q316_hnsw_ladder_structured" -> ((s, dir) => {
+      val sd = structFixtureDir(s, dir)
+      val pp = plantedProbes(s, sd)
+      val corpus = emb(s, sd)
+      val g2 = lastHnswL2.swap(hnswLayerGraph(s, sd, 2).cache())
+      val g1 = lastHnswL1.swap(hnswLayerGraph(s, sd, 1).cache())
+      val dg = lastStructGraph.swap(knnDiversifiedGraph(s, sd).cache())
+      val top = corpus.where(hnswLevel(col("vec_id")) >= 2)
+        .agg(min(col("vec_id"))).head().getLong(0)  // hint audit: one-row driver fetch (the global entry point)
+      val e2 = pp.select(col("probe_id"))
+        .withColumn("entry_id", lit(top))
+        .withColumn("entry_rn", lit(1))
+      val (c2, vol2) = walkPinned(s, corpus, g2,
+        walkStart(s, pp, corpus, e2), countCands = true)
+      val e1 = c2.select(col("probe_id"), col("cur_id").as("entry_id"))
+        .withColumn("entry_rn", lit(1))
+      val (c1, vol1) = walkPinned(s, corpus, g1,
+        walkStart(s, pp, corpus, e1), countCands = true)
+      // base entry set: the ladder endpoint + its top-(E−1) base-graph
+      // neighbors by true cosine to the probe (ef-style seeding)
+      val end1 = c1.select(col("probe_id"), col("cur_id").as("src"))
+      val nbrFrontier = dg
+        .join(broadcast(end1), Seq("src"))  // hint audit: probe-bounded (one endpoint per probe)
+        .join(broadcast(pp.select(col("probe_id"), col("pvec"),  // hint audit: probe-bounded (9-row probe slice)
+          col("pn2"))), Seq("probe_id"))
+        .select(col("probe_id"), col("dst"), col("pvec"), col("pn2"))
+      val nbrRanked = corpus
+        .select(col("vec_id").as("dst"), col("embedding").as("de"),
+          col("n2").as("dn2"))
+        .join(broadcast(nbrFrontier), Seq("dst"))  // hint audit: probe-bounded (≤ probes × 2M endpoint-neighbor rows)
+        .select(col("probe_id"), col("dst"),
+          cosineFrom(dot(col("pvec"), col("de")), col("pn2"), col("dn2"))
+            .as("c"))
+      val wN = Window.partitionBy("probe_id").orderBy(desc("c"), asc("dst"))
+      val eBase = end1.select(col("probe_id"),
+          col("src").as("entry_id"), lit(1).as("entry_rn"))
+        .unionByName(nbrRanked.withColumn("rn", row_number().over(wN))
+          .where(col("rn") <= graphEntries - 1)
+          .select(col("probe_id"), col("dst").as("entry_id"),
+            (col("rn") + 1).as("entry_rn")))
+      val (cb, _) = walkPinned(s, corpus, dg,
+        walkStart(s, pp, corpus, eBase), countCands = false)
+      walkRollup(cb)
+        .withColumn("l1_cand_rows", lit(vol1))
+        .withColumn("l2_cand_rows", lit(vol2))
+    }),
+
     // FILTERED vector search — the ubiquitous vector-DB request
     // ("nearest neighbors WHERE label IN (...)") and its standard
     // lesson: PRE-filtering (predicate inside the candidate scan)
@@ -3476,22 +3649,10 @@ object SimilarityQueries {
       // `FROM embeddings` (relation scans and the COUNT(*) width
       // rule); both engines therefore run the identical pipeline on
       // the identical planted geometry.
-      "q307_graph_structured" -> {
-        val t1 = "((vec_id % scc.c) * 64 + (j - 1))"
-        val t2 = "((vec_id % scc.c) * 64 + j)"
-        val sembCtes =
-          s"""scc AS (SELECT GREATEST($structClusterFloor,
-             |    COUNT(*) // $structClusterSize) AS c FROM embeddings),
-             |semb AS MATERIALIZED (SELECT vec_id,
-             |    list_transform(range(1, ${structDim + 1}), j -> CAST((
-             |      4 * (((($t1 * $t2) % $structAnchorMod) % 7) - 3)
-             |      + (((((vec_id + j) * (vec_id + j + 1))
-             |          % $structPerturbMod) % 13) - 6)
-             |    ) / 64.0 AS FLOAT)) AS embedding, label
-             |  FROM embeddings, scc)""".stripMargin
-        "WITH " + sembCtes + ",\n" +
-          q305Sql.stripPrefix("WITH ").replace("FROM embeddings", "FROM semb")
-      },
+      "q307_graph_structured" ->
+        ("WITH " + sqlSembCtes + ",\n" +
+          q305Sql.stripPrefix("WITH ")
+            .replace("FROM embeddings", "FROM semb")),
       // one nprobe=4 ADC chain on semb; the nprobe=1 face is the
       // SAME adc restricted to each probe's rank-1 cell (a vector
       // lives in exactly one cell, so the filter reproduces the
@@ -3499,18 +3660,6 @@ object SimilarityQueries {
       // volume = COUNT(adc) because the planted probe-id offset
       // keeps the self-exclusion from ever firing
       "q311_router_ladder_structured" -> {
-        val t1 = "((vec_id % scc.c) * 64 + (j - 1))"
-        val t2 = "((vec_id % scc.c) * 64 + j)"
-        val sembCtes =
-          s"""scc AS (SELECT GREATEST($structClusterFloor,
-             |    COUNT(*) // $structClusterSize) AS c FROM embeddings),
-             |semb AS MATERIALIZED (SELECT vec_id,
-             |    list_transform(range(1, ${structDim + 1}), j -> CAST((
-             |      4 * (((($t1 * $t2) % $structAnchorMod) % 7) - 3)
-             |      + (((((vec_id + j) * (vec_id + j + 1))
-             |          % $structPerturbMod) % 13) - 6)
-             |    ) / 64.0 AS FLOAT)) AS embedding, label
-             |  FROM embeddings, scc)""".stripMargin
         val pCos = sqlCosineFrom(sqlDot("p.pvec", "c.ce"), "p.pn2", "c.cn2")
         def stageSql(name: String, np: Int, rel: String) =
           s"""SELECT '$name' AS stage, CAST($np AS BIGINT) AS nprobe,
@@ -3533,7 +3682,7 @@ object SimilarityQueries {
              |  GROUP BY r.probe_id)""".stripMargin
         val chain = sqlIvfPqAdcPlantedN(ivfNprobe)
           .replace("FROM embeddings", "FROM semb")
-        s"""WITH $sembCtes,
+        s"""WITH $sqlSembCtes,
            |$chain,
            |pcells1 AS (SELECT probe_id, cell FROM (
            |    SELECT p.probe_id, c.c_id AS cell,
@@ -3548,6 +3697,149 @@ object SimilarityQueries {
            |UNION ALL
            |${stageSql(s"np$ivfNprobe", ivfNprobe, "adc")}
            |) ORDER BY stage""".stripMargin
+      },
+      // the ladder's twin: identical levels (the quadratic hash),
+      // per-layer banded graphs at member-count width, the same
+      // unrolled greedy per layer (carry between layers is
+      // bit-identical — cur_cos is always the same cosine formula),
+      // the same ef-style base entry expansion, q307's evaluation,
+      // and per-level candidate volumes as COUNT over the
+      // materialized hop-candidate CTEs (the same rows the Spark
+      // walk counts)
+      "q316_hnsw_ladder_structured" -> {
+        val hopCos = sqlCosineFrom(
+          sqlDot("h.pvec", "e2.embedding"), "h.pn2", "e2.n2")
+        val entryCos = sqlCosineFrom(
+          sqlDot("p.pvec", "e.embedding"), "p.pn2", "e.n2")
+        val eCos = sqlCosineFrom(
+          sqlDot("ea.embedding", "eb.embedding"), "ea.n2", "eb.n2")
+        def layerChain(l: Int): String = {
+          val cnt = s"(SELECT COUNT(*) FROM lvm WHERE lv >= $l)"
+          s"""l${l}b AS (
+             |  SELECT bc.vec_id, t.b,
+             |    ((CASE WHEN t.b < 4 THEN w0 ELSE w1 END)
+             |      >> CAST(8 * (t.b % 4) AS INT)) & 255 AS bits
+             |  FROM bc, lvm, range(0, 8) t(b)
+             |  WHERE lvm.vec_id = bc.vec_id AND lvm.lv >= $l
+             |    AND $cnt <= $knnBandFloor
+             |  UNION ALL
+             |  SELECT bc.vec_id, t.b,
+             |    ((CASE WHEN t.b < 2 THEN w0 ELSE w1 END)
+             |      >> CAST(16 * (t.b % 2) AS INT)) & 65535
+             |  FROM bc, lvm, range(0, 4) t(b)
+             |  WHERE lvm.vec_id = bc.vec_id AND lvm.lv >= $l
+             |    AND $cnt > $knnBandFloor),
+             |l${l}c AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+             |  FROM l${l}b a JOIN l${l}b b ON b.b = a.b AND b.bits = a.bits
+             |    AND b.vec_id <> a.vec_id),
+             |l${l}s AS (SELECT src, dst, $eCos AS cos
+             |  FROM l${l}c JOIN e ea ON ea.vec_id = l${l}c.src
+             |  JOIN e eb ON eb.vec_id = l${l}c.dst),
+             |l${l}t AS (SELECT src, dst FROM (SELECT src, dst,
+             |    ROW_NUMBER() OVER (PARTITION BY src
+             |      ORDER BY cos DESC, dst) AS rn
+             |  FROM l${l}s) WHERE rn <= $knnM),
+             |l${l}g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             |  SELECT src, dst FROM l${l}t
+             |  UNION ALL SELECT dst, src FROM l${l}t))""".stripMargin
+        }
+        def hops(prefix: String, gName: String): String =
+          (1 to graphHops).map { i =>
+            s"""${prefix}cand$i AS MATERIALIZED (SELECT h.probe_id,
+               |    h.entry_id, $gName.dst, $hopCos AS c
+               |  FROM ${prefix}hop${i - 1} h
+               |  JOIN $gName ON $gName.src = h.cur_id
+               |  JOIN e e2 ON e2.vec_id = $gName.dst),
+               |${prefix}best$i AS (SELECT probe_id, entry_id, dst, c
+               |  FROM (SELECT probe_id, entry_id, dst, c,
+               |      ROW_NUMBER() OVER (PARTITION BY probe_id, entry_id
+               |        ORDER BY c DESC, dst) AS rn
+               |    FROM ${prefix}cand$i) WHERE rn = 1),
+               |${prefix}hop$i AS MATERIALIZED (SELECT h.probe_id,
+               |    h.source_id, h.pvec, h.pn2, h.entry_id, h.entry_rn,
+               |    CASE WHEN b.c > h.cur_cos THEN b.dst ELSE h.cur_id END
+               |      AS cur_id,
+               |    CASE WHEN b.c > h.cur_cos THEN b.c ELSE h.cur_cos END
+               |      AS cur_cos,
+               |    h.n_moves + CASE WHEN b.c > h.cur_cos THEN 1 ELSE 0 END
+               |      AS n_moves
+               |  FROM ${prefix}hop${i - 1} h
+               |  LEFT JOIN ${prefix}best$i b USING (probe_id, entry_id))"""
+              .stripMargin
+          }.mkString(",\n")
+        def volSum(p: String): String = (1 to graphHops)
+          .map(i => s"(SELECT COUNT(*) FROM ${p}cand$i)").mkString(" + ")
+        val body =
+          s"""$sqlEmb,
+             |$sqlPlantedChain,
+             |$sqlKnnDiversifyCtes,
+             |lvm AS (SELECT vec_id, ${sqlHnswLevel("vec_id")} AS lv
+             |  FROM embeddings),
+             |${layerChain(2)},
+             |${layerChain(1)},
+             |tp AS (SELECT MIN(vec_id) AS tid FROM lvm WHERE lv >= 2),
+             |l2hop0 AS MATERIALIZED (SELECT p.probe_id, p.source_id,
+             |    p.pvec, p.pn2, e.vec_id AS entry_id, 1 AS entry_rn,
+             |    e.vec_id AS cur_id, $entryCos AS cur_cos,
+             |    CAST(0 AS BIGINT) AS n_moves
+             |  FROM ppn p JOIN e ON e.vec_id = (SELECT tid FROM tp)),
+             |${hops("l2", "l2g")},
+             |l1hop0 AS MATERIALIZED (SELECT probe_id, source_id, pvec,
+             |    pn2, cur_id AS entry_id, 1 AS entry_rn, cur_id, cur_cos,
+             |    CAST(0 AS BIGINT) AS n_moves
+             |  FROM l2hop$graphHops),
+             |${hops("l1", "l1g")},
+             |bnb AS (SELECT h.probe_id, dg.dst, $hopCos AS c
+             |  FROM l1hop$graphHops h JOIN dg ON dg.src = h.cur_id
+             |  JOIN e e2 ON e2.vec_id = dg.dst),
+             |bnr AS (SELECT probe_id, dst,
+             |    ROW_NUMBER() OVER (PARTITION BY probe_id
+             |      ORDER BY c DESC, dst) AS rn FROM bnb),
+             |bent AS (SELECT probe_id, cur_id AS entry_id, 1 AS entry_rn
+             |    FROM l1hop$graphHops
+             |  UNION ALL SELECT probe_id, dst, CAST(rn + 1 AS INT)
+             |    FROM bnr WHERE rn <= ${graphEntries - 1}),
+             |bhop0 AS MATERIALIZED (SELECT p.probe_id, p.source_id,
+             |    p.pvec, p.pn2, be.entry_id, be.entry_rn,
+             |    be.entry_id AS cur_id, $entryCos AS cur_cos,
+             |    CAST(0 AS BIGINT) AS n_moves
+             |  FROM ppn p JOIN bent be USING (probe_id)
+             |  JOIN e ON e.vec_id = be.entry_id),
+             |${hops("b", "dg")},
+             |win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+             |    ORDER BY cur_cos DESC, cur_id, entry_id) AS wrn
+             |  FROM bhop$graphHops),
+             |pprobe AS (SELECT probe_id, source_id,
+             |    MIN(CASE WHEN entry_rn = 1 THEN entry_id END)
+             |      AS entry_top1_id,
+             |    MAX(CASE WHEN entry_id = source_id THEN 1 ELSE 0 END)
+             |      AS entryset_has_source,
+             |    MIN(CASE WHEN wrn = 1 THEN cur_id END) AS final_id,
+             |    MIN(CASE WHEN wrn = 1 THEN entry_id END)
+             |      AS winning_entry_id,
+             |    MIN(CASE WHEN wrn = 1 THEN n_moves END) AS n_moves
+             |  FROM win GROUP BY 1, 2)
+             |SELECT probe_id, source_id, entry_top1_id, winning_entry_id,
+             |  final_id, CAST(n_moves AS BIGINT) AS n_moves,
+             |  CAST(CASE WHEN entry_top1_id = source_id THEN 1 ELSE 0 END
+             |    AS BIGINT) AS entry_was_source,
+             |  CAST(entryset_has_source AS BIGINT) AS entryset_has_source,
+             |  CAST(CASE WHEN final_id = source_id THEN 1 ELSE 0 END
+             |    AS BIGINT) AS found_source,
+             |  CAST(SUM(CASE WHEN entry_top1_id = source_id THEN 1 ELSE 0
+             |      END) OVER () * 1000 // COUNT(*) OVER () AS BIGINT)
+             |    AS entry_recall_permille,
+             |  CAST(SUM(entryset_has_source)
+             |      OVER () * 1000 // COUNT(*) OVER () AS BIGINT)
+             |    AS entryset_recall_permille,
+             |  CAST(SUM(CASE WHEN final_id = source_id THEN 1 ELSE 0 END)
+             |      OVER () * 1000 // COUNT(*) OVER () AS BIGINT)
+             |    AS graph_recall_permille,
+             |  CAST((${volSum("l1")}) AS BIGINT) AS l1_cand_rows,
+             |  CAST((${volSum("l2")}) AS BIGINT) AS l2_cand_rows
+             |FROM pprobe ORDER BY probe_id""".stripMargin
+        "WITH " + sqlSembCtes + ",\n" +
+          body.replace("FROM embeddings", "FROM semb")
       },
       // the refined graph's node-grain rollup — q294's twin over rg
       "q300_knn_refine" ->
