@@ -866,7 +866,7 @@ object ShapeOpsQueries {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-q290-lake")
       try {
-        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val dataRoot = stageLakeLog(s, dir, stage.toString, withCompaction = false)
         val gran = lakeGranFor(docs(s, dir).count())
         val d = docs(s, dir)
         // each writer stages its data file BEFORE the dance — data
@@ -889,8 +889,8 @@ object ShapeOpsQueries {
         val writers = Seq(
           ("A", Seq(add(wA))),
           ("B", Seq(add(wB))),
-          ("D", Seq(("remove", s"$stage/f0r", -1L, -1L), add(f0rD))),
-          ("E", Seq(("remove", s"$stage/f0r", -1L, -1L), add(f0rE))))
+          ("D", Seq(("remove", s"$dataRoot/f0r", -1L, -1L), add(f0rD))),
+          ("E", Seq(("remove", s"$dataRoot/f0r", -1L, -1L), add(f0rE))))
         val out = writers.map { case (w, entries) =>
           val (outcome, v, attempts) =
             commitLoop(s, stage.toString, 2, entries)
@@ -930,7 +930,7 @@ object ShapeOpsQueries {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-q291-lake")
       try {
-        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        stageLakeLog(s, dir, stage.toString, withCompaction = true, privateData = true)
         val allAdds = (0 to 3).flatMap(v =>
           s.read.parquet(s"$stage/_log/v$v").collect()
             .collect { case r if r.getString(0) == "add" => r.getString(1) })
@@ -985,7 +985,7 @@ object ShapeOpsQueries {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-q297-lake")
       try {
-        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val dataRoot = stageLakeLog(s, dir, stage.toString, withCompaction = false)
         val gran = lakeGranFor(docs(s, dir).count())
         val d = docs(s, dir)
         def stageFile(name: String, df: DataFrame): (String, Long, Long) = {
@@ -1001,7 +1001,7 @@ object ShapeOpsQueries {
         val f0rW = stageFile("f0rW", f0r.where(col("doc_id") % 5 =!= 0))
         val f0rS = stageFile("f0rS", f0r.where(col("doc_id") % 11 =!= 0))
         def add(t: (String, Long, Long)) = ("add", t._1, t._2, t._3)
-        val rmF0r = ("remove", s"$stage/f0r", -1L, -1L)
+        val rmF0r = ("remove", s"$dataRoot/f0r", -1L, -1L)
         // the rewrite's read-set: the g=0 key range it was computed from
         val readRange = (0L, gran - 1L)
         val runs = Seq(
@@ -1051,7 +1051,7 @@ object ShapeOpsQueries {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-q298-lake")
       try {
-        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        stageLakeLog(s, dir, stage.toString, withCompaction = false, privateData = true)
         val gran = lakeGranFor(docs(s, dir).count())
         val d = docs(s, dir)
         val inForget = (expr(s"doc_id div $gran") === 1 ||
@@ -1411,7 +1411,7 @@ object ShapeOpsQueries {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-q303-lake")
       try {
-        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        stageLakeLog(s, dir, stage.toString, withCompaction = true, privateData = true)
         val retained = asOfFiles(s, stage.toString, 3).toSet
         val doomed = (0 to 3).flatMap(v =>
           s.read.parquet(s"$stage/_log/v$v").collect()
@@ -1879,7 +1879,7 @@ object ShapeOpsQueries {
       val stage = java.nio.file.Files
         .createTempDirectory("graft-q310-lake")
       try {
-        stageLakeLog(s, dir, stage.toString, withCompaction = true)
+        stageLakeLog(s, dir, stage.toString, withCompaction = true, privateData = true)
         def ckptFiles(): Set[String] = {
           val ptr = java.nio.file.Files.readString(java.nio.file.Paths
             .get(stage.toString, "_log", "_last_checkpoint")).trim
@@ -2033,9 +2033,83 @@ object ShapeOpsQueries {
   private[graft] val sqlLakeV2Pred =
     s"NOT (doc_id // $sqlLakeG = 0 AND doc_id % 3 <> 2 AND doc_id % 2 = 1)"
 
-  /** Stage the delta-log fixture: granule-sized parquet files derived
-    * from `documents` plus one manifest per version under `_log/`
-    * (rows: action ∈ add|remove, path). v0: initial load = docs with
+  /** Stage the delta-log fixture for one gate. The staged content is
+    * deterministic per (corpus, granule, convention), so the DATA
+    * FILES are staged ONCE per host into an immutable memoized MASTER
+    * (the q307 structFixtureDir device — deterministic /tmp key,
+    * atomic publish) and each gate receives only a copy of the
+    * manifest log `_log/` (KBs) into its own stage dir: gates append
+    * commits, write checkpoints, or delete manifests in their private
+    * log while reading the shared master's data files. Gates that
+    * DELETE OR REWRITE DATA FILES (vacuum-exec q291, forget q298,
+    * retention-sweep q303, vacuum×checkpoint q310) pass
+    * `privateData = true` and stage their own full copy — mutating
+    * the shared master would corrupt every other gate. Returns the
+    * DATA ROOT (master or the private stage): path-constructing
+    * writers (q290/q297's f0r remove entries) must name files as the
+    * manifests do. Before memoization the 17 per-gate stagings were
+    * ≈19% of the full-suite bench.
+    */
+  private[graft] def stageLakeLog(s: SparkSession, dir: String,
+      stage: String, withCompaction: Boolean,
+      privateData: Boolean = false): String =
+    if (privateData) {
+      stageLakeLogInto(s, dir, stage, withCompaction)
+      stage
+    } else {
+      val master = lakeMasterDir(s, dir, withCompaction)
+      graft.util.FileUtils.copyRecursively(
+        master.resolve("_log"), java.nio.file.Paths.get(stage, "_log"))
+      master.toString
+    }
+
+  /** The memoized master: staged once under a deterministic /tmp key,
+    * manifests rewritten to the final root, published atomically (a
+    * concurrent stager losing the rename discards its copy).
+    */
+  private[graft] def lakeMasterDir(s: SparkSession, dir: String,
+      withCompaction: Boolean): java.nio.file.Path = {
+    val n = docs(s, dir).count()
+    val gran = lakeGranFor(n)
+    val conv = if (withCompaction) "c" else "p"
+    val root = java.nio.file.Paths.get("/tmp",
+      s"graft-lake-$n-$gran-$conv-${math.abs(dir.hashCode)}")
+    if (!java.nio.file.Files.exists(root.resolve("_staged_ok"))) {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft-lake-stage")
+      stageLakeLogInto(s, dir, tmp.toString, withCompaction)
+      // the manifests were written naming tmp paths; the published
+      // master must name its own root
+      rewriteManifestPaths(s, tmp.resolve("_log"),
+        tmp.toString, root.toString)
+      java.nio.file.Files.writeString(tmp.resolve("_staged_ok"), "ok")
+      try java.nio.file.Files.move(tmp, root,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(root) =>
+          rmTree(tmp)
+      }
+    }
+    root
+  }
+
+  private def rewriteManifestPaths(s: SparkSession,
+      logDir: java.nio.file.Path, from: String, to: String): Unit =
+    graft.util.FileUtils.listDir(logDir)
+      .filter(_.getFileName.toString.startsWith("v"))
+      .foreach { mdir =>
+        val side = mdir.resolveSibling(mdir.getFileName.toString + ".rw")
+        s.read.parquet(mdir.toString)
+          .withColumn("path", expr(s"replace(path, '$from', '$to')"))
+          .coalesce(1).write.mode("overwrite").parquet(side.toString)
+        rmTree(mdir)
+        java.nio.file.Files.move(side, mdir)
+      }
+
+  /** The actual staging: granule-sized parquet files derived from
+    * `documents` plus one manifest per version under `_log/` (rows:
+    * action ∈ add|remove, path). v0: initial load = docs with
     * doc_id % 3 ≠ 2, one file per granule. v1: the % 3 = 2 delta,
     * new files only. v2: copy-on-write delete — remove base g=0, add
     * its even-id rewrite. v3 (optional): compaction — remove all
@@ -2043,7 +2117,7 @@ object ShapeOpsQueries {
     * File writes are data-scale (once, like any ingest); every
     * manifest is O(files), never O(rows).
     */
-  private[graft] def stageLakeLog(s: SparkSession, dir: String, stage: String,
+  private def stageLakeLogInto(s: SparkSession, dir: String, stage: String,
       withCompaction: Boolean): Unit = {
     val gran = lakeGranFor(docs(s, dir).count())
     val d = docs(s, dir)

@@ -29,6 +29,22 @@ object FileUtils {
     finally listing.close()
   }
 
+  /** Recursive copy (regular files + directories; attributes not
+    * preserved — consumers treat staged fixtures as content-addressed).
+    */
+  def copyRecursively(from: Path, to: Path): Unit = {
+    val walk = Files.walk(from)
+    try walk.forEach { src =>
+      val dst = to.resolve(from.relativize(src))
+      if (Files.isDirectory(src)) Files.createDirectories(dst)
+      else {
+        Files.createDirectories(dst.getParent)
+        Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+  }
+
   /** Directory children, materialized so the stream can be closed. */
   def listDir(p: Path): Seq[Path] = {
     val listing = Files.list(p)

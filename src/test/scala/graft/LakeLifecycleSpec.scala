@@ -22,6 +22,40 @@ class LakeLifecycleSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("staging memoization: a data-deleting gate (q291 vacuum-exec) " +
+      "runs on a PRIVATE copy and leaves the shared master byte-intact; " +
+      "a reader gate over the master is unchanged across it") {
+    import graft.queries.ShapeOpsQueries
+    def fileCensus(root: java.nio.file.Path): Map[String, Long] = {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val b = Map.newBuilder[String, Long]
+        walk.forEach(p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            b += (root.relativize(p).toString ->
+              java.nio.file.Files.size(p)))
+        b.result()
+      } finally walk.close()
+    }
+    val before = SparkEntry.queries("q274_lake_time_travel")(spark, dir)
+      .collect().toSeq
+    // both conventions' masters exist after the reader gate +
+    // the compaction-convention mutator below
+    val masterP = ShapeOpsQueries.lakeMasterDir(spark, dir, false)
+    val masterC = ShapeOpsQueries.lakeMasterDir(spark, dir, true)
+    val censusP = fileCensus(masterP)
+    val censusC = fileCensus(masterC)
+    SparkEntry.queries("q291_lake_vacuum_exec")(spark, dir).collect()
+    assert(fileCensus(masterP) === censusP,
+      "the plain master changed across a vacuum-exec gate")
+    assert(fileCensus(masterC) === censusC,
+      "the compaction master changed across a vacuum-exec gate")
+    val after = SparkEntry.queries("q274_lake_time_travel")(spark, dir)
+      .collect().toSeq
+    assert(before === after,
+      "a reader gate observed another gate's mutation")
+  }
+
   test("q301: checkpoint resolution is fold-exact and constant-cost " +
       "while the full fold grows") {
     val rows = SparkEntry.queries("q301_lake_checkpoint")(spark, dir)
