@@ -14,9 +14,10 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * JSON-RPC 2.0 over stdin/stdout dispatching the nine parity tool
   * names and two resources to the engine's query layer
   * ([[graft.query.LogQueries]] via [[Reports]], [[RemoteFetcher]],
-  * [[LogCatalog]]), plus eight engine-extension tools: the log-mining
+  * [[LogCatalog]]), plus nine engine-extension tools: the log-mining
   * tier (`mine_templates`, `detect_slot_anomalies`,
-  * `deduplicate_lines`) and the lake/vector/streaming tiers
+  * `group_stack_traces`, `deduplicate_lines`) and the
+  * lake/vector/streaming tiers
   * (`lake_time_travel`, `lake_change_feed`, `vector_scoreboard`,
   * `stream_recovery_report`, `graph_search`, each running the gated
   * registry entry itself over a caller-supplied table directory) —
@@ -126,6 +127,10 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
       case "deduplicate_lines" =>
         Right(if (catalog.isEmpty) "Aucun log chargé. Utilisez load_logs d'abord."
         else Reports.renderDedup(catalog,
+          int(args, "limit").getOrElse(20)))
+      case "group_stack_traces" =>
+        Right(if (catalog.isEmpty) "Aucun log chargé. Utilisez load_logs d'abord."
+        else Reports.renderStackTraces(catalog,
           int(args, "limit").getOrElse(20)))
       // lake + vector extension tools: each runs the gated registry
       // entry itself (q274/q284/q271+q295) over the caller's parquet
@@ -331,6 +336,9 @@ object McpServer {
       |   "limit":{"type":"integer","description":"Nombre max de templates","default":20}}}},
       |{"name":"detect_slot_anomalies","description":"[Extension] Détecte les valeurs de paramètres hors de leur enveloppe historique par (template, slot).",
       | "inputSchema":{"type":"object","properties":{}}},
+      |{"name":"group_stack_traces","description":"[Extension] Regroupe les lignes de continuation non analysées (traces Java) sous leur ligne ERROR parente et agrège par classe d'exception (q318).",
+      | "inputSchema":{"type":"object","properties":{
+      |   "limit":{"type":"integer","description":"Nombre max de groupes","default":20}}}},
       |{"name":"deduplicate_lines","description":"[Extension] Rapport de déduplication exacte des lignes chargées.",
       | "inputSchema":{"type":"object","properties":{
       |   "limit":{"type":"integer","description":"Nombre max de groupes","default":20}}}},

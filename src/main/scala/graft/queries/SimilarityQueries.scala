@@ -2815,6 +2815,26 @@ object SimilarityQueries {
       knnRollup(knnSymmetrize(passthrough.unionByName(recomputed)))
     }),
 
+    // The same delta face for the REFINED build (q300) — the other
+    // production candidate q315's comment names: the touched-node
+    // theorem is build-agnostic BECAUSE both builds are pure per-node
+    // functions of the same merged pool (refine cuts top-M over it,
+    // diversify runs the heuristic over its top-R) — so one change
+    // derivation (deltaDiversifyChange, cache-shared with q315)
+    // serves both, and the refined index gets the identical
+    // refresh-∝-delta contract. Oracle is q300's from-scratch twin
+    // VERBATIM.
+    "q319_delta_knn_refine" -> ((s, dir) => {
+      val (oldTopM, newTopM, touched) = deltaDiversifyChange(s, dir)
+      // stored artifact: the old corpus's refined directed top-M
+      val oldRef = knnTopM(lastDdOldPool.swap(
+        knnMergedPool(s, dir, oldTopM).cache()))
+      val recomputed = knnTopM(lastDdTouchedPool.swap(
+        knnMergedPoolFor(s, dir, newTopM, Some(touched)).cache()))
+      val passthrough = oldRef.join(touched, Seq("src"), "left_anti")
+      knnRollup(knnSymmetrize(passthrough.unionByName(recomputed)))
+    }),
+
     // Graph-based ANN, serve face — MULTI-ENTRY greedy descent over
     // the q294 graph (NSW's search primitive: hop to the neighbor
     // closest to the query while it improves), entered from the
@@ -3867,6 +3887,15 @@ object SimilarityQueries {
            |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
            |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
            |FROM dg GROUP BY src ORDER BY vec_id""".stripMargin,
+      // incremental ≡ from-scratch for the refined build: q300's twin
+      // VERBATIM
+      "q319_delta_knn_refine" ->
+        s"""WITH $sqlEmb,
+           |$sqlKnnRefineCtes
+           |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+           |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+           |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+           |FROM rg GROUP BY src ORDER BY vec_id""".stripMargin,
       "q195_res_pq_encode" ->
         s"""WITH ${sqlResChain(1)}
            |SELECT r.vec_id, v.cell,

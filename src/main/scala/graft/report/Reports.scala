@@ -179,6 +179,35 @@ object Reports {
     sb.result()
   }
 
+  /** `group_stack_traces` — the q318 islands pass over the loaded
+    * lines: unparsed continuation lines attach to their preceding
+    * parsed head ([[graft.analyze.StackTraces]] — the REAL parse
+    * regex is the island key), rolled up per (node, exception class).
+    * Lines are ordered by the catalog's per-node `line_number` (the
+    * W1 numbering the reference assigns at load).
+    */
+  def renderStackTraces(catalog: LogCatalog, limit: Int = 20): String = {
+    val rows = graft.analyze.StackTraces.rollup(
+      graft.analyze.StackTraces.incidents(
+        catalog.raw.select(col("node"),
+          col("line_number").cast("long").as("line_no"),
+          col("value").as("line"))))
+      .limit(limit).collect()
+    val sb = new StringBuilder("# Traces d'exécution groupées\n\n")
+    if (rows.isEmpty)
+      sb ++= "Aucune trace d'exécution détectée sous une ligne ERROR.\n"
+    else {
+      sb ++= s"Incidents ERROR avec trace (top ${rows.length}):\n"
+      rows.foreach { r =>
+        sb ++= s"\n- ${r.getString(0)} `${r.getString(1)}`\n"
+        sb ++= s"  incidents: ${r.getLong(2)}, frames: ${r.getLong(3)}, " +
+          s"portée max: ${r.getLong(4)} lignes, " +
+          s"première ligne: ${r.getLong(5)}\n"
+      }
+    }
+    sb.result()
+  }
+
   /** `detect_slot_anomalies` — the q191 screen over the loaded lines:
     * per (template, slot) [min, max] envelopes from each node's first
     * two line-thirds screen the most recent third (the q191 history/

@@ -78,7 +78,8 @@ class McpServerSpec extends SparkSuite {
       "configure_ssh_node", "load_logs_from_ssh", "load_logs_from_all_nodes",
       "load_logs", "analyze_cluster", "search_logs", "get_errors",
       "compare_nodes", "detect_issues",
-      "mine_templates", "detect_slot_anomalies", "deduplicate_lines",
+      "mine_templates", "detect_slot_anomalies", "group_stack_traces",
+      "deduplicate_lines",
       "lake_time_travel", "lake_change_feed", "vector_scoreboard",
       "stream_recovery_report", "graph_search")
       .map(JString(_)))
@@ -96,16 +97,22 @@ class McpServerSpec extends SparkSuite {
     // 9 lines per node: the first 6 (history thirds) establish latency
     // slot envelopes, the last 3 (recent third) carry one out-of-range
     // latency; one line is repeated verbatim across both nodes
+    // an ERROR head followed by two unparsed continuation lines (the
+    // exception line + one tab frame) exercises group_stack_traces
     def lines(node: Int, spike: Int) = (1 to 9).map { i =>
       val lat = if (i <= 6) 100 + i else if (i == 9) spike else 105
       s"INFO  [main] op $i done in ${lat}ms"
-    }.mkString("\\n") + "\\nshutdown hook invoked"
+    }.mkString("\\n") + "\\nshutdown hook invoked" +
+      "\\nERROR [123] [rs-1] Query.java:7 - read failed" +
+      "\\njava.io.IOException: disk gone" +
+      "\\n\\tat org.x.Y(Y.java:1)"
     val responses = roundTrip(d,
       s"""{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{"name":"load_logs","arguments":{"node_name":"node1","log_content":"${lines(1, 9000)}"}}}""",
       s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"load_logs","arguments":{"node_name":"node2","log_content":"${lines(2, 104)}"}}}""",
       """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"mine_templates","arguments":{"limit":5}}}""",
       """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"detect_slot_anomalies","arguments":{}}}""",
-      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"deduplicate_lines","arguments":{}}}""")
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"deduplicate_lines","arguments":{}}}""",
+      """{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"group_stack_traces","arguments":{}}}""")
     val mined = resultText(responses(2))
     // the q183 masking collapses all 18 op lines into one template
     assert(mined.contains("`INFO  [main] op <N> done in <N>ms`"))
@@ -118,6 +125,11 @@ class McpServerSpec extends SparkSuite {
     // the verbatim repeated line dedups across nodes
     val dedup = resultText(responses(4))
     assert(dedup.contains("2x (2 nodes): `shutdown hook invoked`"))
+    // each node's ERROR head groups its two continuation lines (q318's
+    // islands over the real parse flag), classed by the exception line
+    val traces = resultText(responses(5))
+    assert(traces.contains("`java.io.IOException`"))
+    assert(traces.contains("incidents: 1, frames: 2"))
   }
 
   test("extension tools refuse politely when no logs are loaded") {

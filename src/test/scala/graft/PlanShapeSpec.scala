@@ -224,7 +224,13 @@ class PlanShapeSpec extends SparkSuite {
           // edge relation is pessimistic (the q103 rule), so the
           // static pass plans the production sort-merge and AQE
           // promotes at gate scale from real sizes
-          "q300_knn_refine", "q304_knn_diversify")(name))
+          "q300_knn_refine", "q304_knn_diversify",
+          // q315/q319 are q300/q304's machinery on both the old and
+          // the merged corpus, PLUS the passthrough anti-join and the
+          // pool-restriction semi-join — index-scaled relations on
+          // both sides (the stored selection is corpus×M; touched can
+          // approach it), deliberately unhinted for the same reason
+          "q315_delta_knn_diversify", "q319_delta_knn_refine")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
