@@ -1694,15 +1694,20 @@ object SimilarityQueries {
     * layer's members, band width from the MEMBER count (each layer
     * re-shards at its own scale — a layer is a corpus in miniature,
     * so the same two-level width rule applies to it, not to the base
-    * corpus it is drawn from), top-M cut, reverse-linked. Cost at any
-    * corpus size: layer ℓ holds ~n/8^ℓ members and its build is the
-    * same bounded-collision shape as the base build at that size.
+    * corpus it is drawn from), ONE NN-descent refinement round (the
+    * q300 lesson recurses at every layer: at member counts past the
+    * 16-bit floor the collision candidates go thin, and the first
+    * unrefined cut measured the ladder at 30‰ entry recall at sf1),
+    * top-M re-cut, reverse-linked. Cost at any corpus size: layer ℓ
+    * holds ~n/8^ℓ members, its build is the same bounded-collision +
+    * (2M)²-per-node shape as the base build at that size.
     */
   private def hnswLayerGraph(s: SparkSession, dir: String,
       level: Int): DataFrame = {
     val b = knnBandsW(s, dir,
       Some(hnswLevel(col("vec_id")) >= level), widthFromSlice = true)
-    knnSymmetrize(knnTopM(knnScored(s, dir, knnCandidates(b, b))))
+    knnSymmetrize(knnRefineTopM(s, dir,
+      knnTopM(knnScored(s, dir, knnCandidates(b, b)))))
   }
   private val lastHnswL1 = new graft.util.CacheSlot
   private val lastHnswL2 = new graft.util.CacheSlot
@@ -2976,8 +2981,20 @@ object SimilarityQueries {
     // per-level candidate volumes l2/l1_cand_rows — the ladder's
     // entry cost in the same currency as q311's n_candidates (scored
     // vectors), making router-vs-ladder a priced comparison: the
-    // ladder scores ≤ probes × hops × 2M vectors per level (~10²)
-    // where nprobe=1 scans a full cell (~n/16). At 100 TB the upper
+    // ladder scores ~50-100 vectors per probe for its entries where
+    // nprobe=1 scans a full cell (~n/16 — 29× more at sf1). The
+    // MEASURED verdict (SCALE.md round 17) is honest in the other
+    // direction: on this fixture's mutually-near-orthogonal clusters
+    // the ladder's single fixed entry has no cosine gradient to
+    // descend toward an arbitrary cluster (cross-cluster cosines
+    // ≲0.3 regardless of build effort — refined layers lifted
+    // 30→60‰ at sf1 but remain far below the router's 90‰ at entry
+    // and the IVF-entered walk's 393-484‰ end to end), and its
+    // ef-expanded seeds are CORRELATED (one neighborhood) where the
+    // router's 4 proposals are independent. Hierarchical navigation
+    // needs navigable geometry; a data-dependent router covers the
+    // space by construction — which is why production systems ship
+    // the hybrid (SPANN), not the pure ladder. At 100 TB the upper
     // layers are n/8^ℓ-sized distributed relations (never collected);
     // every hop is the same frontier-pinned broadcast lookup as
     // q295's.
@@ -3755,13 +3772,30 @@ object SimilarityQueries {
              |l${l}s AS (SELECT src, dst, $eCos AS cos
              |  FROM l${l}c JOIN e ea ON ea.vec_id = l${l}c.src
              |  JOIN e eb ON eb.vec_id = l${l}c.dst),
-             |l${l}t AS (SELECT src, dst FROM (SELECT src, dst,
+             |l${l}t AS (SELECT src, dst, cos FROM (SELECT src, dst, cos,
              |    ROW_NUMBER() OVER (PARTITION BY src
              |      ORDER BY cos DESC, dst) AS rn
              |  FROM l${l}s) WHERE rn <= $knnM),
-             |l${l}g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             |l${l}g0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
              |  SELECT src, dst FROM l${l}t
-             |  UNION ALL SELECT dst, src FROM l${l}t))""".stripMargin
+             |  UNION ALL SELECT dst, src FROM l${l}t)),
+             |l${l}nn AS (SELECT DISTINCT g1.src AS src, g2.dst AS dst
+             |  FROM l${l}g0 g1 JOIN l${l}g0 g2 ON g2.src = g1.dst
+             |  WHERE g2.dst <> g1.src),
+             |l${l}fr AS (SELECT src, dst FROM l${l}nn
+             |  EXCEPT SELECT src, dst FROM l${l}t),
+             |l${l}sc AS (SELECT src, dst, $eCos AS cos
+             |  FROM l${l}fr JOIN e ea ON ea.vec_id = l${l}fr.src
+             |  JOIN e eb ON eb.vec_id = l${l}fr.dst),
+             |l${l}me AS (SELECT src, dst, cos FROM l${l}t
+             |  UNION ALL SELECT src, dst, cos FROM l${l}sc),
+             |l${l}rt AS (SELECT src, dst FROM (SELECT src, dst,
+             |    ROW_NUMBER() OVER (PARTITION BY src
+             |      ORDER BY cos DESC, dst) AS rn
+             |  FROM l${l}me) WHERE rn <= $knnM),
+             |l${l}g AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             |  SELECT src, dst FROM l${l}rt
+             |  UNION ALL SELECT dst, src FROM l${l}rt))""".stripMargin
         }
         def hops(prefix: String, gName: String): String =
           (1 to graphHops).map { i =>
