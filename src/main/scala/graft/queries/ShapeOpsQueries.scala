@@ -1702,6 +1702,106 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // Z-ORDER CLUSTERING (Delta OPTIMIZE ZORDER BY / Iceberg
+    // sort-order rewrite) — the layout operation that makes q302's
+    // multi-column stats BITE on more than the leading dimension:
+    // linear (ingest-order) files are clustered by doc_id alone, so a
+    // predicate on n_chars overlaps EVERY file's [min,max] envelope
+    // and stats prune nothing; rewriting the same rows into the same
+    // NUMBER of files ordered by the Z-value (bit-interleave of the
+    // two dimensions' 6-bit bucket ranks — both engines run the
+    // identical integer arithmetic off the data maxima) gives every
+    // file a bounded rectangle in (doc_id, n_chars) space, so BOTH
+    // dimensions prune. Gated per (probe, layout): a 2-D
+    // quarter×quarter range and an n_chars-only range, each with
+    // files-total → files-passing-stats and the residual read's
+    // rows/chars/checksum off ONLY the passing files — identical
+    // content across layouts (stats never false-negative) with the
+    // skip ratio as the measured win. At 100 TB this is the standard
+    // answer to "my second filter column never prunes": one
+    // data-scale rewrite (like any compaction), metadata unchanged
+    // in size, every multi-dimension scan after it reads ~the
+    // query's rectangle instead of the full table.
+    "q320_lake_zorder" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q320-lake")
+      try {
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("source"))
+        val gran = lakeGranFor(d.count())
+        val mm = d.agg(max(col("doc_id")), max(col("n_chars"))).head()
+        val (maxId, maxCh) = (mm.getLong(0), mm.getLong(1))
+        val gx = maxId / 64 + 1
+        val gy = maxCh / 64 + 1
+        val nf = maxId / gran + 1
+        val xb = expr(s"doc_id div $gx")
+        val yb = expr(s"n_chars div $gy")
+        val zv = (0 until 6).map(k =>
+          shiftright(xb, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
+            shiftright(yb, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
+          .reduce(_ + _)
+        val laid = d
+          .withColumn("lin_f", expr(s"doc_id div $gran"))
+          // 4096 = 2^12, so the rank→file map is a pure integer shift
+          .withColumn("zf", shiftright(zv * nf, 12))
+        def layout(name: String, fcol: String): Unit =
+          laid.select(col("doc_id"), col("n_chars"), col(fcol).as("f"))
+            .repartition(col("f"))
+            .write.partitionBy("f").mode("overwrite")
+            .parquet(s"$stage/$name")
+        layout("linear", "lin_f")
+        layout("zorder", "zf")
+        // write-time per-file stats over BOTH dimensions — the q302
+        // manifest convention, one metadata-sized agg per layout
+        def statsOf(fcol: String): Array[(Long, Long, Long, Long, Long)] =
+          laid.groupBy(col(fcol).as("f"))
+            .agg(min(col("doc_id")), max(col("doc_id")),
+              min(col("n_chars")), max(col("n_chars")))
+            .collect()  // hint audit: manifest-sized (one row per file)
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+        val stats = Map("linear" -> statsOf("lin_f"),
+          "zorder" -> statsOf("zf"))
+        // probes: the 2-D rectangle and the non-leading single column
+        val (lo1, hi1) = (maxId / 4, maxId / 2)
+        val (lo2, hi2) = (maxCh / 4, maxCh / 2)
+        val probes = Seq(
+          ("a_two_dim", Some((lo1, hi1)), (lo2, hi2)),
+          ("b_chars_only", None, (lo2, hi2)))
+        val out = (for {
+          (pname, idR, chR) <- probes
+          lname <- Seq("linear", "zorder")
+        } yield {
+          val st = stats(lname)
+          val pass = st.filter { case (_, mnI, mxI, mnC, mxC) =>
+            idR.forall { case (l, h) => mxI >= l && mnI <= h } &&
+              mxC >= chR._1 && mnC <= chR._2
+          }.map(_._1).sorted
+          val pred = idR.map { case (l, h) =>
+            col("doc_id") >= l && col("doc_id") <= h }
+            .getOrElse(lit(true)) &&
+            col("n_chars") >= chR._1 && col("n_chars") <= chR._2
+          val read =
+            if (pass.isEmpty) s.range(1)
+              .select(lit(0L).as("n_rows"), lit(0L).as("sum_chars"),
+                lit(0L).as("key_checksum"))
+            else s.read
+              .parquet(pass.map(f => s"$stage/$lname/f=$f"): _*)
+              .where(pred)
+              .agg(count(lit(1)).as("n_rows"),
+                coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+                coalesce(sum(expr(manifestTerm("doc_id"))), lit(0L))
+                  .as("key_checksum"))
+          read.select(lit(pname).as("probe"), lit(lname).as("layout"),
+            lit(st.length.toLong).as("n_files_total"),
+            lit(pass.length.toLong).as("n_files_pass"),
+            col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }).reduce(_ unionByName _).orderBy("probe", "layout")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // COLUMN MAPPING (rename as metadata) — the schema-evolution face
     // q72 leaves unpriced: renaming a column in a raw-parquet table
     // means rewriting every file, so real lakes store LOGICAL name →
@@ -2699,6 +2799,72 @@ object ShapeOpsQueries {
          |LEFT JOIN pass pa ON pa.probe = p.probe
          |LEFT JOIN m ON m.probe = p.probe AND m.fg = pa.fg
          |GROUP BY p.probe ORDER BY p.probe""".stripMargin
+    },
+    // identical bucketization, interleave, and rank→file shift; the
+    // overlap rule per (probe, layout) off per-file min/max of BOTH
+    // dimensions; content from the base predicate (stats never
+    // false-negative, so the pruned read equals the direct scan)
+    "q320_lake_zorder" -> {
+      val zvSql = "CAST(list_sum(list_transform(range(0, 6), k -> " +
+        "(((xb >> CAST(k AS INT)) & 1) << CAST(2 * k AS INT)) + " +
+        "(((yb >> CAST(k AS INT)) & 1) << CAST(2 * k + 1 AS INT)))) " +
+        "AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |mm AS (SELECT MAX(doc_id) AS mi, MAX(n_chars) AS mc,
+         |    $sqlLakeG AS gran FROM d),
+         |par AS (SELECT mi // 64 + 1 AS gx, mc // 64 + 1 AS gy,
+         |    mi // gran + 1 AS nf, gran, mi, mc FROM mm),
+         |b AS (SELECT d.*, doc_id // p.gx AS xb, n_chars // p.gy AS yb,
+         |    doc_id // p.gran AS lin_f
+         |  FROM d, par p),
+         |z AS (SELECT *, $zvSql AS zv FROM b),
+         |ff AS (SELECT *, (zv * (SELECT nf FROM par)) >> 12 AS zf
+         |  FROM z),
+         |st AS (
+         |  SELECT 'linear' AS layout, lin_f AS fid,
+         |    MIN(doc_id) AS mni, MAX(doc_id) AS mxi,
+         |    MIN(n_chars) AS mnc, MAX(n_chars) AS mxc
+         |  FROM ff GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'zorder', zf, MIN(doc_id), MAX(doc_id),
+         |    MIN(n_chars), MAX(n_chars)
+         |  FROM ff GROUP BY 2),
+         |pr AS (SELECT 'a_two_dim' AS probe, TRUE AS has_id
+         |  UNION ALL SELECT 'b_chars_only', FALSE),
+         |spine AS (SELECT probe, has_id, layout
+         |  FROM pr, (SELECT DISTINCT layout FROM st) l),
+         |cnt AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS nt
+         |  FROM st GROUP BY 1),
+         |pass AS (SELECT pr.probe, st.layout,
+         |    CAST(COUNT(*) AS BIGINT) AS np
+         |  FROM pr, st
+         |  WHERE (NOT pr.has_id OR (st.mxi >= (SELECT mi // 4 FROM par)
+         |      AND st.mni <= (SELECT mi // 2 FROM par)))
+         |    AND st.mxc >= (SELECT mc // 4 FROM par)
+         |    AND st.mnc <= (SELECT mc // 2 FROM par)
+         |  GROUP BY 1, 2),
+         |con AS (SELECT pr.probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+         |    CAST(COALESCE(SUM(${manifestTerm("doc_id")}), 0) AS BIGINT)
+         |      AS key_checksum
+         |  FROM pr, d
+         |  WHERE (NOT pr.has_id OR (doc_id
+         |      BETWEEN (SELECT mi // 4 FROM par)
+         |      AND (SELECT mi // 2 FROM par)))
+         |    AND n_chars BETWEEN (SELECT mc // 4 FROM par)
+         |      AND (SELECT mc // 2 FROM par)
+         |  GROUP BY 1)
+         |SELECT s.probe, s.layout, cnt.nt AS n_files_total,
+         |  COALESCE(pass.np, 0) AS n_files_pass,
+         |  COALESCE(con.n_rows, 0) AS n_rows,
+         |  COALESCE(con.sum_chars, 0) AS sum_chars,
+         |  COALESCE(con.key_checksum, 0) AS key_checksum
+         |FROM spine s
+         |JOIN cnt USING (layout)
+         |LEFT JOIN pass ON pass.probe = s.probe AND pass.layout = s.layout
+         |LEFT JOIN con ON con.probe = s.probe
+         |ORDER BY s.probe, s.layout""".stripMargin
     },
     // cleanup keeps only the checkpointed version's manifest (4 → 1);
     // the latest resolves through the checkpoint alone; below-floor
