@@ -1802,6 +1802,98 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // MERGE INTO (stats-targeted copy-on-write upsert) — the marquee
+    // lake write operation: an updates batch (scattered keys in
+    // granules 1 and 3 get n_chars += 1000) plus 50 brand-new rows
+    // lands as ONE commit, touching only the files that need it.
+    // Delta's two-phase shape, mirrored exactly: phase 1 is METADATA
+    // (candidate files = active entries whose manifest [min,max]
+    // overlaps the update-key range — the same stats every read
+    // prunes by); phase 2 scans ONLY the candidates for files with
+    // actual matches (one distributed read, input_file_name mapped
+    // back to manifest entries) and rewrites just those (CoW — the
+    // new file is the old rows with updates applied, so its key
+    // stats are unchanged and carry over), appends the inserts file,
+    // and commits removes+adds atomically via the q290 CAS. Gated in
+    // one row: the funnel (active → stats-candidates → actually
+    // rewritten — strictly narrowing at every SF), the update/insert
+    // row counts, and the post-merge snapshot's rows / chars / key
+    // checksum / a doc_id×n_chars MIX checksum (an update applied to
+    // the wrong rows keeps the sums and shifts the mix). The oracle
+    // reconstructs the file funnel from the staging arithmetic and
+    // the post state as a logical upsert. At 100 TB this is why
+    // MERGE is affordable: write amplification ∝ files CONTAINING
+    // matches (stats-bounded), not table size, and readers see one
+    // atomic version flip.
+    "q321_lake_merge" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q321-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val gran = lakeGranFor(docs(s, dir).count())
+        val matchedPred = expr(s"doc_id div $gran").isin(1L, 3L) &&
+          col("doc_id") % 13 === 3
+        val (active, _) = ckptResolve(s, stage.toString, 2)
+        val snapshot = s.read.parquet(active.map(_._1): _*)
+        val kmm = snapshot.where(matchedPred)
+          .agg(min(col("doc_id")), max(col("doc_id")),
+            count(lit(1))).head()
+        val (k0, k1, nUpd) =
+          (kmm.getLong(0), kmm.getLong(1), kmm.getLong(2))
+        // phase 1: manifest-stats candidates
+        val cands = active.filter { case (_, mn, mx) =>
+          mx >= k0 && mn <= k1 }
+        // phase 2: candidates that actually contain a match
+        val matchedParts = s.read.parquet(cands.map(_._1): _*)
+          .where(matchedPred)
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0))  // hint audit: manifest-sized (one row per matched part file)
+        val hits = cands.filter { case (p, _, _) =>
+          matchedParts.exists(_.contains(p + "/")) }
+        // CoW rewrites: all rows of each hit file, updates applied;
+        // doc_id stats carry over (keys are untouched by the update)
+        val chType = snapshot.schema("n_chars").dataType
+        val rewriteAdds = hits.zipWithIndex.map { case ((p, mn, mx), i) =>
+          val rp = s"$stage/mw$i"
+          s.read.parquet(p)
+            .withColumn("n_chars",
+              when(matchedPred, col("n_chars") + lit(1000).cast(chType))
+                .otherwise(col("n_chars")))
+            .coalesce(1).write.mode("overwrite").parquet(rp)
+          ("add", rp, mn, mx)
+        }
+        // the inserts file: 50 new ids past the snapshot maximum
+        val maxId = snapshot.agg(max(col("doc_id"))).head().getLong(0)
+        val ip = s"$stage/mins"
+        s.range(1, 51)
+          .select((lit(maxId) + col("id")).as("doc_id"),
+            lit("merged").as("source"),
+            (lit(100L) + (lit(maxId) + col("id")) % 97)
+              .cast(chType).as("n_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(ip)
+        require(tryCommit(s, stage.toString, 3,
+          hits.map { case (p, _, _) => ("remove", p, -1L, -1L) } ++
+            rewriteAdds :+ (("add", ip, maxId + 1, maxId + 50))))
+        // the post-merge snapshot, resolved from the log
+        val out = s.read
+          .parquet(asOfFiles(s, stage.toString, 3): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"),
+            sum(col("doc_id") * col("n_chars").cast("long"))
+              .as("mix_checksum"))
+          .select(lit(active.size.toLong).as("n_files_active"),
+            lit(cands.size.toLong).as("n_files_cand_stats"),
+            lit(hits.size.toLong).as("n_files_rewritten"),
+            lit(nUpd).as("n_rows_updated"),
+            lit(50L).as("n_rows_inserted"),
+            col("n_rows"), col("sum_chars"), col("key_checksum"),
+            col("mix_checksum"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // COLUMN MAPPING (rename as metadata) — the schema-evolution face
     // q72 leaves unpriced: renaming a column in a raw-parquet table
     // means rewriting every file, so real lakes store LOGICAL name →
@@ -2799,6 +2891,52 @@ object ShapeOpsQueries {
          |LEFT JOIN pass pa ON pa.probe = p.probe
          |LEFT JOIN m ON m.probe = p.probe AND m.fg = pa.fg
          |GROUP BY p.probe ORDER BY p.probe""".stripMargin
+    },
+    // the file funnel reconstructed from the staging arithmetic (file
+    // id per row: delta granule / f0r / base granule, stats = data
+    // min/max per file) and the post state as a logical upsert over
+    // the v2 content plus the deterministic inserts
+    "q321_lake_merge" -> {
+      val mt = s"(doc_id // $sqlLakeG IN (1, 3) AND doc_id % 13 = 3)"
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |v2 AS (SELECT * FROM d WHERE $sqlLakeV2Pred),
+         |keys AS (SELECT doc_id FROM v2 WHERE $mt),
+         |kr AS (SELECT MIN(doc_id) AS k0, MAX(doc_id) AS k1 FROM keys),
+         |vf AS (SELECT *, CASE WHEN doc_id % 3 = 2
+         |      THEN 'delta' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |      WHEN doc_id // $sqlLakeG = 0 THEN 'f0r'
+         |      ELSE 'base' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |    END AS fid FROM v2),
+         |fs AS (SELECT fid, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+         |  FROM vf GROUP BY 1),
+         |cand AS (SELECT fid FROM fs, kr
+         |  WHERE mx >= kr.k0 AND mn <= kr.k1),
+         |hit AS (SELECT DISTINCT fid FROM vf WHERE $mt),
+         |mi AS (SELECT MAX(doc_id) AS m FROM v2),
+         |ins AS (SELECT (SELECT m FROM mi) + t.i AS doc_id,
+         |    100 + ((SELECT m FROM mi) + t.i) % 97 AS n_chars
+         |  FROM range(1, 51) t(i)),
+         |post AS (SELECT doc_id,
+         |    CASE WHEN $mt THEN n_chars + 1000 ELSE n_chars END
+         |      AS n_chars
+         |  FROM v2
+         |  UNION ALL SELECT doc_id, n_chars FROM ins)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fs) AS n_files_active,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+         |    AS n_files_cand_stats,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit)
+         |    AS n_files_rewritten,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM keys)
+         |    AS n_rows_updated,
+         |  CAST(50 AS BIGINT) AS n_rows_inserted,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
+         |    AS key_checksum,
+         |  CAST(SUM(doc_id * n_chars) AS BIGINT) AS mix_checksum
+         |FROM post""".stripMargin
     },
     // identical bucketization, interleave, and rank→file shift; the
     // overlap rule per (probe, layout) off per-file min/max of BOTH
