@@ -1894,6 +1894,74 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // SHALLOW CLONE (zero-copy table clone) — Delta's CLONE ... SHALLOW:
+    // a new table whose manifest log REFERENCES the source's data
+    // files; creating it copies metadata only (the gate's clone step
+    // touches the KB-scale manifests, never a data file —
+    // LakeLifecycleSpec pins the data-file census across the op).
+    // After the clone, the two tables DIVERGE INDEPENDENTLY: the
+    // clone appends its own commit (new file under the clone's root),
+    // the source appends a DIFFERENT commit, and the gate reads all
+    // three states through their own logs — clone-at-clone-time ≡
+    // source as-of(2), clone-latest sees only the clone's append,
+    // source-latest sees only the source's (isolation both ways: a
+    // clone that shares its log tail, or re-resolves through the
+    // source's, picks up the wrong 50 rows and shifts two checksums).
+    // At 100 TB this is how dev/test forks of petabyte tables cost
+    // KBs: shared immutable data + private logs — exactly the
+    // architecture this suite's own staging memoization runs on; the
+    // price (vacuum on the source must now consult clone references
+    // too) is q303's retention contract extended across logs.
+    "q322_lake_shallow_clone" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q322-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val cloneRoot = java.nio.file.Paths.get(stage.toString, "clone")
+        // the CLONE op: metadata only — copy the source's log as of
+        // v2 into the clone's own root
+        java.nio.file.Files.createDirectories(cloneRoot)
+        graft.util.FileUtils.copyRecursively(
+          java.nio.file.Paths.get(stage.toString, "_log"),
+          cloneRoot.resolve("_log"))
+        val snapshot =
+          s.read.parquet(asOfFiles(s, stage.toString, 2): _*)
+        val chType = snapshot.schema("n_chars").dataType
+        val maxId = snapshot.agg(max(col("doc_id"))).head().getLong(0)
+        // divergent appends: 50 rows each, DIFFERENT id ranges
+        def append(root: String, name: String, lo: Long): Unit = {
+          val p = s"$root/$name"
+          s.range(1, 51)
+            .select((lit(lo) + col("id")).as("doc_id"),
+              lit(name).as("source"),
+              (lit(100L) + (lit(lo) + col("id")) % 97)
+                .cast(chType).as("n_chars"))
+            .coalesce(1).write.mode("overwrite").parquet(p)
+          require(tryCommit(s, root, 3,
+            Seq(("add", p, lo + 1, lo + 50))))
+        }
+        append(cloneRoot.toString, "clone_app", maxId)
+        append(stage.toString, "source_app", maxId + 50)
+        def read(name: String, root: String, v: Int): DataFrame = {
+          val files = asOfFiles(s, root, v)
+          s.read.parquet(files: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(name).as("probe"),
+              lit(files.size.toLong).as("n_files"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }
+        val out =
+          read("a_clone_at_clone_time", cloneRoot.toString, 2)
+            .unionByName(read("b_clone_latest", cloneRoot.toString, 3))
+            .unionByName(read("c_source_latest", stage.toString, 3))
+            .orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // COLUMN MAPPING (rename as metadata) — the schema-evolution face
     // q72 leaves unpriced: renaming a column in a raw-parquet table
     // means rewriting every file, so real lakes store LOGICAL name →
@@ -2891,6 +2959,48 @@ object ShapeOpsQueries {
          |LEFT JOIN pass pa ON pa.probe = p.probe
          |LEFT JOIN m ON m.probe = p.probe AND m.fg = pa.fg
          |GROUP BY p.probe ORDER BY p.probe""".stripMargin
+    },
+    // three reads reconstructed logically: the v2 content, v2 + the
+    // clone's 50-row append, v2 + the source's DIFFERENT 50-row
+    // append; file counts from the staging arithmetic's per-row file
+    // id (q321's vf device)
+    "q322_lake_shallow_clone" -> {
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |v2 AS (SELECT * FROM d WHERE $sqlLakeV2Pred),
+         |vf AS (SELECT *, CASE WHEN doc_id % 3 = 2
+         |      THEN 'delta' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |      WHEN doc_id // $sqlLakeG = 0 THEN 'f0r'
+         |      ELSE 'base' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |    END AS fid FROM v2),
+         |nf AS (SELECT CAST(COUNT(DISTINCT fid) AS BIGINT) AS n
+         |  FROM vf),
+         |mi AS (SELECT MAX(doc_id) AS m FROM v2),
+         |ca AS (SELECT (SELECT m FROM mi) + t.i AS doc_id,
+         |    100 + ((SELECT m FROM mi) + t.i) % 97 AS n_chars
+         |  FROM range(1, 51) t(i)),
+         |sa AS (SELECT (SELECT m FROM mi) + 50 + t.i AS doc_id,
+         |    100 + ((SELECT m FROM mi) + 50 + t.i) % 97 AS n_chars
+         |  FROM range(1, 51) t(i))
+         |SELECT * FROM (
+         |SELECT 'a_clone_at_clone_time' AS probe,
+         |  (SELECT n FROM nf) AS n_files,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
+         |    AS key_checksum
+         |FROM v2
+         |UNION ALL
+         |SELECT 'b_clone_latest', (SELECT n FROM nf) + 1,
+         |  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
+         |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM ca)
+         |UNION ALL
+         |SELECT 'c_source_latest', (SELECT n FROM nf) + 1,
+         |  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
+         |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM sa)
+         |) ORDER BY probe""".stripMargin
     },
     // the file funnel reconstructed from the staging arithmetic (file
     // id per row: delta granule / f0r / base granule, stats = data

@@ -56,6 +56,28 @@ class LakeLifecycleSpec extends SparkSuite {
       "a reader gate observed another gate's mutation")
   }
 
+  test("q322: a shallow clone resolves to the SOURCE's own data file " +
+      "paths at clone time (zero data copied — the clone op is a " +
+      "manifest copy), and the clone root holds nothing but its log") {
+    import graft.queries.ShapeOpsQueries
+    val stage = java.nio.file.Files.createTempDirectory("graft-q322-spec")
+    try {
+      ShapeOpsQueries.stageLakeLog(spark, dir, stage.toString,
+        withCompaction = false)
+      val cloneRoot = stage.resolve("clone")
+      java.nio.file.Files.createDirectories(cloneRoot)
+      graft.util.FileUtils.copyRecursively(
+        stage.resolve("_log"), cloneRoot.resolve("_log"))
+      val src = ShapeOpsQueries.asOfFiles(spark, stage.toString, 2).toSet
+      val cln = ShapeOpsQueries
+        .asOfFiles(spark, cloneRoot.toString, 2).toSet
+      assert(cln === src, "the clone resolved different data paths")
+      assert(graft.util.FileUtils.listDir(cloneRoot)
+        .map(_.getFileName.toString) === Seq("_log"),
+        "the clone op created something besides its manifest log")
+    } finally graft.util.FileUtils.deleteRecursively(stage)
+  }
+
   test("q301: checkpoint resolution is fold-exact and constant-cost " +
       "while the full fold grows") {
     val rows = SparkEntry.queries("q301_lake_checkpoint")(spark, dir)
