@@ -103,7 +103,10 @@ object Bench {
     // carrying the totals; the full per-query map lives in the line
     // above AND in the machine-readable file below.
     println(line)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","pass_sec":$passJson,"n_queries":${results.size},"queries_file":"bench_queries.json"}""")
+    // distinct metric name: two "total" lines would double-count in a
+    // line-oriented consumer that aggregates every total (round-17
+    // ADVICE); the summary stays last so a stdout TAIL always holds it
+    println(s"""{"metric":"total_summary","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir","pass_sec":$passJson,"n_queries":${results.size},"queries_file":"bench_queries.json"}""")
     // ALSO persist the full line to a machine-readable file: the file
     // keeps round-over-round per-query comparison independent of
     // tail-capture luck. Path is cwd-relative by default (running

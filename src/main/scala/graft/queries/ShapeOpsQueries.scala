@@ -1838,16 +1838,26 @@ object ShapeOpsQueries {
         val kmm = snapshot.where(matchedPred)
           .agg(min(col("doc_id")), max(col("doc_id")),
             count(lit(1))).head()
-        val (k0, k1, nUpd) =
-          (kmm.getLong(0), kmm.getLong(1), kmm.getLong(2))
-        // phase 1: manifest-stats candidates
-        val cands = active.filter { case (_, mn, mx) =>
-          mx >= k0 && mn <= k1 }
+        val nUpd = kmm.getLong(2)
+        // zero-match guard (round-17 ADVICE): a table whose rows never
+        // satisfy matchedPred has null key min/max and an empty
+        // candidate list — skip the rewrite phase entirely and commit
+        // only the inserts, keeping the funnel columns at 0 (the
+        // logical-upsert oracle's zero-update row)
+        val cands =
+          if (nUpd == 0L) Seq.empty[(String, Long, Long)]
+          else {
+            val (k0, k1) = (kmm.getLong(0), kmm.getLong(1))
+            // phase 1: manifest-stats candidates
+            active.filter { case (_, mn, mx) => mx >= k0 && mn <= k1 }
+          }
         // phase 2: candidates that actually contain a match
-        val matchedParts = s.read.parquet(cands.map(_._1): _*)
-          .where(matchedPred)
-          .select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0))  // hint audit: manifest-sized (one row per matched part file)
+        val matchedParts =
+          if (cands.isEmpty) Array.empty[String]
+          else s.read.parquet(cands.map(_._1): _*)
+            .where(matchedPred)
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0))  // hint audit: manifest-sized (one row per matched part file)
         val hits = cands.filter { case (p, _, _) =>
           matchedParts.exists(_.contains(p + "/")) }
         // CoW rewrites: all rows of each hit file, updates applied;
@@ -2332,9 +2342,20 @@ object ShapeOpsQueries {
     val n = docs(s, dir).count()
     val gran = lakeGranFor(n)
     val conv = if (withCompaction) "c" else "p"
+    // key on the SANITIZED FULL corpus path, not its hashCode: two
+    // corpus dirs with equal (n, gran) and colliding hashCodes would
+    // silently share one master's data files (round-17 ADVICE); the
+    // sanitized absolute path collides only with itself
+    val safeDir = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9._-]", "-")
     val root = java.nio.file.Paths.get("/tmp",
-      s"graft-lake-$n-$gran-$conv-${math.abs(dir.hashCode)}")
-    if (!java.nio.file.Files.exists(root.resolve("_staged_ok"))) {
+      s"graft-lake-$n-$gran-$conv-$safeDir")
+    val ok = root.resolve("_staged_ok")
+    if (!java.nio.file.Files.exists(ok)) {
+      // a root WITHOUT the marker is torn (a tmp cleaner removed the
+      // marker or a stager died mid-publish): rebuild it rather than
+      // serve partial data files
+      if (java.nio.file.Files.exists(root)) rmTree(root)
       val tmp = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/tmp"), "graft-lake-stage")
       stageLakeLogInto(s, dir, tmp.toString, withCompaction)
@@ -2351,6 +2372,10 @@ object ShapeOpsQueries {
           rmTree(tmp)
       }
     }
+    // fail loudly (not with a downstream read error) if /tmp was
+    // cleaned between staging and this use
+    require(java.nio.file.Files.exists(ok),
+      s"lake master $root invalid: _staged_ok missing (tmp cleaned?)")
     root
   }
 

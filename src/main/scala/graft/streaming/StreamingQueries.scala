@@ -1127,10 +1127,21 @@ object StreamingQueries {
         // the CDF consumer — per commit: change set from the
         // manifest's own entries, signed fold, fenced nonce commit
         def cdfCommit(mdf: DataFrame, batchId: Long): Boolean = {
-          val entries = mdf.collect() // manifest-sized (O(files) rows)
+          val all = mdf.collect() // manifest-sized (O(files) rows)
+          // AvailableNow may deliver MORE than one arrival file in a
+          // batch (equal mtimes); taking max(version) would merge two
+          // commits' change sets into one fold and skip a version's
+          // stored aggregate (round-17 ADVICE). Fold each distinct
+          // version's entries separately, in ascending commit order.
+          all.map(_.getAs[Long]("version")).distinct.sorted.map { v =>
+            foldOneCommit(all.filter(_.getAs[Long]("version") == v), v)
+          }.forall(identity)
+        }
+        def foldOneCommit(
+            entries: Array[org.apache.spark.sql.Row], v0: Long): Boolean = {
           if (entries.isEmpty) false
           else {
-            val v = entries.map(_.getAs[Long]("version")).max
+            val v = v0
             val target = Paths.get(s"$mv/_log/v$v")
             if (Files.exists(target)) false
             else {
