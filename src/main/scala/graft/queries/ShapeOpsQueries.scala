@@ -1972,6 +1972,108 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // VACUUM × SHALLOW CLONE — the price q322 names but leaves
+    // ungated: after a shallow clone, the SOURCE's data files are
+    // referenced by a log the source's own manifests know nothing
+    // about, so a source vacuum that consults only its own snapshots
+    // (q303's rule) frees files the clone still reads — the exact
+    // failure class q303 exists to prevent, reachable through a gated
+    // op. The extended contract (Delta documents precisely this
+    // hazard for shallow clones): the sweep intersects its doomed
+    // list with the LATEST SNAPSHOT OF EVERY REGISTERED CLONE —
+    // metadata work, O(files) per clone log. Staged on the compaction
+    // log: the clone forks at v2 (metadata-only copy of manifests
+    // v0..v2), the source's boundary-3 vacuum dooms every
+    // pre-compaction file; scenario a — the clone's latest still
+    // references all of them → every clone file conflicts → REFUSED,
+    // and the clone's read afterwards is gated intact; then the clone
+    // COMPACTS INTO ITS OWN ROOT (its v3 references only its private
+    // file); scenario b — the re-run vacuum finds zero conflicts →
+    // EXECUTES, the doomed files are actually unlinked, and BOTH
+    // tables' latest reads are gated hash-exact afterwards (the
+    // clone's off its private compact, the source's off its own). A
+    // vacuum that skips clone logs, resolves them at the wrong
+    // version, or intersects against the clone's fork point instead
+    // of its latest kills a gated read. At 100 TB: one set
+    // intersection per clone over manifest-resolved paths — the same
+    // cheap insurance as q303, extended across logs.
+    "q323_lake_vacuum_clone_safety" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q323-lake")
+      try {
+        // private data: this gate DELETES data files on execute
+        stageLakeLog(s, dir, stage.toString, withCompaction = true,
+          privateData = true)
+        // shallow clone AS OF v2: metadata only — the clone's log gets
+        // the source manifests up to the fork version, nothing else
+        val cloneRoot = stage.resolve("clone")
+        java.nio.file.Files.createDirectories(cloneRoot.resolve("_log"))
+        (0 to 2).foreach(v => graft.util.FileUtils.copyRecursively(
+          java.nio.file.Paths.get(stage.toString, "_log", s"v$v"),
+          cloneRoot.resolve("_log").resolve(s"v$v")))
+        // the source vacuum's doomed list at boundary 3 (q303's rule)
+        val retained = asOfFiles(s, stage.toString, 3).toSet
+        val doomed = (0 to 3).flatMap(v =>
+          s.read.parquet(s"$stage/_log/v$v").collect()
+            .collect { case r if r.getString(0) == "add" => r.getString(1) })
+          .filterNot(retained)
+        val doomedSet = doomed.toSet
+        def scenario(name: String, cloneV: Int): DataFrame = {
+          // clone-aware check: the clone's LATEST active set
+          val cloneFiles = asOfFiles(s, cloneRoot.toString, cloneV)
+          val conflicts = cloneFiles.count(doomedSet)
+          val outcome = if (conflicts > 0) "refused" else "executed"
+          if (conflicts == 0)
+            doomed.foreach(p => rmTree(java.nio.file.Paths.get(p)))
+          s.read.parquet(cloneFiles: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(name).as("probe"),
+              lit(doomed.size.toLong).as("n_doomed"),
+              lit(cloneFiles.size.toLong).as("n_clone_files"),
+              lit(conflicts.toLong).as("n_conflicts"),
+              lit(outcome).as("outcome"),
+              lit(cloneFiles.size.toLong).as("n_files"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }
+        def snap(df: DataFrame): DataFrame = {
+          val rows = df.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        }
+        // a: clone pinned at its fork snapshot — every file conflicts
+        val a = snap(scenario("a_refused_clone_pinned", 2))
+        // the clone compacts into its OWN root: its v3 drops every
+        // shared reference (the divergence that makes the vacuum safe)
+        val cloneActive = asOfFiles(s, cloneRoot.toString, 2)
+        val cc = cloneRoot.resolve("ccompact").toString
+        s.read.parquet(cloneActive: _*).coalesce(1)
+          .write.mode("overwrite").parquet(cc)
+        val ccMm = s.read.parquet(cc)
+          .agg(min(col("doc_id")), max(col("doc_id"))).head()
+        require(tryCommit(s, cloneRoot.toString, 3,
+          cloneActive.map(p => ("remove", p, -1L, -1L)) :+
+            (("add", cc, ccMm.getLong(0), ccMm.getLong(1)))))
+        // b: zero conflicts — the sweep actually unlinks the doomed
+        // files, then the clone's latest read survives off its private
+        // compact file
+        val b = snap(scenario("b_executed_clone_compacted", 3))
+        // c: the source's latest read survives the sweep too
+        val srcFiles = asOfFiles(s, stage.toString, 3)
+        val c = snap(s.read.parquet(srcFiles: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+          .select(lit("c_source_latest").as("probe"),
+            lit(doomed.size.toLong).as("n_doomed"),
+            lit(1L).as("n_clone_files"), lit(0L).as("n_conflicts"),
+            lit("executed").as("outcome"),
+            lit(srcFiles.size.toLong).as("n_files"),
+            col("n_rows"), col("sum_chars"), col("key_checksum")))
+        a.unionByName(b).unionByName(c).orderBy("probe")
+      } finally rmTree(stage)
+    }),
+
     // COLUMN MAPPING (rename as metadata) — the schema-evolution face
     // q72 leaves unpriced: renaming a column in a raw-parquet table
     // means rewriting every file, so real lakes store LOGICAL name →
@@ -3025,6 +3127,34 @@ object ShapeOpsQueries {
          |  CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
          |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
          |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM sa)
+         |) ORDER BY probe""".stripMargin
+    },
+    // structural counts mirror q303's boundary-3 arithmetic: doomed =
+    // all pre-compaction adds (F0 + Fd + 1), the pinned clone's
+    // latest = the v2 active set (F0 + Fd files, every one doomed →
+    // refused), the compacted clone and the source each resolve one
+    // private file with zero conflicts → executed; all three reads
+    // are the v2 logical content
+    "q323_lake_vacuum_clone_safety" -> {
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      def row(name: String, nCloneF: String, nConf: String,
+          outcome: String, nFiles: String) =
+        s"""SELECT '$name' AS probe,
+           |  CAST(($act) + 1 AS BIGINT) AS n_doomed,
+           |  CAST(($nCloneF) AS BIGINT) AS n_clone_files,
+           |  CAST(($nConf) AS BIGINT) AS n_conflicts,
+           |  '$outcome' AS outcome,
+           |  CAST(($nFiles) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $sqlLakeV2Pred""".stripMargin
+      s"""SELECT * FROM (
+         |${row("a_refused_clone_pinned", act, act, "refused", act)}
+         |UNION ALL
+         |${row("b_executed_clone_compacted", "1", "0", "executed", "1")}
+         |UNION ALL
+         |${row("c_source_latest", "1", "0", "executed", "1")}
          |) ORDER BY probe""".stripMargin
     },
     // the file funnel reconstructed from the staging arithmetic (file
