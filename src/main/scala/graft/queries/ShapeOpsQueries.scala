@@ -1904,6 +1904,107 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // MERGE INTO WITH THE DELETE ARM — the third clause real MERGE
+    // ships (WHEN MATCHED AND <cond> THEN DELETE) and the shape CDC
+    // apply and GDPR erasure both reduce to; q321 gates
+    // update+insert only. Same two-phase stats-targeted CoW: phase 1
+    // prunes candidates by manifest [min,max] over the ON-key range
+    // (both arms share the ON keys, so one range covers them), phase
+    // 2 rewrites only files containing a match — but the delete arm
+    // changes the REWRITE'S ROW FILTER (delete-matched rows drop out
+    // of the new file) and the FUNNEL ACCOUNTING (a rewritten file's
+    // key stats can SHRINK, so they are recomputed from the rewrite,
+    // not carried over — q321's carry-over would be wrong here; and a
+    // rewrite emptied entirely commits as a bare remove). Gated in
+    // one row: the funnel, the per-arm row counts
+    // (updated/deleted/inserted), and the post snapshot's rows /
+    // chars / key checksum / mix checksum (a delete applied to the
+    // update arm's rows keeps the count and shifts both sums; an
+    // update applied to a delete row resurrects it). At 100 TB the
+    // cost story is q321's: write amplification ∝ files containing
+    // matches, and the delete needs no tombstones — CoW IS the
+    // delete.
+    "q324_lake_merge_delete" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q324-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val gran = lakeGranFor(docs(s, dir).count())
+        val matchedPred = expr(s"doc_id div $gran").isin(1L, 3L) &&
+          col("doc_id") % 13 === 3
+        // the two matched arms: odd keys delete, even keys update
+        val delPred = matchedPred && col("doc_id") % 2 === 1
+        val updPred = matchedPred && col("doc_id") % 2 === 0
+        val (active, _) = ckptResolve(s, stage.toString, 2)
+        val snapshot = s.read.parquet(active.map(_._1): _*)
+        val kmm = snapshot.where(matchedPred)
+          .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)),
+            count(when(delPred, lit(1))),
+            count(when(updPred, lit(1)))).head()
+        val nMatched = kmm.getLong(2)
+        val (nDel, nUpd) = (kmm.getLong(3), kmm.getLong(4))
+        val cands =
+          if (nMatched == 0L) Seq.empty[(String, Long, Long)]
+          else {
+            val (k0, k1) = (kmm.getLong(0), kmm.getLong(1))
+            active.filter { case (_, mn, mx) => mx >= k0 && mn <= k1 }
+          }
+        val matchedParts =
+          if (cands.isEmpty) Array.empty[String]
+          else s.read.parquet(cands.map(_._1): _*)
+            .where(matchedPred)
+            .select(input_file_name().as("f")).distinct()
+            .collect().map(_.getString(0))  // hint audit: manifest-sized
+        val hits = cands.filter { case (p, _, _) =>
+          matchedParts.exists(_.contains(p + "/")) }
+        val chType = snapshot.schema("n_chars").dataType
+        // CoW rewrites: delete rows filtered OUT, update rows updated;
+        // stats recomputed from the rewrite (deletes can shrink them);
+        // an emptied rewrite commits as a bare remove
+        val rewriteAdds = hits.zipWithIndex.flatMap { case ((p, _, _), i) =>
+          val rp = s"$stage/mw$i"
+          s.read.parquet(p).where(!delPred)
+            .withColumn("n_chars",
+              when(updPred, col("n_chars") + lit(1000).cast(chType))
+                .otherwise(col("n_chars")))
+            .coalesce(1).write.mode("overwrite").parquet(rp)
+          val mm = s.read.parquet(rp)
+            .agg(min(col("doc_id")), max(col("doc_id")),
+              count(lit(1))).head()
+          if (mm.getLong(2) == 0L) None
+          else Some(("add", rp, mm.getLong(0), mm.getLong(1)))
+        }
+        val maxId = snapshot.agg(max(col("doc_id"))).head().getLong(0)
+        val ip = s"$stage/mins"
+        s.range(1, 51)
+          .select((lit(maxId) + col("id")).as("doc_id"),
+            lit("merged").as("source"),
+            (lit(100L) + (lit(maxId) + col("id")) % 97)
+              .cast(chType).as("n_chars"))
+          .coalesce(1).write.mode("overwrite").parquet(ip)
+        require(tryCommit(s, stage.toString, 3,
+          hits.map { case (p, _, _) => ("remove", p, -1L, -1L) } ++
+            rewriteAdds :+ (("add", ip, maxId + 1, maxId + 50))))
+        val out = s.read
+          .parquet(asOfFiles(s, stage.toString, 3): _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars").cast("long")).as("sum_chars"),
+            sum(expr(manifestTerm("doc_id"))).as("key_checksum"),
+            sum(col("doc_id") * col("n_chars").cast("long"))
+              .as("mix_checksum"))
+          .select(lit(active.size.toLong).as("n_files_active"),
+            lit(cands.size.toLong).as("n_files_cand_stats"),
+            lit(hits.size.toLong).as("n_files_rewritten"),
+            lit(nUpd).as("n_rows_updated"),
+            lit(nDel).as("n_rows_deleted"),
+            lit(50L).as("n_rows_inserted"),
+            col("n_rows"), col("sum_chars"), col("key_checksum"),
+            col("mix_checksum"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // SHALLOW CLONE (zero-copy table clone) — Delta's CLONE ... SHALLOW:
     // a new table whose manifest log REFERENCES the source's data
     // files; creating it copies metadata only (the gate's clone step
@@ -3195,6 +3296,57 @@ object ShapeOpsQueries {
          |    AS n_files_rewritten,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM keys)
          |    AS n_rows_updated,
+         |  CAST(50 AS BIGINT) AS n_rows_inserted,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
+         |    AS key_checksum,
+         |  CAST(SUM(doc_id * n_chars) AS BIGINT) AS mix_checksum
+         |FROM post""".stripMargin
+    },
+    // q321's logical upsert extended with the delete arm: post = the
+    // v2 content MINUS the delete-matched rows, updates applied to
+    // the update-matched, plus the deterministic inserts; the file
+    // funnel is unchanged (both arms share the ON keys, so the same
+    // files are candidates and hits)
+    "q324_lake_merge_delete" -> {
+      val mt = s"(doc_id // $sqlLakeG IN (1, 3) AND doc_id % 13 = 3)"
+      val del = s"($mt AND doc_id % 2 = 1)"
+      val upd = s"($mt AND doc_id % 2 = 0)"
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |v2 AS (SELECT * FROM d WHERE $sqlLakeV2Pred),
+         |keys AS (SELECT doc_id FROM v2 WHERE $mt),
+         |kr AS (SELECT MIN(doc_id) AS k0, MAX(doc_id) AS k1 FROM keys),
+         |vf AS (SELECT *, CASE WHEN doc_id % 3 = 2
+         |      THEN 'delta' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |      WHEN doc_id // $sqlLakeG = 0 THEN 'f0r'
+         |      ELSE 'base' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |    END AS fid FROM v2),
+         |fs AS (SELECT fid, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+         |  FROM vf GROUP BY 1),
+         |cand AS (SELECT fid FROM fs, kr
+         |  WHERE mx >= kr.k0 AND mn <= kr.k1),
+         |hit AS (SELECT DISTINCT fid FROM vf WHERE $mt),
+         |mi AS (SELECT MAX(doc_id) AS m FROM v2),
+         |ins AS (SELECT (SELECT m FROM mi) + t.i AS doc_id,
+         |    100 + ((SELECT m FROM mi) + t.i) % 97 AS n_chars
+         |  FROM range(1, 51) t(i)),
+         |post AS (SELECT doc_id,
+         |    CASE WHEN $upd THEN n_chars + 1000 ELSE n_chars END
+         |      AS n_chars
+         |  FROM v2 WHERE NOT $del
+         |  UNION ALL SELECT doc_id, n_chars FROM ins)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fs) AS n_files_active,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+         |    AS n_files_cand_stats,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit)
+         |    AS n_files_rewritten,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v2 WHERE $upd)
+         |    AS n_rows_updated,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v2 WHERE $del)
+         |    AS n_rows_deleted,
          |  CAST(50 AS BIGINT) AS n_rows_inserted,
          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
