@@ -1904,6 +1904,108 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // OPTIMIZE ZORDER AS A COMMITTED TABLE OPERATION — q320 stages
+    // two layouts side by side and prices the pruning; a deployment
+    // runs the Z-rewrite as a COMMIT (Delta's OPTIMIZE ... ZORDER
+    // BY): one atomic version removes every old-layout file and adds
+    // the Z-ordered files with refreshed per-file stats over BOTH
+    // dimensions (doc_id in the manifest proper; n_chars rides a
+    // side metadata file — q313's convention for log-carried
+    // metadata), so readers see one atomic swap. Gated three ways:
+    // (a) time travel to the pre-optimize version still resolves the
+    // OLD layout (OPTIMIZE deletes nothing — that is vacuum's job
+    // later) with the v2 content intact; (b) the latest version
+    // reads the Z layout with IDENTICAL rows/chars/checksum (as-of
+    // equality across the swap — a rewrite that drops or duplicates
+    // a row shifts a sum); (c) the non-leading-column range probe at
+    // the latest version prunes through the committed stats
+    // (n_files_pass < n_files_total — the whole point of the
+    // rewrite, now priced through the log rather than a staged
+    // side-by-side). At 100 TB: the rewrite is one data-scale
+    // shuffle the table pays ONCE, the commit is manifest-sized, and
+    // every subsequent chars-range query reads ~pass/total of the
+    // table instead of all of it.
+    "q325_lake_optimize_zorder_commit" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q325-lake")
+      try {
+        import s.implicits._
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        val gran = lakeGranFor(docs(s, dir).count())
+        val active = asOfFiles(s, stage.toString, 2)
+        val snap0 = s.read.parquet(active: _*)
+        val mm = snap0.agg(max(col("doc_id")),
+          max(col("n_chars").cast("long"))).head()
+        val (maxId, maxCh) = (mm.getLong(0), mm.getLong(1))
+        val gx = maxId / 64 + 1
+        val gy = maxCh / 64 + 1
+        val nf = maxId / gran + 1
+        val xb = expr(s"doc_id div $gx")
+        val yb = expr(s"cast(n_chars as bigint) div $gy")
+        val zv = (0 until 6).map(k =>
+          shiftright(xb, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k)) +
+            shiftright(yb, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
+          .reduce(_ + _)
+        // 4096 = 2^12: rank→file is a pure integer shift (q320)
+        val laid = snap0.withColumn("zf", shiftright(zv * nf, 12))
+        laid.repartition(col("zf"))
+          .write.partitionBy("zf").mode("overwrite")
+          .parquet(s"$stage/z")
+        // refreshed per-file stats over BOTH dimensions
+        val zstats = laid.groupBy("zf")
+          .agg(min(col("doc_id")), max(col("doc_id")),
+            min(col("n_chars").cast("long")),
+            max(col("n_chars").cast("long")))
+          .collect()  // hint audit: manifest-sized (one row per Z file)
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        // the atomic swap: removes of the whole old layout + adds of
+        // the Z files, one CAS commit
+        require(tryCommit(s, stage.toString, 3,
+          active.map(p => ("remove", p, -1L, -1L)) ++
+            zstats.map { case (f, mnI, mxI, _, _) =>
+              ("add", s"$stage/z/zf=$f", mnI, mxI) }))
+        zstats.toSeq.map { case (f, _, _, mnC, mxC) =>
+          (s"$stage/z/zf=$f", mnC, mxC) }
+          .toDF("path", "min_chars", "max_chars").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/_log/stats-v3")
+        val (lo2, hi2) = (maxCh / 4, maxCh / 2)
+        def probe(name: String, files: Seq[String], pred: Column,
+            nTot: Long, nPass: Long): DataFrame =
+          (if (files.isEmpty) s.range(1)
+            .select(lit(0L).as("n_rows"), lit(0L).as("sum_chars"),
+              lit(0L).as("key_checksum"))
+          else s.read.parquet(files: _*).where(pred)
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("n_chars").cast("long")), lit(0L))
+                .as("sum_chars"),
+              coalesce(sum(expr(manifestTerm("doc_id"))), lit(0L))
+                .as("key_checksum")))
+            .select(lit(name).as("probe"),
+              lit(nTot).as("n_files_total"),
+              lit(nPass).as("n_files_pass"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        // a: the pre-optimize version — OLD layout, content intact
+        val a = probe("a_asof_v2", asOfFiles(s, stage.toString, 2),
+          lit(true), active.size.toLong, active.size.toLong)
+        // b: the latest — Z layout, SAME content (the swap proof)
+        val latest = asOfFiles(s, stage.toString, 3)
+        val b = probe("b_latest_zorder", latest, lit(true),
+          latest.size.toLong, latest.size.toLong)
+        // c: the non-leading-column prune through the COMMITTED stats
+        val passFiles = zstats.filter { case (_, _, _, mnC, mxC) =>
+          mxC >= lo2 && mnC <= hi2 }
+        val c = probe("c_prune_chars",
+          passFiles.map { case (f, _, _, _, _) => s"$stage/z/zf=$f" }.toSeq,
+          col("n_chars").cast("long") >= lo2 &&
+            col("n_chars").cast("long") <= hi2,
+          latest.size.toLong, passFiles.length.toLong)
+        val out = a.unionByName(b).unionByName(c).orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // MERGE INTO WITH THE DELETE ARM — the third clause real MERGE
     // ships (WHEN MATCHED AND <cond> THEN DELETE) and the shape CDC
     // apply and GDPR erasure both reduce to; q321 gates
@@ -3303,6 +3405,62 @@ object ShapeOpsQueries {
          |    AS key_checksum,
          |  CAST(SUM(doc_id * n_chars) AS BIGINT) AS mix_checksum
          |FROM post""".stripMargin
+    },
+    // the Z assignment reconstructed over the v2 snapshot (q320's
+    // bucketize/interleave/shift with the snapshot's own max bounds);
+    // a = v2 content over the old-layout file count (q322's fid
+    // device), b = the same content over the Z file count, c = the
+    // chars-range read over the two-dim stats overlap
+    "q325_lake_optimize_zorder_commit" -> {
+      val zvSql = "CAST(list_sum(list_transform(range(0, 6), k -> " +
+        "(((xb >> CAST(k AS INT)) & 1) << CAST(2 * k AS INT)) + " +
+        "(((yb >> CAST(k AS INT)) & 1) << CAST(2 * k + 1 AS INT)))) " +
+        "AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |  FROM documents),
+         |v2 AS (SELECT * FROM d WHERE $sqlLakeV2Pred),
+         |vf AS (SELECT *, CASE WHEN doc_id % 3 = 2
+         |      THEN 'delta' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |      WHEN doc_id // $sqlLakeG = 0 THEN 'f0r'
+         |      ELSE 'base' || CAST(doc_id // $sqlLakeG AS VARCHAR)
+         |    END AS fid FROM v2),
+         |mm AS (SELECT MAX(doc_id) AS mi, MAX(n_chars) AS mc,
+         |    $sqlLakeG AS gran FROM v2),
+         |par AS (SELECT mi // 64 + 1 AS gx, mc // 64 + 1 AS gy,
+         |    mi // gran + 1 AS nf, mi, mc FROM mm),
+         |b AS (SELECT v2.*, doc_id // p.gx AS xb, n_chars // p.gy AS yb
+         |  FROM v2, par p),
+         |z AS (SELECT *, $zvSql AS zv FROM b),
+         |ff AS (SELECT *, (zv * (SELECT nf FROM par)) >> 12 AS zf
+         |  FROM z),
+         |zst AS (SELECT zf, MIN(n_chars) AS mnc, MAX(n_chars) AS mxc
+         |  FROM ff GROUP BY 1),
+         |nold AS (SELECT CAST(COUNT(DISTINCT fid) AS BIGINT) AS n
+         |  FROM vf),
+         |nz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM zst),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM zst, par
+         |  WHERE mxc >= mc // 4 AND mnc <= mc // 2),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |    CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT)
+         |      AS key_checksum FROM v2),
+         |con AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+         |    CAST(COALESCE(SUM(${manifestTerm("doc_id")}), 0) AS BIGINT)
+         |      AS key_checksum
+         |  FROM v2, par WHERE n_chars BETWEEN mc // 4 AND mc // 2)
+         |SELECT * FROM (
+         |SELECT 'a_asof_v2' AS probe, (SELECT n FROM nold)
+         |    AS n_files_total,
+         |  (SELECT n FROM nold) AS n_files_pass,
+         |  n_rows, sum_chars, key_checksum FROM tot
+         |UNION ALL
+         |SELECT 'b_latest_zorder', (SELECT n FROM nz),
+         |  (SELECT n FROM nz), n_rows, sum_chars, key_checksum FROM tot
+         |UNION ALL
+         |SELECT 'c_prune_chars', (SELECT n FROM nz),
+         |  (SELECT n FROM np), n_rows, sum_chars, key_checksum FROM con
+         |) ORDER BY probe""".stripMargin
     },
     // q321's logical upsert extended with the delete arm: post = the
     // v2 content MINUS the delete-matched rows, updates applied to
