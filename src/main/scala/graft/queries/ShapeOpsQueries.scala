@@ -1904,6 +1904,60 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // RESTORE TO VERSION — Delta's RESTORE TABLE ... TO VERSION AS
+    // OF: roll the table's LATEST state back to an earlier snapshot
+    // as a NEW COMMIT, not by erasing history. The restore commit's
+    // entries are the set difference computed purely from manifests:
+    // add back every file the target version references that the
+    // current one dropped (stats carried from their ORIGINAL add
+    // entries — Delta's rule that a file's stats travel with its
+    // add), remove every file added since. Gated: (a) the latest
+    // version reads the TARGET version's content exactly (here
+    // restore-to-v1 undoes the v2 copy-on-write delete — the dropped
+    // odd rows REAPPEAR, the hardest thing to fake without actually
+    // re-referencing the old file), with the commit's add/remove
+    // counts pinned; (b) time travel to the rolled-back-over version
+    // still resolves ITS content (history preserved — restore is
+    // forward motion in the log). The restore writes ZERO data files
+    // — pure manifest arithmetic, the same reason it is instant on a
+    // petabyte table; only a later vacuum pays anything, and q323's
+    // rule protects what restore re-referenced.
+    "q326_lake_restore" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q326-lake")
+      try {
+        stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        // the target snapshot's entries WITH their original stats
+        val target = ckptResolve(s, stage.toString, 1)._1
+        val current = asOfFiles(s, stage.toString, 2).toSet
+        val targetSet = target.map(_._1).toSet
+        val adds = target.filterNot(e => current(e._1))
+        val removes = current.toSeq.filterNot(targetSet).sorted
+        require(tryCommit(s, stage.toString, 3,
+          removes.map(p => ("remove", p, -1L, -1L)) ++
+            adds.map { case (p, mn, mx) => ("add", p, mn, mx) }))
+        def read(name: String, v: Int, nAdds: Long,
+            nRemoves: Long): DataFrame = {
+          val files = asOfFiles(s, stage.toString, v)
+          s.read.parquet(files: _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(manifestTerm("doc_id"))).as("key_checksum"))
+            .select(lit(name).as("probe"),
+              lit(nAdds).as("n_restore_adds"),
+              lit(nRemoves).as("n_restore_removes"),
+              lit(files.size.toLong).as("n_files"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }
+        val out = read("a_latest_restored", 3,
+            adds.size.toLong, removes.size.toLong)
+          .unionByName(read("b_asof_v2_preserved", 2, 0L, 0L))
+          .orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // OPTIMIZE ZORDER AS A COMMITTED TABLE OPERATION — q320 stages
     // two layouts side by side and prices the pruning; a deployment
     // runs the Z-rewrite as a COMMIT (Delta's OPTIMIZE ... ZORDER
@@ -2562,14 +2616,26 @@ object ShapeOpsQueries {
       s.read.parquet(s"$stage/_log/ckpt-v$c").collect()
         .map(r => (r.getString(1), r.getLong(2), r.getLong(3))))
     val lo = ckpt.map(_ + 1).getOrElse(0)
-    val tail = (lo to v).flatMap(i =>
-      s.read.parquet(s"$stage/_log/v$i").collect()
+    // ORDER-AWARE log replay (Delta's semantic): each version's
+    // removes apply before its adds, and a LATER add revives a path
+    // an earlier version removed — the fold RESTORE (q326) depends
+    // on. For logs that never re-add a removed path (every other
+    // gate's staging convention) this resolves identically to the
+    // old order-blind set fold.
+    val active = scala.collection.mutable.LinkedHashMap.empty[
+      String, (Long, Long)]
+    base.foreach { case (p, mn, mx) => active(p) = (mn, mx) }
+    (lo to v).foreach { i =>
+      val entries = s.read.parquet(s"$stage/_log/v$i").collect()
         .map(r => (r.getString(0), r.getString(1),
-          r.getLong(2), r.getLong(3))))
-    val removed = tail.collect { case ("remove", p, _, _) => p }.toSet
-    val active = base.filterNot(e => removed(e._1)) ++
-      tail.collect { case ("add", p, mn, mx) if !removed(p) => (p, mn, mx) }
-    (active, (v - lo + 1).toLong + ckpt.size.toLong)
+          r.getLong(2), r.getLong(3)))
+      entries.foreach { case (a, p, _, _) =>
+        if (a == "remove") active.remove(p) }
+      entries.foreach { case (a, p, mn, mx) =>
+        if (a == "add") active(p) = (mn, mx) }
+    }
+    (active.toSeq.map { case (p, (mn, mx)) => (p, mn, mx) },
+      (v - lo + 1).toLong + ckpt.size.toLong)
   }
 
   /** q274/q275 file granule floor: docs per staged lake file at the
@@ -2875,10 +2941,11 @@ object ShapeOpsQueries {
     * (O(1 + v mod cadence) manifest reads however old the table) and
     * falls back to the full v0..v delta-log fold otherwise. Pure
     * metadata work (the manifests are O(files)); the driver-side fold
-    * is exactly where a lake's snapshot resolution runs. The two
-    * paths resolve identically because staged logs never re-add a
-    * removed path (the convention every gate's staging follows —
-    * rewrites and compactions always mint fresh paths).
+    * is exactly where a lake's snapshot resolution runs. Both paths
+    * replay the log ORDER-AWARE (a later add revives an earlier
+    * remove — RESTORE's semantic, q326); staged rewrites and
+    * compactions still mint fresh paths, so for them replay order is
+    * immaterial.
     */
   private[graft] def asOfFiles(
       s: SparkSession, stage: String, v: Int): Seq[String] =
@@ -2892,11 +2959,14 @@ object ShapeOpsQueries {
     */
   private def fullFoldFiles(
       s: SparkSession, stage: String, v: Int): Seq[String] = {
-    val entries = (0 to v).flatMap(i =>
-      s.read.parquet(s"$stage/_log/v$i").collect()
-        .map(r => (r.getString(0), r.getString(1))))
-    val removed = entries.collect { case ("remove", p) => p }.toSet
-    entries.collect { case ("add", p) if !removed(p) => p }
+    val active = scala.collection.mutable.LinkedHashSet.empty[String]
+    (0 to v).foreach { i =>
+      val entries = s.read.parquet(s"$stage/_log/v$i").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      entries.foreach { case (a, p) => if (a == "remove") active -= p }
+      entries.foreach { case (a, p) => if (a == "add") active += p }
+    }
+    active.toSeq
   }
 
   /** One version's gated rollup over its RESOLVED file set: row
@@ -3405,6 +3475,27 @@ object ShapeOpsQueries {
          |    AS key_checksum,
          |  CAST(SUM(doc_id * n_chars) AS BIGINT) AS mix_checksum
          |FROM post""".stripMargin
+    },
+    // a = the v1 logical content (ALL docs — the CoW-deleted odd rows
+    // back) over v1's file count, with the structural commit
+    // arithmetic (one add: base g=0 re-referenced; one remove: its
+    // f0r rewrite); b = the v2 content, still resolvable
+    "q326_lake_restore" -> {
+      val act = s"($sqlLakeF0) + ($sqlLakeFd)"
+      def row(name: String, nAdds: Int, nRemoves: Int, pred: String) =
+        s"""SELECT '$name' AS probe,
+           |  CAST($nAdds AS BIGINT) AS n_restore_adds,
+           |  CAST($nRemoves AS BIGINT) AS n_restore_removes,
+           |  CAST(($act) AS BIGINT) AS n_files,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $pred""".stripMargin
+      s"""SELECT * FROM (
+         |${row("a_latest_restored", 1, 1, "TRUE")}
+         |UNION ALL
+         |${row("b_asof_v2_preserved", 0, 0, sqlLakeV2Pred)}
+         |) ORDER BY probe""".stripMargin
     },
     // the Z assignment reconstructed over the v2 snapshot (q320's
     // bucketize/interleave/shift with the snapshot's own max bounds);
