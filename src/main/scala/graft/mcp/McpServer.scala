@@ -14,14 +14,16 @@ import org.json4s.jackson.JsonMethods.{compact, parse, render}
   * JSON-RPC 2.0 over stdin/stdout dispatching the nine parity tool
   * names and two resources to the engine's query layer
   * ([[graft.query.LogQueries]] via [[Reports]], [[RemoteFetcher]],
-  * [[LogCatalog]]), plus nine engine-extension tools: the log-mining
+  * [[LogCatalog]]), plus ten engine-extension tools: the log-mining
   * tier (`mine_templates`, `detect_slot_anomalies`,
   * `group_stack_traces`, `deduplicate_lines`) and the
   * lake/vector/streaming tiers
-  * (`lake_time_travel`, `lake_change_feed`, `vector_scoreboard`,
-  * `stream_recovery_report`, `graph_search`, each running the gated
-  * registry entry itself over a caller-supplied table directory) —
-  * capabilities the reference does not have — to the same MCP clients.
+  * (`lake_time_travel`, `lake_change_feed`, `lake_write_ops`,
+  * `vector_scoreboard`, `stream_recovery_report`, `graph_search`,
+  * each running the gated registry entry itself over a
+  * caller-supplied table directory; `lake_write_ops` stages private
+  * copies so the caller's files are never mutated) — capabilities
+  * the reference does not have — to the same MCP clients.
   *
   * The transport is deliberately thin: every tool body is one call
   * into the library — the computations are the oracle-gated operators;
@@ -142,6 +144,9 @@ final class McpDispatcher(val catalog: LogCatalog, fetcher: RemoteFetcher) {
       case "lake_change_feed" =>
         req(args, "data_dir").map(d =>
           Reports.renderLakeChangeFeed(catalog.spark, d))
+      case "lake_write_ops" =>
+        req(args, "data_dir").map(d =>
+          Reports.renderLakeWriteOps(catalog.spark, d))
       case "vector_scoreboard" =>
         req(args, "data_dir").map(d =>
           Reports.renderVectorScoreboard(catalog.spark, d))
@@ -280,7 +285,7 @@ object McpServer {
 
   /** The nine parity tools with the reference's names, descriptions,
     * and input schemas (`cassandra_log_analyzer.py:383-575`) — the
-    * wire contract, byte-stable — followed by the seven
+    * wire contract, byte-stable — followed by the ten
     * engine-extension tools (marked `[Extension]`), as a parsed JSON
     * constant.
     */
@@ -347,6 +352,10 @@ object McpServer {
       |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
       |  "required":["data_dir"]}},
       |{"name":"lake_change_feed","description":"[Extension] Change data feed entre versions du lake, dérivé du diff des ensembles de fichiers.",
+      | "inputSchema":{"type":"object","properties":{
+      |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
+      |  "required":["data_dir"]}},
+      |{"name":"lake_write_ops","description":"[Extension] Opérations d'écriture du lake sur copies privées: MERGE trois clauses (q324), OPTIMIZE ZORDER commité (q325), RESTORE TO VERSION (q326), VACUUM conscient des clones (q323).",
       | "inputSchema":{"type":"object","properties":{
       |   "data_dir":{"type":"string","description":"Répertoire des tables parquet"}},
       |  "required":["data_dir"]}},

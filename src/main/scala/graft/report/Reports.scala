@@ -357,6 +357,56 @@ object Reports {
       sb.result()
     }
 
+  /** `lake_write_ops` — the lake tier's WRITE operations surfaced to
+    * MCP clients, each through the gated registry entry itself: the
+    * three-arm MERGE (q324 — update/delete/insert with the
+    * stats-targeted CoW funnel), the committed OPTIMIZE ZORDER (q325
+    * — atomic layout swap + non-leading-column pruning), RESTORE TO
+    * VERSION (q326 — metadata-only rollback-as-commit), and the
+    * clone-aware vacuum (q323 — the refuse/execute safety contract
+    * across shallow-clone logs). Everything runs against staged
+    * private copies derived from the caller's tables; the caller's
+    * files are never mutated.
+    */
+  def renderLakeWriteOps(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String): String =
+    guardedTool(dataDir, Seq("documents")) {
+      val sb = new StringBuilder("# Opérations d'écriture du lake\n\n")
+      val m = graft.SparkEntry.queries("q324_lake_merge_delete")(
+        spark, dataDir).collect().head
+      sb ++= "## MERGE INTO (update + delete + insert)\n\n" +
+        s"Entonnoir copy-on-write: ${m.getLong(0)} fichiers actifs → " +
+        s"${m.getLong(1)} candidats (stats) → ${m.getLong(2)} " +
+        s"réécrits.\nLignes: ${m.getLong(3)} mises à jour, " +
+        s"${m.getLong(4)} supprimées, ${m.getLong(5)} insérées; " +
+        s"état final ${m.getLong(6)} lignes, checksum ${m.getLong(8)}.\n"
+      val z = graft.SparkEntry.queries("q325_lake_optimize_zorder_commit")(
+        spark, dataDir).collect()
+      sb ++= "\n## OPTIMIZE ZORDER (commit atomique)\n\n"
+      z.foreach { r =>
+        sb ++= s"- ${r.getString(0)}: ${r.getLong(2)}/${r.getLong(1)} " +
+          s"fichiers lus, ${r.getLong(3)} lignes, " +
+          s"checksum ${r.getLong(5)}\n"
+      }
+      val rst = graft.SparkEntry.queries("q326_lake_restore")(
+        spark, dataDir).collect()
+      sb ++= "\n## RESTORE TO VERSION (métadonnées seules)\n\n"
+      rst.foreach { r =>
+        sb ++= s"- ${r.getString(0)}: +${r.getLong(1)}/-${r.getLong(2)} " +
+          s"entrées de manifeste, ${r.getLong(3)} fichiers, " +
+          s"${r.getLong(4)} lignes, checksum ${r.getLong(6)}\n"
+      }
+      val vc = graft.SparkEntry.queries("q323_lake_vacuum_clone_safety")(
+        spark, dataDir).collect()
+      sb ++= "\n## VACUUM × clone (contrat de sécurité)\n\n"
+      vc.foreach { r =>
+        sb ++= s"- ${r.getString(0)}: ${r.getString(4)} " +
+          s"(${r.getLong(3)} conflits sur ${r.getLong(1)} condamnés), " +
+          s"lecture ${r.getLong(6)} lignes, checksum ${r.getLong(8)}\n"
+      }
+      sb.result()
+    }
+
   /** `stream_recovery_report` — the streaming tier's observability
     * face: runs q292's REAL restart-with-new-data cycle (run 1 over
     * two time-thirds → shutdown → the third lands → resume from the

@@ -65,7 +65,7 @@ class McpServerSpec extends SparkSuite {
     assert(report.contains("timeout: 1 occurrences")) // classifier hit
   }
 
-  test("tools/list exposes the nine parity tools first, then the eight " +
+  test("tools/list exposes the nine parity tools first, then the ten " +
       "extension tools; unknown tool errors") {
     val d = newDispatcher
     val Seq(tools, bad) = roundTrip(d,
@@ -80,8 +80,8 @@ class McpServerSpec extends SparkSuite {
       "compare_nodes", "detect_issues",
       "mine_templates", "detect_slot_anomalies", "group_stack_traces",
       "deduplicate_lines",
-      "lake_time_travel", "lake_change_feed", "vector_scoreboard",
-      "stream_recovery_report", "graph_search")
+      "lake_time_travel", "lake_change_feed", "lake_write_ops",
+      "vector_scoreboard", "stream_recovery_report", "graph_search")
       .map(JString(_)))
     // extensions are marked so a client can tell them from parity
     assert(list.drop(9).forall(t => (t \ "description") match {
@@ -148,7 +148,8 @@ class McpServerSpec extends SparkSuite {
       s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"lake_change_feed","arguments":{"data_dir":"$dir"}}}""",
       s"""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"vector_scoreboard","arguments":{"data_dir":"$dir"}}}""",
       """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"lake_time_travel","arguments":{"data_dir":"/nonexistent"}}}""",
-      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"lake_time_travel","arguments":{}}}""")
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"lake_time_travel","arguments":{}}}""",
+      s"""{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"lake_write_ops","arguments":{"data_dir":"$dir"}}}""")
     val tt = resultText(responses(0))
     // all three staged versions rendered through the q274 gate itself
     assert(tt.contains("version 0") && tt.contains("version 2"))
@@ -163,6 +164,14 @@ class McpServerSpec extends SparkSuite {
     // a bad directory answers in prose, a missing arg is a JSON-RPC error
     assert(resultText(responses(3)).contains("invalide"))
     assert((responses(4) \ "error" \ "code") === JInt(-32602))
+    // the write-op surface runs all four gated write entries on staged
+    // private copies: merge funnel, zorder swap, restore, clone-vacuum
+    val wo = resultText(responses(5))
+    assert(wo.contains("MERGE INTO") && wo.contains("insérées"))
+    assert(wo.contains("OPTIMIZE ZORDER") && wo.contains("c_prune_chars"))
+    assert(wo.contains("RESTORE TO VERSION") &&
+      wo.contains("a_latest_restored"))
+    assert(wo.contains("refused") && wo.contains("executed"))
   }
 
   test("graph_search drives the diversified serve face (q305) and the " +
