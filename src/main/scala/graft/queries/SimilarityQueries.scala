@@ -1534,6 +1534,91 @@ object SimilarityQueries {
     (passthrough, recomputed, touched)
   }
 
+  /** q327's delete batch: vec_ids [200, 300) — 100 stored vectors,
+    * disjoint from the q315 arrival slice ([[ModelOpsQueries.deltaLo]]),
+    * present at every SF.
+    */
+  private[graft] val delLo = 200L
+  private[graft] val delHi = 300L
+
+  /** q327's pinned intermediates (the q315 device: the gate's DAG
+    * references each frame several times; every one is index-sized).
+    */
+  private val lastXdOldTopM = new graft.util.CacheSlot
+  private val lastXdNewTopM = new graft.util.CacheSlot
+  private val lastXdTouched = new graft.util.CacheSlot
+  private val lastXdOldPool = new graft.util.CacheSlot
+  private val lastXdTouchedPool = new graft.util.CacheSlot
+
+  /** q327's change derivation — deletion's counterpart of
+    * [[deltaDiversifyChange]]. Deletion is NOT symmetric with
+    * insertion at the top-M level: a node whose stored top-M cites a
+    * deleted neighbor loses that row, and a candidate its build CUT
+    * at rank > M may re-enter — the stored artifact alone cannot
+    * answer, so those nodes (T1) re-derive their top-M from their
+    * banded candidate set among survivors (collisions are pairwise:
+    * deleting vectors removes candidates but never changes other
+    * pairs' collisions, so T1's re-band against the survivor slice
+    * reproduces the from-scratch candidate set exactly). Every other
+    * survivor's stored rows pass through — the deleted ids were
+    * ranked below its M-th neighbor, so removing them cannot move
+    * the cut. Bands keep the ARTIFACT's width (full-corpus rule —
+    * q296's convention; a deletion that crosses the width floor
+    * forces a rebuild, as re-sharding does in any LSH build).
+    */
+  private[graft] def deleteDiversifyChange(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def isDel(c: Column) = c >= delLo && c < delHi
+    // stored artifact: the full-corpus directed top-M with cosines
+    val oldTopM = lastXdOldTopM.swap(
+      knnBaseTopM(s, dir).select("src", "dst", "cos").cache())
+    // T1: survivors whose stored top-M cites a deleted neighbor
+    val t1 = oldTopM.where(isDel(col("dst")) && !isDel(col("src")))
+      .select("src").distinct()
+    val bandsSurv = knnBands(s, dir, Some(!isDel(col("vec_id"))))
+    val bandsT1 = bandsSurv.join(t1.withColumnRenamed("src", "vec_id"),
+      Seq("vec_id"), "left_semi")
+    val recompTopM =
+      knnTopM(knnScored(s, dir, knnCandidates(bandsT1, bandsSurv)))
+    val keptTopM = oldTopM
+      .where(!isDel(col("src")) && !isDel(col("dst")))
+      .join(t1, Seq("src"), "left_anti")
+    val newTopM = lastXdNewTopM.swap(
+      keptTopM.unionByName(recompTopM).cache())
+    // E1 ∪ N(E1): q315's touched-node derivation verbatim over the
+    // old/new pair — every deleted node lands in E1 (all its directed
+    // rows vanish), so it can never pass through
+    val e1 = oldTopM.select("src", "dst")
+      .unionByName(newTopM.select("src", "dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .where(col("n") === 1)
+      .select(explode(array(col("src"), col("dst"))).as("src"))
+      .distinct()
+    val u = knnSymmetrize(oldTopM.select("src", "dst"))
+      .unionByName(knnSymmetrize(newTopM.select("src", "dst")))
+      .distinct()
+    def nbrs(ids: DataFrame): DataFrame =
+      u.join(ids.withColumnRenamed("src", "dst"), Seq("dst"))
+        .select("src").distinct()
+    val touched = lastXdTouched.swap(
+      e1.unionByName(nbrs(e1)).distinct().cache())
+    (oldTopM, newTopM, touched)
+  }
+
+  private[graft] def deleteDiversifyParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (oldTopM, newTopM, touched) = deleteDiversifyChange(s, dir)
+    // stored artifact: the full-corpus diversified selection
+    val oldDiv = diversifySelect(s, dir, lastXdOldPool.swap(
+      knnMergedPool(s, dir, oldTopM).cache()))
+    // newTopM carries no deleted id anywhere, so the touched pools
+    // and selections are survivor-only by construction
+    val recomputed = diversifySelect(s, dir, lastXdTouchedPool.swap(
+      knnMergedPoolFor(s, dir, newTopM, Some(touched)).cache()))
+    val passthrough = oldDiv.join(touched, Seq("src"), "left_anti")
+    (passthrough, recomputed, touched)
+  }
+
   /** q295's multi-entry greedy walk over an arbitrary (src, dst)
     * graph relation — shared by the gated q295 (the banded q294
     * graph) and the SCALE.md recall-chain measurement over the q300
@@ -2840,6 +2925,29 @@ object SimilarityQueries {
       knnRollup(knnSymmetrize(passthrough.unionByName(recomputed)))
     }),
 
+    // INCREMENTAL MAINTENANCE UNDER DELETION — the other half of the
+    // q315/q319 refresh contract: GDPR erasure and retention sweeps
+    // delete vectors from a served index, and rebuilding from scratch
+    // at every delete batch is exactly the cost the incremental story
+    // exists to avoid. Deletion is harder than insertion: a node
+    // whose stored top-M cites a deleted neighbor may need to ADMIT a
+    // candidate its build cut at rank > M, which the stored artifact
+    // cannot answer — those nodes (T1) re-band against the survivor
+    // slice (pairwise collisions are deletion-invariant, so that
+    // reproduces the from-scratch candidate set exactly); every other
+    // survivor's stored rows pass through. From there the
+    // touched-node theorem applies verbatim (selection is a pure
+    // per-node function of the merged pool; touched = E1 ∪ N(E1)),
+    // and the oracle is the from-scratch diversified build over the
+    // survivor corpus — q304's twin with the delete batch filtered
+    // out, hash-exact. At 100 TB: recompute ∝ (nodes citing the
+    // deleted batch) + one graph hop — the same refresh-∝-delta
+    // contract as q315, now for both directions of corpus churn.
+    "q327_delete_knn_diversify" -> ((s, dir) => {
+      val (passthrough, recomputed, _) = deleteDiversifyParts(s, dir)
+      knnRollup(knnSymmetrize(passthrough.unionByName(recomputed)))
+    }),
+
     // Graph-based ANN, serve face — MULTI-ENTRY greedy descent over
     // the q294 graph (NSW's search primitive: hop to the neighbor
     // closest to the query while it improves), entered from the
@@ -3921,6 +4029,25 @@ object SimilarityQueries {
            |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
            |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
            |FROM dg GROUP BY src ORDER BY vec_id""".stripMargin,
+      // incremental-delete ≡ from-scratch-on-survivors: q304's twin
+      // over the corpus with the delete batch filtered out (the one
+      // textual change is the `demb` source; the width rule inside
+      // the chain re-evaluates on the survivor count, which sits on
+      // the same side of the floor at every gate SF — a crossing
+      // would force a rebuild on both sides)
+      "q327_delete_knn_diversify" -> {
+        val del = s"(vec_id >= $delLo AND vec_id < $delHi)"
+        val body =
+          s"""$sqlEmb,
+             |$sqlKnnDiversifyCtes
+             |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+             |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+             |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+             |FROM dg GROUP BY src ORDER BY vec_id""".stripMargin
+        s"WITH demb AS MATERIALIZED (SELECT * FROM embeddings " +
+          s"WHERE NOT $del),\n" +
+          body.replace("FROM embeddings", "FROM demb")
+      },
       // incremental ≡ from-scratch for the refined build: q300's twin
       // VERBATIM
       "q319_delta_knn_refine" ->
