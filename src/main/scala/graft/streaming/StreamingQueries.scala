@@ -1217,6 +1217,165 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING CDF CONSUMPTION OF AN UPDATE COMMIT — the netting
+    // subtlety q317 cannot see: q317's change derivation anti-joins
+    // added vs removed rows BY KEY, which is exact for its log (CoW
+    // carries rows verbatim) but silently WRONG for a commit that
+    // rewrites rows with changed values — an update's pre- and
+    // post-image share the key, net out, and the maintained
+    // aggregate never hears about the changed measure. The correct
+    // derivation (what Delta's CDF reader emits as
+    // update_preimage/update_postimage) nets by FULL ROW: an
+    // updated row's pre-image survives into the deletes side, its
+    // post-image into the inserts side, and the signed fold carries
+    // the measure delta while the count delta stays zero. Staged: a
+    // three-commit log (v0 initial two files, v1 a CoW UPDATE
+    // rewriting one file with n_chars+500 on a key slice, v2 a CoW
+    // DELETE filtering the other), manifests arriving as a stream
+    // one commit per micro-batch; every maintained version read back
+    // from its stored file must equal the from-scratch logical
+    // rollup — a consumer that nets by key fails v1's sum_chars by
+    // exactly 500 × |updated|. At 100 TB the full-row anti-join is
+    // still bounded by the commit's touched files, never the table.
+    "q328_stream_cdf_update" -> ((s, dir) => {
+      import s.implicits._
+      val stage = tmpDir("graft-q328-lake")
+      val arrivals = tmpDir("graft-q328-src")
+      val mv = tmpDir("graft-q328-mv")
+      val ckpt = tmpDir("graft-q328-ckpt")
+      try {
+        val d = graft.queries.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val chType = d.schema("n_chars").dataType
+        val f0 = d.where(col("doc_id") % 2 === 0)
+        val f1 = d.where(col("doc_id") % 2 === 1)
+        f0.coalesce(1).write.mode("overwrite").parquet(s"$stage/f0")
+        f1.coalesce(1).write.mode("overwrite").parquet(s"$stage/f1")
+        // v1's CoW update: same rows, n_chars+500 on the key slice
+        f0.withColumn("n_chars",
+            when(col("doc_id") % 7 === 3,
+              col("n_chars") + lit(500).cast(chType))
+              .otherwise(col("n_chars")))
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/f0u")
+        // v2's CoW delete
+        f1.where(!(col("doc_id") % 5 === 0))
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/f1r")
+        val manifests = Seq(
+          (0L, Seq(("add", s"$stage/f0"), ("add", s"$stage/f1"))),
+          (1L, Seq(("remove", s"$stage/f0"), ("add", s"$stage/f0u"))),
+          (2L, Seq(("remove", s"$stage/f1"), ("add", s"$stage/f1r"))))
+        val now = System.currentTimeMillis()
+        var schema: org.apache.spark.sql.types.StructType = null
+        manifests.foreach { case (v, entries) =>
+          val tmp = tmpDir("graft-q328-w")
+          try {
+            val m = entries.toDF("action", "path")
+              .withColumn("version", lit(v))
+            schema = m.schema
+            m.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val f = arrivals.resolve(s"c$v.parquet")
+            Files.move(graft.util.FileUtils.firstParquet(tmp), f,
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - v) * 60000L))
+          } finally deleteRecursively(tmp)
+        }
+        Files.createDirectories(Paths.get(s"$mv/_log"))
+        def aggPathOf(v: Long): String =
+          s.read.parquet(s"$mv/_log/v$v").collect()
+            .collectFirst { case r if r.getString(0) == "add" =>
+              r.getString(1) }.get
+        val rowCols = Seq("doc_id", "source", "n_chars")
+        def roll(df: DataFrame, sign: Int) = df
+          .groupBy("source")
+          .agg((count(lit(1)) * sign).as("n_docs"),
+            (sum(col("n_chars").cast("long")) * sign).as("sum_chars"),
+            (sum(expr(graft.queries.ShapeOpsQueries
+              .manifestTerm("doc_id"))) * sign).as("key_checksum"))
+        def foldOne(entries: Array[org.apache.spark.sql.Row],
+            v: Long): Boolean = {
+          val target = Paths.get(s"$mv/_log/v$v")
+          if (entries.isEmpty || Files.exists(target)) false
+          else {
+            val added = entries.filter(_.getString(0) == "add")
+              .map(_.getString(1)).toSeq
+            val removed = entries.filter(_.getString(0) == "remove")
+              .map(_.getString(1)).toSeq
+            val addedDf = s.read.parquet(added: _*)
+            val removedDf =
+              if (removed.nonEmpty) s.read.parquet(removed: _*)
+              else addedDf.where(lit(false))
+            // FULL-ROW netting: an update's pre/post images differ in
+            // the measure, so both survive their anti-join — the key
+            // netting q317 uses would cancel them
+            val inserts = addedDf.join(removedDf, rowCols, "left_anti")
+            val deletes = removedDf.join(addedDf, rowCols, "left_anti")
+            val delta = roll(inserts, 1).unionByName(roll(deletes, -1))
+            val base =
+              if (v == 0L) delta
+              else s.read.parquet(aggPathOf(v - 1))
+                .select(col("source"), col("n_docs"), col("sum_chars"),
+                  col("key_checksum"))
+                .unionByName(delta)
+            val merged = base.groupBy("source")
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("sum_chars")).as("sum_chars"),
+                sum(col("key_checksum")).as("key_checksum"))
+              // a source whose rows all vanished folds to zero — drop
+              // it, as the from-scratch rollup would
+              .where(col("n_docs") =!= 0L)
+            val nonce = java.util.UUID.randomUUID().toString
+            val aggPath = s"$mv/agg/v$v-$nonce"
+            merged.coalesce(1).write.mode("overwrite").parquet(aggPath)
+            val tmp = Files.createTempDirectory(mv, s"commit-v$v-")
+            try {
+              val staged = tmp.resolve("m")
+              Seq(("add", aggPath)).toDF("action", "path").coalesce(1)
+                .write.mode("overwrite").parquet(staged.toString)
+              try {
+                Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+                true
+              } catch {
+                case _: java.nio.file.FileSystemException
+                    if Files.exists(target) =>
+                  deleteRecursively(Paths.get(aggPath))
+                  false
+              }
+            } finally deleteRecursively(tmp)
+          }
+        }
+        val query = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(arrivals.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val all = df.collect() // manifest-sized
+            all.map(_.getAs[Long]("version")).distinct.sorted
+              .foreach(v =>
+                foldOne(all.filter(_.getAs[Long]("version") == v), v))
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = (0 to 2).map { v =>
+          s.read.parquet(aggPathOf(v.toLong))
+            .select(lit(v.toLong).as("version"), col("source"),
+              col("n_docs"), col("sum_chars"), col("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("version", "source")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(mv)
+        deleteRecursively(arrivals)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming rate-anomaly alerting with CROSS-WINDOW state: per
     // event type, each closed 5-minute window's count is compared
     // against the running mean of the type's previously-closed windows
@@ -2659,6 +2818,28 @@ object StreamingQueries {
          |${row(1, "TRUE")}
          |UNION ALL
          |${row(2, graft.queries.ShapeOpsQueries.sqlLakeV2Pred)}
+         |) ORDER BY version, source""".stripMargin
+    },
+    // every maintained version reconstructed logically: v1 applies
+    // the update (+500 on the even/7≡3 slice — an aggregate a
+    // key-netting consumer misses entirely), v2 drops the odd/5≡0
+    // slice; counts v0→v1 equal, sums differ
+    "q328_stream_cdf_update" -> {
+      def row(v: Int, chars: String, pred: String) =
+        s"""SELECT CAST($v AS BIGINT) AS version, source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM($chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${graft.queries.ShapeOpsQueries
+                 .manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $pred GROUP BY source""".stripMargin
+      val upd = "CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 3 " +
+        "THEN n_chars + 500 ELSE n_chars END"
+      s"""SELECT * FROM (
+         |${row(0, "n_chars", "TRUE")}
+         |UNION ALL
+         |${row(1, upd, "TRUE")}
+         |UNION ALL
+         |${row(2, upd, "NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)")}
          |) ORDER BY version, source""".stripMargin
     },
     // exactly-once across the resume: the split run's union must be
