@@ -85,6 +85,60 @@ class GraphAnnSpec extends SparkSuite {
     } finally { t.unpersist(); () }
   }
 
+  test("incremental DELETE (q327): no deleted id survives anywhere, " +
+      "passthrough is disjoint from touched, recompute confined to " +
+      "it, and the union ≡ the from-scratch build on survivors") {
+    import graft.queries.SimilarityQueries._
+    val (passthrough, recomputed, touched) =
+      deleteDiversifyParts(spark, dir)
+    val t = touched.cache()
+    try {
+      assert(t.count() > 0, "no touched nodes — the deletion vanished")
+      val inc = passthrough.unionByName(recomputed).cache()
+      try {
+        // the deletion contract: the maintained index never cites a
+        // deleted id, as src or dst
+        def del(c: org.apache.spark.sql.Column) =
+          c >= delLo && c < delHi
+        assert(inc.where(del(col("src")) || del(col("dst")))
+          .count() === 0, "a deleted id survived in the maintained index")
+        assert(passthrough.join(t, Seq("src"), "left_semi").count() === 0,
+          "a stored row leaked through for a touched node")
+        assert(recomputed.select("src").distinct()
+          .join(t, Seq("src"), "left_anti").count() === 0,
+          "recompute strayed outside the touched set")
+        // incremental ≡ from-scratch over the survivor corpus: rebuild
+        // the pool from the survivor-only top-M (bands at the
+        // artifact's width — the same convention the incremental face
+        // uses) and diversify from scratch
+        val (_, newTopM, _) = deleteDiversifyChange(spark, dir)
+        val scratch = diversifySelect(spark, dir,
+          knnMergedPool(spark, dir, newTopM))
+        assert(scratch.select("src", "dst")
+          .exceptAll(inc.select("src", "dst")).count() === 0)
+        assert(inc.select("src", "dst")
+          .exceptAll(scratch.select("src", "dst")).count() === 0)
+      } finally { inc.unpersist(); () }
+    } finally { t.unpersist(); () }
+  }
+
+  test("incremental DELETE (q327): the passthrough set is NONEMPTY " +
+      "once the corpus dwarfs the delete batch (sf0.1: 2000 nodes vs " +
+      "100 deleted) — stored rows are reused, not silently recomputed") {
+    import graft.queries.SimilarityQueries._
+    val (oldTopM, _, touched) =
+      deleteDiversifyChange(spark, "/root/testdata/sf0.1")
+    val t = touched.cache()
+    try {
+      val nUntouched = oldTopM.select("src").distinct()
+        .join(t, Seq("src"), "left_anti").count()
+      assert(nUntouched > 0, "deletion touched the whole corpus — " +
+        "the over-approximation lost its point")
+      info(s"untouched old nodes at sf0.1: $nUntouched; " +
+        s"touched: ${t.count()}")
+    } finally { t.unpersist(); () }
+  }
+
   test("NN-descent refinement only improves neighborhoods: per-node " +
       "summed neighbor cosine of the refined top-M >= the base top-M " +
       "(the re-cut optimizes over a superset of pairs), and the " +
