@@ -1376,6 +1376,233 @@ object StreamingQueries {
       }
     }),
 
+    // STREAMING CDC APPLY — the downstream face q317/q328 stop short
+    // of: they maintain an AGGREGATE replica; a real replication
+    // pipeline maintains the TABLE — each upstream commit's change
+    // set applied to a downstream lake table with its OWN layout and
+    // its OWN log (the Delta-to-Delta CDC-apply shape: change feed in,
+    // MERGE out). Upstream commits arrive as a stream (v0 initial
+    // load, v1 a CoW UPDATE on ONE granule's key slice, v2 a CoW
+    // DELETE on another's); per micro-batch the consumer derives the
+    // commit's change set by FULL-ROW netting (q328's rule), then
+    // classifies per key — in both sides = update, delete-only =
+    // delete, insert-only = insert — and applies it to the downstream
+    // table stats-targeted (q321's funnel): only downstream files
+    // whose manifest [min,max] overlaps the change keys AND actually
+    // contain a match are rewritten; the downstream commit lands
+    // atomically per upstream version. The upstream layout is
+    // DIFFERENT from the downstream's (two files vs ~granule-count),
+    // so file mirroring cannot fake it. Gated at EVERY version:
+    // downstream as-of(v) ≡ upstream logical content (rows / chars /
+    // key / mix checksums) with the rewrite funnel pinned — the
+    // update and delete slices each live in ONE granule, so exactly
+    // one downstream file rewrites per change commit however large
+    // the table. At 100 TB this is the replication contract: work per
+    // commit ∝ change set + files containing it, never table size.
+    "q329_stream_cdc_apply" -> ((s, dir) => {
+      import s.implicits._
+      val stage = tmpDir("graft-q329-lake")
+      val arrivals = tmpDir("graft-q329-src")
+      val down = tmpDir("graft-q329-down")
+      val ckpt = tmpDir("graft-q329-ckpt")
+      try {
+        val d = graft.queries.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val chType = d.schema("n_chars").dataType
+        val nDocs = d.count()
+        val gran = math.max(100L, nDocs / 50L)
+        val updPred = expr(s"doc_id div $gran") === 1L &&
+          col("doc_id") % 7 === 3
+        val delPred = expr(s"doc_id div $gran") === 3L &&
+          col("doc_id") % 5 === 0
+        // upstream: a DIFFERENT layout (even/odd halves), CoW commits
+        val f0 = d.where(col("doc_id") % 2 === 0)
+        val f1 = d.where(col("doc_id") % 2 === 1)
+        f0.coalesce(1).write.mode("overwrite").parquet(s"$stage/f0")
+        f1.coalesce(1).write.mode("overwrite").parquet(s"$stage/f1")
+        def upd(df: DataFrame): DataFrame = df.withColumn("n_chars",
+          when(updPred, col("n_chars") + lit(500).cast(chType))
+            .otherwise(col("n_chars")))
+        upd(f0).coalesce(1).write.mode("overwrite").parquet(s"$stage/f0u")
+        upd(f1).coalesce(1).write.mode("overwrite").parquet(s"$stage/f1u")
+        upd(f0).where(!delPred)
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/f0d")
+        upd(f1).where(!delPred)
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/f1d")
+        val manifests = Seq(
+          (0L, Seq(("add", s"$stage/f0"), ("add", s"$stage/f1"))),
+          (1L, Seq(("remove", s"$stage/f0"), ("remove", s"$stage/f1"),
+            ("add", s"$stage/f0u"), ("add", s"$stage/f1u"))),
+          (2L, Seq(("remove", s"$stage/f0u"), ("remove", s"$stage/f1u"),
+            ("add", s"$stage/f0d"), ("add", s"$stage/f1d"))))
+        val now = System.currentTimeMillis()
+        var schema: org.apache.spark.sql.types.StructType = null
+        manifests.foreach { case (v, entries) =>
+          val tmp = tmpDir("graft-q329-w")
+          try {
+            val m = entries.toDF("action", "path")
+              .withColumn("version", lit(v))
+            schema = m.schema
+            m.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val f = arrivals.resolve(s"c$v.parquet")
+            Files.move(graft.util.FileUtils.firstParquet(tmp), f,
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - v) * 60000L))
+          } finally deleteRecursively(tmp)
+        }
+        // the downstream table: granule-partitioned layout + manifest
+        // log with per-file key stats; one rewrite counter per commit
+        Files.createDirectories(Paths.get(s"$down/_log"))
+        val rowCols = Seq("doc_id", "source", "n_chars")
+        def readLog(v: Long): Array[(String, String, Long, Long)] =
+          s.read.parquet(s"$down/_log/v$v").collect()
+            .map(r => (r.getString(0), r.getString(1),
+              r.getLong(2), r.getLong(3)))
+        def activeAt(v: Long): Seq[(String, Long, Long)] = {
+          val entries = (0L to v).flatMap(readLog)
+          val active = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Long, Long)]
+          entries.foreach { case (a, p, mn, mx) =>
+            if (a == "remove") active.remove(p)
+            else active(p) = (mn, mx) }
+          active.toSeq.map { case (p, (mn, mx)) => (p, mn, mx) }
+        }
+        def commitDown(v: Long,
+            entries: Seq[(String, String, Long, Long)]): Unit =
+          entries.toDF("action", "path", "min_id", "max_id").coalesce(1)
+            .write.mode("overwrite").parquet(s"$down/_log/v$v")
+        val rewrites = scala.collection.mutable.Map.empty[Long, Long]
+        def applyOne(entries: Array[org.apache.spark.sql.Row],
+            v: Long): Unit = {
+          if (Files.exists(Paths.get(s"$down/_log/v$v"))) return
+          val added = entries.filter(_.getString(0) == "add")
+            .map(_.getString(1)).toSeq
+          val removed = entries.filter(_.getString(0) == "remove")
+            .map(_.getString(1)).toSeq
+          val addedDf = s.read.parquet(added: _*)
+          val removedDf =
+            if (removed.nonEmpty) s.read.parquet(removed: _*)
+            else addedDf.where(lit(false))
+          val ins = addedDf.join(removedDf, rowCols, "left_anti")
+          val del = removedDf.join(addedDf, rowCols, "left_anti")
+          if (v == 0L) {
+            // initial load: granule-partitioned, stats per file
+            ins.withColumn("g", expr(s"doc_id div $gran"))
+              .repartition(col("g"))
+              .write.partitionBy("g").mode("overwrite")
+              .parquet(s"$down/load")
+            val st = ins.groupBy(expr(s"doc_id div $gran").as("g"))
+              .agg(min(col("doc_id")), max(col("doc_id")))
+              .collect()  // manifest-sized
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            commitDown(0L, st.toSeq.map { case (g, mn, mx) =>
+              ("add", s"$down/load/g=$g", mn, mx) })
+            rewrites(0L) = 0L
+          } else {
+            // classify per key: both sides = update, delete-only =
+            // delete, insert-only = net-new
+            val insK = ins.select(col("doc_id")).distinct()
+            val delK = del.select(col("doc_id")).distinct()
+            val updK = insK.join(delK, Seq("doc_id"), "left_semi")
+            val netNew = ins.join(delK, Seq("doc_id"), "left_anti")
+            val gone = delK.join(insK, Seq("doc_id"), "left_anti")
+            val changeKeys = updK.unionByName(gone.select("doc_id"))
+            val kmm = changeKeys.agg(min(col("doc_id")),
+              max(col("doc_id")), count(lit(1))).head()
+            val active = activeAt(v - 1)
+            val (cands, hits) =
+              if (kmm.getLong(2) == 0L)
+                (Seq.empty[(String, Long, Long)],
+                  Seq.empty[(String, Long, Long)])
+              else {
+                val (k0, k1) = (kmm.getLong(0), kmm.getLong(1))
+                val c = active.filter { case (_, mn, mx) =>
+                  mx >= k0 && mn <= k1 }
+                // per-candidate hit probe (input_file_name cannot
+                // disambiguate in a multi-source join): one bounded
+                // semi-join per candidate — the candidate list is
+                // already stats-pruned to the key range
+                (c, c.filter { case (p, _, _) =>
+                  s.read.parquet(p)
+                    .join(changeKeys, Seq("doc_id"), "left_semi")
+                    .limit(1).count() > 0 })
+              }
+            val postImg = ins.join(updK, Seq("doc_id"), "left_semi")
+            val rewriteAdds = hits.zipWithIndex.flatMap {
+              case ((p, _, _), i) =>
+                val rp = s"$down/rw$v-$i"
+                val old = s.read.parquet(p)
+                old.join(changeKeys, Seq("doc_id"), "left_anti")
+                  .unionByName(postImg.join(
+                    old.select("doc_id"), Seq("doc_id"), "left_semi"))
+                  .coalesce(1).write.mode("overwrite").parquet(rp)
+                val mm = s.read.parquet(rp)
+                  .agg(min(col("doc_id")), max(col("doc_id")),
+                    count(lit(1))).head()
+                if (mm.getLong(2) == 0L) None
+                else Some(("add", rp, mm.getLong(0), mm.getLong(1)))
+            }
+            val nNew = netNew.count()
+            val newAdds =
+              if (nNew == 0L) Seq.empty
+              else {
+                val np = s"$down/ins$v"
+                netNew.coalesce(1).write.mode("overwrite").parquet(np)
+                val mm = netNew.agg(min(col("doc_id")),
+                  max(col("doc_id"))).head()
+                Seq(("add", np, mm.getLong(0), mm.getLong(1)))
+              }
+            commitDown(v,
+              hits.map { case (p, _, _) => ("remove", p, -1L, -1L) } ++
+                rewriteAdds ++ newAdds)
+            rewrites(v) = hits.size.toLong
+          }
+        }
+        val query = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(arrivals.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val all = df.collect() // manifest-sized
+            all.map(_.getAs[Long]("version")).distinct.sorted
+              .foreach(v =>
+                applyOne(all.filter(_.getAs[Long]("version") == v), v))
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        // gate every downstream version against the upstream logical
+        // content
+        val out = (0L to 2L).map { v =>
+          val files = activeAt(v)
+          s.read.parquet(files.map(_._1): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars").cast("long")).as("sum_chars"),
+              sum(expr(graft.queries.ShapeOpsQueries
+                .manifestTerm("doc_id"))).as("key_checksum"),
+              sum(col("doc_id") * col("n_chars").cast("long"))
+                .as("mix_checksum"))
+            .select(lit(v).as("version"),
+              lit(files.size.toLong).as("n_files"),
+              lit(rewrites(v)).as("n_files_rewritten"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"),
+              col("mix_checksum"))
+        }.reduce(_ unionByName _).orderBy("version")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(down)
+        deleteRecursively(arrivals)
+        deleteRecursively(stage)
+      }
+    }),
+
     // Streaming rate-anomaly alerting with CROSS-WINDOW state: per
     // event type, each closed 5-minute window's count is compared
     // against the running mean of the type's previously-closed windows
@@ -2841,6 +3068,35 @@ object StreamingQueries {
          |UNION ALL
          |${row(2, upd, "NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)")}
          |) ORDER BY version, source""".stripMargin
+    },
+    // every downstream version reconstructed logically (update applied
+    // at v1, delete at v2); file counts from the granule arithmetic
+    // (the downstream layout), rewrites structural — each change
+    // commit's keys live in ONE granule
+    "q329_stream_cdc_apply" -> {
+      val g = "(SELECT GREATEST(100, COUNT(*) // 50) FROM documents)"
+      val updP = s"(doc_id // $g = 1 AND doc_id % 7 = 3)"
+      val delP = s"(doc_id // $g = 3 AND doc_id % 5 = 0)"
+      val nf = s"(SELECT CAST(COUNT(DISTINCT doc_id // $g) AS BIGINT) " +
+        "FROM documents)"
+      def row(v: Int, nrw: Int, chars: String, pred: String) =
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |  $nf AS n_files,
+           |  CAST($nrw AS BIGINT) AS n_files_rewritten,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM($chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${graft.queries.ShapeOpsQueries
+                 .manifestTerm("doc_id")}) AS BIGINT) AS key_checksum,
+           |  CAST(SUM(doc_id * ($chars)) AS BIGINT) AS mix_checksum
+           |FROM documents WHERE $pred""".stripMargin
+      val upd = s"CASE WHEN $updP THEN n_chars + 500 ELSE n_chars END"
+      s"""SELECT * FROM (
+         |${row(0, 0, "n_chars", "TRUE")}
+         |UNION ALL
+         |${row(1, 1, upd, "TRUE")}
+         |UNION ALL
+         |${row(2, 1, upd, s"NOT $delP")}
+         |) ORDER BY version""".stripMargin
     },
     // exactly-once across the resume: the split run's union must be
     // the one-continuous-run result — q59's SQL VERBATIM (same agg,
