@@ -1904,6 +1904,110 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // CATALOG-LEVEL MULTI-TABLE SNAPSHOTS — the consistency layer
+    // ABOVE single-table commits (Iceberg/Nessie catalogs; plain
+    // Delta cannot express it): a fact table and its derived dim
+    // update TOGETHER, and a reader resolving each table's "latest"
+    // independently mid-update sees a TORN pair — fact rows the dim's
+    // rollup has never heard of. The catalog fixes it: one manifest
+    // maps every table to a version, writers land both table commits
+    // THEN swing the catalog pointer, and a reader resolves ALL
+    // tables through one catalog snapshot. Staged: table A (docs) and
+    // table B (A's per-source rollup) with their own q274-style logs;
+    // c0 pins (A:0, B:0), c1 pins (A:1, B:1) where A-v1 is a CoW
+    // update (+1000 on one granule) and B-v1 its recomputed rollup.
+    // Gated: both catalog snapshots read CONSISTENT pairs (every
+    // source's A-rollup equals its B row — n_inconsistent 0), and the
+    // TORN read (A latest × B stale — exactly what independent
+    // per-table resolution gives) is measured: the sources owning the
+    // updated granule disagree, n_inconsistent > 0 — the failure the
+    // catalog exists to prevent, priced not asserted. At 100 TB the
+    // catalog adds one KB-scale manifest per coordinated commit and
+    // one extra pointer read per query — cross-table consistency at
+    // metadata cost.
+    "q330_lake_catalog_snapshot" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q330-lake")
+      try {
+        import s.implicits._
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val gran = lakeGranFor(d.count())
+        val updPred = expr(s"doc_id div $gran") === 2L
+        val chType = d.schema("n_chars").dataType
+        def upd(df: DataFrame): DataFrame = df.withColumn("n_chars",
+          when(updPred, col("n_chars") + lit(1000).cast(chType))
+            .otherwise(col("n_chars")))
+        def rollup(df: DataFrame): DataFrame = df.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("sum_chars"))
+        // table data files + per-table logs (the q274 convention)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$stage/A/_log"))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$stage/B/_log"))
+        d.coalesce(1).write.mode("overwrite").parquet(s"$stage/a0")
+        upd(d).coalesce(1).write.mode("overwrite").parquet(s"$stage/a1")
+        rollup(d).coalesce(1).write.mode("overwrite")
+          .parquet(s"$stage/b0")
+        rollup(upd(d)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$stage/b1")
+        val amm = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val (a0, a1) = (amm.getLong(0), amm.getLong(1))
+        require(tryCommit(s, s"$stage/A", 0,
+          Seq(("add", s"$stage/a0", a0, a1))))
+        require(tryCommit(s, s"$stage/A", 1,
+          Seq(("remove", s"$stage/a0", -1L, -1L),
+            ("add", s"$stage/a1", a0, a1))))
+        require(tryCommit(s, s"$stage/B", 0,
+          Seq(("add", s"$stage/b0", -1L, -1L))))
+        require(tryCommit(s, s"$stage/B", 1,
+          Seq(("remove", s"$stage/b0", -1L, -1L),
+            ("add", s"$stage/b1", -1L, -1L))))
+        // the catalog: one manifest per catalog version mapping table
+        // -> pinned version; the pointer swing IS the coordinated
+        // commit's visibility point
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$stage/_catalog"))
+        Seq(("A", 0L), ("B", 0L)).toDF("tbl", "version").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/_catalog/c0")
+        Seq(("A", 1L), ("B", 1L)).toDF("tbl", "version").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/_catalog/c1")
+        def catAt(c: Int): Map[String, Int] =
+          s.read.parquet(s"$stage/_catalog/c$c").collect()
+            .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+        def consistency(name: String, av: Int, bv: Int): DataFrame = {
+          val a = s.read.parquet(asOfFiles(s, s"$stage/A", av): _*)
+          val b = s.read.parquet(asOfFiles(s, s"$stage/B", bv): _*)
+          rollup(a).select(col("source"), col("n_docs").as("a_docs"),
+              col("sum_chars").as("a_chars"))
+            .join(b.select(col("source"), col("n_docs").as("b_docs"),
+              col("sum_chars").as("b_chars")), Seq("source"))
+            .agg(count(lit(1)).as("n_sources"),
+              sum(when(col("a_docs") === col("b_docs") &&
+                col("a_chars") === col("b_chars"), 1L).otherwise(0L))
+                .as("n_consistent"),
+              sum(when(col("a_docs") === col("b_docs") &&
+                col("a_chars") === col("b_chars"), 0L).otherwise(1L))
+                .as("n_inconsistent"),
+              sum(col("a_chars")).as("sum_chars_a"),
+              sum(col("b_chars")).as("sum_chars_b"))
+            .select(lit(name).as("probe"), col("n_sources"),
+              col("n_consistent"), col("n_inconsistent"),
+              col("sum_chars_a"), col("sum_chars_b"))
+        }
+        val c0 = catAt(0)
+        val c1 = catAt(1)
+        val out = consistency("a_catalog_v0", c0("A"), c0("B"))
+          .unionByName(consistency("b_catalog_v1", c1("A"), c1("B")))
+          // the read the catalog prevents: per-table latest, mid-update
+          .unionByName(consistency("c_torn_latest_reads", 1, 0))
+          .orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // RESTORE TO VERSION — Delta's RESTORE TABLE ... TO VERSION AS
     // OF: roll the table's LATEST state back to an earlier snapshot
     // as a NEW COMMIT, not by erasing history. The restore commit's
@@ -3475,6 +3579,47 @@ object ShapeOpsQueries {
          |    AS key_checksum,
          |  CAST(SUM(doc_id * n_chars) AS BIGINT) AS mix_checksum
          |FROM post""".stripMargin
+    },
+    // both catalog probes compare a rollup against itself (consistent
+    // by construction); the torn probe compares the updated fact
+    // rollup against the stale dim — sources owning granule-2 docs
+    // disagree on sum_chars (counts still match)
+    "q330_lake_catalog_snapshot" -> {
+      val g = s"(SELECT g FROM gp)"
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+         |gp AS (SELECT GREATEST(100, COUNT(*) // 50) AS g
+         |  FROM documents),
+         |u AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id // $g = 2 THEN n_chars + 1000
+         |      ELSE n_chars END AS n_chars FROM d),
+         |s0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(n_chars) AS BIGINT) AS c FROM d GROUP BY 1),
+         |s1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(n_chars) AS BIGINT) AS c FROM u GROUP BY 1),
+         |cmp AS (SELECT s1.source,
+         |    CASE WHEN s1.n = s0.n AND s1.c = s0.c THEN 1 ELSE 0 END
+         |      AS ok, s1.c AS ca, s0.c AS cb
+         |  FROM s1 JOIN s0 USING (source))
+         |SELECT * FROM (
+         |SELECT 'a_catalog_v0' AS probe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |  CAST(COUNT(*) AS BIGINT) AS n_consistent,
+         |  CAST(0 AS BIGINT) AS n_inconsistent,
+         |  CAST(SUM(c) AS BIGINT) AS sum_chars_a,
+         |  CAST(SUM(c) AS BIGINT) AS sum_chars_b
+         |FROM s0
+         |UNION ALL
+         |SELECT 'b_catalog_v1', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(SUM(c) AS BIGINT), CAST(SUM(c) AS BIGINT)
+         |FROM s1
+         |UNION ALL
+         |SELECT 'c_torn_latest_reads', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(ok) AS BIGINT), CAST(SUM(1 - ok) AS BIGINT),
+         |  CAST(SUM(ca) AS BIGINT), CAST(SUM(cb) AS BIGINT)
+         |FROM cmp
+         |) ORDER BY probe""".stripMargin
     },
     // a = the v1 logical content (ALL docs — the CoW-deleted odd rows
     // back) over v1's file count, with the structural commit
