@@ -9,14 +9,18 @@ import org.apache.spark.sql.SparkSession
   * so the refresh-∝-delta claim is measured, not asserted, on both
   * the driver's random embeddings and the q307 structured geometry.
   *
-  * Usage: `runMain graft.tools.DeltaTouch <sfDir> [--structured]`.
+  * Usage: `runMain graft.tools.DeltaTouch <sfDir> [--structured]
+  * [--delete]` — `--delete` measures the q327 DELETION face's change
+  * sets instead of the q315 arrival face's.
   */
 object DeltaTouch {
   def main(args: Array[String]): Unit = {
     val structured = args.contains("--structured")
-    val positional = args.filterNot(_ == "--structured")
-    require(positional.nonEmpty && args.length <= 2,
-      "usage: DeltaTouch <sfDir> [--structured]")
+    val deletion = args.contains("--delete")
+    val positional =
+      args.filterNot(a => a == "--structured" || a == "--delete")
+    require(positional.nonEmpty && args.length <= 3,
+      "usage: DeltaTouch <sfDir> [--structured] [--delete]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,7 +36,9 @@ object DeltaTouch {
     val dir =
       if (structured) structFixtureDir(spark, positional.head)
       else positional.head
-    val (oldTopM, newTopM, touched) = deltaDiversifyChange(spark, dir)
+    val (oldTopM, newTopM, touched) =
+      if (deletion) deleteDiversifyChange(spark, dir)
+      else deltaDiversifyChange(spark, dir)
     val oldSrcs = oldTopM.select("src").distinct().cache()
     val nOld = oldSrcs.count()
     val nNew = newTopM.select("src").distinct().count()
