@@ -2948,6 +2948,25 @@ object SimilarityQueries {
       knnRollup(knnSymmetrize(passthrough.unionByName(recomputed)))
     }),
 
+    // The deletion face for the REFINED build — completing the
+    // builds × churn-directions matrix (q315/q319 insertion for
+    // both builds, q327 deletion for the diversified): one change
+    // derivation (deleteDiversifyChange, cache-shared with q327)
+    // serves both builds because both are pure per-node functions of
+    // the same merged pool — refine cuts top-M over it, diversify
+    // runs the heuristic over its top-R. Oracle is q300's
+    // from-scratch twin over the survivor corpus.
+    "q331_delete_knn_refine" -> ((s, dir) => {
+      val (oldTopM, newTopM, touched) = deleteDiversifyChange(s, dir)
+      // stored artifact: the full corpus's refined directed top-M
+      val oldRef = knnTopM(lastXdOldPool.swap(
+        knnMergedPool(s, dir, oldTopM).cache()))
+      val recomputed = knnTopM(lastXdTouchedPool.swap(
+        knnMergedPoolFor(s, dir, newTopM, Some(touched)).cache()))
+      val passthrough = oldRef.join(touched, Seq("src"), "left_anti")
+      knnRollup(knnSymmetrize(passthrough.unionByName(recomputed)))
+    }),
+
     // Graph-based ANN, serve face — MULTI-ENTRY greedy descent over
     // the q294 graph (NSW's search primitive: hop to the neighbor
     // closest to the query while it improves), entered from the
@@ -4044,6 +4063,21 @@ object SimilarityQueries {
              |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
              |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
              |FROM dg GROUP BY src ORDER BY vec_id""".stripMargin
+        s"WITH demb AS MATERIALIZED (SELECT * FROM embeddings " +
+          s"WHERE NOT $del),\n" +
+          body.replace("FROM embeddings", "FROM demb")
+      },
+      // incremental-delete ≡ from-scratch-on-survivors for the
+      // refined build: q300's twin over demb (q327's device)
+      "q331_delete_knn_refine" -> {
+        val del = s"(vec_id >= $delLo AND vec_id < $delHi)"
+        val body =
+          s"""$sqlEmb,
+             |$sqlKnnRefineCtes
+             |SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree,
+             |  CAST(SUM(dst) AS BIGINT) AS sum_dst,
+             |  MIN(dst) AS min_dst, MAX(dst) AS max_dst
+             |FROM rg GROUP BY src ORDER BY vec_id""".stripMargin
         s"WITH demb AS MATERIALIZED (SELECT * FROM embeddings " +
           s"WHERE NOT $del),\n" +
           body.replace("FROM embeddings", "FROM demb")

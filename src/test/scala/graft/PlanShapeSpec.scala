@@ -231,11 +231,11 @@ class PlanShapeSpec extends SparkSuite {
           // both sides (the stored selection is corpus×M; touched can
           // approach it), deliberately unhinted for the same reason
           "q315_delta_knn_diversify", "q319_delta_knn_refine",
-          // q327 is the same machinery under deletion: survivor
+          // q327/q331 are the same machinery under deletion: survivor
           // re-band candidates, edge-list self-joins, passthrough
           // anti-join — corpus-scaled on both sides, deliberately
           // unhinted (AQE promotes at gate scale from real sizes)
-          "q327_delete_knn_diversify")(name))
+          "q327_delete_knn_diversify", "q331_delete_knn_refine")(name))
         assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
           s"$name plans a SortMergeJoin — a dim side stopped broadcasting")
       // q60 DELIBERATELY forces the shuffled path (skew-salting demo)
