@@ -1904,6 +1904,100 @@ object ShapeOpsQueries {
       } finally rmTree(stage)
     }),
 
+    // PARTITION EVOLUTION — Iceberg's signature capability (spec v2
+    // §partition-evolution; Hive/plain-parquet tables CANNOT do
+    // this): a table's partition scheme changes mid-life WITHOUT
+    // rewriting old files, because partitioning is metadata per file,
+    // not directory truth. Staged: the table's original ingest lands
+    // under spec A (one file per doc_id granule), then the scheme
+    // EVOLVES and later ingest lands under spec B (one file per
+    // source); ONE log holds both, each manifest row carrying its
+    // file's partition tuple (ptype, pval) AND its key stats — the
+    // dual bookkeeping real manifests keep. A reader prunes each file
+    // BY ITS OWN SPEC: equality on a file's partition column prunes
+    // by value, anything else falls back to min/max stats. Probes
+    // price all three shapes: an id-range probe prunes spec-A to one
+    // granule while spec-B files survive only if their id stats
+    // overlap; a source-equality probe prunes spec-B to one file
+    // while spec-A scans (granules contain every source); the
+    // combined probe intersects both rules. Content is gated
+    // hash-exact against the predicate applied to the full table —
+    // stats never false-negative, so pruned reads lose nothing. At
+    // 100 TB this is why evolution beats rewrite: the old petabytes
+    // keep their layout and their pruning, the new scheme applies
+    // going forward, and the planner cost is one manifest fold.
+    "q332_lake_partition_evolution" -> ((s, dir) => {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-q332-lake")
+      try {
+        import s.implicits._
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val gran = lakeGranFor(d.count())
+        // spec A: the original ingest (doc_id % 3 <> 2), granule files
+        val a = d.where(col("doc_id") % 3 =!= 2)
+          .withColumn("g", expr(s"doc_id div $gran"))
+        a.repartition(col("g"))
+          .write.partitionBy("g").mode("overwrite")
+          .parquet(s"$stage/specA")
+        // spec B: post-evolution ingest (% 3 = 2), source files (the
+        // partition column is duplicated so data files keep `source` —
+        // readers of a leaf directory must still see the full row)
+        val b = d.where(col("doc_id") % 3 === 2)
+        b.withColumn("sp", col("source"))
+          .repartition(col("sp"))
+          .write.partitionBy("sp").mode("overwrite")
+          .parquet(s"$stage/specB")
+        // the manifest: partition tuple + key stats per file
+        val aManifest = a.groupBy("g")
+          .agg(min(col("doc_id")), max(col("doc_id")))
+          .collect()  // hint audit: manifest-sized
+          .map(r => (s"$stage/specA/g=${r.getLong(0)}", "range",
+            r.getLong(0).toString, r.getLong(1), r.getLong(2)))
+        val bManifest = b.groupBy("source")
+          .agg(min(col("doc_id")), max(col("doc_id")))
+          .collect()  // hint audit: manifest-sized
+          .map(r => (s"$stage/specB/sp=${r.getString(0)}", "source",
+            r.getString(0), r.getLong(1), r.getLong(2)))
+        val manifest = aManifest ++ bManifest
+        val (lo, hi) = (2L * gran, 2L * gran + gran / 2)
+        val srcPick = d.agg(min(col("source"))).head().getString(0)
+        // per-file pruning under the file's OWN spec
+        def scan(idR: Option[(Long, Long)], srcEq: Option[String])
+            : Seq[String] =
+          manifest.filter { case (_, ptype, pval, mn, mx) =>
+            val idOk = idR.forall { case (l, h) => mx >= l && mn <= h }
+            val srcOk = srcEq.forall(sv =>
+              ptype != "source" || pval == sv)
+            idOk && srcOk
+          }.map(_._1).toSeq.sorted
+        def probe(name: String, idR: Option[(Long, Long)],
+            srcEq: Option[String]): DataFrame = {
+          val files = scan(idR, srcEq)
+          val pred = idR.map { case (l, h) =>
+            col("doc_id") >= l && col("doc_id") <= h }
+            .getOrElse(lit(true)) &&
+            srcEq.map(col("source") === _).getOrElse(lit(true))
+          s.read.parquet(files: _*).where(pred)
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(col("n_chars").cast("long")), lit(0L))
+                .as("sum_chars"),
+              coalesce(sum(expr(manifestTerm("doc_id"))), lit(0L))
+                .as("key_checksum"))
+            .select(lit(name).as("probe"),
+              lit(manifest.length.toLong).as("n_files_total"),
+              lit(files.size.toLong).as("n_files_scanned"),
+              col("n_rows"), col("sum_chars"), col("key_checksum"))
+        }
+        val out = probe("a_id_range", Some((lo, hi)), None)
+          .unionByName(probe("b_source_eq", None, Some(srcPick)))
+          .unionByName(probe("c_combined", Some((lo, hi)), Some(srcPick)))
+          .orderBy("probe")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally rmTree(stage)
+    }),
+
     // CATALOG-LEVEL MULTI-TABLE SNAPSHOTS — the consistency layer
     // ABOVE single-table commits (Iceberg/Nessie catalogs; plain
     // Delta cannot express it): a fact table and its derived dim
@@ -3579,6 +3673,55 @@ object ShapeOpsQueries {
          |    AS key_checksum,
          |  CAST(SUM(doc_id * n_chars) AS BIGINT) AS mix_checksum
          |FROM post""".stripMargin
+    },
+    // per-file pruning reconstructed under each file's own spec: the
+    // file list from the staging arithmetic (granule files for the
+    // %3<>2 slice, source files for the %3=2 slice), the same
+    // value-or-stats rule, content from the raw predicate
+    "q332_lake_partition_evolution" -> {
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+         |gp AS (SELECT GREATEST(100, COUNT(*) // 50) AS g
+         |  FROM documents),
+         |af AS (SELECT 'range' AS ptype,
+         |    CAST(doc_id // (SELECT g FROM gp) AS VARCHAR) AS pval,
+         |    MIN(doc_id) AS mn, MAX(doc_id) AS mx
+         |  FROM d WHERE doc_id % 3 <> 2
+         |  GROUP BY doc_id // (SELECT g FROM gp)),
+         |bf AS (SELECT 'source' AS ptype, source AS pval,
+         |    MIN(doc_id) AS mn, MAX(doc_id) AS mx
+         |  FROM d WHERE doc_id % 3 = 2 GROUP BY source),
+         |mf AS (SELECT * FROM af UNION ALL SELECT * FROM bf),
+         |pr AS (SELECT 'a_id_range' AS probe, TRUE AS has_id,
+         |    FALSE AS has_src
+         |  UNION ALL SELECT 'b_source_eq', FALSE, TRUE
+         |  UNION ALL SELECT 'c_combined', TRUE, TRUE),
+         |bounds AS (SELECT 2 * g AS lo, 2 * g + g // 2 AS hi,
+         |    (SELECT MIN(source) FROM documents) AS sv FROM gp),
+         |sc AS (SELECT pr.probe, CAST(COUNT(*) AS BIGINT) AS n_scan
+         |  FROM pr, mf, bounds b
+         |  WHERE (NOT pr.has_id OR (mf.mx >= b.lo AND mf.mn <= b.hi))
+         |    AND (NOT pr.has_src OR mf.ptype <> 'source'
+         |      OR mf.pval = b.sv)
+         |  GROUP BY 1),
+         |con AS (SELECT pr.probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS sum_chars,
+         |    CAST(COALESCE(SUM(${manifestTerm("doc_id")}), 0) AS BIGINT)
+         |      AS key_checksum
+         |  FROM pr, d, bounds b
+         |  WHERE (NOT pr.has_id OR d.doc_id BETWEEN b.lo AND b.hi)
+         |    AND (NOT pr.has_src OR d.source = b.sv)
+         |  GROUP BY 1)
+         |SELECT pr.probe,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mf) AS n_files_total,
+         |  COALESCE(sc.n_scan, 0) AS n_files_scanned,
+         |  COALESCE(con.n_rows, 0) AS n_rows,
+         |  COALESCE(con.sum_chars, 0) AS sum_chars,
+         |  COALESCE(con.key_checksum, 0) AS key_checksum
+         |FROM pr
+         |LEFT JOIN sc USING (probe)
+         |LEFT JOIN con USING (probe)
+         |ORDER BY pr.probe""".stripMargin
     },
     // both catalog probes compare a rollup against itself (consistent
     // by construction); the torn probe compares the updated fact

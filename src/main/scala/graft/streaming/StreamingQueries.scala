@@ -1376,6 +1376,132 @@ object StreamingQueries {
       }
     }),
 
+    // SNAPSHOT BOOTSTRAP + CHANGE TAIL — Delta's streaming-source
+    // `startingVersion` pattern and the way EVERY real replication
+    // job starts: a downstream does NOT replay a petabyte table's
+    // commit history from v0 — it bootstraps from ONE snapshot read
+    // (as-of the boot version) and consumes only the change tail
+    // AFTER it. Staged on the q274 log: the consumer materializes
+    // its v0 aggregate from the as-of(0) snapshot (a plain pruned
+    // read, not a change-feed fold), then ONLY manifests v1 and v2
+    // arrive as the stream and fold incrementally (q317's abelian
+    // rule). The boundary is exactly where consumers go wrong: one
+    // that also replays v0's manifest double-counts the initial load
+    // (every v0 row is an 'insert' in its own change set); one that
+    // starts the tail at v2 misses the append. Gated: all three
+    // maintained versions read back ≡ the from-scratch as-of
+    // rollups — q317's oracle VERBATIM, reached through the
+    // bootstrap-plus-tail path instead of the full replay. At 100 TB
+    // the bootstrap is one snapshot scan (what a backfill costs
+    // anyway) and the tail is ∝ changes — history length never
+    // enters the cost.
+    "q333_stream_bootstrap_tail" -> ((s, dir) => {
+      import s.implicits._
+      val stage = tmpDir("graft-q333-lake")
+      val arrivals = tmpDir("graft-q333-src")
+      val mv = tmpDir("graft-q333-mv")
+      val ckpt = tmpDir("graft-q333-ckpt")
+      try {
+        graft.queries.ShapeOpsQueries
+          .stageLakeLog(s, dir, stage.toString, withCompaction = false)
+        def roll(df: DataFrame, sign: Int) = df
+          .groupBy("source")
+          .agg((count(lit(1)) * sign).as("n_docs"),
+            (sum(col("n_chars").cast("long")) * sign).as("sum_chars"),
+            (sum(expr(graft.queries.ShapeOpsQueries
+              .manifestTerm("doc_id"))) * sign).as("key_checksum"))
+        Files.createDirectories(Paths.get(s"$mv/_log"))
+        def aggPathOf(v: Long): String =
+          s.read.parquet(s"$mv/_log/v$v").collect()
+            .collectFirst { case r if r.getString(0) == "add" =>
+              r.getString(1) }.get
+        def commitAgg(v: Long, agg: DataFrame): Unit = {
+          val aggPath = s"$mv/agg/v$v"
+          agg.coalesce(1).write.mode("overwrite").parquet(aggPath)
+          Seq(("add", aggPath)).toDF("action", "path").coalesce(1)
+            .write.mode("overwrite").parquet(s"$mv/_log/v$v")
+        }
+        // the BOOTSTRAP: one snapshot read at the boot version — not
+        // a change-feed fold
+        val bootFiles = graft.queries.ShapeOpsQueries
+          .asOfFiles(s, stage.toString, 0)
+        commitAgg(0L, roll(s.read.parquet(bootFiles: _*), 1))
+        // the TAIL: only the commits AFTER the boot version arrive
+        val now = System.currentTimeMillis()
+        var schema: org.apache.spark.sql.types.StructType = null
+        for (v <- 1 to 2) {
+          val tmp = tmpDir("graft-q333-w")
+          try {
+            val m = s.read.parquet(s"$stage/_log/v$v")
+              .withColumn("version", lit(v.toLong))
+            schema = m.schema
+            m.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val f = arrivals.resolve(s"c$v.parquet")
+            Files.move(graft.util.FileUtils.firstParquet(tmp), f,
+              StandardCopyOption.REPLACE_EXISTING)
+            Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(
+                now - (3 - v) * 60000L))
+          } finally deleteRecursively(tmp)
+        }
+        def foldOne(entries: Array[org.apache.spark.sql.Row],
+            v: Long): Unit = {
+          if (entries.isEmpty ||
+            Files.exists(Paths.get(s"$mv/_log/v$v"))) return
+          val added = entries.filter(_.getString(0) == "add")
+            .map(_.getString(1)).toSeq
+          val removed = entries.filter(_.getString(0) == "remove")
+            .map(_.getString(1)).toSeq
+          val addedDf = s.read.parquet(added: _*)
+          val removedDf =
+            if (removed.nonEmpty) s.read.parquet(removed: _*)
+            else addedDf.where(lit(false))
+          val inserts = addedDf.join(removedDf.select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          val deletes = removedDf.join(addedDf.select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          val delta = roll(inserts, 1).unionByName(roll(deletes, -1))
+          val merged = s.read.parquet(aggPathOf(v - 1))
+            .select(col("source"), col("n_docs"), col("sum_chars"),
+              col("key_checksum"))
+            .unionByName(delta)
+            .groupBy("source")
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("sum_chars")).as("sum_chars"),
+              sum(col("key_checksum")).as("key_checksum"))
+          commitAgg(v, merged)
+        }
+        val query = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(arrivals.toString)
+          .writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val all = df.collect() // manifest-sized
+            all.map(_.getAs[Long]("version")).distinct.sorted
+              .foreach(v =>
+                foldOne(all.filter(_.getAs[Long]("version") == v), v))
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val out = (0 to 2).map { v =>
+          s.read.parquet(aggPathOf(v.toLong))
+            .select(lit(v.toLong).as("version"), col("source"),
+              col("n_docs"), col("sum_chars"), col("key_checksum"))
+        }.reduce(_ unionByName _).orderBy("version", "source")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        releaseStreamingState()
+        deleteRecursively(ckpt)
+        deleteRecursively(mv)
+        deleteRecursively(arrivals)
+        deleteRecursively(stage)
+      }
+    }),
+
     // STREAMING CDC APPLY — the downstream face q317/q328 stop short
     // of: they maintain an AGGREGATE replica; a real replication
     // pipeline maintains the TABLE — each upstream commit's change
@@ -3067,6 +3193,25 @@ object StreamingQueries {
          |${row(1, upd, "TRUE")}
          |UNION ALL
          |${row(2, upd, "NOT (doc_id % 2 = 1 AND doc_id % 5 = 0)")}
+         |) ORDER BY version, source""".stripMargin
+    },
+    // q317's oracle VERBATIM: the maintained versions must equal the
+    // from-scratch as-of rollups whichever path produced them —
+    // bootstrap + tail here, full replay there
+    "q333_stream_bootstrap_tail" -> {
+      def row(v: Int, pred: String) =
+        s"""SELECT CAST($v AS BIGINT) AS version, source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(${graft.queries.ShapeOpsQueries
+                 .manifestTerm("doc_id")}) AS BIGINT) AS key_checksum
+           |FROM documents WHERE $pred GROUP BY source""".stripMargin
+      s"""SELECT * FROM (
+         |${row(0, "doc_id % 3 <> 2")}
+         |UNION ALL
+         |${row(1, "TRUE")}
+         |UNION ALL
+         |${row(2, graft.queries.ShapeOpsQueries.sqlLakeV2Pred)}
          |) ORDER BY version, source""".stripMargin
     },
     // every downstream version reconstructed logically (update applied

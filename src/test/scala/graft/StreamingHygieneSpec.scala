@@ -28,7 +28,7 @@ class StreamingHygieneSpec extends SparkSuite {
 
   test("every streaming gate leaves zero residual streaming state") {
     val streaming = graft.streaming.StreamingQueries.queries.keys.toSeq.sorted
-    assert(streaming.size == 32, s"expected the 32 streaming gates, got $streaming")
+    assert(streaming.size == 33, s"expected the 33 streaming gates, got $streaming")
     for (name <- streaming) {
       val out = SparkEntry.queries(name)(spark, dir)
       assert(out.count() > 0, s"$name returned no rows")
