@@ -2905,6 +2905,13 @@ object ShapeOpsQueries {
   /** The memoized master: staged once under a deterministic /tmp key,
     * manifests rewritten to the final root, published atomically (a
     * concurrent stager losing the rename discards its copy).
+    *
+    * Cleanup policy (round-17 ADVICE): masters accumulate per
+    * (corpus, granule, convention) key, content-addressed and
+    * immutable — a host reclaims space by deleting any `graft-lake-*`
+    * /tmp entry (the `_staged_ok` check below restages on next use
+    * and fails loudly if cleaned MID-run). No in-process age-out: a
+    * concurrent Verify/Bench may be mid-read on a sibling master.
     */
   private[graft] def lakeMasterDir(s: SparkSession, dir: String,
       withCompaction: Boolean): java.nio.file.Path = {

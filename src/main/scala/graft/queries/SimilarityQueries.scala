@@ -1148,14 +1148,24 @@ object SimilarityQueries {
     * (CacheSlot keeps equivalent plans), exactly as q305 reuses the
     * real table. Staged once via write-to-temp + atomic rename; a
     * concurrent stager losing the rename just discards its copy.
+    *
+    * Keyed on the SANITIZED corpus path (not its hashCode — two dirs
+    * with colliding hashCodes would share a fixture, and
+    * abs(Int.MinValue) stays negative; the lakeMasterDir fix applied
+    * here too). Cleanup policy: fixtures accumulate per (corpus,
+    * geometry) key and are content-addressed + immutable — a host
+    * reclaims space by deleting any `graft-struct-*` /tmp entry; the
+    * next invocation restages. No age-out runs in-process because a
+    * concurrent Verify/Bench may be mid-read on a sibling fixture.
     */
   private[graft] def structFixtureDir(s: SparkSession, dir: String): String = {
     val base = Tables(s, dir, "embeddings")
     val n = base.count()
     val c = structClustersFor(n)
+    val safeDir = java.nio.file.Paths.get(dir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9._-]", "-")
     val root = java.nio.file.Paths.get("/tmp",
-      s"graft-struct-$structAnchorMod-$structPerturbMod-$n-$c-" +
-        math.abs(dir.hashCode).toString)
+      s"graft-struct-$structAnchorMod-$structPerturbMod-$n-$c-$safeDir")
     if (!java.nio.file.Files.exists(
         root.resolve("embeddings.parquet").resolve("_SUCCESS"))) {
       // stage under the TARGET's parent (/tmp), not java.io.tmpdir: the
