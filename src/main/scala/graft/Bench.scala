@@ -13,6 +13,17 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-adaptive post-shuffle sizing (optimization guide §2.2):
+      // with parallelismFirst (the default) AQE refuses to coalesce
+      // below the core count, so every exchange over this suite's
+      // KB-scale frames launches $cpus tasks whose scheduling dwarfs
+      // their work; `false` lets AQE size partitions by BYTES
+      // (advisoryPartitionSizeInBytes), which is exactly the behavior
+      // that scales — tiny inputs collapse to one task locally, TB
+      // inputs still fan out to thousands of partitions on a cluster.
+      // The Spark docs themselves recommend false for production.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

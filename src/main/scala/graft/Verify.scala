@@ -18,6 +18,10 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // byte-based AQE coalescing (see Bench.scala) — same session
+      // shape as the bench so verified plans match timed plans
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by

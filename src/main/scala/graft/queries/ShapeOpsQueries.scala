@@ -2893,7 +2893,21 @@ object ShapeOpsQueries {
       stage: String, withCompaction: Boolean,
       privateData: Boolean = false): String =
     if (privateData) {
-      stageLakeLogInto(s, dir, stage, withCompaction)
+      // Private-data gates (vacuum-exec, forget, retention-sweep,
+      // vacuum×checkpoint, ...) used to re-derive the whole fixture
+      // with a dozen Spark jobs per invocation. The memoized master
+      // holds byte-identical content (same deterministic pipeline), so
+      // a filesystem copy + manifest path rewrite produces the same
+      // private stage for the cost of copying ~1 MB — only the
+      // manifest rewrite (KB-scale, one tiny job per version) touches
+      // Spark. Measured ~2-4 s saved per private gate at sf0.1.
+      val master = lakeMasterDir(s, dir, withCompaction)
+      graft.util.FileUtils.copyRecursively(
+        master, java.nio.file.Paths.get(stage))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(stage, "_staged_ok"))
+      rewriteManifestPaths(s, java.nio.file.Paths.get(stage, "_log"),
+        master.toString, stage)
       stage
     } else {
       val master = lakeMasterDir(s, dir, withCompaction)
