@@ -24,6 +24,13 @@ object Bench {
       // The Spark docs themselves recommend false for production.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // let AQE re-size shuffles INSIDE cached plans too: the graph
+      // tier pins index-sized intermediates via CacheSlot, and with
+      // this off (the default) every cached subtree keeps the full
+      // static shuffle width — measured 32×-more tasks and 8× the
+      // executor time on q315/q327 for identical results
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -22,6 +22,8 @@ object Verify {
       // shape as the bench so verified plans match timed plans
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses by

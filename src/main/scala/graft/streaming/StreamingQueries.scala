@@ -295,7 +295,35 @@ object StreamingQueries {
   def sessionWindowSessions(s: SparkSession, dir: String): DataFrame =
     sessionWindowRun(s, dir)(_.orderBy("user_id", "start_us"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Gate-harness state-store width. AQE cannot resize stateful
+    * streaming stages (it is disabled for them), so every micro-batch
+    * of every gated stream pays `spark.sql.shuffle.partitions` state
+    * store instances (open + commit + maintenance) per stateful op —
+    * at the session's cluster-sized 32 that was measured as ~1-2 s of
+    * pure per-query fixed cost over these 3-file KB-scale fixtures.
+    * Seven gates already pinned 8 for exactly this reason (the q154
+    * comment); this applies the same width to every gated run in one
+    * place. Env-parameterised: a deployment sizes state partitions to
+    * key cardinality and load, which the env override expresses — the
+    * committed default stays the historical gate-harness 8.
+    */
+  private val streamParts =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+  private def withGateParts(s: SparkSession)(body: => DataFrame)
+      : DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) =>
+        withGateParts(s)(fn(s, dir)))
+    }
+
+  private def rawQueries
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
     // E20 oracle-gated: per-(5-min window, event_type) counts + decimal
     // value sums, emitted by Append-mode watermark eviction.
     "q59_stream_window" -> ((s, dir) => {
