@@ -1689,39 +1689,73 @@ object SimilarityQueries {
   private def walkPinned(s: SparkSession, corpus: DataFrame,
       g: DataFrame, start: DataFrame, countCands: Boolean)
       : (DataFrame, Long) = {
-    var cur = start
+    // One distributed lookup per hop: the graph pre-joined with its
+    // dst vectors (cached for the walk — the vectors-with-adjacency
+    // layout graph-ANN serving actually deploys: a hop reads a node's
+    // neighborhood AND the neighbor vectors in one fetch), probed by
+    // the broadcast cursor. The previous shape ran three jobs per hop
+    // (frontier broadcast over g, candidate scoring over a fresh
+    // corpus scan, plus a separate count() when pricing candidate
+    // volume — which re-evaluated the scoring subtree); this runs one.
+    // The argmax / move fold happens on the COLLECTED candidate set —
+    // probe-bounded (≤ probes × E × 2M rows at any corpus size, the
+    // same boundedness class as the pinWalk cursor itself), exactly
+    // the work a serving coordinator does per hop.
+    val gv = g.join(corpus.select(col("vec_id").as("dst"),
+        col("embedding").as("de"), col("n2").as("dn2")), Seq("dst"))
+      .cache()
+    val schema = start.schema
+    val iProbe = schema.fieldIndex("probe_id")
+    val iEntry = schema.fieldIndex("entry_id")
+    val iCurId = schema.fieldIndex("cur_id")
+    val iCurCos = schema.fieldIndex("cur_cos")
+    val iMoves = schema.fieldIndex("n_moves")
+    var curRows = start.collect()  // hint audit: frontier-bounded collect (≤ probes × E rows, pinned already)
     var nCands = 0L
-    for (_ <- 1 to graphHops) {
-      val frontier = g
-        .join(broadcast(cur.select(col("cur_id").as("src"),  // hint audit: frontier-bounded (≤ probes × E rows)
-          col("probe_id"), col("entry_id"), col("pvec"), col("pn2"))),
-          Seq("src"))
-        .select(col("probe_id"), col("entry_id"), col("dst"),
-          col("pvec"), col("pn2"))
-      val cands = corpus
-        .select(col("vec_id").as("dst"), col("embedding").as("de"),
-          col("n2").as("dn2"))
-        .join(broadcast(frontier), Seq("dst"))  // hint audit: probe-bounded (≤ probes × E × 2M neighbor rows)
-        .select(col("probe_id"), col("entry_id"), col("dst"),
-          cosineFrom(dot(col("pvec"), col("de")), col("pn2"), col("dn2"))
-            .as("c"))
-      if (countCands) nCands += cands.count()
-      val w = Window.partitionBy("probe_id", "entry_id")
-        .orderBy(desc("c"), asc("dst"))
-      val best = cands.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("probe_id"), col("entry_id"),
-          col("dst").as("best_id"), col("c").as("best_cos"))
-      val moved = col("best_cos") > col("cur_cos")
-      cur = pinWalk(s, cur
-        .join(broadcast(best), Seq("probe_id", "entry_id"), "left")  // hint audit: probe-bounded (one best row per walk)
-        .select(col("probe_id"), col("source_id"), col("pvec"),
-          col("pn2"), col("entry_id"), col("entry_rn"),
-          when(moved, col("best_id")).otherwise(col("cur_id")).as("cur_id"),
-          when(moved, col("best_cos")).otherwise(col("cur_cos")).as("cur_cos"),
-          (col("n_moves") + when(moved, 1L).otherwise(0L)).as("n_moves")))
-    }
-    (cur, nCands)
+    try {
+      for (_ <- 1 to graphHops) {
+        val curKeys = s.createDataFrame(
+            java.util.Arrays.asList(curRows: _*), schema)
+          .select(col("cur_id").as("src"), col("probe_id"),
+            col("entry_id"), col("pvec"), col("pn2"))
+        val cand = gv
+          .join(broadcast(curKeys), Seq("src"))  // hint audit: cursor-bounded broadcast (≤ probes × E rows)
+          .select(col("probe_id"), col("entry_id"), col("dst"),
+            cosineFrom(dot(col("pvec"), col("de")), col("pn2"),
+              col("dn2")).as("c"))
+          .collect()  // hint audit: probe-bounded collect (≤ probes × E × 2M neighbor rows)
+        if (countCands) nCands += cand.length
+        // best per walk, tiebreak (c DESC, dst ASC) — Double.compare is
+        // exactly the sort order row_number().over(orderBy(desc("c"),
+        // asc("dst"))) used here before the fold moved driver-side
+        val best = new java.util.HashMap[(Long, Long), (Long, Double)]
+        cand.foreach { r =>
+          val k = (r.getLong(0), r.getLong(1))
+          val dst = r.getLong(2)
+          val c = r.getDouble(3)
+          val prev = best.get(k)
+          val cmp = if (prev == null) 1
+            else java.lang.Double.compare(c, prev._2)
+          if (prev == null || cmp > 0 || (cmp == 0 && dst < prev._1))
+            best.put(k, (dst, c))
+        }
+        curRows = curRows.map { r =>
+          val b = best.get((r.getLong(iProbe), r.getLong(iEntry)))
+          // IEEE > — the same predicate the Column expression
+          // (best_cos > cur_cos) evaluated
+          if (b != null && b._2 > r.getDouble(iCurCos)) {
+            val vs = r.toSeq.toArray
+            vs(iCurId) = b._1
+            vs(iCurCos) = b._2
+            vs(iMoves) = r.getLong(iMoves) + 1L
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              vs, schema): org.apache.spark.sql.Row
+          } else r
+        }
+      }
+    } finally gv.unpersist(blocking = false)
+    (s.createDataFrame(java.util.Arrays.asList(curRows: _*), schema),
+      nCands)
   }
 
   /** Per-probe evaluation over a finished walk frame: best endpoint
